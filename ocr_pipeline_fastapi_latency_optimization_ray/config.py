@@ -1,0 +1,180 @@
+"""Pipeline configuration and byte-identity-critical constants.
+
+Every constant here mirrors an exact semantic of the reference pipeline
+(`Ashokpravin/ocr-pipeline-fastapi-Latency-optimization`, read-only checkout at
+/root/reference) — file:line citations point into that tree. The values are
+part of the byte-identical output contract and must not change casually.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Canonical label space (reference: DLA.py:59-80 `map_labels`)
+# ---------------------------------------------------------------------------
+
+# Raw model label -> canonical pipeline label. Exact copy of the semantic
+# mapping table at DLA.py:62-80 (data, not code).
+MAP_LABELS: dict[str, str] = {
+    "paragraph_title": "text",
+    "image": "figure",
+    "text": "text",
+    "number": "text",
+    "abstract": "text",
+    "content": "text",
+    "figure_title": "text",
+    "formula": "formula",
+    "table": "table",
+    "reference": "text",
+    "doc_title": "text",
+    "footnote": "text",
+    "header": "text",
+    "algorithm": "figure",
+    "footer": "abandon",
+    "seal": "figure",
+    "chart": "figure",
+    "formula_number": "text",
+    "aside_text": "abandon",
+    "reference_content": "text",
+}
+
+# Canonical classes sorted — the reference derives class ids from
+# `sorted(set(map_labels.values()))` (DLA.py:84): abandon figure formula table text
+CANONICAL_CLASSES: list[str] = sorted(set(MAP_LABELS.values()))
+CLASS_TO_ID: dict[str, int] = {c: i for i, c in enumerate(CANONICAL_CLASSES)}
+
+# Raw-label order = dict insertion order (DLA.py:83 `list(self.map_labels.keys())`).
+RAW_CLASSES: list[str] = list(MAP_LABELS.keys())
+RAW_TO_ID: dict[str, int] = {c: i for i, c in enumerate(RAW_CLASSES)}
+# ind_map: raw class id -> canonical class id (DLA.py:86).
+IND_MAP: list[int] = [CLASS_TO_ID[MAP_LABELS[k]] for k in RAW_CLASSES]
+
+# Labels excluded from masking — everything NOT in this set is masked and
+# receives a placeholder tag (DLA.py:627 `ignored_labels`).
+UNMASKED_LABELS = frozenset({"text", "formula", "abandon"})
+
+# ---------------------------------------------------------------------------
+# Placeholder / enrichment constants
+# ---------------------------------------------------------------------------
+
+# Placeholder tag burned into the masked page, later re-parsed by regex.
+# Format exactly as stamped at ContentMasker.py:65-77.
+def placeholder_tag(page_num: int, label: str, index: int) -> str:
+    return f"PAGE {page_num} {label}_{index}: HERE"
+
+
+def placeholder_tag_fallback(page_num: int, caption: str) -> str:
+    # ContentMasker.py:76-77 fallback for objects that are neither figure nor table
+    return f"PAGE {page_num} {caption}: HERE"
+
+
+# Tolerant placeholder regex — exact pattern from MarkdownEnricher.py:24-27.
+PLACEHOLDER_PATTERN = re.compile(
+    r"page\s+(\d+)\s+(figure|table)(?:[^\d\n]*(\d+))?.*?here",
+    re.IGNORECASE,
+)
+
+# Sentinel emitted when the enrichment lookup misses (MarkdownEnricher.py:93-94).
+def missing_crop_sentinel(obj_type: str, obj_index: str | None) -> str:
+    return f"\n> **[Missing Crop] Could not find image for {obj_type} {obj_index}**\n"
+
+
+# Page separator for document assembly (PageProcessor.py:112).
+PAGE_SEPARATOR = "\n\n---\n\n"
+
+# Block separator inside a page skeleton (our deterministic "main OCR" emits
+# one markdown paragraph per kept block; the reference's VLM output joins
+# visual paragraphs with blank lines).
+BLOCK_SEPARATOR = "\n\n"
+
+# Code-fence strip applied to the final document (PageProcessor.py:116).
+FENCE = "```"
+
+# ---------------------------------------------------------------------------
+# DLA tunables (golden path values)
+# ---------------------------------------------------------------------------
+
+# Detection confidence threshold (DLA.py:137 `conf=0.38`).
+CONF_THRESHOLD = 0.38
+# Inclusion threshold for the first three merge passes (DLA.py:137 `iou=0.5`).
+IOU_THRESHOLD = 0.5
+# Box padding for table/formula/figure: 0.5% of min(H, W) (DLA.py:526-534).
+BOX_PADDING_FRAC = 0.005
+# Golden path runs filter_dup=True, merge_visual=False (ocr_app.py:990).
+FILTER_DUP_DEFAULT = True
+MERGE_VISUAL_DEFAULT = False
+
+# Cap on fixpoint iterations of the D1 merge (reference loops unbounded,
+# DLA.py:203; we cap and record in lineage — SURVEY.md §7.4).
+MERGE_MAX_ITERS = 64
+
+# ---------------------------------------------------------------------------
+# HTML tokenizer heuristics (webtext analog of the layout model — SURVEY §7.1)
+# ---------------------------------------------------------------------------
+
+# A text block whose link density exceeds this is boilerplate ("abandon" —
+# analog of the reference's abandon class, DLA.py:74,78).
+LINK_DENSITY_ABANDON = 0.5
+
+# class/id substrings that mark a subtree as boilerplate.
+BOILERPLATE_HINTS = (
+    "nav", "menu", "footer", "sidebar", "banner", "advert", "promo", "comment",
+)
+
+# Elements whose subtree is always boilerplate.
+BOILERPLATE_TAGS = frozenset({"nav", "footer", "aside", "header"})
+
+# Elements skipped entirely.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "head"})
+
+# Block-level text-emitting elements.
+TEXT_BLOCK_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote", "dt", "dd"}
+)
+
+# Synthetic page geometry for HTML blocks (virtual page; drives the geometry
+# kernels on the HTML branch).
+HTML_PAGE_WIDTH = 1000
+HTML_LINE_HEIGHT = 20
+HTML_LINE_CHARS = 80
+HTML_BLOCK_GAP = 8
+
+# ---------------------------------------------------------------------------
+# Pipeline execution config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PipelineConfig:
+    """Execution knobs for the Ray Data extraction pipeline.
+
+    Mirrors the reference's tunable surface (SURVEY.md §2.11): thresholds,
+    pool sizes, batch sizes; stage list is data so tests can run single stages.
+    """
+
+    conf: float = CONF_THRESHOLD
+    iou: float = IOU_THRESHOLD
+    filter_dup: bool = FILTER_DUP_DEFAULT
+    merge_visual: bool = MERGE_VISUAL_DEFAULT
+
+    # Skew splitter: rows with payload larger than this get their own block
+    # (size-based skew splitter — SURVEY.md §4.2; north_rule requirement).
+    huge_payload_bytes: int = 4 * 1024 * 1024
+
+    # Actor pool for the extract stage (warm layout/recognizer models).
+    extract_concurrency: int | tuple[int, int] = (2, 8)
+    extract_batch_size: int | None = 256
+    extract_num_cpus: float = 1.0
+
+    # Stateless enrich/assemble stage.
+    assemble_batch_size: int | None = 512
+
+    # Output partitioning: partition_id = stable_hash(url) % num_partitions.
+    num_partitions: int = 64
+
+    link_density_abandon: float = LINK_DENSITY_ABANDON
+    boilerplate_hints: tuple[str, ...] = BOILERPLATE_HINTS
+
+    extra: dict = field(default_factory=dict)

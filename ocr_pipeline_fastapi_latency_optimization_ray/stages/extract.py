@@ -1,0 +1,100 @@
+"""Actor-pool extraction stage: warm models in ``__init__``, documents per
+``__call__`` batch.
+
+The reference pays model construction per document (DLA()/OCR() built inside
+each job, ocr_app.py:989, PageProcessor.py:21); here the layout/recognizer
+engines and compiled regexes are amortized across the actor's lifetime
+(SURVEY.md §2.5, A1/A2) — the canonical Ray Data actor-pool pattern.
+
+Arrow in / Arrow out. Batches arrive with classify columns
+(payload_kind, payload_bytes, part) already attached; huge rows arrive in
+their own single-row blocks (stages/classify.py) so one giant PDF never
+stalls a batch of small HTML rows.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..pipelines.doc_extract import extract_document
+from ..stages.layout import LayoutStub, RecognizerStub
+
+SPANS_TYPE = pa.list_(
+    pa.struct([("block_id", pa.int32()), ("start", pa.int64()), ("end", pa.int64())])
+)
+
+RESULT_FIELDS = [
+    ("url", pa.string()),
+    ("lang", pa.string()),
+    ("part", pa.int32()),
+    ("payload_kind", pa.string()),
+    ("payload_bytes", pa.int64()),
+    ("extracted_text", pa.string()),
+    ("spans", SPANS_TYPE),
+    ("n_blocks_kept", pa.int32()),
+    ("n_blocks_dropped", pa.int32()),
+    ("extracted_bytes", pa.int64()),
+    ("error", pa.string()),
+    ("extract_ms", pa.float64()),
+]
+RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
+
+
+class DocumentExtractor:
+    """Callable class for ``map_batches(DocumentExtractor, concurrency=N)``."""
+
+    def __init__(self, cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        # warm engines, once per actor (A1/A2 analog)
+        self.layout = LayoutStub(self.cfg.conf)
+        self.recognizer = RecognizerStub()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        urls = batch["url"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        parts = batch["part"].to_pylist()
+        kinds = batch["payload_kind"].to_pylist()
+        sizes = batch["payload_bytes"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist()
+
+        out_text, out_spans, kept, dropped, out_bytes, errors, ms = (
+            [], [], [], [], [], [], []
+        )
+        for i in range(batch.num_rows):
+            t0 = time.perf_counter()
+            res = extract_document(
+                payloads[i], texts[i], langs[i], cfg,
+                layout=self.layout, recognizer=self.recognizer, kind=kinds[i],
+            )
+            ms.append((time.perf_counter() - t0) * 1000.0)
+            out_text.append(res.extracted_text)
+            out_spans.append(
+                [{"block_id": b, "start": s, "end": e} for b, s, e in res.spans]
+            )
+            kept.append(res.n_blocks_kept)
+            dropped.append(res.n_blocks_dropped)
+            out_bytes.append(len(res.extracted_text.encode("utf-8")))
+            errors.append(res.error)
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(langs, pa.string()),
+                pa.array(parts, pa.int32()),
+                pa.array(kinds, pa.string()),
+                pa.array(sizes, pa.int64()),
+                pa.array(out_text, pa.string()),
+                pa.array(out_spans, SPANS_TYPE),
+                pa.array(kept, pa.int32()),
+                pa.array(dropped, pa.int32()),
+                pa.array(out_bytes, pa.int64()),
+                pa.array(errors, pa.string()),
+                pa.array(ms, pa.float64()),
+            ],
+            schema=RESULT_SCHEMA,
+        )

@@ -1,0 +1,112 @@
+"""Layout-detection and recognition stages for PDF/image payloads.
+
+``LayoutStub`` is a clearly-marked deterministic stand-in for the PaddleOCR
+``LayoutDetection`` model (reference DLA.py:54-57, predict at DLA.py:146-148):
+the execution environment ships no layout model, so detection reads the
+ground-truth blocks embedded in the fake document payload
+(sources/payloads.py). Everything *around* the stub is the real reference
+semantics:
+
+  - score threshold filter (predict(threshold=conf), DLA.py:146-148;
+    conf=0.38 default DLA.py:137)
+  - score-descending sort (DLA.py:515)
+  - int box cast (DLA.py:517)
+  - raw->canonical label mapping via ind_map (DLA.py:521-523, table at :62-80)
+  - 0.5% box padding for table/formula/figure clamped to page (DLA.py:526-534)
+
+``RecognizerStub`` is the deterministic analog of the VLM OCR engine
+(reference OCR.py:117-147): "reading" a region returns the embedded text of
+every ground-truth block whose center falls inside the region, in visual
+reading order — so D1 merges observably change output text. The
+block-type-specific prompt selection (OCR.py:90-101) maps to per-label
+render modes.
+
+Both are plain objects held warm inside the actor-pool stage
+(stages/extract.py) — loaded once per actor in ``__init__``, used per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CANONICAL_CLASSES, IND_MAP, PipelineConfig
+from ..functions.geometry import pad_boxes
+from ..functions.merge import Blocks, filter_duplicates
+
+
+class LayoutStub:
+    """Deterministic layout 'model'. STUB: replace with a real layout model
+    (e.g. PaddleOCR LayoutDetection) when native deps are available; the
+    call signature and output table shape are the real interface."""
+
+    def __init__(self, conf: float = 0.38):
+        self.conf = conf
+
+    def predict(self, page: dict) -> Blocks:
+        raw = [b for b in page.get("blocks", []) if b["score"] >= self.conf]
+        # score-desc stable sort (reference DLA.py:515 list.sort is stable)
+        raw.sort(key=lambda b: -b["score"])
+        n = len(raw)
+        if n == 0:
+            return Blocks.empty()
+        xyxy = np.array([b["bbox"] for b in raw], dtype=float).astype(int)
+        conf = np.array([b["score"] for b in raw], dtype=float)
+        cls = np.array([CANONICAL_CLASSES[IND_MAP[int(b["cls_id"])]] for b in raw],
+                       dtype=object)
+        xyxy = pad_boxes(xyxy, cls, height=page["h"], width=page["w"])
+        texts = np.array([""] * n, dtype=object)  # filled by the recognizer
+        return Blocks(
+            xyxy=xyxy.astype(float), confidence=conf, class_name=cls, text=texts
+        )
+
+
+def render_mode_for_label(label: str) -> str:
+    """Prompt-selector analog (reference OCR.py:90-101): figure/table get
+    specialized treatment, everything else the generic markdown mode."""
+    if label == "figure":
+        return "figure"
+    if label == "table":
+        return "table"
+    return "markdown"
+
+
+class RecognizerStub:
+    """Deterministic region OCR. STUB for a local recognition engine
+    (Tesseract-style per the north_star); reads embedded ground-truth text."""
+
+    def recognize(self, page: dict, bbox, mode: str = "markdown") -> str:
+        x1, y1, x2, y2 = bbox
+        hits = []
+        for i, b in enumerate(page.get("blocks", [])):
+            bx1, by1, bx2, by2 = b["bbox"]
+            cx, cy = (bx1 + bx2) / 2.0, (by1 + by2) / 2.0
+            if x1 <= cx <= x2 and y1 <= cy <= y2:
+                hits.append((by1, bx1, i, b["text"]))
+        hits.sort(key=lambda t: (t[0], t[1], t[2]))
+        lines = [t[3] for t in hits]
+        if mode == "table":
+            return "\n".join(f"| {ln} |" for ln in lines)
+        return "\n".join(lines)
+
+
+def analyze_fake_page(
+    page: dict, layout: LayoutStub, recognizer: RecognizerStub, cfg: PipelineConfig
+) -> Blocks:
+    """Full per-page DLA for a fake-document page: detect -> merge -> OCR.
+
+    Mirrors the golden path of ``DLA.analyze`` (DLA.py:137-179) with
+    filter_dup=True, merge_visual=False (call site ocr_app.py:990); block
+    text is recognized from the merged geometry.
+    """
+    blocks = layout.predict(page)
+    if cfg.filter_dup and len(blocks):
+        blocks = filter_duplicates(blocks, iou=cfg.iou)
+    if cfg.merge_visual and len(blocks):
+        from ..functions.merge_visual import merge_formula_text, merge_text_figure_table
+
+        blocks = merge_formula_text(blocks)
+        blocks = merge_text_figure_table(blocks)
+    for i in range(len(blocks)):
+        mode = render_mode_for_label(blocks.class_name[i])
+        blocks.text[i] = recognizer.recognize(page, blocks.xyxy[i], mode)
+    return blocks

@@ -1,0 +1,123 @@
+"""Tests for placeholder parsing/substitution (M9-M12, reference
+MarkdownEnricher.py:24-94, PageProcessor.py:112-116) — the tolerant-regex,
+sentinel and fence-strip cases FIXTURES.md §2.3 prescribes."""
+
+from ocr_pipeline_fastapi_latency_optimization_ray.config import (
+    PAGE_SEPARATOR,
+    PLACEHOLDER_PATTERN,
+    placeholder_tag,
+)
+from ocr_pipeline_fastapi_latency_optimization_ray.functions.enrich import (
+    assemble_skeleton,
+    enrich_document,
+    finalize_document,
+    strip_fences,
+)
+from ocr_pipeline_fastapi_latency_optimization_ray.functions.masking import PageSkeleton
+
+
+def page(parts, enrich=()):
+    return PageSkeleton(
+        parts=list(parts),
+        block_ids=list(range(len(parts))),
+        enrich=list(enrich),
+        n_kept=len(parts),
+        n_dropped=0,
+    )
+
+
+def test_regex_matches_canonical_tag():
+    m = PLACEHOLDER_PATTERN.search("PAGE 3 figure_2: HERE")
+    assert m and m.groups() == ("3", "figure", "2")
+
+
+def test_regex_tolerant_variants():
+    # case-insensitive, escaped underscore, arbitrary junk before index
+    for s, groups in [
+        ("page 1 table_0: here", ("1", "table", "0")),
+        ("Page 12 Figure\\_3 ... HERE", ("12", "Figure", "3")),
+        ("PAGE 0 table 7 is right here", ("0", "table", "7")),
+    ]:
+        m = PLACEHOLDER_PATTERN.search(s)
+        assert m and m.groups() == groups, s
+
+
+def test_regex_missing_index_gives_none_group():
+    m = PLACEHOLDER_PATTERN.search("page 2 figure: here")
+    assert m and m.group(3) is None
+
+
+def test_regex_does_not_cross_newlines():
+    assert PLACEHOLDER_PATTERN.search("page 1 table\n_0: here") is None
+
+
+def test_substitution_and_span_adjustment():
+    sk = page(["intro", placeholder_tag(0, "table", 0), "outro"])
+    skeleton, spans = assemble_skeleton([sk])
+    text, spans2 = enrich_document(skeleton, spans, {(0, "table", 0): "| a |"})
+    assert text == "intro\n\n\n| a |\n\n\noutro"
+    # block 1's span covers the substituted text
+    b1 = spans2[1]
+    assert text[b1[1] : b1[2]] == "\n| a |\n"
+    b2 = spans2[2]
+    assert text[b2[1] : b2[2]] == "outro"
+
+
+def test_missing_crop_sentinel():
+    sk = page(["x", placeholder_tag(0, "figure", 5)])
+    skeleton, spans = assemble_skeleton([sk])
+    text, _ = enrich_document(skeleton, spans, {})
+    assert "> **[Missing Crop] Could not find image for figure 5**" in text
+
+
+def test_missing_index_sentinel_prints_none():
+    skeleton = "page 2 figure: here"
+    text, _ = enrich_document(skeleton, [(0, 0, len(skeleton))], {})
+    assert text == "\n> **[Missing Crop] Could not find image for figure None**\n"
+
+
+def test_substitution_left_to_right_nonoverlapping():
+    sk = page([placeholder_tag(0, "figure", 0), placeholder_tag(0, "figure", 1)])
+    skeleton, spans = assemble_skeleton([sk])
+    text, _ = enrich_document(
+        skeleton, spans, {(0, "figure", 0): "A", (0, "figure", 1): "B"}
+    )
+    assert text == "\nA\n\n\n\nB\n"
+
+
+def test_page_separator():
+    sk0, sk1 = page(["p0"]), page(["p1"])
+    skeleton, spans = assemble_skeleton([sk0, sk1])
+    assert skeleton == f"p0{PAGE_SEPARATOR}p1"
+    assert spans == [(0, 0, 2), (0, 9, 11)]
+
+
+def test_fence_strip_adjusts_spans():
+    text = "a```b```c"
+    spans = [(0, 0, len(text))]
+    out, spans2 = strip_fences(text, spans)
+    assert out == "abc"
+    assert spans2 == [(0, 0, 3)]
+
+
+def test_finalize_document_end_to_end():
+    sk = page(
+        ["start", placeholder_tag(0, "table", 0), "```fenced```"],
+    )
+    text, spans, kept, dropped = finalize_document(
+        [sk], {(0, "table", 0): "| t |"}
+    )
+    assert "```" not in text
+    assert "| t |" in text
+    assert kept == 3 and dropped == 0
+    for bid, s, e in spans:
+        assert 0 <= s <= e <= len(text)
+
+
+def test_adversarial_body_text_matching_regex_is_substituted():
+    # body text that merely LOOKS like a tag still gets substituted (the
+    # reference regex-scans the whole skeleton) -> missing-crop sentinel
+    sk = page(["as seen on page 4 table_9: right here folks"])
+    text, spans, _, _ = finalize_document([sk], {})
+    assert "[Missing Crop]" in text
+    assert "table 9" in text
