@@ -1,44 +1,146 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps one entry per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data-pipeline operators: dedup, similarity
+search, text analysis) to a callable over ``sf_dir``; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query. Extraction-
+pipeline entries have no SQL equivalent (the driver records the weaker
+rows-only check; byte-identity is enforced by pytest against the oracle in
+tests/test_pipeline_golden.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import ray.data  # noqa: E402
+
+from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig  # noqa: E402
+from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E402
+    dedup,
+    relational,
+    similarity,
+    text_analysis,
+)
+from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.extract import (  # noqa: E402
+    build_extraction_pipeline,
+)
+from ocr_pipeline_fastapi_latency_optimization_ray.sources.synth import (  # noqa: E402
+    pages_from_documents,
+)
+
+
+def _pages_dataset(sf_dir: str, repeat: int = 1) -> "ray.data.Dataset":
+    """Synthesize the Common-Crawl-style pages table deterministically from
+    the driver's ``documents`` parquet (BASELINE.json input_hint shape)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(
+        lambda b: pages_from_documents(b, repeat=repeat), batch_format="pyarrow"
+    )
+
+
+def _extract_pages(sf_dir: str) -> "ray.data.Dataset":
+    """Flagship: full extraction pipeline over the synthesized pages table."""
+    cfg = PipelineConfig()
+    ds = build_extraction_pipeline(_pages_dataset(sf_dir), cfg)
+    # drop per-row wall-clock (nondeterministic) from the compared surface
+    return ds.drop_columns(["extract_ms"])
+
+
+def _extract_metrics(sf_dir: str):
+    """Per-payload-kind extraction metrics (lineage-style aggregate)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _extract_pages(sf_dir)
+    out = (
+        ds.groupby("payload_kind")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("extracted_bytes", alias_name="sum_extracted_bytes"),
+            Sum("n_blocks_kept", alias_name="sum_blocks_kept"),
+            Sum("n_blocks_dropped", alias_name="sum_blocks_dropped"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("payload_kind").reset_index(drop=True)
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _extract_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction engine (SURVEY.md §2 golden path; byte-identity in pytest)
+        "extract_pages": _extract_pages,
+        "extract_metrics": _extract_metrics,
+        # relational / wide operators (partial agg + broadcast joins + windows)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "orders_per_region": relational.orders_per_region,
+        "events_tumbling_hourly": relational.events_tumbling_hourly,
+        "events_top_users": relational.events_top_users,
+        "part_type_stats": relational.part_type_stats,
+        # text analysis (documents table)
+        "doc_token_stats": text_analysis.doc_token_stats,
+        "doc_quality": text_analysis.doc_quality,
+        "doc_langid": text_analysis.doc_langid,
+        "doc_fingerprint": text_analysis.doc_fingerprint,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact_groups,
+        "dedup_minhash": dedup.dedup_minhash_candidates,
+        "doc_simhash": dedup.doc_simhash,
+        "dedup_simhash": dedup.dedup_simhash_candidates,
+        "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        # similarity search
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "knn_label_vote": similarity.knn_label_vote,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "orders_per_region": relational.ORDERS_PER_REGION_SQL,
+        "events_tumbling_hourly": relational.EVENTS_TUMBLING_SQL,
+        "events_top_users": relational.EVENTS_TOP_USERS_SQL,
+        "part_type_stats": relational.PART_TYPE_STATS_SQL,
+        "doc_token_stats": text_analysis.DOC_TOKEN_STATS_SQL,
+        "doc_quality": text_analysis.DOC_QUALITY_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
+        "knn_label_vote": KNN_LABEL_VOTE_SQL,
+        # extraction pipeline, langid, fingerprints, minhash/simhash and the
+        # LSH/IVF paths are not SQL-expressible -> rows-only checks
+    }
+
+
+KNN_LABEL_VOTE_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+top AS (
+  SELECT e.vec_id, e.label
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+           e.vec_id
+  LIMIT 20
+)
+SELECT label, COUNT(*) AS n FROM top GROUP BY label ORDER BY n DESC, label
+"""

@@ -1,0 +1,156 @@
+"""Text-analysis operators over the ``documents`` table — the training-data
+pipeline staples (language-ID, quality scoring, token counting, document
+fingerprinting) expressed as vectorized batch transforms.
+
+Each operator is a ``map_batches`` stage; the language-ID and quality models
+are held warm in an actor (compiled regexes / stopword sets built once per
+actor — SURVEY.md §2.5 pattern)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.hashing import stable_hash64_batch
+
+# fixed stopword lists for the n-gram/stopword language heuristic — tiny and
+# deterministic; data, not a model
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "por"},
+}
+
+_QUALITY_STOPWORDS = STOPWORDS["en"]
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")  # BPE-ish split
+
+
+def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Whitespace token counting, vectorized with pandas str ops."""
+    toks = df["text"].fillna("").str.split(" ")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": toks.str.len().astype("int64"),
+            "n_chars": df["text"].fillna("").str.len().astype("int64"),
+            "n_distinct_tokens": toks.map(lambda t: len(set(t))).astype("int64"),
+        }
+    )
+
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(token_stats_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(COALESCE(text, ''), ' ')) AS n_tokens,
+       length(COALESCE(text, '')) AS n_chars,
+       len(list_distinct(string_split(COALESCE(text, ''), ' '))) AS n_distinct_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Quality scoring components: the standard cheap quality filters of
+    web-scale corpora (length, stopword hits, alphabetic mass). Emitted as
+    exact integer counts — ratios of small integers land on decimal .5
+    boundaries where numpy (half-to-even) and SQL ROUND (half-away) disagree,
+    so the comparable surface stays integral; consumers derive ratios."""
+    text = df["text"].fillna("")
+    toks = text.str.split(" ")
+    stop = toks.map(lambda t: sum(1 for w in t if w in _QUALITY_STOPWORDS))
+    alpha = text.str.count(r"[A-Za-z]")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_tokens": toks.str.len().astype("int64"),
+            "n_chars": text.str.len().astype("int64"),
+            "n_stopwords": stop.astype("int64"),
+            "n_alpha": alpha.astype("int64"),
+        }
+    )
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(txt) AS n_chars,
+       len(list_filter(toks, w -> w IN
+           ('the','a','of','and','to','in','is','that','it','for')))
+           AS n_stopwords,
+       length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS n_alpha
+FROM t
+ORDER BY doc_id
+"""
+
+
+class LangIdModel:
+    """Stopword/character n-gram language heuristic, held warm per actor."""
+
+    def __init__(self):
+        self.langs = sorted(STOPWORDS)
+        self.tables = {lg: frozenset(ws) for lg, ws in STOPWORDS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split(" ")
+        scores = {
+            lg: toks.map(lambda t, s=self.tables[lg]: sum(w in s for w in t))
+            for lg in self.langs
+        }
+        sc = pd.DataFrame(scores)
+        best = sc.idxmax(axis=1)                        # ties -> first alphabetically
+        best = best.where(sc.max(axis=1) > 0, "und")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "pred_lang": best.values,
+                "score": sc.max(axis=1).astype("int64").values,
+            }
+        )
+
+
+def doc_langid(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LangIdModel, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Document fingerprint: stable 64-bit content hash + a rolling-hash
+    style prefix/suffix signature (cheap near-identity probe)."""
+    text = df["text"].fillna("")
+    full = stable_hash64_batch(list(text)).astype(np.int64)
+    head = stable_hash64_batch([t[:64] for t in text]).astype(np.int64)
+    tail = stable_hash64_batch([t[-64:] for t in text]).astype(np.int64)
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"], "fp_full": full, "fp_head": head, "fp_tail": tail}
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate: run every ``queries()``
+entry at sf0.01 and compare row-count + schema + order-insensitive values
+against the DuckDB ``oracle_sql()`` equivalent."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+    return df
+
+
+def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    assert len(ray_df) == len(sql_df), f"{name}: row count {len(ray_df)} vs {len(sql_df)}"
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    )
+    a, b = normalize(ray_df), normalize(sql_df)
+    for col in a.columns:
+        av, bv = a[col].values, b[col].values
+        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
+            np.asarray(bv).dtype, np.floating
+        ):
+            assert np.allclose(
+                av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            ), f"{name}.{col}: float mismatch"
+        else:
+            mism = [(x, y) for x, y in zip(av, bv) if x != y][:3]
+            assert not mism, f"{name}.{col}: {mism}"
+
+
+SQL_CHECKED = [
+    "q1_pricing_summary", "q3_top_orders", "orders_per_region",
+    "events_tumbling_hourly", "events_top_users", "part_type_stats",
+    "doc_token_stats", "doc_quality", "dedup_exact", "ann_cosine_topk",
+    "knn_label_vote",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(entry_mod, ddb, name):
+    ray_df = to_df(entry_mod.queries()[name](SF_DIR))
+    sql_df = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    compare(ray_df, sql_df, name)
+
+
+ROWS_ONLY = [
+    "extract_pages", "extract_metrics", "doc_langid", "doc_fingerprint",
+    "dedup_minhash", "doc_simhash", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_ivf_topk",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entry_mod, name):
+    df = to_df(entry_mod.queries()[name](SF_DIR))
+    assert df is not None
+    if name in ("extract_pages", "doc_langid", "doc_fingerprint", "doc_simhash"):
+        assert len(df) > 0
+
+
+def test_every_query_has_callable(entry_mod):
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    for name in SQL_CHECKED:
+        assert name in o
+    for fn in q.values():
+        assert callable(fn)
+
+
+def test_ivf_recall_vs_bruteforce(entry_mod, ray_session):
+    """IVF is approximate; require recall@10 >= 0.6 vs brute force."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import similarity
+
+    exact = set(similarity.ann_cosine_topk(SF_DIR).vec_id)
+    approx = set(similarity.ann_ivf_topk(SF_DIR).vec_id)
+    assert len(exact & approx) / 10 >= 0.6
