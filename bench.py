@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "extracted_bytes_per_sec": ...}
+
+Env:
+  GRAFT_SF_DIR    input scale dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS  parallelism (default 32)
+  BENCH_REPEAT    pages per document row (default 64 -> ~320k pages at sf0.1;
+                  sized so steady-state compute dominates fixed costs at 32
+                  CPUs — smaller inputs measure actor startup, not the engine)
+
+``--scaling`` runs the headline pipeline in two fresh subprocesses at 8 and
+32 CPUs on the same pre-materialized input and reports both throughputs plus
+scaling efficiency (the sandbox protocol for the N vs 4N cluster-size rule —
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+os.environ["PYTHONPATH"] = REPO + ":" + os.environ.get("PYTHONPATH", "")
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "64"))
+PAGES_DIR = f"/tmp/graft_bench/pages_{Path(SF_DIR).name}_r{REPEAT}"
+
+
+def prepare_pages() -> str:
+    """Materialize the synthetic pages table to parquet ONCE (untimed input
+    prep — the benchmark measures the engine, not the generator). Content is
+    a pure function of the row id, so parallel generation is deterministic
+    regardless of partitioning. Requires an initialized Ray session."""
+    marker = Path(PAGES_DIR) / "_DONE"
+    if marker.exists():
+        return PAGES_DIR
+    import shutil
+
+    import ray.data
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.synth import (
+        pages_from_documents,
+    )
+
+    shutil.rmtree(PAGES_DIR, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).repartition(64)  # >= 2x CPU count output files so the read parallelizes
+    docs.map_batches(
+        lambda b: pages_from_documents(b, repeat=REPEAT),
+        batch_format="pyarrow", batch_size=64,
+    ).write_parquet(PAGES_DIR)
+    marker.touch()
+    return PAGES_DIR
+
+
+def bench_headline() -> dict:
+    """Extraction pipeline: read parquet -> classify/skew-split -> actor-pool
+    extract -> aggregate consume (streaming; no driver materialization)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.extract import (
+        build_extraction_pipeline, read_pages,
+    )
+
+    # actor pool sized to ~3/4 of the CPUs: a pool that reserves every CPU
+    # starves the read/classify tasks and serializes the pipeline
+    conc = max(2, NUM_CPUS * 3 // 4)
+    cfg = PipelineConfig(extract_concurrency=conc, extract_batch_size=512)
+
+    # untimed warm-up run: OS page cache + actor pool startup out of the
+    # measurement (we measure steady-state compute + exchange, not cold init)
+    warm = build_extraction_pipeline(read_pages(PAGES_DIR), cfg)
+    _ = warm.select_columns(["extracted_bytes"]).aggregate(Count(alias_name="n"))
+
+    t0 = time.perf_counter()
+    ds = build_extraction_pipeline(read_pages(PAGES_DIR), cfg)
+    # prune to the one needed column before the global aggregate — never haul
+    # the extracted text into a reduce
+    stats = ds.select_columns(["extracted_bytes"]).aggregate(
+        Count(alias_name="n_docs"), Sum("extracted_bytes", alias_name="bytes_out")
+    )
+    dt = time.perf_counter() - t0
+    n_docs = stats["n_docs"]
+    return {
+        "sec": round(dt, 3),
+        "n_docs": int(n_docs),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "extracted_bytes_per_sec": round(stats["bytes_out"] / dt, 1),
+    }
+
+
+def bench_queries() -> dict:
+    """Secondary operator timings at the same scale dir."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (
+        dedup, relational, similarity, text_analysis,
+    )
+
+    out = {}
+    for name, fn in [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q3_top_orders", relational.q3_top_orders),
+        ("events_tumbling_hourly", relational.events_tumbling_hourly),
+        ("dedup_exact", dedup.dedup_exact_groups),
+        ("dedup_minhash", dedup.dedup_minhash_candidates),
+        ("doc_simhash", dedup.doc_simhash),
+        ("ann_cosine_topk", similarity.ann_cosine_topk),
+        ("doc_token_stats", text_analysis.doc_token_stats),
+        ("doc_langid", text_analysis.doc_langid),
+    ]:
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        prepare_pages()
+        head = bench_headline()
+        queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else bench_queries()
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "extraction_pipeline_sec",
+        "value": head["sec"],
+        "unit": "sec",
+        "queries": {"headline_extract": head["sec"], **queries},
+        "sf": Path(SF_DIR).name,
+        "num_cpus": NUM_CPUS,
+        "n_docs": head["n_docs"],
+        "docs_per_sec": head["docs_per_sec"],
+        "extracted_bytes_per_sec": head["extracted_bytes_per_sec"],
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job in fresh processes at N and 4N CPUs (the sandbox
+    protocol for the two-cluster-size rule — BASELINE.md). Levels from
+    GRAFT_SCALE_LEVELS (default "8,32"). Skips the per-query section in the
+    subprocesses (BENCH_HEADLINE_ONLY) so runs stay timely."""
+    levels = os.environ.get("GRAFT_SCALE_LEVELS", "8,32")
+    n_lo, n_hi = (int(x) for x in levels.split(","))
+
+    def sub(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1"
+        )
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # ensure input exists + page cache warm before either timed process
+    lo, hi = sub(n_lo), sub(n_hi)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        f"sec_{n_lo}cpu": t_lo,
+        f"sec_{n_hi}cpu": t_hi,
+        f"docs_per_sec_{n_lo}cpu": lo["docs_per_sec"],
+        f"docs_per_sec_{n_hi}cpu": hi["docs_per_sec"],
+        "n_docs": hi["n_docs"],
+        "sf": hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

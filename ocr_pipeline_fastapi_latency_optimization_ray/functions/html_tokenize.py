@@ -49,6 +49,7 @@ from .hashing import pseudo_confidence
 from .merge import Blocks
 
 _WS_RE = re.compile(r"\s+")
+_NON_ALNUM_RE = re.compile(r"[^0-9A-Za-zÀ-￿]+")  # one C pass vs per-char isalnum
 
 # Structural tags that force a text-block boundary without emitting content.
 STRUCT_TAGS = frozenset(
@@ -133,7 +134,8 @@ class _Tokenizer(HTMLParser):
         if not content:
             return
         link_density = link_chars / max(1, chars)
-        alnum = sum(c.isalnum() for c in content)
+        # alnum mass in one C-level regex pass (letters incl. U+00C0+, digits)
+        alnum = len(_NON_ALNUM_RE.sub("", content))
         text_density = alnum / max(1, len(content))
         if self.boiler_depth > 0:
             label = "abandon"

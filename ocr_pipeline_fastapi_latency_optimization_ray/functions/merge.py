@@ -156,6 +156,11 @@ def filter_duplicates(blocks: Blocks, iou: float = IOU_THRESHOLD) -> Blocks:
       3. abandon absorbs into any overlapping class (incl. abandon),
       4. same-class overlap cleanup among the four main classes (threshold 0).
     """
+    # fast path: if no two boxes overlap at all, every pass is a no-op
+    # (the common case for well-formed HTML synthetic geometry — blocks are
+    # stacked with gaps). One all-pairs check replaces four fixpoint sweeps.
+    if len(blocks) < 2 or boxes_inclusion(blocks.xyxy.astype(float), dzeros=True).max() <= 0.0:
+        return blocks
     b = merge_object_pair(blocks, "text", tlabel="abandon", threshold=iou)
     b = merge_object_pair(b, ["text", "table", "figure"], tlabel="formula", threshold=iou)
     b = merge_object_pair(

@@ -43,22 +43,26 @@ NUM_BANDS = 16  # 4 rows per band
 
 def dedup_exact_groups(sf_dir: str) -> pd.DataFrame:
     """(text_hash, keep_doc_id, n_dups) per distinct content hash; keeper is
-    the smallest doc_id (deterministic)."""
-    from ray.data.aggregate import Count, Min
+    the smallest doc_id (deterministic). Hash cardinality == corpus size, so
+    the combine is hash-bucketed (functions/shuffle.py), never per-key."""
+    from ..functions.shuffle import bucketed_combine
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
             {"text_hash": md5_hex_batch(list(df["text"])), "doc_id": df["doc_id"]}
         )
+        return p.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
 
-    out = (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
-        .to_pandas()
-    )
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min"), n_dups=("n_dups", "sum")
+        )
+
+    out = bucketed_combine(ds, "text_hash", partial, combine).to_pandas()
     out["n_dups"] = out["n_dups"].astype("int64")
     out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
     return out.sort_values("text_hash").reset_index(drop=True)
@@ -122,22 +126,31 @@ def dedup_minhash_candidates(sf_dir: str, k_shingle: int = 3) -> pd.DataFrame:
 
     bands = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pa_.append(ids[i])
-                pb_.append(ids[j])
+    def shuffle_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per shuffle bucket: vectorized per-(band, band_hash)
+        # pair expansion inside (LSH bucket cardinality grows with the
+        # corpus -> shuffle on a bounded hash bucket, functions/shuffle.py)
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["band", "band_hash"]):
+            ids = sorted(set(grp["doc_id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame(
-            {"doc_a": np.array(pa_, dtype=np.int64), "doc_b": np.array(pb_, dtype=np.int64)}
+            {"doc_a": np.array(out_a, dtype=np.int64),
+             "doc_b": np.array(out_b, dtype=np.int64)}
         )
 
+    from ..functions.shuffle import add_bucket_column
+
+    tagged = bands.map_batches(
+        lambda df: add_bucket_column(df, ["band_hash"], 64), batch_format="pandas"
+    )
     pairs = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        tagged.groupby("_bucket")
+        .map_groups(lambda g: shuffle_pairs(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
         .to_pandas()
     )
     if len(pairs) == 0:

@@ -108,10 +108,11 @@ ORDER BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import bucketed_combine
 
     # small sides: customer segment filter -> order keys (driver-side read of
-    # dimension tables; broadcast once via ray.put)
+    # dimension tables; broadcast once via ray.put as a SORTED array so the
+    # per-batch semi-join is a searchsorted, not a per-value set probe)
     cust = pa.parquet.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
@@ -121,20 +122,25 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     orders = orders[orders.o_custkey.isin(keys)]
     odate = dict(zip(orders.o_orderkey, orders.o_orderdate))
-    keys_ref = ray.put(set(orders.o_orderkey))
+    keys_ref = ray.put(np.sort(orders.o_orderkey.to_numpy()))
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        okeys = ray.get(keys_ref)
-        df = df[df.l_orderkey.isin(okeys)]
+        arr = ray.get(keys_ref)
+        v = df.l_orderkey.to_numpy()
+        idx = np.clip(np.searchsorted(arr, v), 0, len(arr) - 1)
+        df = df[arr[idx] == v]
         df = df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
         return df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
 
-    agg = _partial_then_final(
-        ds, "l_orderkey", partial, (Sum("revenue", alias_name="revenue"),)
-    ).to_pandas()
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+
+    # order-id cardinality grows with the data: bucketed combine, never a
+    # per-key Dataset.groupby (functions/shuffle.py)
+    agg = bucketed_combine(ds, "l_orderkey", partial, combine).to_pandas()
     agg["revenue"] = agg.revenue.round(2)
     agg["o_orderdate"] = agg.l_orderkey.map(odate)
     agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
@@ -209,7 +215,7 @@ ORDER BY r_name
 # ---------------------------------------------------------------------------
 
 def events_tumbling_hourly(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import bucketed_combine
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
@@ -220,10 +226,13 @@ def events_tumbling_hourly(sf_dir: str) -> pd.DataFrame:
             n_events=("value", "size"), sum_value=("value", "sum")
         )
 
-    out = _partial_then_final(
-        ds, ["window_h", "event_type"], partial,
-        (Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")),
-    ).to_pandas()
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["window_h", "event_type"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    # window count grows with the time range -> bucketed combine
+    out = bucketed_combine(ds, ["window_h", "event_type"], partial, combine).to_pandas()
     out["sum_value"] = out.sum_value.round(2)
     out["n_events"] = out.n_events.astype("int64")
     return out.sort_values(["window_h", "event_type"]).reset_index(drop=True)
