@@ -77,6 +77,46 @@ def _extract_metrics(sf_dir: str):
     return out.sort_values("payload_kind").reset_index(drop=True)
 
 
+def _extract_job_lineage(sf_dir: str):
+    """Resumable extraction job over sharded pages input; returns the
+    deterministic columns of the per-partition lineage records
+    (state/lineage.py — checkpoint/resume is exercised in tests/test_lineage.py)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.state.lineage import (
+        load_lineage, run_extraction_job,
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="graft_lineage_"))
+    try:
+        pages = _pages_dataset(sf_dir).to_pandas()
+        in_dir = work / "pages"
+        in_dir.mkdir()
+        n_shards = 8
+        shard = pages.index % n_shards
+        import pyarrow as pa
+
+        for pid in range(n_shards):
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pages[shard == pid], preserve_index=False
+                ),
+                in_dir / f"shard_{pid:02d}.parquet",
+            )
+        run_extraction_job(in_dir, work / "out", PipelineConfig())
+        recs = load_lineage(work / "out")
+        cols = ["partition_id", "input_file", "row_count", "n_errors",
+                "blocks_kept", "blocks_dropped", "bytes_in", "bytes_out"]
+        df = pd.DataFrame([{c: recs[p][c] for c in cols} for p in sorted(recs)])
+        return df
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _extract_pages("/root/testdata/sf0.001")
@@ -87,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (SURVEY.md §2 golden path; byte-identity in pytest)
         "extract_pages": _extract_pages,
         "extract_metrics": _extract_metrics,
+        "extract_job_lineage": _extract_job_lineage,
         # relational / wide operators (partial agg + broadcast joins + windows)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,

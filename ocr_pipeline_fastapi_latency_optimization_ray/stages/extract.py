@@ -81,7 +81,7 @@ class DocumentExtractor:
             out_bytes.append(len(res.extracted_text.encode("utf-8")))
             errors.append(res.error)
 
-        return pa.Table.from_arrays(
+        result = pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
                 pa.array(langs, pa.string()),
@@ -98,3 +98,8 @@ class DocumentExtractor:
             ],
             schema=RESULT_SCHEMA,
         )
+        # pass through the input-shard id when the resumable job runner
+        # (state/lineage.py) attached one upstream of classify
+        if "shard" in batch.column_names:
+            result = result.append_column("shard", batch["shard"].combine_chunks())
+        return result

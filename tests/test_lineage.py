@@ -1,0 +1,143 @@
+"""Resumable-job tests: per-partition lineage, checkpoint resume, crash
+cleanup (state/lineage.py; SURVEY.md §4.3 / north_rule)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig
+from ocr_pipeline_fastapi_latency_optimization_ray.sources.synth import synth_pages_table
+from ocr_pipeline_fastapi_latency_optimization_ray.state.lineage import (
+    job_status,
+    load_lineage,
+    read_output,
+    run_extraction_job,
+)
+
+N_SHARDS = 4
+ROWS_PER_SHARD = 30
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_in")
+    full = synth_pages_table(N_SHARDS * ROWS_PER_SHARD)
+    for i in range(N_SHARDS):
+        pq.write_table(
+            full.slice(i * ROWS_PER_SHARD, ROWS_PER_SHARD),
+            d / f"shard_{i:02d}.parquet",
+        )
+    return d
+
+
+def _cfg():
+    return PipelineConfig(extract_concurrency=2)
+
+
+def _sorted_rows(out_dir):
+    t = read_output(out_dir).to_pandas()
+    return (
+        t[["url", "extracted_text"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_full_run_commits_all_partitions(ray_session, pages_dir, tmp_path):
+    out = tmp_path / "out"
+    summary = run_extraction_job(pages_dir, out, _cfg())
+    assert summary["processed"] == N_SHARDS
+    assert summary["skipped"] == 0
+    assert summary["rows"] == N_SHARDS * ROWS_PER_SHARD
+
+    recs = load_lineage(out)
+    assert sorted(recs) == list(range(N_SHARDS))
+    for pid, r in recs.items():
+        assert r["status"] == "done"
+        assert r["row_count"] == ROWS_PER_SHARD
+        assert r["input_file"] == f"shard_{pid:02d}.parquet"
+        assert r["bytes_out"] > 0 and r["blocks_kept"] > 0
+        # data really on disk under part=<pid>/
+        files = list((out / f"part={pid}").glob("*.parquet"))
+        assert files and sum(pq.ParquetFile(f).metadata.num_rows for f in files) == ROWS_PER_SHARD
+
+    st = job_status(out, pages_dir)
+    assert st["partitions_done"] == N_SHARDS and st["percent"] == 100.0
+
+
+def test_rerun_is_noop(ray_session, pages_dir, tmp_path):
+    out = tmp_path / "out"
+    run_extraction_job(pages_dir, out, _cfg())
+    before = _sorted_rows(out)
+    summary2 = run_extraction_job(pages_dir, out, _cfg())
+    assert summary2["processed"] == 0
+    assert summary2["skipped"] == N_SHARDS
+    assert summary2["rows"] == N_SHARDS * ROWS_PER_SHARD
+    assert _sorted_rows(out).equals(before)
+
+
+def test_resume_recomputes_only_missing_partition(ray_session, pages_dir, tmp_path):
+    out = tmp_path / "out"
+    run_extraction_job(pages_dir, out, _cfg())
+    full = _sorted_rows(out)
+
+    # simulate a crash on partition 1: no commit marker, partial data files
+    (out / "_lineage" / "part=1.json").unlink()
+    stray = out / "part=1" / "stray-partial.parquet"
+    keep_mtime = {
+        pid: (out / "_lineage" / f"part={pid}.json").stat().st_mtime_ns
+        for pid in (0, 2, 3)
+    }
+    # leave a stray file where the crashed attempt stopped
+    src = next((out / "part=0").glob("*.parquet"))
+    shutil.copy(src, stray)
+
+    summary = run_extraction_job(pages_dir, out, _cfg())
+    assert summary["processed"] == 1 and summary["skipped"] == N_SHARDS - 1
+    assert not stray.exists()  # crashed partials wiped, no duplicate rows
+    rec = load_lineage(out)[1]
+    assert rec["attempt"] == 2  # prior uncommitted attempt detected
+    for pid, m in keep_mtime.items():
+        assert (out / "_lineage" / f"part={pid}.json").stat().st_mtime_ns == m
+
+    assert _sorted_rows(out).equals(full)  # byte-identical after resume
+
+
+def test_resume_matches_single_shot_byte_identical(ray_session, pages_dir, tmp_path):
+    one_shot = tmp_path / "one"
+    resumed = tmp_path / "two"
+    run_extraction_job(pages_dir, one_shot, _cfg())
+
+    # resumed job: first commit only shards {0, 2} by running on a pruned
+    # input dir, then resume over the full dir
+    partial_in = tmp_path / "partial_in"
+    partial_in.mkdir()
+    for i in (0, 2):
+        shutil.copy(pages_dir / f"shard_{i:02d}.parquet", partial_in)
+    # NOTE: pids are positional in the sorted shard list; with only two files
+    # they'd get ids 0,1 — so instead prime the full run by crashing shards
+    # 1 and 3 (delete their markers after a full run)
+    shutil.rmtree(partial_in)
+    run_extraction_job(pages_dir, resumed, _cfg())
+    for pid in (1, 3):
+        (resumed / "_lineage" / f"part={pid}.json").unlink()
+        shutil.rmtree(resumed / f"part={pid}")
+    run_extraction_job(pages_dir, resumed, _cfg())
+
+    assert _sorted_rows(one_shot).equals(_sorted_rows(resumed))
+
+
+def test_torn_lineage_json_treated_as_uncommitted(ray_session, pages_dir, tmp_path):
+    out = tmp_path / "out"
+    run_extraction_job(pages_dir, out, _cfg())
+    marker = out / "_lineage" / "part=2.json"
+    marker.write_text(json.dumps({"partition_id": 2})[:10])  # torn write
+    assert 2 not in load_lineage(out)
+    summary = run_extraction_job(pages_dir, out, _cfg())
+    assert summary["processed"] == 1
+    assert load_lineage(out)[2]["status"] == "done"
