@@ -28,6 +28,7 @@ import ray.data  # noqa: E402
 from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig  # noqa: E402
 from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E402
     dedup,
+    multimodal,
     relational,
     similarity,
     text_analysis,
@@ -150,6 +151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "knn_label_vote": similarity.knn_label_vote,
+        # multimodal (binary media columns -> actor-pool decode/featurize;
+        # decode is a deterministic stub, plumbing is real — stages/multimodal.py)
+        "image_features": multimodal.image_features,
+        "audio_features": multimodal.audio_features,
+        "video_frame_hashes": multimodal.video_frame_hashes,
     }
 
 

@@ -1,0 +1,81 @@
+"""Multimodal query pipelines: media table -> actor-pool featurize stages.
+
+The media table is synthesized deterministically from the documents table
+(sources/media.py — pure function of doc_id; no external data), then each
+modality flows through its actor-pool ``map_batches`` stage
+(stages/multimodal.py). Filters happen BEFORE the expensive decode stage so
+non-matching modalities never reach the actors.
+
+No oracle SQL: decode happens engine-side, so the driver records the
+rows-only check for these (the per-feature determinism is pinned by
+tests/test_multimodal.py instead).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.media import media_table_from_documents
+from ..stages.multimodal import (
+    DEFAULT_MEDIA_BATCH,
+    AudioFeaturizer,
+    ImageFeaturizer,
+    VideoFrameSampler,
+)
+
+
+def media_dataset(sf_dir: str) -> "ray.data.Dataset":
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(media_table_from_documents, batch_format="pyarrow")
+
+
+def _kind(ds, kind: str):
+    # cheap vectorized filter before the decode actors
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["media_kind"], kind)),
+        batch_format="pyarrow",
+    )
+
+
+def image_features(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _kind(media_dataset(sf_dir), "image")
+        .map_batches(
+            ImageFeaturizer,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def audio_features(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _kind(media_dataset(sf_dir), "audio")
+        .map_batches(
+            AudioFeaturizer,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def video_frame_hashes(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _kind(media_dataset(sf_dir), "video")
+        .map_batches(
+            VideoFrameSampler,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)

@@ -1,0 +1,123 @@
+"""Multimodal stage tests: deterministic decode stubs, feature math,
+exploded frame sampling, corrupt-payload sentinels, Ray plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_pipeline_fastapi_latency_optimization_ray.sources.media import (
+    decode_audio,
+    decode_image,
+    decode_video_frame,
+    encode_fake_audio,
+    encode_fake_image,
+    encode_fake_video,
+    media_table_from_documents,
+)
+from ocr_pipeline_fastapi_latency_optimization_ray.stages.multimodal import (
+    AudioFeaturizer,
+    ImageFeaturizer,
+    VideoFrameSampler,
+    _ahash64,
+    _resize_nearest,
+)
+
+
+def _batch(ids, payloads):
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+        names=["media_id", "payload"],
+    )
+
+
+def test_decoders_deterministic():
+    p = encode_fake_image(7, 40, 30)
+    a, b = decode_image(p), decode_image(p)
+    assert a.shape == (30, 40, 3) and a.dtype == np.uint8
+    assert np.array_equal(a, b)
+
+    q = encode_fake_audio(7, 16000, 2048)
+    (x1, sr1), (x2, _) = decode_audio(q), decode_audio(q)
+    assert sr1 == 16000 and x1.dtype == np.int16 and len(x1) == 2048
+    assert np.array_equal(x1, x2)
+
+    v = encode_fake_video(7, 16, 12, 6)
+    f0, f0b = decode_video_frame(v, 0), decode_video_frame(v, 0)
+    assert np.array_equal(f0, f0b)
+    assert not np.array_equal(f0, decode_video_frame(v, 1))
+    with pytest.raises(ValueError):
+        decode_video_frame(v, 6)
+
+
+def test_decode_wrong_kind_raises():
+    with pytest.raises(ValueError, match="not an image"):
+        decode_image(encode_fake_audio(1, 16000, 100))
+
+
+def test_resize_and_ahash():
+    img = np.arange(2 * 100 * 80 * 3, dtype=np.uint8).reshape(200, 80, 3)[:100]
+    th = _resize_nearest(img, 10, 8)
+    assert th.shape == (10, 8, 3)
+    gray = th.astype(float).mean(axis=2)
+    h1, h2 = _ahash64(gray), _ahash64(gray)
+    assert h1 == h2 and 0 <= h1 < 2 ** 64
+
+
+def test_image_featurizer_batch():
+    ids = [1, 2]
+    payloads = [encode_fake_image(11, 64, 48), b"\x89PNG\r\n\x1a\ngarbage"]
+    out = ImageFeaturizer()(_batch(ids, payloads)).to_pydict()
+    assert out["media_id"] == [1, 2]
+    assert out["width"][0] == 64 and out["height"][0] == 48
+    assert out["error"][0] is None and out["error"][1]  # corrupt -> sentinel
+    assert out["ahash"][0] != 0
+
+
+def test_audio_featurizer_windows():
+    p = encode_fake_audio(3, 16000, 4096)
+    out = AudioFeaturizer(frame=1024, hop=512)(_batch([9], [p])).to_pydict()
+    # 1 + (4096-1024)//512 = 7 frames
+    assert out["n_frames"] == [7]
+    assert out["duration_s"] == [0.256]
+    assert 0 < out["rms_mean"][0] <= out["rms_max"][0] < 1
+
+
+def test_video_sampler_explodes_rows():
+    p = encode_fake_video(5, 16, 12, 10)
+    out = VideoFrameSampler(stride=4)(_batch([4], [p])).to_pydict()
+    assert out["frame_idx"] == [0, 4, 8]
+    assert out["media_id"] == [4, 4, 4]
+    assert len(set(out["ahash"])) == 3  # distinct frames -> distinct hashes
+
+
+def test_media_table_schema():
+    docs = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64())})
+    t = media_table_from_documents(docs)
+    assert t.column_names == ["media_id", "media_kind", "payload"]
+    kinds = t["media_kind"].to_pylist()
+    assert set(kinds) == {"image", "audio", "video"}
+    # deterministic: regenerating gives identical payload bytes
+    t2 = media_table_from_documents(docs)
+    assert t["payload"].to_pylist() == t2["payload"].to_pylist()
+
+
+def test_pipelines_end_to_end(ray_session):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    img = multimodal.image_features(sf)
+    aud = multimodal.audio_features(sf)
+    vid = multimodal.video_frame_hashes(sf)
+    assert len(img) > 0 and img["error"].isna().all()
+    assert len(aud) > 0 and aud["error"].isna().all()
+    assert len(vid) > 0 and (vid["frame_idx"] >= 0).all()
+    # kinds partition the doc space
+    n_docs = img.shape[0] + aud.shape[0] + vid["media_id"].nunique()
+    import pyarrow.parquet as pq
+
+    assert n_docs == pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    # determinism across runs
+    img2 = multimodal.image_features(sf)
+    assert img.equals(img2)
