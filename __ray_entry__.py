@@ -60,6 +60,15 @@ def _extract_pages(sf_dir: str) -> "ray.data.Dataset":
     return ds.drop_columns(["extract_ms"])
 
 
+def _extract_pages_visual(sf_dir: str) -> "ray.data.Dataset":
+    """Extraction with merge_visual=True (D2/D3 caption/title attachment,
+    functions/merge_visual.py) — the reference's optional geometric-merge
+    path (DLA.py:174-177, off in the golden path per ocr_app.py:990)."""
+    cfg = PipelineConfig(merge_visual=True)
+    ds = build_extraction_pipeline(_pages_dataset(sf_dir), cfg)
+    return ds.drop_columns(["extract_ms"])
+
+
 def _extract_metrics(sf_dir: str):
     """Per-payload-kind extraction metrics (lineage-style aggregate)."""
     from ray.data.aggregate import Count, Sum
@@ -127,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (SURVEY.md §2 golden path; byte-identity in pytest)
         "extract_pages": _extract_pages,
+        "extract_pages_visual": _extract_pages_visual,
         "extract_metrics": _extract_metrics,
         "extract_job_lineage": _extract_job_lineage,
         # relational / wide operators (partial agg + broadcast joins + windows)
