@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash_candidates,
         "doc_simhash": dedup.doc_simhash,
         "dedup_simhash": dedup.dedup_simhash_candidates,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,

@@ -97,7 +97,9 @@ def _signatures(ds, k_shingle: int = 3):
     return ds.map_batches(sig_batch, batch_format="pandas")
 
 
-def dedup_minhash_candidates(sf_dir: str, k_shingle: int = 3) -> pd.DataFrame:
+def dedup_minhash_candidates(
+    sf_dir: str, k_shingle: int = 3, min_jaccard: float = 0.5
+) -> pd.DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, verified with exact
     shingle Jaccard. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
     docs = ray.data.read_parquet(
@@ -157,21 +159,49 @@ def dedup_minhash_candidates(sf_dir: str, k_shingle: int = 3) -> pd.DataFrame:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     pairs = pairs.drop_duplicates().reset_index(drop=True)
 
-    # verify: exact shingle Jaccard only on candidates (small set)
-    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    tmap = dict(zip(texts.doc_id, texts.text))
+    # verify: exact shingle Jaccard only on candidate docs. The heavy work
+    # (text read + shingling) stays distributed — candidate ids are
+    # broadcast, each batch filters to candidates and emits the doc's
+    # shingle-hash set; the driver only ever holds hash arrays for the
+    # candidate docs (bounded by the LSH output, not the corpus).
+    cand_ids = np.sort(
+        np.unique(np.concatenate([pairs.doc_a.to_numpy(), pairs.doc_b.to_numpy()]))
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
+        arr = ray.get(ids_ref)
+        v = df["doc_id"].to_numpy()
+        idx = np.clip(np.searchsorted(arr, v), 0, len(arr) - 1)
+        df = df[arr[idx] == v]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "sh": [
+                    np.unique(shingles(t or "", k_shingle)) for t in df["text"]
+                ],
+            }
+        )
+
+    docs2 = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sh_df = docs2.map_batches(shingle_sets, batch_format="pandas").to_pandas()
+    smap = dict(zip(sh_df.doc_id, sh_df.sh))
 
     def jac(a, b):
-        sa = set(shingles(tmap.get(a) or "", k_shingle).tolist())
-        sb = set(shingles(tmap.get(b) or "", k_shingle).tolist())
-        if not sa and not sb:
+        sa, sb = smap.get(a), smap.get(b)
+        if sa is None or sb is None:
+            return 0.0
+        if len(sa) == 0 and len(sb) == 0:
             return 1.0
-        return len(sa & sb) / max(1, len(sa | sb))
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        return inter / max(1, len(sa) + len(sb) - inter)
 
     pairs["jaccard"] = [
         round(jac(a, b), 6) for a, b in zip(pairs.doc_a, pairs.doc_b)
     ]
-    pairs = pairs[pairs.jaccard >= 0.5]
+    pairs = pairs[pairs.jaccard >= min_jaccard]
     return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -196,48 +226,97 @@ def doc_simhash(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bytes view -> unpackbits)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
+
+
 def dedup_simhash_candidates(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found by
     bucketing on 4x16-bit sub-bands (pigeonhole: any pair within hamming 3
-    shares at least one exact band)."""
-    sims = doc_simhash(sf_dir)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    vals = sims.simhash.values.astype(np.uint64)
-    ids = sims.doc_id.values
-    for band in range(4):
-        shift = np.uint64(band * 16)
-        keys = ((vals >> shift) & np.uint64(0xFFFF)).astype(np.int64)
-        for did, k in zip(ids, keys):
-            buckets.setdefault((band, int(k)), []).append(int(did))
-    vmap = dict(zip(ids.tolist(), vals.tolist()))
-    seen = set()
-    rows = []
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        ms = sorted(set(members))
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                p = (ms[i], ms[j])
-                if p in seen:
-                    continue
-                seen.add(p)
-                h = bin(vmap[p[0]] ^ vmap[p[1]]).count("1")
-                if h <= max_hamming:
-                    rows.append((p[0], p[1], h))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).sort_values(
-        ["doc_a", "doc_b"]
-    ).reset_index(drop=True)
+    shares at least one exact band).
+
+    Fully distributed: signatures per batch, band explosion per batch, pair
+    generation + vectorized hamming inside a hash-bucketed ``map_groups``
+    (the band-key cardinality grows with the corpus, so the shuffle key is a
+    bounded bucket — functions/shuffle.py). Only final verified pairs reach
+    the driver."""
+    from ..functions.shuffle import add_bucket_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sim_bands(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        sh = np.empty(n, dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            toks = (t or "").lower().split()
+            sh[i] = simhash64(stable_hash64_batch(toks))
+        # explode 4 bands per doc, vectorized
+        doc = np.repeat(df["doc_id"].to_numpy(), 4)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        vals = np.repeat(sh, 4)
+        key = ((vals >> (band.astype(np.uint64) * np.uint64(16)))
+               & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": doc, "band": band,
+             "band_key": band.astype(np.int64) * 65536 + key,
+             "simhash": vals.astype(np.int64)}
+        )
+
+    bands = ds.map_batches(sim_bands, batch_format="pandas")
+    tagged = bands.map_batches(
+        lambda df: add_bucket_column(df, ["band_key"], 64), batch_format="pandas"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby("band_key"):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            vals = grp["simhash"].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(vals[ii] ^ vals[jj])
+            keep = ham <= max_hamming
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a).astype(np.int64),
+             "doc_b": np.concatenate(out_b).astype(np.int64),
+             "hamming": np.concatenate(out_h).astype(np.int64)}
+        )
+
+    out = (
+        tagged.groupby("_bucket")
+        .map_groups(lambda g: bucket_pairs(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    # a pair within hamming<=k can share several bands: dedupe across bands
+    out = out.drop_duplicates(["doc_a", "doc_b"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard similarity (all candidate pairs from LSH, scored)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(sf_dir: str, k_shingle: int = 3) -> pd.DataFrame:
-    """LSH-candidate pairs with exact word-k-gram Jaccard >= 0.2."""
-    pairs = dedup_minhash_candidates(sf_dir, k_shingle)
-    return pairs  # already verified with exact Jaccard
+def ngram_jaccard_pairs(sf_dir: str, k_shingle: int = 2) -> pd.DataFrame:
+    """Word-bigram Jaccard similarity pairs at a looser threshold (0.2):
+    same LSH candidate machinery, finer shingles, verified with exact
+    n-gram Jaccard — the "similar, not duplicate" band of the dedup
+    spectrum."""
+    return dedup_minhash_candidates(sf_dir, k_shingle=k_shingle, min_jaccard=0.2)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Dedup-family semantic tests on a controlled mini-corpus: exact groups,
+MinHash-LSH near-dup discovery, distributed SimHash vs brute force,
+n-gram Jaccard band."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while the sun sets slowly behind distant purple mountains tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    texts = {
+        0: BASE,
+        1: BASE,                                   # exact dup of 0
+        2: BASE.replace("dog", "cat"),             # near dup of 0
+        3: "completely different content about machine learning pipelines "
+           "processing parquet tables with ray data at large scale daily",
+        4: BASE.replace("fox", "wolf").replace("dog", "hound"),  # near dup
+        5: "short text",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    pq.write_table(t, d / "documents.parquet")
+    return str(d)
+
+
+def test_exact_groups(ray_session, corpus_dir):
+    out = dedup.dedup_exact_groups(corpus_dir)
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    dup = out[out.n_dups == 2]
+    assert len(dup) == 1 and dup.iloc[0].keep_doc_id == 0
+
+
+def test_minhash_finds_near_dups(ray_session, corpus_dir):
+    pairs = dedup.dedup_minhash_candidates(corpus_dir)
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist()))
+    assert (0, 1) in found          # exact dup -> jaccard 1.0
+    assert (0, 2) in found          # one-word change
+    j01 = float(pairs[(pairs.doc_a == 0) & (pairs.doc_b == 1)].jaccard.iloc[0])
+    assert j01 == 1.0
+    # unrelated docs never pair
+    assert not any(3 in p for p in found)
+
+
+def test_ngram_jaccard_distinct_shingle_width(ray_session, corpus_dir):
+    loose = dedup.ngram_jaccard_pairs(corpus_dir)
+    found = {
+        (a, b): j
+        for a, b, j in loose[["doc_a", "doc_b", "jaccard"]].values.tolist()
+    }
+    assert found[(0, 1)] == 1.0
+    # jaccard computed over word BIGRAMS: one word changed in the 23-word
+    # text kills 2 of 22 bigrams -> 20/24 = 0.8333 vs 0.75 at k=3 — pins
+    # that the operator really uses its own shingle width
+    assert abs(found[(0, 2)] - 20 / 24) < 1e-6
+    strict = dedup.dedup_minhash_candidates(corpus_dir)
+    s_j = dict(
+        ((a, b), j)
+        for a, b, j in strict[["doc_a", "doc_b", "jaccard"]].values.tolist()
+    )
+    assert abs(s_j[(0, 2)] - 0.75) < 1e-6
+    assert (loose["jaccard"] >= 0.2).all()
+
+
+def test_simhash_distributed_equals_bruteforce(ray_session, corpus_dir):
+    sims = dedup.doc_simhash(corpus_dir)
+    vals = sims.simhash.values.astype(np.uint64)
+    ids = sims.doc_id.values
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = dedup._popcount64(vals[ii] ^ vals[jj])
+    brute = {
+        (int(ids[a]), int(ids[b])): int(h)
+        for a, b, h in zip(ii, jj, ham)
+        if h <= 3
+    }
+    dist = dedup.dedup_simhash_candidates(corpus_dir)
+    got = {
+        (int(r.doc_a), int(r.doc_b)): int(r.hamming) for r in dist.itertuples()
+    }
+    # distributed banding must find every pair the pigeonhole guarantees
+    # (hamming<=3 with 4 bands: always >= one exact band) — i.e. ALL of them
+    assert got == brute
+    assert (0, 1) in got and got[(0, 1)] == 0
+
+
+def test_embedding_cosine_near_dups(ray_session, tmp_path):
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal(32)
+    vecs = [base, base + 0.01 * rng.standard_normal(32),
+            rng.standard_normal(32), -base]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    out = dedup.dedup_embedding_cosine(str(d), threshold=0.95)
+    pairs = set(map(tuple, out[["vec_a", "vec_b"]].values.tolist()))
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs  # opposite vector

@@ -81,8 +81,10 @@ def test_query_matches_oracle(entry_mod, ddb, name):
 
 ROWS_ONLY = [
     "extract_pages", "extract_metrics", "doc_langid", "doc_fingerprint",
-    "dedup_minhash", "doc_simhash", "dedup_simhash", "dedup_embedding_cosine",
-    "ann_ivf_topk",
+    "dedup_minhash", "doc_simhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "ann_ivf_topk",
+    "extract_pages_visual", "extract_job_lineage",
+    "image_features", "audio_features", "video_frame_hashes",
 ]
 
 
