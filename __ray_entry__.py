@@ -31,6 +31,7 @@ from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E
     multimodal,
     relational,
     similarity,
+    streaming,
     text_analysis,
 )
 from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.extract import (  # noqa: E402
@@ -146,6 +147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": relational.events_tumbling_hourly,
         "events_top_users": relational.events_top_users,
         "part_type_stats": relational.part_type_stats,
+        # stream-shaped custom operators (as-of join, sliding/session
+        # windows, distinct counts, per-group top-k — pipelines/streaming.py)
+        "events_asof_purchase_click": streaming.events_asof_purchase_click,
+        "events_sliding_hourly": streaming.events_sliding_hourly,
+        "events_user_sessions": streaming.events_user_sessions,
+        "events_distinct_users": streaming.events_distinct_users,
+        "events_distinct_users_hll": streaming.events_distinct_users_hll,
+        "orders_topk_by_priority": streaming.orders_topk_by_priority,
         # text analysis (documents table)
         "doc_token_stats": text_analysis.doc_token_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -178,6 +187,11 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_hourly": relational.EVENTS_TUMBLING_SQL,
         "events_top_users": relational.EVENTS_TOP_USERS_SQL,
         "part_type_stats": relational.PART_TYPE_STATS_SQL,
+        "events_asof_purchase_click": streaming.EVENTS_ASOF_SQL,
+        "events_sliding_hourly": streaming.EVENTS_SLIDING_SQL,
+        "events_user_sessions": streaming.EVENTS_SESSIONS_SQL,
+        "events_distinct_users": streaming.EVENTS_DISTINCT_SQL,
+        "orders_topk_by_priority": streaming.ORDERS_TOPK_SQL,
         "doc_token_stats": text_analysis.DOC_TOKEN_STATS_SQL,
         "doc_quality": text_analysis.DOC_QUALITY_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -164,13 +164,24 @@ def run_scaling() -> dict:
     """Same headline job in fresh processes at N and 4N CPUs (the sandbox
     protocol for the two-cluster-size rule — BASELINE.md). Levels from
     GRAFT_SCALE_LEVELS (default "8,32"). Skips the per-query section in the
-    subprocesses (BENCH_HEADLINE_ONLY) so runs stay timely."""
+    subprocesses (BENCH_HEADLINE_ONLY) so runs stay timely.
+
+    Scaling runs use a larger input (GRAFT_SCALE_REPEAT, default 128 pages
+    per doc row) than the plain bench: a fresh Ray session pays ~10 s of
+    parallelism-INDEPENDENT startup (worker/actor process spawn + module
+    imports), which at a 30 s job length masquerades as poor scaling. The
+    cluster-size rule is about steady-state throughput, so the job must be
+    long enough that the constant ramp is noise — on a real 100 TB run it
+    is. An untimed warm pass at the high level materializes the input and
+    warms the OS page cache before either timed process."""
     levels = os.environ.get("GRAFT_SCALE_LEVELS", "8,32")
     n_lo, n_hi = (int(x) for x in levels.split(","))
+    repeat = os.environ.get("GRAFT_SCALE_REPEAT", "128")
 
     def sub(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1"
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
+            BENCH_REPEAT=repeat,
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
@@ -178,7 +189,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # ensure input exists + page cache warm before either timed process
+    sub(n_hi)  # untimed: materialize input + warm page cache
     lo, hi = sub(n_lo), sub(n_hi)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (n_hi / n_lo)

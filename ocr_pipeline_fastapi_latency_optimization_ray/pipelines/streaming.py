@@ -1,0 +1,369 @@
+"""Stream-shaped operators over the ``events`` table: as-of join, sliding
+windows, session (gap) windows, distinct counts, per-group top-k.
+
+These are the operators a Ray Data user reaches for that the Dataset API
+does not ship natively (SURVEY.md §2.10 notes the reference's only
+streaming semantics are service-level); each is expressed as the survey's
+custom-operator recipe (a): composition of ``map_batches`` partial work +
+a hash-bucketed ``groupby().map_groups`` — the shuffle key is always a
+bounded bucket, never a per-entity key, so key cardinality growth never
+adds shuffle partitions (functions/shuffle.py).
+
+All per-group work inside ``map_groups`` is vectorized pandas/numpy
+(``merge_asof``, diff/cumsum sessionization, partial top-k) — no Python
+loops over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.shuffle import add_bucket_column, bucketed_combine
+
+EVENTS_COLS = ["ts", "user_id", "event_type", "value"]
+
+
+def _events(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns or EVENTS_COLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each purchase joined to the user's latest prior-or-equal click
+# ---------------------------------------------------------------------------
+
+def events_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """For every purchase event, the most recent click of the same user with
+    click.ts <= purchase.ts (classic as-of join). Both sides co-partition by
+    ``hash(user_id) % B``, and each bucket runs one vectorized
+    ``pd.merge_asof`` (sort by ts, by=user_id).
+
+    Output: (user_id, purchase_ts, click_ts, gap_s) sorted by user/ts;
+    purchases with no prior click keep a null click_ts.
+    """
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["purchase", "click"])]
+        return add_bucket_column(df, ["user_id"], 32)
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        left = g[g.event_type == "purchase"][["ts", "user_id"]]
+        right = g[g.event_type == "click"][["ts", "user_id"]].rename(
+            columns={"ts": "click_ts"}
+        )
+        if len(left) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                "click_ts": pd.Series(dtype="datetime64[us]"),
+                "gap_s": pd.Series(dtype="float64"),
+            })
+        m = pd.merge_asof(
+            left, right, left_on="ts", right_on="click_ts",
+            by="user_id", direction="backward",
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": m.user_id.astype("int64"),
+                "purchase_ts": m.ts,
+                "click_ts": m.click_ts,
+                "gap_s": (m.ts - m.click_ts).dt.total_seconds().round(6),
+            }
+        )
+        return out
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: asof_bucket(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "purchase_ts"]).reset_index(drop=True)
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       ROUND(EXTRACT(EPOCH FROM (p.ts - c.ts)), 6) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, purchase_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding windows: 1 h windows sliding every 30 min
+# ---------------------------------------------------------------------------
+
+def events_sliding_hourly(sf_dir: str) -> pd.DataFrame:
+    """Event counts + value sums per (1 h window starting every 30 min,
+    event_type). Each event is exploded to its two covering windows inside
+    ``map_batches`` (vectorized), then bucketed-combined — the streaming
+    sliding-window as a batch explode + partial aggregation."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        half = df["ts"].dt.floor("30min")
+        w = pd.concat([half, half - pd.Timedelta(minutes=30)], ignore_index=True)
+        et = pd.concat([df["event_type"], df["event_type"]], ignore_index=True)
+        v = pd.concat([df["value"], df["value"]], ignore_index=True)
+        x = pd.DataFrame({"window_start": w, "event_type": et, "value": v})
+        return x.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    out = bucketed_combine(
+        ds, ["window_start", "event_type"], partial, combine
+    ).to_pandas()
+    out["sum_value"] = out.sum_value.round(2)
+    out["n_events"] = out.n_events.astype("int64")
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+EVENTS_SLIDING_SQL = """
+WITH exploded AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM exploded
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# session windows: per-user sessions split at 30 min inactivity gaps
+# ---------------------------------------------------------------------------
+
+def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization: a user's events belong to one session while
+    consecutive gaps are <= 30 min. Output one row per session:
+    (user_id, session_start, session_end, n_events, duration_s).
+
+    Bucketed by user hash; inside a bucket the session ids come from a
+    vectorized sort + diff + cumsum over ALL the bucket's users at once.
+    """
+    ds = _events(sf_dir, ["ts", "user_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket_column(df, ["user_id"], 32)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g.user_id.ne(g.user_id.shift())
+        big_gap = g.ts.diff() > gap
+        sid = (new_user | big_gap).cumsum()
+        agg = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "first"),
+            session_end=("ts", "last"),
+            n_events=("ts", "size"),
+        )
+        agg["duration_s"] = (
+            (agg.session_end - agg.session_start).dt.total_seconds().round(6)
+        )
+        return agg.reset_index(drop=True)
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: sessions(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out.n_events.astype("int64")
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+EVENTS_SESSIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(EXTRACT(EPOCH FROM (MAX(ts) - MIN(ts))), 6) AS duration_s
+FROM sessioned
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct counts: exact (pair-dedup) and approximate (HLL sketch)
+# ---------------------------------------------------------------------------
+
+def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type. Per-batch pair dedup
+    shrinks the stream to unique (event_type, user_id) pairs; each pair
+    lands in exactly one user-hash bucket, so the per-bucket dedup+count is
+    exact and the driver only sums tiny per-bucket partials."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket_column(partial(df), ["user_id"], 32)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["event_type", "user_id"])
+        return u.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: count_bucket(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby("event_type", as_index=False).agg(n_users=("n_users", "sum"))
+    out["n_users"] = out.n_users.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_distinct_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Approximate distinct users per event_type via a HyperLogLog sketch
+    (2^p registers). Each batch emits one mergeable sketch per event_type;
+    register-wise max merges them — the canonical mergeable-sketch
+    aggregation (no oracle: approximate by design; accuracy pinned in
+    tests against the exact operator)."""
+    from ..functions.hashing import stable_hash64_batch
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    m = 1 << p
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_r = [], []
+        for et, g in df.groupby("event_type"):
+            h = stable_hash64_batch([str(u) for u in g.user_id])
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            w = h & np.uint64((1 << (64 - p)) - 1)  # low 64-p bits
+            # rank = 1 + leading zeros of w within its (64-p)-bit field
+            #      = (64-p) - floor(log2(w))  for w > 0;  64-p+1 for w == 0
+            wf = w.astype(np.float64)
+            rank = np.where(
+                w == 0,
+                64 - p + 1,
+                (64 - p) - np.floor(np.log2(np.clip(wf, 1, None))).astype(np.int64),
+            )
+            regs = np.zeros(m, dtype=np.int8)
+            np.maximum.at(regs, idx, rank.astype(np.int8))
+            out_t.append(et)
+            out_r.append(regs)
+        return pd.DataFrame({"event_type": out_t, "regs": out_r})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(np.stack(g["regs"].values))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "n_users_approx": [int(round(est))]}
+        )
+
+    out = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k (window-function analog)
+# ---------------------------------------------------------------------------
+
+def orders_topk_by_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k orders by totalprice within each order priority (ROW_NUMBER()
+    window analog). Partial top-k per batch (nlargest on each batch) shrinks
+    the stream to k rows per (priority, batch); the final per-priority top-k
+    runs on that residue."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True]
+            )
+            .groupby("o_orderpriority", as_index=False)
+            .head(k)
+        )
+
+    out = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    out = (
+        out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .groupby("o_orderpriority", as_index=False)
+        .head(k)
+    )
+    out = out.sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("o_orderpriority").cumcount() + 1
+    return out[["o_orderpriority", "rank", "o_orderkey", "o_totalprice"]]
+
+
+ORDERS_TOPK_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+"""

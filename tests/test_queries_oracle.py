@@ -53,6 +53,10 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     a, b = normalize(ray_df), normalize(sql_df)
     for col in a.columns:
         av, bv = a[col].values, b[col].values
+        if np.issubdtype(np.asarray(av).dtype, np.datetime64):
+            # NaT-safe equality: int64 view maps NaT to the same sentinel
+            av = av.astype("datetime64[us]").astype("int64")
+            bv = bv.astype("datetime64[us]").astype("int64")
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
             np.asarray(bv).dtype, np.floating
         ):
@@ -69,6 +73,9 @@ SQL_CHECKED = [
     "events_tumbling_hourly", "events_top_users", "part_type_stats",
     "doc_token_stats", "doc_quality", "dedup_exact", "ann_cosine_topk",
     "knn_label_vote",
+    "events_asof_purchase_click", "events_sliding_hourly",
+    "events_user_sessions", "events_distinct_users",
+    "orders_topk_by_priority",
 ]
 
 
@@ -85,7 +92,19 @@ ROWS_ONLY = [
     "dedup_embedding_cosine", "ann_ivf_topk",
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
+    "events_distinct_users_hll",
 ]
+
+
+def test_hll_accuracy_vs_exact(entry_mod, ray_session):
+    """HLL with 2^12 registers: expect < 5% relative error at this scale."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import streaming
+
+    exact = streaming.events_distinct_users(SF_DIR).set_index("event_type")
+    approx = streaming.events_distinct_users_hll(SF_DIR).set_index("event_type")
+    for et in exact.index:
+        e, a = exact.loc[et, "n_users"], approx.loc[et, "n_users_approx"]
+        assert abs(a - e) / e < 0.05, f"{et}: exact={e} hll={a}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
