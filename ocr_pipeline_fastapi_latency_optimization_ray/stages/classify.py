@@ -50,6 +50,25 @@ def _sniff_kinds(html_col: pa.ChunkedArray | pa.Array, text_col) -> np.ndarray:
     return kinds
 
 
+def normalize_urls(batch: pa.Table) -> pa.Table:
+    """Input-validation projection (M13 analog — the reference's filename
+    sanitizer + job-id validators, ocr_app.py:575-604): strip surrounding
+    whitespace/control chars from the url key and null out rows whose url is
+    empty after cleaning (they flow through with a deterministic
+    ``invalid:<row>`` key instead of being dropped — errors are data)."""
+    import pyarrow.compute as pc
+
+    urls = pc.utf8_trim_whitespace(pc.fill_null(batch["url"], ""))
+    empty = pc.equal(urls, "")
+    if pc.any(empty).as_py():
+        fixed = [
+            u if u else f"invalid:row-{i}"
+            for i, u in enumerate(urls.to_pylist())
+        ]
+        urls = pa.array(fixed, pa.string())
+    return batch.set_column(batch.column_names.index("url"), "url", urls)
+
+
 def make_classifier(cfg: PipelineConfig):
     """Returns the classify_and_split generator UDF for ``map_batches``."""
     huge = cfg.huge_payload_bytes
@@ -62,6 +81,7 @@ def make_classifier(cfg: PipelineConfig):
             return
         import pyarrow.compute as pc
 
+        batch = normalize_urls(batch)
         payload_bytes = pc.fill_null(pc.binary_length(batch["html"]), 0)
         kinds = _sniff_kinds(batch["html"], batch["text"])
         part = (stable_hash64_batch(batch["url"].to_pylist()) % np.uint64(num_parts)).astype(np.int32)

@@ -127,3 +127,23 @@ def test_span_roundtrip():
         assert 0 <= s <= e <= len(r.extracted_text)
     covered = "".join(r.extracted_text[s:e] for _, s, e in r.spans)
     assert "Title" in covered and "tail" in covered
+
+
+def test_normalize_urls_projection():
+    """M13 analog: whitespace-stripped keys, deterministic invalid-row keys."""
+    import pyarrow as pa
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages.classify import (
+        normalize_urls,
+    )
+
+    batch = pa.table(
+        {
+            "url": pa.array(["  https://a.example/x \t", "", None, "ok"]),
+            "html": pa.array([b"x", b"y", b"z", b"w"], pa.binary()),
+        }
+    )
+    out = normalize_urls(batch)
+    assert out["url"].to_pylist() == [
+        "https://a.example/x", "invalid:row-1", "invalid:row-2", "ok",
+    ]
