@@ -400,14 +400,114 @@ class _Tokenizer(HTMLParser):
         self._flush()
 
 
+# ---------------------------------------------------------------------------
+# Fast scanner: one compiled regex drives the SAME _Tokenizer state machine.
+#
+# stdlib HTMLParser costs ~19 us per tag event (generality we don't need:
+# per-event charref scanning, tolerant attr regexes, CDATA modes). This
+# scanner tokenizes with a single C-level regex pass and dispatches to the
+# identical handle_* hooks, so block output is bit-equal by construction on
+# everything it can parse; any input it cannot fully consume (stray '<' in
+# text, exotic markup) falls back to the HTMLParser path. The oracle
+# (oracle/extract_oracle.py) always uses the HTMLParser path, so the
+# byte-identity suite cross-validates the two implementations on every run.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>"
+    r"|</(?P<end>[a-zA-Z][a-zA-Z0-9-]*)\s*>"
+    r"|<(?P<start>[a-zA-Z][a-zA-Z0-9-]*)(?P<attrs>(?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
+    r"|(?P<data>[^<]+)",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>/]+)"
+)
+_RAWTEXT_TAGS = ("script", "style")
+
+
+def _parse_attrs(a: str) -> list[tuple[str, str]]:
+    from html import unescape
+
+    out = []
+    for k, v in _ATTR_RE.findall(a):
+        if v[:1] in "\"'":
+            v = v[1:-1]
+        if "&" in v:
+            v = unescape(v)
+        out.append((k.lower(), v))
+    return out
+
+
+def _fast_feed(tok: _Tokenizer, s: str) -> bool:
+    """Drive the tokenizer with the regex scanner; False = input not fully
+    consumable (caller re-runs the HTMLParser path)."""
+    from html import unescape
+
+    pos, n = 0, len(s)
+    while pos < n:
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            return False
+        pos = m.end()
+        data = m.group("data")
+        if data is not None:
+            tok.handle_data(unescape(data) if "&" in data else data)
+            continue
+        start = m.group("start")
+        if start is not None:
+            t = start.lower()
+            a = m.group("attrs") or ""
+            tok.handle_starttag(t, _parse_attrs(a) if "=" in a else [])
+            if a.rstrip().endswith("/"):
+                tok.handle_endtag(t)
+            elif t in _RAWTEXT_TAGS:
+                # raw-text element: content is data until the matching close
+                # (HTMLParser CDATA mode analog)
+                end = s.find(f"</{t}", pos)
+                if end < 0:
+                    tok.handle_data(s[pos:])
+                    pos = n
+                else:
+                    if end > pos:
+                        tok.handle_data(s[pos:end])
+                    close = s.find(">", end)
+                    pos = n if close < 0 else close + 1
+                    tok.handle_endtag(t)
+            continue
+        endt = m.group("end")
+        if endt is not None:
+            tok.handle_endtag(endt.lower())
+        # comments / doctype / CDATA / processing instructions: ignored,
+        # exactly as the unoverridden HTMLParser hooks ignore them
+    return True
+
+
 def tokenize_html(
     payload: bytes | str,
     link_density_abandon: float = LINK_DENSITY_ABANDON,
     boilerplate_hints: tuple = BOILERPLATE_HINTS,
+    engine: str = "fast",
 ) -> list[RawBlock]:
-    """Parse one HTML document into an ordered list of labeled blocks."""
+    """Parse one HTML document into an ordered list of labeled blocks.
+
+    ``engine="fast"`` (default) uses the regex scanner with HTMLParser
+    fallback; ``engine="reference"`` forces the stdlib HTMLParser path (the
+    oracle uses this so tests cross-validate both implementations).
+    """
     if isinstance(payload, bytes):
         payload = payload.decode("utf-8", "replace")
+    if engine == "fast":
+        tok = _Tokenizer(link_density_abandon, boilerplate_hints)
+        try:
+            if _fast_feed(tok, payload):
+                tok._flush()
+                return tok.blocks
+        except Exception:
+            pass  # fall through to the tolerant reference path
     tok = _Tokenizer(link_density_abandon, boilerplate_hints)
     try:
         tok.feed(payload)
@@ -424,6 +524,7 @@ def blocks_table_from_html(
     payload: bytes | str,
     link_density_abandon: float = LINK_DENSITY_ABANDON,
     boilerplate_hints: tuple = BOILERPLATE_HINTS,
+    engine: str = "fast",
 ) -> tuple[Blocks, list[RawBlock]]:
     """Tokenize + assign synthetic geometry and pseudo-confidence.
 
@@ -434,7 +535,7 @@ def blocks_table_from_html(
     HTML — it exists to absorb duplicate/nested emissions from malformed
     markup, mirroring the reference where D1 dedups overlapping detections.
     """
-    raw = tokenize_html(payload, link_density_abandon, boilerplate_hints)
+    raw = tokenize_html(payload, link_density_abandon, boilerplate_hints, engine)
     n = len(raw)
     xyxy = np.zeros((n, 4), dtype=float)
     conf = np.zeros(n, dtype=float)

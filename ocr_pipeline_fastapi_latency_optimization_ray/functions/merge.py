@@ -158,8 +158,19 @@ def filter_duplicates(blocks: Blocks, iou: float = IOU_THRESHOLD) -> Blocks:
     """
     # fast path: if no two boxes overlap at all, every pass is a no-op
     # (the common case for well-formed HTML synthetic geometry — blocks are
-    # stacked with gaps). One all-pairs check replaces four fixpoint sweeps.
-    if len(blocks) < 2 or boxes_inclusion(blocks.xyxy.astype(float), dzeros=True).max() <= 0.0:
+    # stacked with gaps).
+    if len(blocks) < 2:
+        return blocks
+    # O(n log n) pretest first: boxes whose y-intervals are pairwise disjoint
+    # (stacked layout) cannot overlap regardless of x — sort by y-top and
+    # check each top clears the previous bottom. Only when that fails pay
+    # the O(n^2) all-pairs inclusion matrix.
+    y1 = blocks.xyxy[:, 1].astype(float)
+    y2 = blocks.xyxy[:, 3].astype(float)
+    order = np.argsort(y1, kind="stable")
+    if np.all(y1[order][1:] >= y2[order][:-1]):
+        return blocks
+    if boxes_inclusion(blocks.xyxy.astype(float), dzeros=True).max() <= 0.0:
         return blocks
     b = merge_object_pair(blocks, "text", tlabel="abandon", threshold=iou)
     b = merge_object_pair(b, ["text", "table", "figure"], tlabel="formula", threshold=iou)

@@ -89,8 +89,12 @@ def oracle_extract(
         # (the reference OCRs the rendered text page like any other)
         page_strs.append(text.strip())
     elif kind == "html":
+        # engine="reference": the oracle always takes the stdlib-HTMLParser
+        # tokenizer path, so the byte-identity suite cross-validates the
+        # engine's fast regex scanner against it on every run
         blocks, _ = blocks_table_from_html(
-            payload, cfg.link_density_abandon, cfg.boilerplate_hints
+            payload, cfg.link_density_abandon, cfg.boilerplate_hints,
+            engine="reference",
         )
         if cfg.filter_dup and len(blocks):
             blocks = filter_duplicates(blocks, iou=cfg.iou)

@@ -29,25 +29,33 @@ from ..sources.payloads import JPEG_MAGIC, PDF_MAGIC, PNG_MAGIC
 
 
 def _sniff_kinds(html_col: pa.ChunkedArray | pa.Array, text_col) -> np.ndarray:
-    kinds = np.empty(len(html_col), dtype=object)
-    texts = text_col.to_pylist()
-    i = 0
-    chunks = html_col.chunks if isinstance(html_col, pa.ChunkedArray) else [html_col]
-    for chunk in chunks:
-        for v in chunk:
-            buf = v.as_buffer() if v.is_valid else None
-            if buf is None or len(buf) == 0:
-                kinds[i] = "text" if texts[i] else "empty"
-            else:
-                head = bytes(buf[:8])
-                if head.startswith(PDF_MAGIC):
-                    kinds[i] = "pdf"
-                elif head.startswith(PNG_MAGIC[:4]) or head.startswith(JPEG_MAGIC):
-                    kinds[i] = "image"
-                else:
-                    kinds[i] = "html"
-            i += 1
-    return kinds
+    """Vectorized magic-byte sniff: Arrow ``starts_with`` kernels over the
+    binary column (no per-row Python)."""
+    import pyarrow.compute as pc
+
+    n = len(html_col)
+    is_pdf = pc.fill_null(pc.starts_with(html_col, pattern=PDF_MAGIC), False)
+    is_img = pc.fill_null(
+        pc.or_(
+            pc.starts_with(html_col, pattern=PNG_MAGIC[:4]),
+            pc.starts_with(html_col, pattern=JPEG_MAGIC),
+        ),
+        False,
+    )
+    empty_payload = pc.fill_null(pc.equal(pc.binary_length(html_col), 0), True)
+    has_text = pc.fill_null(
+        pc.not_equal(pc.binary_length(pc.cast(text_col, pa.string())), 0), False
+    )
+    kinds = np.where(
+        empty_payload.to_numpy(zero_copy_only=False),
+        np.where(has_text.to_numpy(zero_copy_only=False), "text", "empty"),
+        np.where(
+            is_pdf.to_numpy(zero_copy_only=False),
+            "pdf",
+            np.where(is_img.to_numpy(zero_copy_only=False), "image", "html"),
+        ),
+    )
+    return kinds.astype(object)
 
 
 def normalize_urls(batch: pa.Table) -> pa.Table:

@@ -147,3 +147,43 @@ def test_normalize_urls_projection():
     assert out["url"].to_pylist() == [
         "https://a.example/x", "invalid:row-1", "invalid:row-2", "ok",
     ]
+
+
+def test_fast_scanner_equals_htmlparser_on_corpus():
+    """The regex scanner and the stdlib-HTMLParser path must emit identical
+    block lists over the full synthetic corpus and adversarial markup."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.functions.html_tokenize import (
+        tokenize_html,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.synth import (
+        synth_pages_table,
+    )
+
+    t = synth_pages_table(400)
+    payloads = [
+        p for p, in zip(t["html"].to_pylist())
+        if p and not p.startswith(b"%PDF") and not p.startswith(b"\x89PNG")
+    ]
+    assert len(payloads) > 200
+    adversarial = [
+        b"<p>a &amp; b &#65; &lt;tag&gt;</p>",
+        b"<div class='sidebar'><p>boiler</p></div><p>keep</p>",
+        b"<script>if (a<b) { x('</div>'); }</script><p>after script</p>",
+        b"<!-- comment --><!DOCTYPE html><?pi ?><p>x</p>",
+        b"<img src=a.png alt='A &quot;B'/><br/><hr>",
+        b"<table><tr><td>1</td><td>2</td></tr><tr><td>3</td></tr></table>",
+        b"<ul><li>one<li>two</ul>",                    # unclosed li
+        b"<p>unclosed paragraph",
+        b"<figure><img src=x.png alt=y><figcaption>cap &amp; co</figcaption></figure>",
+        b"<math>E = mc^2</math>",
+        b"<p>text with stray < bracket</p>",           # forces fallback
+        "<p>café — UNICODE مثال</p>".encode(),
+    ]
+    for p in payloads + adversarial:
+        fast = tokenize_html(p, engine="fast")
+        ref = tokenize_html(p, engine="reference")
+        assert [
+            (b.label, b.content, b.text_density, b.link_density) for b in fast
+        ] == [
+            (b.label, b.content, b.text_density, b.link_density) for b in ref
+        ], p[:120]
