@@ -23,13 +23,23 @@ def _l2norm(mat: np.ndarray) -> np.ndarray:
     return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
 
 
+def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    """Fetch ONE embedding row via a predicate-pushdown read (row groups
+    that cannot contain the id are skipped by min/max stats) — never a full
+    driver-side table read."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pads.field("vec_id") == query_vec_id
+    )
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    return qvec / max(np.linalg.norm(qvec), 1e-12)
+
+
 def ann_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Brute-force cosine top-k against the embedding of ``query_vec_id``
     (excluded from results). Per-batch local top-k, tiny global merge."""
-    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qrow = q.loc[q.vec_id == query_vec_id, "embedding"]
-    qvec = np.asarray(list(qrow)[0], dtype=np.float64)
-    qvec = qvec / max(np.linalg.norm(qvec), 1e-12)
+    qvec = _query_vector(sf_dir, query_vec_id)
     q_ref = ray.put(qvec)
 
     ds = ray.data.read_parquet(
@@ -94,17 +104,19 @@ def ann_ivf_topk(
     """IVF-bucketed ANN: assign vectors to coarse lists, probe the n_probe
     lists nearest the query. Approximate — returns (vec_id, cosine) like the
     brute-force baseline; recall measured in tests against it."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sample = np.stack(emb["embedding"].head(512).values)
+    import pyarrow.parquet as pq
+
+    # index-training sample: first batch only (bounded read, not the table)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=512, columns=["embedding"]))
+    sample = np.stack([np.asarray(v) for v in first["embedding"].to_pylist()])
     index = IvfIndex(sample, n_lists=n_lists)
 
-    qvec = np.asarray(list(emb.loc[emb.vec_id == query_vec_id, "embedding"])[0],
-                      dtype=np.float64)
-    qvec = qvec / max(np.linalg.norm(qvec), 1e-12)
+    qvec = _query_vector(sf_dir, query_vec_id)
     probe_lists = np.argsort(-(index.centroids @ qvec))[:n_probe]
     index_ref = ray.put(index)
     q_ref = ray.put(qvec)
-    probe_ref = ray.put(set(int(x) for x in probe_lists))
+    probe_ref = ray.put(np.sort(probe_lists.astype(np.int64)))
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -116,7 +128,7 @@ def ann_ivf_topk(
         probes = ray.get(probe_ref)
         mat = np.stack(df["embedding"].values).astype(np.float64)
         lists = ivf.assign(mat)
-        mask = np.array([int(l) in probes for l in lists])
+        mask = np.isin(lists, probes)
         mask &= (df["vec_id"] != query_vec_id).values
         if not mask.any():
             return pd.DataFrame({"vec_id": [], "cosine": []})
@@ -134,8 +146,17 @@ def ann_ivf_topk(
 def knn_label_vote(sf_dir: str, query_vec_id: int = 0, k: int = 20) -> pd.DataFrame:
     """Label histogram of the k nearest neighbors (classification-style
     consumer of the ANN baseline)."""
+    import pyarrow.dataset as pads
+
     top = ann_cosine_topk(sf_dir, query_vec_id, k)
-    labels = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    labels = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(
+            columns=["vec_id", "label"],
+            filter=pads.field("vec_id").isin(top.vec_id.tolist()),
+        )
+        .to_pandas()
+    )
     merged = top.merge(labels, on="vec_id")
     out = (
         merged.groupby("label", as_index=False)

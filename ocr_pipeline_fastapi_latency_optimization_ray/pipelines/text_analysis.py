@@ -138,15 +138,35 @@ def doc_langid(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_ROLL_BASE = np.uint64(1099511628211)  # FNV prime; wraparound mod 2^64
+_ROLL_WINDOW = 16
+
+
+def _min_rolling_hash(text: str, w: int = _ROLL_WINDOW) -> np.uint64:
+    """Minimum Rabin-Karp rolling hash over all w-byte windows (winnowing-
+    style fingerprint: stable under edits outside the minimizing window).
+    Vectorized: sliding windows x precomputed base powers, uint64 wraparound."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < w:
+        return np.uint64(stable_hash64_batch([text])[0])
+    powers = np.power(_ROLL_BASE, np.arange(w - 1, -1, -1, dtype=np.uint64))
+    wins = np.lib.stride_tricks.sliding_window_view(b.astype(np.uint64), w)
+    with np.errstate(over="ignore"):
+        hashes = (wins * powers).sum(axis=1, dtype=np.uint64)
+    return hashes.min()
+
+
 def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Document fingerprint: stable 64-bit content hash + a rolling-hash
-    style prefix/suffix signature (cheap near-identity probe)."""
+    """Document fingerprint: stable 64-bit content hash, prefix/suffix
+    signatures, and a winnowing-style minimum rolling hash."""
     text = df["text"].fillna("")
     full = stable_hash64_batch(list(text)).astype(np.int64)
     head = stable_hash64_batch([t[:64] for t in text]).astype(np.int64)
     tail = stable_hash64_batch([t[-64:] for t in text]).astype(np.int64)
+    roll = np.array([_min_rolling_hash(t) for t in text], dtype=np.uint64)
     return pd.DataFrame(
-        {"doc_id": df["doc_id"], "fp_full": full, "fp_head": head, "fp_tail": tail}
+        {"doc_id": df["doc_id"], "fp_full": full, "fp_head": head,
+         "fp_tail": tail, "fp_roll": roll.astype(np.int64)}
     )
 
 

@@ -118,3 +118,20 @@ def test_embedding_cosine_near_dups(ray_session, tmp_path):
     pairs = set(map(tuple, out[["vec_a", "vec_b"]].values.tolist()))
     assert (0, 1) in pairs
     assert (0, 3) not in pairs  # opposite vector
+
+
+def test_rolling_fingerprint_stability():
+    """The winnowing-style min rolling hash survives edits far from the
+    minimizing window; fp_full does not."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.text_analysis import (
+        _min_rolling_hash,
+    )
+
+    base = "abcdefghijklmnopqrstuvwxyz" * 20
+    h = _min_rolling_hash(base)
+    assert h == _min_rolling_hash(base)  # deterministic
+    # appending text can only add windows -> min can only stay or decrease;
+    # here the appended windows repeat existing content, so min is unchanged
+    assert _min_rolling_hash(base + "abcdefghijklmnopqrstuvwxyz") == h
+    # short text falls back to the full-content hash
+    assert _min_rolling_hash("tiny") == _min_rolling_hash("tiny")
