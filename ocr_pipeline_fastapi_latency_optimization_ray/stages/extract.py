@@ -62,9 +62,11 @@ class DocumentExtractor:
         payloads = batch["html"].to_pylist()
         texts = batch["text"].to_pylist()
 
-        out_text, out_spans, kept, dropped, out_bytes, errors, ms = (
-            [], [], [], [], [], [], []
-        )
+        out_text, kept, dropped, out_bytes, errors, ms = [], [], [], [], [], []
+        # spans accumulate as flat columns (ListArray.from_arrays below): one
+        # Python dict per span would dominate the batch's Arrow conversion
+        span_bid, span_start, span_end = [], [], []
+        span_offsets = [0]
         for i in range(batch.num_rows):
             t0 = time.perf_counter()
             res = extract_document(
@@ -73,14 +75,29 @@ class DocumentExtractor:
             )
             ms.append((time.perf_counter() - t0) * 1000.0)
             out_text.append(res.extracted_text)
-            out_spans.append(
-                [{"block_id": b, "start": s, "end": e} for b, s, e in res.spans]
-            )
+            for b, s, e in res.spans:
+                span_bid.append(b)
+                span_start.append(s)
+                span_end.append(e)
+            span_offsets.append(len(span_bid))
             kept.append(res.n_blocks_kept)
             dropped.append(res.n_blocks_dropped)
             out_bytes.append(len(res.extracted_text.encode("utf-8")))
             errors.append(res.error)
 
+        import numpy as np
+
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(np.asarray(span_offsets, dtype=np.int32)),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(np.asarray(span_bid, dtype=np.int32)),
+                    pa.array(np.asarray(span_start, dtype=np.int64)),
+                    pa.array(np.asarray(span_end, dtype=np.int64)),
+                ],
+                names=["block_id", "start", "end"],
+            ),
+        )
         result = pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
@@ -89,7 +106,7 @@ class DocumentExtractor:
                 pa.array(kinds, pa.string()),
                 pa.array(sizes, pa.int64()),
                 pa.array(out_text, pa.string()),
-                pa.array(out_spans, SPANS_TYPE),
+                spans_arr,
                 pa.array(kept, pa.int32()),
                 pa.array(dropped, pa.int32()),
                 pa.array(out_bytes, pa.int64()),
