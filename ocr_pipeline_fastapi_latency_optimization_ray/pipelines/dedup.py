@@ -352,27 +352,43 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame
             }
         )
 
-    def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        g = g.sort_values("vec_id")
-        mat = np.stack(g["vec"].values)
-        cos = mat @ mat.T
-        ids = g["vec_id"].values
-        ii, jj = np.triu_indices(len(g), k=1)
-        keep = cos[ii, jj] >= threshold
+    def shuffle_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per bounded shuffle bucket; iterate the LSH buckets inside
+        # (their cardinality grows with the corpus — functions/shuffle.py)
+        out_a, out_b, out_c = [], [], []
+        for _, grp in g.groupby("bucket"):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("vec_id")
+            mat = np.stack(grp["vec"].values)
+            cos = mat @ mat.T
+            ids = grp["vec_id"].values
+            ii, jj = np.triu_indices(len(grp), k=1)
+            keep = cos[ii, jj] >= threshold
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(cos[ii, jj][keep])
+        if not out_a:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
         return pd.DataFrame(
             {
-                "vec_a": ids[ii[keep]].astype(np.int64),
-                "vec_b": ids[jj[keep]].astype(np.int64),
-                "cosine": np.round(cos[ii, jj][keep], 6),
+                "vec_a": np.concatenate(out_a).astype(np.int64),
+                "vec_b": np.concatenate(out_b).astype(np.int64),
+                "cosine": np.round(np.concatenate(out_c), 6),
             }
         )
 
+    from ..functions.shuffle import add_bucket_column
+
     out = (
         ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(in_bucket_pairs, batch_format="pandas")
+        .map_batches(lambda df: add_bucket_column(df, ["bucket"], 64),
+                     batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: shuffle_bucket_pairs(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
         .to_pandas()
     )
     if out.empty or "vec_a" not in out.columns:

@@ -114,10 +114,16 @@ class LangIdModel:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.lower().str.split(" ")
-        scores = {
-            lg: toks.map(lambda t, s=self.tables[lg]: sum(w in s for w in t))
-            for lg in self.langs
-        }
+        # vectorized scoring: explode tokens once, one C-level isin per
+        # language, counts re-aggregated by row position
+        ex = toks.explode()
+        pos = ex.index
+        scores = {}
+        for lg in self.langs:
+            hit = ex.isin(self.tables[lg])
+            scores[lg] = (
+                hit.groupby(pos).sum().reindex(df.index, fill_value=0).astype(int)
+            )
         sc = pd.DataFrame(scores)
         best = sc.idxmax(axis=1)                        # ties -> first alphabetically
         best = best.where(sc.max(axis=1) > 0, "und")
