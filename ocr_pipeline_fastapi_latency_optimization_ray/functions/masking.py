@@ -35,6 +35,9 @@ class PageSkeleton:
     enrich: list[tuple[int, str, int, str]]  # (page, type, index, content)
     n_kept: int
     n_dropped: int
+    # mask metadata (S8 analog, DLA.py:622-653 save_structure_json): one
+    # (object=class_name, bbox) per masked block, detection order
+    mask_meta: list[tuple[str, list[float]]] = None
 
 
 def detection_order(blocks: Blocks) -> np.ndarray:
@@ -69,10 +72,12 @@ def build_page_skeleton(
     counters: dict[str, int] = {}
     tags: dict[int, str] = {}        # block array index -> tag
     enrich: list[tuple[int, str, int, str]] = []
+    mask_meta: list[tuple[str, list[float]]] = []
     for i in det_idx:
         name = blocks.class_name[i]
         if name in UNMASKED_LABELS:
             continue
+        mask_meta.append((str(name), [float(v) for v in blocks.xyxy[i]]))
         lower = name.lower()
         if "figure" in lower:
             k = counters.get("figure", 0)
@@ -119,4 +124,5 @@ def build_page_skeleton(
         enrich=enrich,
         n_kept=len(parts),
         n_dropped=n_dropped,
+        mask_meta=mask_meta,
     )

@@ -39,6 +39,9 @@ class ExtractResult:
     n_blocks_kept: int
     n_blocks_dropped: int
     error: str | None = None
+    # (page, object, bbox) per masked block — the S8 mask-metadata column
+    # (reference non_text_pairs.json, DLA.py:622-653)
+    mask_meta: list = None
 
 
 def extract_document(
@@ -73,7 +76,8 @@ def extract_document(
         page = build_page_skeleton(blocks, page_num=0)
         enrich_map = {(p, t, k): c for (p, t, k, c) in page.enrich}
         out_text, spans, kept, dropped = finalize_document([page], enrich_map)
-        return ExtractResult(out_text, spans, kept, dropped)
+        meta = [(0, o, b) for (o, b) in (page.mask_meta or [])]
+        return ExtractResult(out_text, spans, kept, dropped, mask_meta=meta)
 
     # pdf / image branch
     layout = layout or LayoutStub(cfg.conf)
@@ -92,4 +96,9 @@ def extract_document(
             enrich_map[(p, t, k)] = c
         skels.append(skel)
     out_text, spans, kept, dropped = finalize_document(skels, enrich_map)
-    return ExtractResult(out_text, spans, kept, dropped)
+    meta = [
+        (pnum, o, b)
+        for pnum, sk in enumerate(skels)
+        for (o, b) in (sk.mask_meta or [])
+    ]
+    return ExtractResult(out_text, spans, kept, dropped, mask_meta=meta)

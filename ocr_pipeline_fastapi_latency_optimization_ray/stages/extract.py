@@ -25,6 +25,15 @@ from ..stages.layout import LayoutStub, RecognizerStub
 SPANS_TYPE = pa.list_(
     pa.struct([("block_id", pa.int32()), ("start", pa.int64()), ("end", pa.int64())])
 )
+# mask metadata (S8 analog — reference non_text_pairs.json, DLA.py:622-653):
+# one entry per masked block, detection order
+MASK_META_TYPE = pa.list_(
+    pa.struct([
+        ("page", pa.int32()),
+        ("object", pa.string()),
+        ("bbox", pa.list_(pa.float32(), 4)),
+    ])
+)
 
 RESULT_FIELDS = [
     ("url", pa.string()),
@@ -34,6 +43,7 @@ RESULT_FIELDS = [
     ("payload_bytes", pa.int64()),
     ("extracted_text", pa.string()),
     ("spans", SPANS_TYPE),
+    ("mask_meta", MASK_META_TYPE),
     ("n_blocks_kept", pa.int32()),
     ("n_blocks_dropped", pa.int32()),
     ("extracted_bytes", pa.int64()),
@@ -67,6 +77,8 @@ class DocumentExtractor:
         # Python dict per span would dominate the batch's Arrow conversion
         span_bid, span_start, span_end = [], [], []
         span_offsets = [0]
+        mm_page, mm_obj, mm_bbox = [], [], []
+        mm_offsets = [0]
         for i in range(batch.num_rows):
             t0 = time.perf_counter()
             res = extract_document(
@@ -80,6 +92,11 @@ class DocumentExtractor:
                 span_start.append(s)
                 span_end.append(e)
             span_offsets.append(len(span_bid))
+            for p, o, b in (res.mask_meta or []):
+                mm_page.append(p)
+                mm_obj.append(o)
+                mm_bbox.extend(b)
+            mm_offsets.append(len(mm_page))
             kept.append(res.n_blocks_kept)
             dropped.append(res.n_blocks_dropped)
             out_bytes.append(len(res.extracted_text.encode("utf-8")))
@@ -98,6 +115,19 @@ class DocumentExtractor:
                 names=["block_id", "start", "end"],
             ),
         )
+        mask_meta_arr = pa.ListArray.from_arrays(
+            pa.array(np.asarray(mm_offsets, dtype=np.int32)),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(np.asarray(mm_page, dtype=np.int32)),
+                    pa.array(mm_obj, pa.string()),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(np.asarray(mm_bbox, dtype=np.float32)), 4
+                    ),
+                ],
+                names=["page", "object", "bbox"],
+            ),
+        )
         result = pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
@@ -107,6 +137,7 @@ class DocumentExtractor:
                 pa.array(sizes, pa.int64()),
                 pa.array(out_text, pa.string()),
                 spans_arr,
+                mask_meta_arr,
                 pa.array(kept, pa.int32()),
                 pa.array(dropped, pa.int32()),
                 pa.array(out_bytes, pa.int64()),

@@ -121,3 +121,39 @@ def test_adversarial_body_text_matching_regex_is_substituted():
     text, spans, _, _ = finalize_document([sk], {})
     assert "[Missing Crop]" in text
     assert "table 9" in text
+
+
+def test_mask_meta_column(ray_session):
+    """S8 mask-metadata column: (page, object, bbox) per masked block in
+    detection order, mirroring the reference's non_text_pairs.json."""
+    import pyarrow as pa
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.doc_extract import (
+        extract_document,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.payloads import (
+        encode_fake_pdf,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages.layout import (
+        LayoutStub, RecognizerStub,
+    )
+
+    pages = [
+        {"w": 1000, "h": 1000, "blocks": [
+            {"cls_id": 2, "score": 0.9, "bbox": [0, 0, 500, 100], "text": "t"},
+            {"cls_id": 1, "score": 0.8, "bbox": [0, 200, 500, 400], "text": "f"},
+            {"cls_id": 8, "score": 0.7, "bbox": [0, 500, 500, 700], "text": "tb"},
+        ]},
+        {"w": 1000, "h": 1000, "blocks": [
+            {"cls_id": 8, "score": 0.9, "bbox": [0, 0, 400, 300], "text": "tb2"},
+        ]},
+    ]
+    res = extract_document(
+        encode_fake_pdf(pages), None, "en", PipelineConfig(),
+        layout=LayoutStub(), recognizer=RecognizerStub(), kind="pdf",
+    )
+    objs = [(p, o) for (p, o, b) in res.mask_meta]
+    assert objs == [(0, "figure"), (0, "table"), (1, "table")]
+    for _, _, bbox in res.mask_meta:
+        assert len(bbox) == 4 and bbox[2] > bbox[0] and bbox[3] > bbox[1]
