@@ -174,17 +174,25 @@ def orders_per_region(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
     n2r = dict(zip(nation.n_nationkey, nation.n_regionkey))
-    r2name = dict(zip(region.r_regionkey, region.r_name))
-    c2region = {
-        ck: r2name[n2r[nk]] for ck, nk in zip(cust.c_custkey, cust.c_nationkey)
-    }
-    lookup_ref = ray.put(c2region)
+    # broadcast the customer->region map as two parallel numpy arrays
+    # (sorted keys + searchsorted probe): ~16 bytes/customer vs a Python
+    # dict's ~100, and zero-copy out of the object store
+    order = np.argsort(cust.c_custkey.to_numpy())
+    ckeys = cust.c_custkey.to_numpy()[order]
+    cregion = np.array(
+        [n2r[nk] for nk in cust.c_nationkey.to_numpy()[order]], dtype=np.int32
+    )
+    r_names = region.sort_values("r_regionkey").r_name.to_numpy()
+    keys_ref = ray.put(ckeys)
+    vals_ref = ray.put(cregion)
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(lookup_ref)
-        df = df.assign(r_name=df.o_custkey.map(lut))
+        ck, cr = ray.get(keys_ref), ray.get(vals_ref)
+        v = df.o_custkey.to_numpy()
+        idx = np.clip(np.searchsorted(ck, v), 0, len(ck) - 1)
+        df = df.assign(r_name=r_names[cr[idx]])
         return df.groupby("r_name", as_index=False).agg(
             n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
         )
@@ -254,7 +262,7 @@ ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 
 def events_top_users(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import bucketed_combine
 
     ds = _read(sf_dir, "events", columns=["user_id", "value"])
 
@@ -263,10 +271,18 @@ def events_top_users(sf_dir: str) -> pd.DataFrame:
             total_value=("value", "sum"), n_events=("value", "size")
         )
 
-    out = _partial_then_final(
-        ds, "user_id", partial,
-        (Sum("total_value", alias_name="total_value"), Sum("n_events", alias_name="n_events")),
-    ).to_pandas()
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # each user lands in exactly one bucket -> totals are final here;
+        # emit only the bucket's local top-10 so the driver merges 64x10
+        # rows regardless of user cardinality
+        t = g.groupby("user_id", as_index=False).agg(
+            total_value=("total_value", "sum"), n_events=("n_events", "sum")
+        )
+        return t.sort_values(
+            ["total_value", "user_id"], ascending=[False, True]
+        ).head(10)
+
+    out = bucketed_combine(ds, "user_id", partial, combine).to_pandas()
     out["total_value"] = out.total_value.round(2)
     out["n_events"] = out.n_events.astype("int64")
     out = out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
