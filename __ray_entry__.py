@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": relational.events_tumbling_hourly,
         "events_top_users": relational.events_top_users,
         "part_type_stats": relational.part_type_stats,
+        "order_priority_revenue": relational.order_priority_revenue,
         # stream-shaped custom operators (as-of join, sliding/session
         # windows, distinct counts, per-group top-k — pipelines/streaming.py)
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_hourly": relational.EVENTS_TUMBLING_SQL,
         "events_top_users": relational.EVENTS_TOP_USERS_SQL,
         "part_type_stats": relational.PART_TYPE_STATS_SQL,
+        "order_priority_revenue": relational.ORDER_PRIORITY_REVENUE_SQL,
         "events_asof_purchase_click": streaming.EVENTS_ASOF_SQL,
         "events_sliding_hourly": streaming.EVENTS_SLIDING_SQL,
         "events_user_sessions": streaming.EVENTS_SESSIONS_SQL,

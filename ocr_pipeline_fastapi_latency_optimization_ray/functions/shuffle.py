@@ -42,6 +42,63 @@ def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -
     return out
 
 
+def bucketed_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    join_fn,
+    num_buckets: int = 64,
+):
+    """Distributed hash join via explicit co-partitioning: both sides tag
+    ``_bucket = hash(key) % B`` and union; one ``join_fn(left_df, right_df)``
+    call per bucket does a vectorized pandas merge. The shuffle key is the
+    bounded bucket — key-cardinality growth never adds shuffle partitions,
+    and a hot key can be isolated by raising ``num_buckets``.
+
+    Both sides are padded to the union of their columns (missing columns
+    null) so the union-then-groupby runs over one schema; ``join_fn``
+    receives each side's original columns.
+    """
+    import pyarrow as pa
+
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    all_names = l_names + [c for c in r_names if c not in l_names]
+
+    def pad(side: str, key: str, names_have: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = add_bucket_column(df, [key], num_buckets)
+            df["_side"] = side
+            for c in all_names:
+                if c not in df.columns:
+                    df[c] = None
+            return df[[*all_names, "_bucket", "_side"]]
+
+        return fn
+
+    tagged = left_ds.map_batches(
+        pad("l", left_key, l_names), batch_format="pandas"
+    ).union(
+        right_ds.map_batches(pad("r", right_key, r_names), batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == "l"][l_names]
+        right = g[g["_side"] == "r"][r_names]
+        return join_fn(left, right)
+
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(
+            lambda g: join_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
 def bucketed_combine(ds, key_cols, partial_fn, combine_fn, num_buckets: int = 32):
     """partial per batch -> bucket tag -> per-bucket vectorized combine.
 

@@ -332,6 +332,56 @@ def part_type_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_type").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# lineitem x orders distributed hash join (both sides large -> co-partitioned
+# bucketed join, functions/shuffle.py; broadcast is not an option here)
+# ---------------------------------------------------------------------------
+
+def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per order priority via a true two-big-sides join: lineitem
+    revenue partial-aggregates per l_orderkey inside map_batches (one row
+    per key per batch), then co-partitions with orders on
+    hash(orderkey) % B and merges per bucket. The driver combines 5 rows
+    per bucket."""
+    from ..functions.shuffle import bucketed_join
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
+        return df.groupby("l_orderkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    line_partial = line.map_batches(partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def join_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        return m.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    out = bucketed_join(
+        line_partial, orders, "l_orderkey", "o_orderkey", join_fn
+    ).to_pandas()
+    out = out.groupby("o_orderpriority", as_index=False).agg(
+        revenue=("revenue", "sum")
+    )
+    out["revenue"] = out.revenue.round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDER_PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 PART_TYPE_STATS_SQL = """
 SELECT p_type, COUNT(*) AS n_parts,
        CAST(MIN(p_size) AS INTEGER) AS min_size,
