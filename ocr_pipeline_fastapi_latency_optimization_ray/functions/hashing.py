@@ -70,39 +70,64 @@ def pseudo_confidence(content: str) -> float:
 # ---------------------------------------------------------------------------
 
 # Fixed seeded parameters for the minhash permutation family
-# h_i(x) = (a_i * x + b_i) mod p  over the 61-bit Mersenne prime.
+# h_i(x) = a_i * x + b_i over uint64 with natural wraparound (multiply-shift
+# family, a_i odd): fully vectorizable as one outer product per signature —
+# no bigint arithmetic. Wraparound multiplication by an odd constant is a
+# bijection on Z/2^64, so the family is a valid (deterministic) permutation
+# family for MinHash.
 _MERSENNE61 = (1 << 61) - 1
 
 
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a |= np.uint64(1)  # odd -> bijective modulo 2^64
     b = rng.randint(0, _MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
 def minhash_signature(token_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Minhash signature (uint64[num_perm]) of a set of 64-bit token hashes."""
+    """Minhash signature (uint64[num_perm]) of a set of 64-bit token hashes.
+    One (num_perm x n) wraparound outer product, min along tokens."""
     if token_hashes.size == 0:
         return np.full(a.shape[0], _MASK64, dtype=np.uint64)
-    x = token_hashes.astype(np.object_)  # python ints: exact 128-bit products
-    sigs = np.empty(a.shape[0], dtype=np.uint64)
-    am = a.astype(np.object_)
-    bm = b.astype(np.object_)
-    for i in range(a.shape[0]):
-        vals = (am[i] * x + bm[i]) % _MERSENNE61
-        sigs[i] = int(min(vals))
-    return sigs
+    x = token_hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * x[None, :] + b[:, None]
+    return vals.min(axis=1)
+
+
+def fast_token_hash(tokens) -> np.ndarray:
+    """Vectorized (C-level) stable 64-bit hashes for a sequence of strings:
+    pandas ``hash_array`` with its fixed default key — deterministic across
+    processes and machines. Used on hot token paths (shingles, simhash);
+    ``stable_hash64_batch`` (blake2b) remains the primitive for partition
+    assignment and content identity."""
+    import pandas as pd
+
+    arr = np.asarray(tokens, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+_SHINGLE_BASE = np.uint64(1099511628211)
 
 
 def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Word k-shingles hashed to uint64. Lowercased, whitespace-tokenized."""
+    """Word k-shingles hashed to uint64: tokens hashed once (C-level), then
+    each window combined with a positional polynomial (wraparound uint64) —
+    no per-shingle string building or cryptographic hashing."""
     toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = fast_token_hash(toks)
     if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return stable_hash64_batch(joined)
+        k = len(toks)
+    powers = np.power(_SHINGLE_BASE, np.arange(k - 1, -1, -1, dtype=np.uint64))
+    wins = np.lib.stride_tricks.sliding_window_view(h, k)
+    with np.errstate(over="ignore"):
+        return (wins * powers).sum(axis=1, dtype=np.uint64)
 
 
 def simhash64(token_hashes: np.ndarray) -> int:

@@ -25,6 +25,7 @@ import pandas as pd
 import ray.data
 
 from ..functions.hashing import (
+    fast_token_hash,
     md5_hex_batch,
     minhash_params,
     minhash_signature,
@@ -217,7 +218,7 @@ def doc_simhash(sf_dir: str) -> pd.DataFrame:
         out = np.empty(len(df), dtype=np.uint64)
         for i, t in enumerate(df["text"]):
             toks = (t or "").lower().split()
-            out[i] = simhash64(stable_hash64_batch(toks))
+            out[i] = simhash64(fast_token_hash(toks))
         return pd.DataFrame(
             {"doc_id": df["doc_id"].values, "simhash": out.astype(np.int64)}
         )
@@ -250,7 +251,7 @@ def dedup_simhash_candidates(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         sh = np.empty(n, dtype=np.uint64)
         for i, t in enumerate(df["text"]):
             toks = (t or "").lower().split()
-            sh[i] = simhash64(stable_hash64_batch(toks))
+            sh[i] = simhash64(fast_token_hash(toks))
         # explode 4 bands per doc, vectorized
         doc = np.repeat(df["doc_id"].to_numpy(), 4)
         band = np.tile(np.arange(4, dtype=np.int32), n)

@@ -271,15 +271,14 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
     register-wise max merges them — the canonical mergeable-sketch
     aggregation (no oracle: approximate by design; accuracy pinned in
     tests against the exact operator)."""
-    from ..functions.hashing import stable_hash64_batch
-
     ds = _events(sf_dir, ["user_id", "event_type"])
     m = 1 << p
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         out_t, out_r = [], []
         for et, g in df.groupby("event_type"):
-            h = stable_hash64_batch([str(u) for u in g.user_id])
+            import pandas as pd_util  # noqa: F401
+            h = pd.util.hash_array(g.user_id.to_numpy()).astype(np.uint64)
             idx = (h >> np.uint64(64 - p)).astype(np.int64)
             w = h & np.uint64((1 << (64 - p)) - 1)  # low 64-p bits
             # rank = 1 + leading zeros of w within its (64-p)-bit field
