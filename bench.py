@@ -108,20 +108,26 @@ def bench_headline() -> dict:
 def bench_queries() -> dict:
     """Secondary operator timings at the same scale dir."""
     from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (
-        dedup, relational, similarity, text_analysis,
+        dedup, multimodal, relational, similarity, streaming, text_analysis,
     )
 
     out = {}
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
         ("q3_top_orders", relational.q3_top_orders),
+        ("order_priority_revenue", relational.order_priority_revenue),
         ("events_tumbling_hourly", relational.events_tumbling_hourly),
+        ("events_asof_purchase_click", streaming.events_asof_purchase_click),
+        ("events_user_sessions", streaming.events_user_sessions),
+        ("events_distinct_users_hll", streaming.events_distinct_users_hll),
         ("dedup_exact", dedup.dedup_exact_groups),
         ("dedup_minhash", dedup.dedup_minhash_candidates),
+        ("dedup_simhash", dedup.dedup_simhash_candidates),
         ("doc_simhash", dedup.doc_simhash),
         ("ann_cosine_topk", similarity.ann_cosine_topk),
         ("doc_token_stats", text_analysis.doc_token_stats),
         ("doc_langid", text_analysis.doc_langid),
+        ("image_features", multimodal.image_features),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

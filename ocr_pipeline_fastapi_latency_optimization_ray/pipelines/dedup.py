@@ -31,7 +31,6 @@ from ..functions.hashing import (
     minhash_signature,
     shingles,
     simhash64,
-    stable_hash64_batch,
 )
 
 NUM_PERM = 64
@@ -111,19 +110,26 @@ def dedup_minhash_candidates(
     rows_per_band = NUM_PERM // NUM_BANDS
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for did, sig in zip(df["doc_id"], df["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            for band in range(NUM_BANDS):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                out_doc.append(did)
-                out_band.append(band)
-                out_hash.append(int(stable_hash64_batch([chunk.tobytes()])[0]))
+        # fully vectorized: (n, 64) signature matrix -> (n, 16, 4) bands ->
+        # positional-polynomial band hash with uint64 wraparound
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "band": pd.Series(dtype="int32"),
+                                 "band_hash": pd.Series(dtype="int64")})
+        sigm = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
+        bands3 = sigm.reshape(n, NUM_BANDS, rows_per_band)
+        powers = np.power(
+            np.uint64(1099511628211),
+            np.arange(rows_per_band - 1, -1, -1, dtype=np.uint64),
+        )
+        with np.errstate(over="ignore"):
+            bh = (bands3 * powers).sum(axis=2, dtype=np.uint64)
         return pd.DataFrame(
             {
-                "doc_id": np.array(out_doc, dtype=np.int64),
-                "band": np.array(out_band, dtype=np.int32),
-                "band_hash": np.array(out_hash, dtype=np.uint64).astype(np.int64),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
+                "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1).astype(np.int64),
             }
         )
 
