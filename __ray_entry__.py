@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (documents table)
         "doc_token_stats": text_analysis.doc_token_stats,
         "doc_quality": text_analysis.doc_quality,
+        "docs_longest": text_analysis.docs_longest,
         "doc_langid": text_analysis.doc_langid,
         "doc_fingerprint": text_analysis.doc_fingerprint,
         # dedup family
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk_by_priority": streaming.ORDERS_TOPK_SQL,
         "doc_token_stats": text_analysis.DOC_TOKEN_STATS_SQL,
         "doc_quality": text_analysis.DOC_QUALITY_SQL,
+        "docs_longest": text_analysis.DOCS_LONGEST_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,

@@ -176,6 +176,31 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def docs_longest(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Top-k documents by length via a true distributed ``Dataset.sort``
+    (range-partitioned sample sort) + ``limit`` — the one query here that
+    exercises the global-sort exchange rather than avoiding it. The sort
+    moves only (doc_id, n_chars, lang); text never shuffles."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+    )
+    out = (
+        ds.sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["n_chars"] = out.n_chars.astype("int64")
+    return out[["doc_id", "n_chars", "lang"]].reset_index(drop=True)
+
+
+DOCS_LONGEST_SQL = """
+SELECT doc_id, n_chars, lang
+FROM documents
+ORDER BY n_chars DESC, doc_id
+LIMIT 100
+"""
+
+
 def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
