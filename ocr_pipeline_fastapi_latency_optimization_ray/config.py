@@ -174,6 +174,11 @@ class PipelineConfig:
     # Output partitioning: partition_id = stable_hash(url) % num_partitions.
     num_partitions: int = 64
 
+    # Recognition engine chain by registry name (stages/layout.py
+    # RECOGNIZER_REGISTRY) — the reference's model registry + primary/backup
+    # failover surface (OCR.py:37-48, PageProcessor.py:19-26).
+    recognizers: tuple[str, ...] = ("stub",)
+
     link_density_abandon: float = LINK_DENSITY_ABANDON
     boilerplate_hints: tuple[str, ...] = BOILERPLATE_HINTS
 

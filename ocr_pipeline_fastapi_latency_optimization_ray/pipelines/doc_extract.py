@@ -24,7 +24,12 @@ from ..functions.html_tokenize import blocks_table_from_html
 from ..functions.masking import PageSkeleton, build_page_skeleton
 from ..functions.merge import filter_duplicates
 from ..sources.payloads import classify_payload_bytes, decode_fake_doc
-from ..stages.layout import LayoutStub, RecognizerStub, analyze_fake_page
+from ..stages.layout import (
+    LayoutStub,
+    RecognitionError,
+    RecognizerStub,
+    analyze_fake_page,
+)
 
 
 def ocr_failed_sentinel(err: str) -> str:
@@ -89,8 +94,20 @@ def extract_document(
 
     skels: list[PageSkeleton] = []
     enrich_map: dict[tuple[int, str, int], str] = {}
+    page_errors = 0
     for pnum, page in enumerate(fake_pages):
-        blocks = analyze_fake_page(page, layout, recognizer, cfg)
+        try:
+            blocks = analyze_fake_page(page, layout, recognizer, cfg)
+        except RecognitionError as e:
+            # per-page double failure: the sentinel text BECOMES the page
+            # content, other pages continue (reference PageProcessor.py:92-104
+            # returns the error string as that page's markdown)
+            skels.append(PageSkeleton(
+                parts=[ocr_failed_sentinel(str(e))], block_ids=[0],
+                enrich=[], n_kept=1, n_dropped=0,
+            ))
+            page_errors += 1
+            continue
         skel = build_page_skeleton(blocks, page_num=pnum)
         for (p, t, k, c) in skel.enrich:
             enrich_map[(p, t, k)] = c
@@ -101,4 +118,5 @@ def extract_document(
         for pnum, sk in enumerate(skels)
         for (o, b) in (sk.mask_meta or [])
     ]
-    return ExtractResult(out_text, spans, kept, dropped, mask_meta=meta)
+    err = f"{page_errors} page(s) failed recognition" if page_errors else None
+    return ExtractResult(out_text, spans, kept, dropped, error=err, mask_meta=meta)

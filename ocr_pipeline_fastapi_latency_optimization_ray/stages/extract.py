@@ -58,9 +58,12 @@ class DocumentExtractor:
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
-        # warm engines, once per actor (A1/A2 analog)
+        # warm engines, once per actor (A1/A2 analog); the recognizer may be
+        # a primary->backup failover chain (stages/layout.py)
+        from ..stages.layout import build_recognizer
+
         self.layout = LayoutStub(self.cfg.conf)
-        self.recognizer = RecognizerStub()
+        self.recognizer = build_recognizer(self.cfg.recognizers)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg

@@ -70,6 +70,30 @@ def render_mode_for_label(label: str) -> str:
     return "markdown"
 
 
+class RecognitionError(RuntimeError):
+    """Raised when a recognition engine cannot read a page region."""
+
+
+class RecognizerChain:
+    """Primary->backup engine failover (reference PageProcessor.py:19-26,
+    92-104): try the primary engine; on failure swap to the backup and retry
+    once; re-raise on double failure so the caller emits the page-level
+    sentinel. The swap is sticky for the rest of the actor's life, exactly
+    like the reference's in-place engine swap."""
+
+    def __init__(self, engines):
+        self.engines = list(engines)
+
+    def recognize(self, page: dict, bbox, mode: str = "markdown") -> str:
+        try:
+            return self.engines[0].recognize(page, bbox, mode)
+        except RecognitionError:
+            if len(self.engines) < 2:
+                raise
+            self.engines.pop(0)  # sticky failover, PageProcessor.py:99-101
+            return self.engines[0].recognize(page, bbox, mode)
+
+
 class RecognizerStub:
     """Deterministic region OCR. STUB for a local recognition engine
     (Tesseract-style per the north_star); reads embedded ground-truth text."""
@@ -110,3 +134,31 @@ def analyze_fake_page(
         mode = render_mode_for_label(blocks.class_name[i])
         blocks.text[i] = recognizer.recognize(page, blocks.xyxy[i], mode)
     return blocks
+
+
+class FlakyRecognizerStub:
+    """Test engine: fails on any page whose embedded text contains the
+    marker (deterministic analog of a transient model failure)."""
+
+    def __init__(self, marker: str = "FAIL_PRIMARY"):
+        self.marker = marker
+
+    def recognize(self, page: dict, bbox, mode: str = "markdown") -> str:
+        if any(self.marker in b.get("text", "") for b in page.get("blocks", [])):
+            raise RecognitionError(f"engine refused page containing {self.marker!r}")
+        return RecognizerStub().recognize(page, bbox, mode)
+
+
+# Model-registry analog (reference OCR.py:37-48: name -> engine config;
+# primary/fallback choice PageProcessor.py:19-26). Names are the extension
+# surface: PipelineConfig.recognizers selects the chain.
+RECOGNIZER_REGISTRY = {
+    "stub": RecognizerStub,
+    "flaky": FlakyRecognizerStub,
+}
+
+
+def build_recognizer(names):
+    """Engine chain from registry names: single engine or failover chain."""
+    engines = [RECOGNIZER_REGISTRY[n]() for n in names]
+    return engines[0] if len(engines) == 1 else RecognizerChain(engines)

@@ -157,3 +157,53 @@ def test_mask_meta_column(ray_session):
     assert objs == [(0, "figure"), (0, "table"), (1, "table")]
     for _, _, bbox in res.mask_meta:
         assert len(bbox) == 4 and bbox[2] > bbox[0] and bbox[3] > bbox[1]
+
+
+def test_recognizer_failover_chain():
+    """Engine failover (reference PageProcessor.py:92-104): primary fails ->
+    backup answers; single flaky engine -> page-level sentinel embedded in
+    the doc while other pages extract normally."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.doc_extract import (
+        extract_document, ocr_failed_sentinel,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.payloads import (
+        encode_fake_pdf,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages.layout import (
+        LayoutStub, build_recognizer,
+    )
+
+    pages = [
+        {"w": 1000, "h": 1000, "blocks": [
+            {"cls_id": 2, "score": 0.9, "bbox": [0, 0, 500, 100],
+             "text": "good page"}]},
+        {"w": 1000, "h": 1000, "blocks": [
+            {"cls_id": 2, "score": 0.9, "bbox": [0, 0, 500, 100],
+             "text": "FAIL_PRIMARY content"}]},
+    ]
+    payload = encode_fake_pdf(pages)
+    lay = LayoutStub()
+
+    # flaky -> stub chain: backup rescues the failing page
+    chain = build_recognizer(("flaky", "stub"))
+    ok = extract_document(payload, None, "en", PipelineConfig(),
+                          layout=lay, recognizer=chain, kind="pdf")
+    assert ok.error is None
+    assert "FAIL_PRIMARY content" in ok.extracted_text
+    assert "good page" in ok.extracted_text
+
+    # flaky alone: the failing page becomes a sentinel, the good page stays
+    flaky = build_recognizer(("flaky",))
+    bad = extract_document(payload, None, "en", PipelineConfig(),
+                           layout=lay, recognizer=flaky, kind="pdf")
+    assert bad.error == "1 page(s) failed recognition"
+    assert "good page" in bad.extracted_text
+    assert "[OCR Failed]" in bad.extracted_text
+    assert "FAIL_PRIMARY content" not in bad.extracted_text
+
+    # sticky swap: after one failover the chain keeps using the backup
+    chain2 = build_recognizer(("flaky", "stub"))
+    extract_document(payload, None, "en", PipelineConfig(),
+                     layout=lay, recognizer=chain2, kind="pdf")
+    assert len(chain2.engines) == 1
