@@ -144,6 +144,19 @@ def run_extraction_job(
     if not shards:
         raise FileNotFoundError(f"no parquet shards under {input_dir}")
     done = load_lineage(out_dir)
+    # staleness check: a committed record only skips its shard if the input
+    # file still matches the fingerprint recorded at commit time (name +
+    # size); a changed shard is recomputed and its stale output wiped
+    stale = {
+        pid
+        for pid, rec in done.items()
+        if pid < len(shards)
+        and rec.get("input_fingerprint")
+        and rec["input_fingerprint"] != _fingerprint(shards[pid])
+    }
+    for pid in stale:
+        (out_dir / LINEAGE_DIR / f"part={pid}.json").unlink(missing_ok=True)
+        done.pop(pid)
     todo = [(pid, p) for pid, p in enumerate(shards) if pid not in done]
     t_job = time.perf_counter()
     if not todo:
@@ -224,11 +237,17 @@ def run_extraction_job(
     }
 
 
+def _fingerprint(p: Path) -> str:
+    st = p.stat()
+    return f"{p.name}:{st.st_size}"
+
+
 def _commit(out_dir: Path, pid: int, input_file: Path, a: dict,
             wall_s: float, attempt: int) -> None:
     rec = {
         "partition_id": pid,
         "input_file": input_file.name,
+        "input_fingerprint": _fingerprint(input_file),
         "row_count": a["rows"],
         "n_errors": a["n_errors"],
         "blocks_kept": a["blocks_kept"],

@@ -141,3 +141,27 @@ def test_torn_lineage_json_treated_as_uncommitted(ray_session, pages_dir, tmp_pa
     summary = run_extraction_job(pages_dir, out, _cfg())
     assert summary["processed"] == 1
     assert load_lineage(out)[2]["status"] == "done"
+
+
+def test_changed_input_shard_invalidates_commit(ray_session, pages_dir, tmp_path):
+    """A shard whose bytes changed since commit is recomputed on resume;
+    untouched shards stay skipped (input_fingerprint staleness check)."""
+    import pyarrow as pa
+
+    out = tmp_path / "out"
+    run_extraction_job(pages_dir, out, _cfg())
+
+    # rewrite shard 2 with different content (different size)
+    mod_dir = tmp_path / "mod_in"
+    mod_dir.mkdir()
+    for f in sorted(pages_dir.glob("*.parquet")):
+        shutil.copy(f, mod_dir / f.name)
+    t = pq.read_table(mod_dir / "shard_02.parquet")
+    pq.write_table(t.slice(0, 10), mod_dir / "shard_02.parquet")
+
+    # copy the existing lineage/output as if the previous run used mod_dir
+    summary = run_extraction_job(mod_dir, out, _cfg())
+    assert summary["processed"] == 1 and summary["skipped"] == N_SHARDS - 1
+    rec = load_lineage(out)[2]
+    assert rec["row_count"] == 10
+    assert _sorted_rows(out).shape[0] == (N_SHARDS - 1) * ROWS_PER_SHARD + 10
