@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         # stream-shaped custom operators (as-of join, sliding/session
         # windows, distinct counts, per-group top-k — pipelines/streaming.py)
+        "events_high_value_errors": streaming.events_high_value_errors,
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
         "events_sliding_hourly": streaming.events_sliding_hourly,
         "events_user_sessions": streaming.events_user_sessions,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": relational.EVENTS_TOP_USERS_SQL,
         "part_type_stats": relational.PART_TYPE_STATS_SQL,
         "order_priority_revenue": relational.ORDER_PRIORITY_REVENUE_SQL,
+        "events_high_value_errors": streaming.EVENTS_HIGH_VALUE_ERRORS_SQL,
         "events_asof_purchase_click": streaming.EVENTS_ASOF_SQL,
         "events_sliding_hourly": streaming.EVENTS_SLIDING_SQL,
         "events_user_sessions": streaming.EVENTS_SESSIONS_SQL,

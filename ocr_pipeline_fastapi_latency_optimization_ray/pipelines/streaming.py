@@ -33,6 +33,37 @@ def _events(sf_dir: str, columns=None):
 
 
 # ---------------------------------------------------------------------------
+# filter pushdown: predicate applied at the parquet read
+# ---------------------------------------------------------------------------
+
+def events_high_value_errors(sf_dir: str, min_value: float = 90.0) -> pd.DataFrame:
+    """Error events above a value threshold, with the predicate pushed into
+    the parquet scan (row groups whose min/max stats exclude the range are
+    never read) — the read-level pruning posture the 100 TB deployment
+    needs. Returns (event_id, user_id, value) sorted by event_id."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(pads.field("event_type") == "error")
+        & (pads.field("value") >= min_value),
+    )
+    out = ds.to_pandas()
+    out = out[["event_id", "user_id", "value"]]
+    out["value"] = out.value.round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_HIGH_VALUE_ERRORS_SQL = """
+SELECT event_id, user_id, ROUND(value, 6) AS value
+FROM events
+WHERE event_type = 'error' AND value >= 90.0
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # as-of join: each purchase joined to the user's latest prior-or-equal click
 # ---------------------------------------------------------------------------
 

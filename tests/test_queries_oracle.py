@@ -76,6 +76,7 @@ SQL_CHECKED = [
     "events_asof_purchase_click", "events_sliding_hourly",
     "events_user_sessions", "events_distinct_users",
     "orders_topk_by_priority", "order_priority_revenue", "docs_longest",
+    "events_high_value_errors",
 ]
 
 
