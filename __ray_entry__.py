@@ -128,6 +128,17 @@ def _extract_job_lineage(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _dedup_streaming_stats(sf_dir: str):
+    """Streaming exact-dedup via the sharded raw-actor index
+    (state/dedup_index.py — the one sanctioned shared-mutable-state
+    component); deterministic surface = (text_hash, n_seen)."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.state.dedup_index import (
+        streaming_dedup_stats,
+    )
+
+    return streaming_dedup_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _extract_pages("/root/testdata/sf0.001")
@@ -170,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash_candidates,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+        "dedup_streaming_stats": _dedup_streaming_stats,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,

@@ -93,7 +93,7 @@ ROWS_ONLY = [
     "dedup_embedding_cosine", "ann_ivf_topk",
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
-    "events_distinct_users_hll",
+    "events_distinct_users_hll", "dedup_streaming_stats",
 ]
 
 
