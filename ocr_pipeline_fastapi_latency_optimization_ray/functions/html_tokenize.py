@@ -455,13 +455,13 @@ def _fast_feed(tok: _Tokenizer, s: str) -> bool:
         if m is None:
             return False
         pos = m.end()
-        data = m.group("data")
-        if data is not None:
+        kind = m.lastgroup  # one attribute access instead of 3 group() probes
+        if kind == "data":
+            data = m.group("data")
             tok.handle_data(unescape(data) if "&" in data else data)
             continue
-        start = m.group("start")
-        if start is not None:
-            t = start.lower()
+        if kind == "attrs" or kind == "start":
+            t = m.group("start").lower()
             a = m.group("attrs") or ""
             tok.handle_starttag(t, _parse_attrs(a) if "=" in a else [])
             if a.rstrip().endswith("/"):
@@ -480,9 +480,8 @@ def _fast_feed(tok: _Tokenizer, s: str) -> bool:
                     pos = n if close < 0 else close + 1
                     tok.handle_endtag(t)
             continue
-        endt = m.group("end")
-        if endt is not None:
-            tok.handle_endtag(endt.lower())
+        if kind == "end":
+            tok.handle_endtag(m.group("end").lower())
         # comments / doctype / CDATA / processing instructions: ignored,
         # exactly as the unoverridden HTMLParser hooks ignore them
     return True
