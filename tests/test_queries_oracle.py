@@ -133,3 +133,29 @@ def test_ivf_recall_vs_bruteforce(entry_mod, ray_session):
     exact = set(similarity.ann_cosine_topk(SF_DIR).vec_id)
     approx = set(similarity.ann_ivf_topk(SF_DIR).vec_id)
     assert len(exact & approx) / 10 >= 0.6
+
+
+def test_bucketed_join_empty_sides(ray_session, tmp_path):
+    """bucketed_join handles an empty side gracefully (inner join -> empty)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.functions.shuffle import (
+        bucketed_join,
+    )
+
+    left_t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                       "v": pa.array([10.0, 20.0, 30.0])})
+    right_t = pa.table({"k2": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.float64())})
+    pq.write_table(left_t, tmp_path / "l.parquet")
+    pq.write_table(right_t, tmp_path / "r.parquet")
+    left = ray.data.read_parquet(str(tmp_path / "l.parquet"))
+    right = ray.data.read_parquet(str(tmp_path / "r.parquet"))
+
+    def join_fn(ldf, rdf):
+        return ldf.merge(rdf, left_on="k", right_on="k2")
+
+    out = bucketed_join(left, right, "k", "k2", join_fn, num_buckets=4).to_pandas()
+    assert len(out) == 0
