@@ -48,7 +48,6 @@ from ..config import (
 from .hashing import pseudo_confidence
 from .merge import Blocks
 
-_WS_RE = re.compile(r"\s+")
 _NON_ALNUM_RE = re.compile(r"[^0-9A-Za-zÀ-￿]+")  # one C pass vs per-char isalnum
 
 # Structural tags that force a text-block boundary without emitting content.
