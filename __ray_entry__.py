@@ -4,12 +4,13 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 ``queries()`` maps one entry per implemented operator/pipeline from
-SURVEY.md §2 (plus the training-data-pipeline operators: dedup, similarity
-search, text analysis) to a callable over ``sf_dir``; ``oracle_sql()`` gives
-the DuckDB-equivalent SQL for every SQL-expressible query. Extraction-
-pipeline entries have no SQL equivalent (the driver records the weaker
-rows-only check; byte-identity is enforced by pytest against the oracle in
-tests/test_pipeline_golden.py).
+SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
+text analysis, streaming windows/joins, multimodal) to a callable over
+``sf_dir`` — 36 entries, 19 with DuckDB ``oracle_sql()`` equivalents (see
+COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
+equivalent (the driver records the weaker rows-only check; byte-identity is
+enforced by pytest against the oracle in tests/test_pipeline_golden.py,
+sketch accuracy and LSH recall by dedicated tests).
 """
 
 from __future__ import annotations
