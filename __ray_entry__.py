@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": relational.events_top_users,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "orders_monthly_volume": relational.orders_monthly_volume,
+        "customer_segment_stats": relational.customer_segment_stats,
         # stream-shaped custom operators (as-of join, sliding/session
         # windows, distinct counts, per-group top-k — pipelines/streaming.py)
         "events_high_value_errors": streaming.events_high_value_errors,
@@ -181,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": dedup.doc_simhash,
         "dedup_simhash": dedup.dedup_simhash_candidates,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_exact": dedup.ngram_jaccard_exact,
         "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
         "dedup_streaming_stats": _dedup_streaming_stats,
         # similarity search
@@ -204,6 +208,9 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": relational.EVENTS_TOP_USERS_SQL,
         "part_type_stats": relational.PART_TYPE_STATS_SQL,
         "order_priority_revenue": relational.ORDER_PRIORITY_REVENUE_SQL,
+        "q5_local_supplier_volume": relational.Q5_SQL,
+        "orders_monthly_volume": relational.ORDERS_MONTHLY_SQL,
+        "customer_segment_stats": relational.CUSTOMER_SEGMENT_SQL,
         "events_high_value_errors": streaming.EVENTS_HIGH_VALUE_ERRORS_SQL,
         "events_asof_purchase_click": streaming.EVENTS_ASOF_SQL,
         "events_sliding_hourly": streaming.EVENTS_SLIDING_SQL,
@@ -213,7 +220,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": text_analysis.DOC_TOKEN_STATS_SQL,
         "doc_quality": text_analysis.DOC_QUALITY_SQL,
         "docs_longest": text_analysis.DOCS_LONGEST_SQL,
+        "doc_langid": text_analysis.DOC_LANGID_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "ngram_jaccard_exact": dedup.NGRAM_JACCARD_EXACT_SQL,
         "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
         # extraction pipeline, langid, fingerprints, minhash/simhash and the

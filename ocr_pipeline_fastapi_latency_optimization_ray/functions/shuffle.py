@@ -42,6 +42,40 @@ def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -
     return out
 
 
+def _pandas_dtype_map(schema) -> dict[str, np.dtype]:
+    """Column -> numpy/pandas dtype from a Ray Dataset schema (Arrow- or
+    pandas-backed). Nested (list/struct) columns map to object."""
+    import pyarrow as pa
+
+    out: dict[str, np.dtype] = {}
+    for name, typ in zip(schema.names, schema.types):
+        if isinstance(typ, pa.DataType):
+            try:
+                if pa.types.is_nested(typ):
+                    out[name] = np.dtype(object)
+                else:
+                    out[name] = np.dtype(typ.to_pandas_dtype())
+            except (NotImplementedError, TypeError):
+                out[name] = np.dtype(object)
+        else:
+            try:
+                out[name] = np.dtype(typ)
+            except TypeError:
+                out[name] = np.dtype(object)
+    return out
+
+
+def _null_of(dtype: np.dtype):
+    """A concat-safe null for a column of ``dtype``: numeric -> NaN (the
+    column promotes to float64, values stay exact below 2^53), datetime ->
+    NaT (stays datetime64), everything else -> None (object)."""
+    if np.issubdtype(dtype, np.datetime64):
+        return np.datetime64("NaT")
+    if np.issubdtype(dtype, np.number) and not np.issubdtype(dtype, np.object_):
+        return np.nan
+    return None
+
+
 def bucketed_join(
     left_ds,
     right_ds,
@@ -56,38 +90,51 @@ def bucketed_join(
     bounded bucket — key-cardinality growth never adds shuffle partitions,
     and a hot key can be isolated by raising ``num_buckets``.
 
-    Both sides are padded to the union of their columns (missing columns
-    null) so the union-then-groupby runs over one schema; ``join_fn``
-    receives each side's original columns.
+    Both sides are padded to the union of their columns so the
+    union-then-groupby runs over one schema. Padding is TYPED (numeric ->
+    NaN, datetime -> NaT) so the shuffle keeps native block dtypes instead
+    of degrading to Python objects, and each side's columns are cast back to
+    their original dtypes before ``join_fn`` sees them — int64 keys survive
+    the float64 promotion exactly (values < 2^53), chained joins compose.
     """
-    import pyarrow as pa
-
-    l_schema = left_ds.schema()
-    r_schema = right_ds.schema()
-    l_names = list(l_schema.names)
-    r_names = list(r_schema.names)
+    l_dtypes = _pandas_dtype_map(left_ds.schema())
+    r_dtypes = _pandas_dtype_map(right_ds.schema())
+    l_names = list(l_dtypes)
+    r_names = list(r_dtypes)
+    all_dtypes = {**r_dtypes, **l_dtypes}  # left wins on shared names
     all_names = l_names + [c for c in r_names if c not in l_names]
 
-    def pad(side: str, key: str, names_have: list[str]):
+    def pad(side: str, key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = add_bucket_column(df, [key], num_buckets)
             df["_side"] = side
             for c in all_names:
                 if c not in df.columns:
-                    df[c] = None
+                    df[c] = _null_of(all_dtypes[c])
             return df[[*all_names, "_bucket", "_side"]]
 
         return fn
 
     tagged = left_ds.map_batches(
-        pad("l", left_key, l_names), batch_format="pandas"
+        pad("l", left_key), batch_format="pandas"
     ).union(
-        right_ds.map_batches(pad("r", right_key, r_names), batch_format="pandas")
+        right_ds.map_batches(pad("r", right_key), batch_format="pandas")
     )
 
+    def _restore(df: pd.DataFrame, dtypes: dict[str, np.dtype]) -> pd.DataFrame:
+        # cast back to the source dtypes (cheap no-op when already right);
+        # NaN-free by construction: a side's own columns were fully populated
+        for c, dt in dtypes.items():
+            if df[c].dtype != dt:
+                try:
+                    df[c] = df[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass  # e.g. object column of arrays — leave as is
+        return df
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == "l"][l_names]
-        right = g[g["_side"] == "r"][r_names]
+        left = _restore(g[g["_side"] == "l"][l_names].copy(), l_dtypes)
+        right = _restore(g[g["_side"] == "r"][r_names].copy(), r_dtypes)
         return join_fn(left, right)
 
     return (

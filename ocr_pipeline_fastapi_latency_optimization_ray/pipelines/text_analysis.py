@@ -31,14 +31,25 @@ _TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")  # BPE-ish sp
 
 
 def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Whitespace token counting, vectorized with pandas str ops."""
-    toks = df["text"].fillna("").str.split(" ")
+    """Whitespace token counting, vectorized with pandas str ops. Distinct
+    counting is explode -> drop_duplicates -> group-size (all C level), not a
+    per-row ``set()`` lambda."""
+    text = df["text"].fillna("")
+    toks = text.str.split(" ")
+    ex = toks.explode()
+    nd = (
+        pd.DataFrame({"pos": ex.index, "tok": ex.to_numpy()})
+        .drop_duplicates()
+        .groupby("pos")
+        .size()
+        .reindex(df.index, fill_value=0)
+    )
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"],
             "n_tokens": toks.str.len().astype("int64"),
-            "n_chars": df["text"].fillna("").str.len().astype("int64"),
-            "n_distinct_tokens": toks.map(lambda t: len(set(t))).astype("int64"),
+            "n_chars": text.str.len().astype("int64"),
+            "n_distinct_tokens": nd.astype("int64"),
         }
     )
 
@@ -67,7 +78,15 @@ def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
     so the comparable surface stays integral; consumers derive ratios."""
     text = df["text"].fillna("")
     toks = text.str.split(" ")
-    stop = toks.map(lambda t: sum(1 for w in t if w in _QUALITY_STOPWORDS))
+    # explode once, one C-level isin, counts re-aggregated by row position
+    # (same pattern as LangIdModel; replaces a per-row generator lambda)
+    ex = toks.explode()
+    stop = (
+        ex.isin(_QUALITY_STOPWORDS)
+        .groupby(ex.index)
+        .sum()
+        .reindex(df.index, fill_value=0)
+    )
     alpha = text.str.count(r"[A-Za-z]")
     return pd.DataFrame(
         {
@@ -142,6 +161,44 @@ def doc_langid(sf_dir: str) -> pd.DataFrame:
         LangIdModel, batch_format="pandas", concurrency=2
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _langid_sql() -> str:
+    """DuckDB equivalent of LangIdModel: per-language occurrence counts via
+    list_filter, argmax with ties broken in sorted-language order (pandas
+    ``idxmax`` takes the first column), 'und' when every score is zero."""
+    langs = sorted(STOPWORDS)  # de, en, es, fr — idxmax tie order
+    counts = ",\n       ".join(
+        "len(list_filter(toks, w -> w IN ({}))) AS {}".format(
+            ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lg])), lg
+        )
+        for lg in langs
+    )
+    greatest = "GREATEST({})".format(", ".join(langs))
+    case = "CASE WHEN {g} = 0 THEN 'und' ".format(g=greatest)
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lg} >= {other}" for other in langs[i + 1:])
+        case += f"WHEN {conds} THEN '{lg}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+       {counts}
+  FROM t
+)
+SELECT doc_id,
+       {case} AS pred_lang,
+       {greatest} AS score
+FROM s
+ORDER BY doc_id
+"""
+
+
+DOC_LANGID_SQL = _langid_sql()
 
 
 _ROLL_BASE = np.uint64(1099511628211)  # FNV prime; wraparound mod 2^64

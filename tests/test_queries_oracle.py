@@ -77,6 +77,8 @@ SQL_CHECKED = [
     "events_user_sessions", "events_distinct_users",
     "orders_topk_by_priority", "order_priority_revenue", "docs_longest",
     "events_high_value_errors",
+    "q5_local_supplier_volume", "orders_monthly_volume",
+    "customer_segment_stats", "ngram_jaccard_exact", "doc_langid",
 ]
 
 
@@ -88,7 +90,7 @@ def test_query_matches_oracle(entry_mod, ddb, name):
 
 
 ROWS_ONLY = [
-    "extract_pages", "extract_metrics", "doc_langid", "doc_fingerprint",
+    "extract_pages", "extract_metrics", "doc_fingerprint",
     "dedup_minhash", "doc_simhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "ann_ivf_topk",
     "extract_pages_visual", "extract_job_lineage",
@@ -112,7 +114,7 @@ def test_hll_accuracy_vs_exact(entry_mod, ray_session):
 def test_rows_only_queries_run(entry_mod, name):
     df = to_df(entry_mod.queries()[name](SF_DIR))
     assert df is not None
-    if name in ("extract_pages", "doc_langid", "doc_fingerprint", "doc_simhash"):
+    if name in ("extract_pages", "doc_fingerprint", "doc_simhash"):
         assert len(df) > 0
 
 
