@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 36 entries, 19 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 40 entries, 24 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -105,20 +105,42 @@ def _extract_job_lineage(sf_dir: str):
 
     work = Path(tempfile.mkdtemp(prefix="graft_lineage_"))
     try:
-        pages = _pages_dataset(sf_dir).to_pandas()
         in_dir = work / "pages"
         in_dir.mkdir()
         n_shards = 8
-        shard = pages.index % n_shards
+        # STREAM the synthesized table into shard files (one open writer per
+        # shard, a batch at a time — never the whole table on the driver);
+        # shard assignment is a stable url hash, deterministic regardless of
+        # batch boundaries
+        from ocr_pipeline_fastapi_latency_optimization_ray.functions.hashing import (
+            stable_hash64_batch,
+        )
+
+        import numpy as np
         import pyarrow as pa
 
-        for pid in range(n_shards):
-            pq.write_table(
-                pa.Table.from_pandas(
-                    pages[shard == pid], preserve_index=False
-                ),
-                in_dir / f"shard_{pid:02d}.parquet",
-            )
+        writers: dict[int, pq.ParquetWriter] = {}
+        try:
+            for batch in _pages_dataset(sf_dir).iter_batches(
+                batch_format="pyarrow"
+            ):
+                shard = (
+                    stable_hash64_batch(batch["url"].to_pylist())
+                    % np.uint64(n_shards)
+                ).astype(np.int64)
+                for pid in np.unique(shard):
+                    part = batch.filter(pa.array(shard == pid))
+                    w = writers.get(int(pid))
+                    if w is None:
+                        w = pq.ParquetWriter(
+                            in_dir / f"shard_{int(pid):02d}.parquet",
+                            part.schema,
+                        )
+                        writers[int(pid)] = w
+                    w.write_table(part)
+        finally:
+            for w in writers.values():
+                w.close()
         run_extraction_job(in_dir, work / "out", PipelineConfig())
         recs = load_lineage(work / "out")
         cols = ["partition_id", "input_file", "row_count", "n_errors",

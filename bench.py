@@ -88,17 +88,29 @@ def bench_headline() -> dict:
     warm = build_extraction_pipeline(read_pages(PAGES_DIR), cfg)
     _ = warm.select_columns(["extracted_bytes"]).aggregate(Count(alias_name="n"))
 
-    t0 = time.perf_counter()
-    ds = build_extraction_pipeline(read_pages(PAGES_DIR), cfg)
-    # prune to the one needed column before the global aggregate — never haul
-    # the extracted text into a reduce
-    stats = ds.select_columns(["extracted_bytes"]).aggregate(
-        Count(alias_name="n_docs"), Sum("extracted_bytes", alias_name="bytes_out")
-    )
-    dt = time.perf_counter() - t0
+    # best-of-K: this sandbox has +-30% run-to-run noise (shared microVM);
+    # the minimum is the least-interfered run and the honest estimate of the
+    # engine's own cost (BASELINE.md / measurement notes)
+    k = int(os.environ.get("BENCH_HEADLINE_RUNS", "3"))
+    runs = []
+    best = None
+    for _i in range(max(1, k)):
+        t0 = time.perf_counter()
+        ds = build_extraction_pipeline(read_pages(PAGES_DIR), cfg)
+        # prune to the one needed column before the global aggregate — never
+        # haul the extracted text into a reduce
+        stats = ds.select_columns(["extracted_bytes"]).aggregate(
+            Count(alias_name="n_docs"), Sum("extracted_bytes", alias_name="bytes_out")
+        )
+        dt = time.perf_counter() - t0
+        runs.append(round(dt, 3))
+        if best is None or dt < best[0]:
+            best = (dt, stats)
+    dt, stats = best
     n_docs = stats["n_docs"]
     return {
         "sec": round(dt, 3),
+        "runs": runs,
         "n_docs": int(n_docs),
         "docs_per_sec": round(n_docs / dt, 1),
         "extracted_bytes_per_sec": round(stats["bytes_out"] / dt, 1),
@@ -164,6 +176,7 @@ def run_once() -> dict:
         "n_docs": head["n_docs"],
         "docs_per_sec": head["docs_per_sec"],
         "extracted_bytes_per_sec": head["extracted_bytes_per_sec"],
+        "headline_runs": head["runs"],
     }
 
 
@@ -189,6 +202,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1",
             BENCH_REPEAT=repeat,
+            BENCH_HEADLINE_RUNS="1",  # best-of-K happens across subprocesses
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,

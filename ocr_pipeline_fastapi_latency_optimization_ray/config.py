@@ -179,6 +179,20 @@ class PipelineConfig:
     # failover surface (OCR.py:37-48, PageProcessor.py:19-26).
     recognizers: tuple[str, ...] = ("stub",)
 
+    # In-engine transient retry before failover (reference OCR.py:103-115:
+    # tenacity stop_after_attempt(3), wait_exponential min=2 max=10). Wait
+    # defaults to 0 here: the deterministic stubs never need wall-clock
+    # backoff; a real endpoint engine would set ~2.0 s.
+    recognizer_max_attempts: int = 3
+    recognizer_retry_wait_s: float = 0.0
+    recognizer_retry_max_wait_s: float = 10.0
+
+    # M6 pre-resize pixel cap (reference OCR.py:58-88: engine-specific
+    # MAX_PIXELS, downscale by sqrt(max/cur)*0.99). Default = the reference's
+    # smaller engine cap; standard fake pages (1240x1754 ~ 2.2 MP) are far
+    # below it, preserving byte-identity for the golden corpus.
+    max_pixels: int | None = 33_177_600
+
     link_density_abandon: float = LINK_DENSITY_ABANDON
     boilerplate_hints: tuple[str, ...] = BOILERPLATE_HINTS
 

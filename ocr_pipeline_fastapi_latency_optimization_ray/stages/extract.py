@@ -63,7 +63,12 @@ class DocumentExtractor:
         from ..stages.layout import build_recognizer
 
         self.layout = LayoutStub(self.cfg.conf)
-        self.recognizer = build_recognizer(self.cfg.recognizers)
+        self.recognizer = build_recognizer(
+            self.cfg.recognizers,
+            max_attempts=self.cfg.recognizer_max_attempts,
+            retry_wait_s=self.cfg.recognizer_retry_wait_s,
+            retry_max_wait_s=self.cfg.recognizer_retry_max_wait_s,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg

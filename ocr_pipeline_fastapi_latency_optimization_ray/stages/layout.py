@@ -74,24 +74,60 @@ class RecognitionError(RuntimeError):
     """Raised when a recognition engine cannot read a page region."""
 
 
-class RecognizerChain:
-    """Primary->backup engine failover (reference PageProcessor.py:19-26,
-    92-104): try the primary engine; on failure swap to the backup and retry
-    once; re-raise on double failure so the caller emits the page-level
-    sentinel. The swap is sticky for the rest of the actor's life, exactly
-    like the reference's in-place engine swap."""
+class TransientRecognitionError(RecognitionError):
+    """A retryable engine failure (network blip / 5xx analog). The chain
+    retries the SAME engine with backoff before failing over; any other
+    RecognitionError fails over immediately (reference OCR.py:103-115
+    retries only requests.exceptions.RequestException)."""
 
-    def __init__(self, engines):
+
+class RecognizerChain:
+    """Primary->backup engine failover with in-engine retry (reference
+    PageProcessor.py:19-26, 92-104 failover; OCR.py:103-115 tenacity retry).
+
+    Semantics, in order:
+      1. transient errors retry the SAME engine up to ``max_attempts``
+         total tries with exponential backoff
+         (``min(retry_max_wait_s, retry_wait_s * 2^attempt)`` — the
+         reference waits 2s/4s/8s capped at 10; tests run with wait 0);
+      2. a non-transient error, or transient retries exhausted, swaps to
+         the backup (the swap is sticky for the actor's life, exactly like
+         the reference's in-place engine swap, PageProcessor.py:99-101);
+      3. the backup gets the same retry policy; its failure re-raises so
+         the caller emits the page-level sentinel.
+    """
+
+    def __init__(self, engines, max_attempts: int = 3,
+                 retry_wait_s: float = 0.0, retry_max_wait_s: float = 10.0):
         self.engines = list(engines)
+        self.max_attempts = max(1, max_attempts)
+        self.retry_wait_s = retry_wait_s
+        self.retry_max_wait_s = retry_max_wait_s
+
+    def _recognize_with_retry(self, engine, page: dict, bbox, mode: str) -> str:
+        import time
+
+        for attempt in range(self.max_attempts):
+            try:
+                return engine.recognize(page, bbox, mode)
+            except TransientRecognitionError:
+                if attempt == self.max_attempts - 1:
+                    raise
+                if self.retry_wait_s > 0:
+                    time.sleep(
+                        min(self.retry_max_wait_s,
+                            self.retry_wait_s * (2 ** attempt))
+                    )
+        raise AssertionError("unreachable")
 
     def recognize(self, page: dict, bbox, mode: str = "markdown") -> str:
         try:
-            return self.engines[0].recognize(page, bbox, mode)
+            return self._recognize_with_retry(self.engines[0], page, bbox, mode)
         except RecognitionError:
             if len(self.engines) < 2:
                 raise
             self.engines.pop(0)  # sticky failover, PageProcessor.py:99-101
-            return self.engines[0].recognize(page, bbox, mode)
+            return self._recognize_with_retry(self.engines[0], page, bbox, mode)
 
 
 class RecognizerStub:
@@ -113,6 +149,33 @@ class RecognizerStub:
         return "\n".join(lines)
 
 
+def preresize_page(page: dict, max_pixels: int | None) -> tuple[dict, float]:
+    """M6 image pre-resize (reference OCR.py:58-88 ``_process_image``): a
+    page whose pixel count exceeds ``max_pixels`` is downscaled by
+    ``sqrt(max/current) * 0.99`` (the reference's safety margin) before
+    recognition; dims are int-truncated exactly as ``int(w * scale)``.
+
+    The rasterizer here is the fake-page stub, so "resizing the image"
+    means scaling the page dims and every ground-truth block bbox by the
+    same factor — downstream geometry (padding, merge, masking) then runs
+    in the resized coordinate space, exactly as the reference's detector
+    sees the resized raster. Returns (page, scale); scale == 1.0 when
+    under the cap (no copy made)."""
+    if not max_pixels:
+        return page, 1.0
+    w, h = page["w"], page["h"]
+    total = w * h
+    if total <= max_pixels:
+        return page, 1.0
+    import math
+
+    s = math.sqrt(max_pixels / total) * 0.99
+    blocks = [
+        {**b, "bbox": [c * s for c in b["bbox"]]} for b in page.get("blocks", [])
+    ]
+    return {**page, "w": int(w * s), "h": int(h * s), "blocks": blocks}, s
+
+
 def analyze_fake_page(
     page: dict, layout: LayoutStub, recognizer: RecognizerStub, cfg: PipelineConfig
 ) -> Blocks:
@@ -120,8 +183,10 @@ def analyze_fake_page(
 
     Mirrors the golden path of ``DLA.analyze`` (DLA.py:137-179) with
     filter_dup=True, merge_visual=False (call site ocr_app.py:990); block
-    text is recognized from the merged geometry.
+    text is recognized from the merged geometry. Oversized pages are
+    pre-resized under ``cfg.max_pixels`` first (M6, OCR.py:58-88).
     """
+    page, _scale = preresize_page(page, cfg.max_pixels)
     blocks = layout.predict(page)
     if cfg.filter_dup and len(blocks):
         blocks = filter_duplicates(blocks, iou=cfg.iou)
@@ -149,16 +214,38 @@ class FlakyRecognizerStub:
         return RecognizerStub().recognize(page, bbox, mode)
 
 
+class CountdownFlakyRecognizer:
+    """Test engine: raises TransientRecognitionError for the first
+    ``n_failures`` recognize() calls (per-actor counter — the deterministic
+    analog of a model endpoint riding out a brief outage), then behaves like
+    RecognizerStub."""
+
+    def __init__(self, n_failures: int = 2):
+        self.remaining = n_failures
+
+    def recognize(self, page: dict, bbox, mode: str = "markdown") -> str:
+        if self.remaining > 0:
+            self.remaining -= 1
+            raise TransientRecognitionError("transient blip")
+        return RecognizerStub().recognize(page, bbox, mode)
+
+
 # Model-registry analog (reference OCR.py:37-48: name -> engine config;
 # primary/fallback choice PageProcessor.py:19-26). Names are the extension
 # surface: PipelineConfig.recognizers selects the chain.
 RECOGNIZER_REGISTRY = {
     "stub": RecognizerStub,
     "flaky": FlakyRecognizerStub,
+    "flaky_transient": CountdownFlakyRecognizer,
 }
 
 
-def build_recognizer(names):
-    """Engine chain from registry names: single engine or failover chain."""
+def build_recognizer(names, max_attempts: int = 3, retry_wait_s: float = 0.0,
+                     retry_max_wait_s: float = 10.0):
+    """Engine chain from registry names. Always returns a RecognizerChain so
+    single engines get the same transient-retry policy as failover chains
+    (the reference decorates the inference call itself, OCR.py:103-115)."""
     engines = [RECOGNIZER_REGISTRY[n]() for n in names]
-    return engines[0] if len(engines) == 1 else RecognizerChain(engines)
+    return RecognizerChain(engines, max_attempts=max_attempts,
+                           retry_wait_s=retry_wait_s,
+                           retry_max_wait_s=retry_max_wait_s)

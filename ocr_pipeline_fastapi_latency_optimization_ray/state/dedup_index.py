@@ -37,20 +37,38 @@ import ray.data
 @ray.remote(num_cpus=0.25)
 class DedupShard:
     """One shard of the distributed seen-set: uint64 content hashes ->
-    occurrence counts."""
+    occurrence counts.
+
+    Mutating actor state from a ``map_batches`` UDF is only safe under Ray's
+    task retry if the mutation is idempotent per logical batch (ADVICE r1):
+    ``check_and_add`` therefore takes a deterministic ``batch_id`` and
+    replays the cached first-seen mask for a batch it has already applied,
+    leaving the counts untouched. Replay masks are stored bit-packed
+    (1 bit/row — memory O(rows/shard/8), bounded like the index itself)."""
 
     def __init__(self):
         self.counts: dict[int, int] = {}
+        self._applied: dict[str, tuple[bytes, int]] = {}
 
-    def check_and_add(self, hashes: list[int]) -> list[bool]:
+    def check_and_add(self, batch_id: str | None, hashes: list[int]) -> list[bool]:
         """For each hash (in order): True if first occurrence. Mutates the
-        index; one call handles a whole batch-shard slice."""
+        index; one call handles a whole batch-shard slice. A repeated
+        ``batch_id`` (retried task) returns the original mask unchanged."""
+        if batch_id is not None and batch_id in self._applied:
+            packed, n = self._applied[batch_id]
+            bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8),
+                                 count=n)
+            return bits.astype(bool).tolist()
         counts = self.counts
         out = []
         for h in hashes:
             seen = h in counts
             counts[h] = counts.get(h, 0) + 1
             out.append(not seen)
+        if batch_id is not None:
+            self._applied[batch_id] = (
+                np.packbits(np.asarray(out, dtype=bool)).tobytes(), len(out)
+            )
         return out
 
     def stats(self) -> tuple[list[int], list[int]]:
@@ -69,9 +87,16 @@ class StreamingDedupIndex:
         self.n_shards = n_shards
         self.shards = [DedupShard.remote() for _ in range(n_shards)]
 
-    def first_seen_mask(self, hashes: np.ndarray) -> np.ndarray:
+    def first_seen_mask(self, hashes: np.ndarray,
+                        batch_key: bytes | None = None) -> np.ndarray:
         """Vectorized routing: one RPC per shard per call, results scattered
-        back to input order."""
+        back to input order.
+
+        ``batch_key``: stable identity of the LOGICAL batch (e.g. the
+        doc_id bytes), so a retried task replays instead of double-counting.
+        None disables replay protection (ad-hoc callers)."""
+        import hashlib
+
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
         shard_of = (hashes % np.uint64(self.n_shards)).astype(np.int64)
@@ -80,9 +105,14 @@ class StreamingDedupIndex:
         for s in range(self.n_shards):
             pos = np.nonzero(shard_of == s)[0]
             if len(pos):
+                bid = None
+                if batch_key is not None:
+                    bid = hashlib.blake2b(
+                        batch_key + b"|" + str(s).encode(), digest_size=16
+                    ).hexdigest()
                 futures.append(
                     self.shards[s].check_and_add.remote(
-                        [int(h) for h in hashes[pos]]
+                        bid, [int(h) for h in hashes[pos]]
                     )
                 )
                 positions.append(pos)
@@ -111,7 +141,10 @@ def streaming_dedup_stats(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
 
     def dedup_batch(df: pd.DataFrame) -> pd.DataFrame:
         h = fast_token_hash(list(df["text"].fillna("")))
-        keep = index.first_seen_mask(h)
+        # batch identity = its doc ids: a retried task carries the same ids
+        # and replays; distinct batches always differ in at least one id
+        key = df["doc_id"].to_numpy(np.int64).tobytes()
+        keep = index.first_seen_mask(h, batch_key=key)
         return df.loc[keep, ["doc_id"]]
 
     ds = ray.data.read_parquet(

@@ -47,9 +47,13 @@ from ..config import PipelineConfig
 LINEAGE_DIR = "_lineage"
 
 # Schema of the metric rows flowing writer -> driver (one per written block).
+# block_id is a content digest: the driver dedupes metric rows on
+# (shard, block_id) so a re-executed writer task (worker death, block
+# recompute after eviction) never double-counts.
 METRIC_SCHEMA = pa.schema(
     [
         ("shard", pa.int32()),
+        ("block_id", pa.string()),
         ("rows", pa.int64()),
         ("n_errors", pa.int64()),
         ("blocks_kept", pa.int64()),
@@ -59,6 +63,14 @@ METRIC_SCHEMA = pa.schema(
         ("extract_ms", pa.float64()),
     ]
 )
+
+PROGRESS_FILE = "progress.json"
+
+
+class JobTimeoutError(RuntimeError):
+    """Raised when a job exceeds its wall ceiling (the reference's per-job
+    3600 s reaper, ocr_app.py:642-655, 922-930). Committed partitions
+    survive; a resume reprocesses only the hung remainder."""
 
 
 def list_input_shards(input_dir: str | Path) -> list[Path]:
@@ -85,12 +97,21 @@ def load_lineage(out_dir: str | Path) -> dict[int, dict]:
 class PartitionWriter:
     """``map_batches`` UDF: writes each block's rows under their shard dirs,
     emits one metric row per (shard, block). Data files land on workers;
-    only metrics flow to the driver."""
+    only metrics flow to the driver.
+
+    Idempotent under Ray task retry/recompute: the data-file name is a
+    CONTENT digest of the block's url column, written to a temp name and
+    published with an atomic rename — a re-executed task overwrites the
+    same file instead of adding a duplicate, and its metric row carries the
+    same block_id, which the driver dedupes. (Blocks are deterministic
+    per input shard: batch_size=None preserves read-block boundaries.)"""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         import numpy as np
 
         out_rows = {k: [] for k in METRIC_SCHEMA.names}
@@ -99,10 +120,17 @@ class PartitionWriter:
             tbl = batch.filter(pa.array(shards == pid))
             part_dir = Path(self.out_dir) / f"part={int(pid)}"
             part_dir.mkdir(parents=True, exist_ok=True)
-            fname = f"{int(pid)}-{os.urandom(8).hex()}.parquet"
-            pq.write_table(tbl.drop_columns(["shard"]), part_dir / fname)
+            h = hashlib.blake2b(digest_size=12)
+            h.update(str(int(pid)).encode())
+            h.update("\x00".join(tbl["url"].to_pylist()).encode())
+            block_id = h.hexdigest()
+            final = part_dir / f"{int(pid)}-{block_id}.parquet"
+            tmp = part_dir / f".{int(pid)}-{block_id}.{os.getpid()}.tmp"
+            pq.write_table(tbl.drop_columns(["shard"]), tmp)
+            tmp.replace(final)  # atomic publish; retry overwrites, not adds
             errs = sum(1 for e in tbl["error"].to_pylist() if e)
             out_rows["shard"].append(int(pid))
+            out_rows["block_id"].append(block_id)
             out_rows["rows"].append(tbl.num_rows)
             out_rows["n_errors"].append(errs)
             out_rows["blocks_kept"].append(
@@ -127,12 +155,19 @@ def run_extraction_job(
     input_dir: str | Path,
     out_dir: str | Path,
     cfg: PipelineConfig | None = None,
+    job_timeout_s: float | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
     Idempotent: partitions with a committed lineage record are pruned at the
     read; partially-written partition dirs (a previous crash) are wiped
     before reprocessing so output never contains duplicate rows.
+
+    ``job_timeout_s``: wall ceiling for this run (the reference's stale-job
+    reaper analog, ocr_app.py:642-655, 922-930). On breach the run raises
+    JobTimeoutError after persisting per-partition progress heartbeats
+    (``_lineage/progress.json``); already-committed partitions stay
+    committed and a resume call processes only the remainder.
     """
     import ray.data
 
@@ -199,26 +234,47 @@ def run_extraction_job(
     )
 
     # driver-side commit loop over the tiny metric stream
+    num_cols = [n for n in METRIC_SCHEMA.names if n not in ("shard", "block_id")]
     acc: dict[int, dict] = {
-        pid: dict.fromkeys(METRIC_SCHEMA.names, 0) for pid in expected
+        pid: dict.fromkeys(num_cols, 0) for pid in expected
     }
     committed: set[int] = set()
+    seen_blocks: set[tuple[int, str]] = set()  # retry dedup (ADVICE r1)
     for pid in expected:  # zero-row shards are trivially complete
         if expected[pid] == 0:
             _commit(out_dir, pid, shards[pid], acc[pid], 0.0,
                     attempts.get(pid, 1))
             committed.add(pid)
-    for mb in metrics.iter_batches(batch_format="pyarrow", batch_size=None):
-        now = time.perf_counter()
-        for row in mb.to_pylist():
-            pid = row["shard"]
-            a = acc[pid]
-            for k in METRIC_SCHEMA.names[1:]:
-                a[k] += row[k]
-            if a["rows"] >= expected[pid] and pid not in committed:
-                _commit(out_dir, pid, shards[pid], a, now - t_job,
-                        attempts.get(pid, 1))
-                committed.add(pid)
+    it = metrics.iter_batches(batch_format="pyarrow", batch_size=None)
+    try:
+        for mb in it:
+            now = time.perf_counter()
+            for row in mb.to_pylist():
+                pid = row["shard"]
+                key = (pid, row["block_id"])
+                if key in seen_blocks:
+                    continue  # re-executed writer task: already counted
+                seen_blocks.add(key)
+                a = acc[pid]
+                for k in num_cols:
+                    a[k] += row[k]
+                if a["rows"] >= expected[pid] and pid not in committed:
+                    _commit(out_dir, pid, shards[pid], a, now - t_job,
+                            attempts.get(pid, 1))
+                    committed.add(pid)
+            _write_progress(out_dir, acc, expected, committed)
+            if job_timeout_s is not None and (
+                time.perf_counter() - t_job
+            ) > job_timeout_s:
+                raise JobTimeoutError(
+                    f"job exceeded {job_timeout_s}s; committed "
+                    f"{len(committed)}/{len(expected)} partitions — resume "
+                    f"to process the rest"
+                )
+    finally:
+        close = getattr(it, "close", None)
+        if close:
+            close()  # stop the streaming executor on abnormal exit
     wall = time.perf_counter() - t_job
     # defensive: commit any partition that reached its count between batches
     missing = [pid for pid in expected if pid not in load_lineage(out_dir)]
@@ -238,8 +294,28 @@ def run_extraction_job(
 
 
 def _fingerprint(p: Path) -> str:
+    # name + size + mtime_ns: a shard rewritten with different content but
+    # identical byte size is still detected as changed (ADVICE r1)
     st = p.stat()
-    return f"{p.name}:{st.st_size}"
+    return f"{p.name}:{st.st_size}:{st.st_mtime_ns}"
+
+
+def _write_progress(out_dir: Path, acc: dict, expected: dict,
+                    committed: set) -> None:
+    """Per-partition heartbeat: rows seen so far + wall timestamp for every
+    uncommitted partition. Torn writes are harmless (tmp + atomic rename);
+    consumers treat a stale timestamp as a hung partition."""
+    rec = {
+        "updated_at": time.time(),
+        "partitions": {
+            str(pid): {"rows": acc[pid]["rows"], "expected": expected[pid]}
+            for pid in expected
+            if pid not in committed
+        },
+    }
+    tmp = out_dir / LINEAGE_DIR / f".{PROGRESS_FILE}.tmp"
+    tmp.write_text(json.dumps(rec))
+    tmp.replace(out_dir / LINEAGE_DIR / PROGRESS_FILE)
 
 
 def _commit(out_dir: Path, pid: int, input_file: Path, a: dict,
@@ -279,9 +355,20 @@ def read_output(out_dir: str | Path):
     return ray.data.read_parquet(files)
 
 
-def job_status(out_dir: str | Path, input_dir: str | Path | None = None) -> dict:
+def job_status(out_dir: str | Path, input_dir: str | Path | None = None,
+               stale_after_s: float | None = None) -> dict:
     """Aggregate job progress from lineage records alone (the G3/G4 analog:
-    counts by status + totals, ocr_app.py:286-297, 932-947)."""
+    counts by status + totals + rate/ETA, ocr_app.py:286-297, 932-947).
+
+    Rate is rows per elapsed wall second (elapsed = the latest commit's
+    ``wall_s``, i.e. time from job start — partitions run in parallel, so
+    per-partition wall times must not be summed). ETA extrapolates the
+    per-partition pace over the remaining count.
+
+    ``stale_after_s``: partitions present in the progress heartbeat whose
+    last update is older than this are reported in ``stale_partitions`` —
+    the stale-reaper signal (ocr_app.py:642-655) a supervisor would use to
+    kill and resume the job."""
     done = load_lineage(out_dir)
     total = len(list_input_shards(input_dir)) if input_dir else None
     out = {
@@ -296,4 +383,23 @@ def job_status(out_dir: str | Path, input_dir: str | Path | None = None) -> dict
     }
     if total:
         out["percent"] = round(100.0 * len(done) / total, 2)
+    elapsed = max((r["wall_s"] for r in done.values()), default=0.0)
+    if done and elapsed > 0:
+        out["rows_per_sec"] = round(out["rows"] / elapsed, 1)
+        if total and total > len(done):
+            out["est_remaining_s"] = round(
+                (total - len(done)) * elapsed / len(done), 3
+            )
+    if total is not None and total == len(done):
+        out["est_remaining_s"] = 0.0
+    prog_f = Path(out_dir) / LINEAGE_DIR / PROGRESS_FILE
+    if stale_after_s is not None and prog_f.exists():
+        try:
+            prog = json.loads(prog_f.read_text())
+        except (json.JSONDecodeError, OSError):
+            prog = None
+        if prog and time.time() - prog["updated_at"] > stale_after_s:
+            out["stale_partitions"] = sorted(
+                int(p) for p in prog["partitions"] if int(p) not in done
+            )
     return out

@@ -57,3 +57,21 @@ def test_empty_input(ray_session):
     idx = StreamingDedupIndex(n_shards=2)
     assert idx.first_seen_mask(np.zeros(0, dtype=np.uint64)).tolist() == []
     assert len(idx.stats()) == 0
+
+
+def test_replayed_batch_is_idempotent(ray_session):
+    """A retried map_batches task re-sends the same (batch_key, hashes):
+    the shards must replay the original mask and leave counts untouched
+    (ADVICE r1: non-idempotent actor mutation breaks under task retry)."""
+    idx = StreamingDedupIndex(n_shards=4)
+    h = np.array([10, 11, 10, 12, 11, 10], dtype=np.uint64)
+    m1 = idx.first_seen_mask(h, batch_key=b"batch-A")
+    m2 = idx.first_seen_mask(h, batch_key=b"batch-A")  # retry replay
+    assert m1.tolist() == m2.tolist() == [True, True, False, True, False, False]
+    stats = idx.stats()
+    # counts as if the batch ran ONCE
+    assert dict(zip(stats.text_hash, stats.n_seen)) == {10: 3, 11: 2, 12: 1}
+    # a genuinely new batch with the same content still counts
+    m3 = idx.first_seen_mask(h, batch_key=b"batch-B")
+    assert m3.tolist() == [False] * 6
+    assert idx.stats().n_seen.sum() == 12

@@ -207,3 +207,116 @@ def test_recognizer_failover_chain():
     extract_document(payload, None, "en", PipelineConfig(),
                      layout=lay, recognizer=chain2, kind="pdf")
     assert len(chain2.engines) == 1
+
+
+def test_transient_retry_before_failover():
+    """In-engine retry (reference OCR.py:103-115): a twice-transient primary
+    recovers WITHOUT failover and output bytes equal the healthy engine's;
+    retries exhausted -> sticky failover; non-transient skips retry."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages.layout import (
+        CountdownFlakyRecognizer, RecognizerChain, RecognizerStub,
+        RecognitionError, TransientRecognitionError,
+    )
+
+    page = {"w": 1000, "h": 1000, "blocks": [
+        {"cls_id": 2, "score": 0.9, "bbox": [0, 0, 500, 100], "text": "hello"}]}
+    bbox = [0, 0, 1000, 1000]
+
+    # 2 transient failures < 3 attempts: same engine recovers, no failover
+    primary = CountdownFlakyRecognizer(n_failures=2)
+    chain = RecognizerChain([primary, RecognizerStub()], max_attempts=3)
+    assert chain.recognize(page, bbox) == RecognizerStub().recognize(page, bbox)
+    assert len(chain.engines) == 2 and chain.engines[0] is primary
+
+    # 5 transient failures > 3 attempts: retries exhaust, sticky failover
+    chain = RecognizerChain(
+        [CountdownFlakyRecognizer(n_failures=5), RecognizerStub()],
+        max_attempts=3,
+    )
+    assert chain.recognize(page, bbox) == RecognizerStub().recognize(page, bbox)
+    assert len(chain.engines) == 1  # swapped
+
+    # single engine, retries exhaust -> the error propagates (sentinel path)
+    import pytest as _pytest
+
+    chain = RecognizerChain([CountdownFlakyRecognizer(n_failures=5)],
+                            max_attempts=3)
+    with _pytest.raises(TransientRecognitionError):
+        chain.recognize(page, bbox)
+
+    # non-transient error fails over immediately (no retry burned)
+    class HardFail:
+        calls = 0
+
+        def recognize(self, page, bbox, mode="markdown"):
+            HardFail.calls += 1
+            raise RecognitionError("hard")
+
+    chain = RecognizerChain([HardFail(), RecognizerStub()], max_attempts=3)
+    chain.recognize(page, bbox)
+    assert HardFail.calls == 1  # not retried
+
+
+def test_preresize_page_geometry():
+    """M6 pre-resize (reference OCR.py:58-88): hand-computed scaled dims and
+    bboxes for an over-cap page; under-cap pages pass through untouched."""
+    import math
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages.layout import (
+        preresize_page,
+    )
+
+    blocks = [{"cls_id": 2, "score": 0.9, "bbox": [100.0, 200.0, 900.0, 400.0],
+               "text": "t"}]
+    big = {"w": 8000, "h": 6000, "blocks": blocks}
+    cap = 33_177_600
+    out, s = preresize_page(big, cap)
+    s_exp = math.sqrt(cap / (8000 * 6000)) * 0.99
+    assert abs(s - s_exp) < 1e-12
+    assert out["w"] == int(8000 * s_exp) and out["h"] == int(6000 * s_exp)
+    assert out["w"] * out["h"] <= cap
+    got = out["blocks"][0]["bbox"]
+    exp = [c * s_exp for c in [100.0, 200.0, 900.0, 400.0]]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, exp))
+    # original page object untouched (no aliasing)
+    assert big["blocks"][0]["bbox"] == [100.0, 200.0, 900.0, 400.0]
+
+    small = {"w": 1240, "h": 1754, "blocks": blocks}
+    same, s1 = preresize_page(small, cap)
+    assert s1 == 1.0 and same is small
+    off, s2 = preresize_page(big, None)
+    assert s2 == 1.0 and off is big
+
+
+def test_preresize_byte_identity_under_cap():
+    """Default max_pixels leaves the golden corpus untouched: extraction
+    output is byte-identical with the cap on and off."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.doc_extract import (
+        extract_document,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.payloads import (
+        encode_fake_pdf,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.synth import (
+        _fake_doc_pages,
+    )
+    import random
+
+    for rid in range(5):
+        pages = _fake_doc_pages(rid, random.Random(rid), ["alpha", "beta", "gamma"])
+        payload = encode_fake_pdf(pages)
+        with_cap = extract_document(payload, None, "en",
+                                    PipelineConfig(), kind="pdf")
+        no_cap = extract_document(payload, None, "en",
+                                  PipelineConfig(max_pixels=None), kind="pdf")
+        assert with_cap.extracted_text == no_cap.extracted_text
+        assert with_cap.spans == no_cap.spans
+
+    # an over-cap page DOES change geometry but text content survives
+    huge = [{"w": 80_000, "h": 60_000, "blocks": [
+        {"cls_id": 2, "score": 0.9, "bbox": [0, 0, 50_000, 10_000],
+         "text": "resized content"}]}]
+    res = extract_document(encode_fake_pdf(huge), None, "en",
+                           PipelineConfig(), kind="pdf")
+    assert "resized content" in res.extracted_text

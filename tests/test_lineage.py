@@ -143,6 +143,86 @@ def test_torn_lineage_json_treated_as_uncommitted(ray_session, pages_dir, tmp_pa
     assert load_lineage(out)[2]["status"] == "done"
 
 
+def test_job_timeout_then_resume(ray_session, pages_dir, tmp_path):
+    """A hung/over-ceiling job raises JobTimeoutError after persisting the
+    progress heartbeat; a resume completes the remainder with byte-identical
+    output and no duplicate rows (simulated hung partition: ceiling 0)."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.state.lineage import (
+        JobTimeoutError,
+    )
+
+    ref = tmp_path / "ref"
+    run_extraction_job(pages_dir, ref, _cfg())
+    full = _sorted_rows(ref)
+
+    out = tmp_path / "out"
+    with pytest.raises(JobTimeoutError):
+        run_extraction_job(pages_dir, out, _cfg(), job_timeout_s=0.0)
+    # heartbeat persisted; every uncommitted partition is reported stale
+    st = job_status(out, pages_dir, stale_after_s=0.0)
+    done_before = st["partitions_done"]
+    assert done_before < N_SHARDS
+    assert st["stale_partitions"], "hung partitions must be surfaced"
+    assert set(st["stale_partitions"]).isdisjoint(
+        set(load_lineage(out))
+    )
+
+    summary = run_extraction_job(pages_dir, out, _cfg())
+    assert summary["processed"] == N_SHARDS - done_before
+    assert _sorted_rows(out).equals(full)
+    # post-completion status has rate + zero ETA
+    st2 = job_status(out, pages_dir)
+    assert st2["partitions_done"] == N_SHARDS
+    assert st2["est_remaining_s"] == 0.0
+    assert st2.get("rows_per_sec", 0) > 0
+
+
+def test_job_status_rate_and_eta(ray_session, pages_dir, tmp_path):
+    """G4 rate/ETA (ocr_app.py:932-947): with half the partitions committed,
+    status reports rows/sec and a positive remaining estimate."""
+    out = tmp_path / "out"
+    run_extraction_job(pages_dir, out, _cfg())
+    # drop two commit markers -> looks like a half-done job
+    for pid in (1, 3):
+        (out / "_lineage" / f"part={pid}.json").unlink()
+    st = job_status(out, pages_dir)
+    assert st["partitions_done"] == 2
+    assert st["rows_per_sec"] > 0
+    assert st["est_remaining_s"] > 0
+
+
+def test_partition_writer_idempotent_under_replay(ray_session, pages_dir, tmp_path):
+    """A re-executed writer task (same block content) must overwrite its
+    data file, not add a duplicate, and its metric row must carry the same
+    block_id (the driver dedupes on it) — ADVICE r1."""
+    import pyarrow as pa
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.state.lineage import (
+        PartitionWriter,
+    )
+
+    t = pq.read_table(pages_dir / "shard_00.parquet")
+    t = t.append_column("shard", pa.array([0] * t.num_rows, pa.int32()))
+    # the writer consumes extraction output; fake the needed metric columns
+    for name, arr in [
+        ("error", pa.array([None] * t.num_rows, pa.string())),
+        ("n_blocks_kept", pa.array([1] * t.num_rows, pa.int32())),
+        ("n_blocks_dropped", pa.array([0] * t.num_rows, pa.int32())),
+        ("payload_bytes", pa.array([10] * t.num_rows, pa.int64())),
+        ("extracted_bytes", pa.array([5] * t.num_rows, pa.int64())),
+        ("extract_ms", pa.array([0.1] * t.num_rows, pa.float64())),
+    ]:
+        t = t.append_column(name, arr)
+    out = tmp_path / "wout"
+    w = PartitionWriter(str(out))
+    m1 = w(t)
+    m2 = w(t)  # replay of the same block
+    assert m1["block_id"].to_pylist() == m2["block_id"].to_pylist()
+    files = list((out / "part=0").glob("*.parquet"))
+    assert len(files) == 1  # overwritten, not duplicated
+    assert pq.ParquetFile(files[0]).metadata.num_rows == t.num_rows
+
+
 def test_changed_input_shard_invalidates_commit(ray_session, pages_dir, tmp_path):
     """A shard whose bytes changed since commit is recomputed on resume;
     untouched shards stay skipped (input_fingerprint staleness check)."""
@@ -151,11 +231,12 @@ def test_changed_input_shard_invalidates_commit(ray_session, pages_dir, tmp_path
     out = tmp_path / "out"
     run_extraction_job(pages_dir, out, _cfg())
 
-    # rewrite shard 2 with different content (different size)
+    # rewrite shard 2 with different content (different size); copy2 keeps
+    # mtime so the untouched shards fingerprint identically
     mod_dir = tmp_path / "mod_in"
     mod_dir.mkdir()
     for f in sorted(pages_dir.glob("*.parquet")):
-        shutil.copy(f, mod_dir / f.name)
+        shutil.copy2(f, mod_dir / f.name)
     t = pq.read_table(mod_dir / "shard_02.parquet")
     pq.write_table(t.slice(0, 10), mod_dir / "shard_02.parquet")
 
@@ -165,3 +246,21 @@ def test_changed_input_shard_invalidates_commit(ray_session, pages_dir, tmp_path
     rec = load_lineage(out)[2]
     assert rec["row_count"] == 10
     assert _sorted_rows(out).shape[0] == (N_SHARDS - 1) * ROWS_PER_SHARD + 10
+
+
+def test_same_size_rewrite_detected_via_mtime(ray_session, pages_dir, tmp_path):
+    """A shard rewritten with identical byte size but different mtime is
+    treated as changed (fingerprint includes st_mtime_ns — ADVICE r1: a
+    name+size fingerprint silently served stale output)."""
+    import os
+
+    out = tmp_path / "out"
+    run_extraction_job(pages_dir, out, _cfg())
+    mod_dir = tmp_path / "mod_in"
+    mod_dir.mkdir()
+    for f in sorted(pages_dir.glob("*.parquet")):
+        shutil.copy2(f, mod_dir / f.name)
+    # same bytes, bumped mtime: simulates a same-size regeneration
+    os.utime(mod_dir / "shard_01.parquet", ns=(1, 1))
+    summary = run_extraction_job(mod_dir, out, _cfg())
+    assert summary["processed"] == 1 and summary["skipped"] == N_SHARDS - 1
