@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 40 entries, 24 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 43 entries, 27 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -200,8 +200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_longest": text_analysis.docs_longest,
         "doc_langid": text_analysis.doc_langid,
         "doc_fingerprint": text_analysis.doc_fingerprint,
+        "token_topk": text_analysis.token_topk,
+        "doc_sample_split": text_analysis.doc_sample_split,
         # dedup family
         "dedup_exact": dedup.dedup_exact_groups,
+        "dedup_exact_keep": dedup.dedup_exact_keep,
         "dedup_minhash": dedup.dedup_minhash_candidates,
         "doc_simhash": dedup.doc_simhash,
         "dedup_simhash": dedup.dedup_simhash_candidates,
@@ -243,6 +246,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": text_analysis.DOC_QUALITY_SQL,
         "docs_longest": text_analysis.DOCS_LONGEST_SQL,
         "doc_langid": text_analysis.DOC_LANGID_SQL,
+        "token_topk": text_analysis.TOKEN_TOPK_SQL,
+        "doc_sample_split": text_analysis.DOC_SAMPLE_SPLIT_SQL,
+        "dedup_exact_keep": dedup.DEDUP_EXACT_KEEP_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_exact": dedup.NGRAM_JACCARD_EXACT_SQL,
         "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,

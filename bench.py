@@ -127,6 +127,7 @@ def bench_queries() -> dict:
     for name, fn in [
         ("q1_pricing_summary", relational.q1_pricing_summary),
         ("q3_top_orders", relational.q3_top_orders),
+        ("q5_local_supplier_volume", relational.q5_local_supplier_volume),
         ("order_priority_revenue", relational.order_priority_revenue),
         ("events_tumbling_hourly", relational.events_tumbling_hourly),
         ("events_asof_purchase_click", streaming.events_asof_purchase_click),
@@ -134,6 +135,11 @@ def bench_queries() -> dict:
         ("events_distinct_users_hll", streaming.events_distinct_users_hll),
         ("dedup_exact", dedup.dedup_exact_groups),
         ("dedup_minhash", dedup.dedup_minhash_candidates),
+        # exact all-pairs is quadratic in shingle document-frequency; the
+        # 100 TB posture is the stop-shingle cap (see ngram_jaccard_exact
+        # docstring), so the benchmark measures the capped scale path
+        ("ngram_jaccard_exact_cap100",
+         lambda sf: dedup.ngram_jaccard_exact(sf, df_cap=100)),
         ("dedup_simhash", dedup.dedup_simhash_candidates),
         ("doc_simhash", dedup.doc_simhash),
         ("ann_cosine_topk", similarity.ann_cosine_topk),

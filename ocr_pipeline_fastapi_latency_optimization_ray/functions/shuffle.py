@@ -83,6 +83,9 @@ def bucketed_join(
     right_key: str,
     join_fn,
     num_buckets: int = 64,
+    left_dtypes: dict | None = None,
+    right_dtypes: dict | None = None,
+    coalesce_blocks: int | None = None,
 ):
     """Distributed hash join via explicit co-partitioning: both sides tag
     ``_bucket = hash(key) % B`` and union; one ``join_fn(left_df, right_df)``
@@ -96,9 +99,31 @@ def bucketed_join(
     of degrading to Python objects, and each side's columns are cast back to
     their original dtypes before ``join_fn`` sees them — int64 keys survive
     the float64 promotion exactly (values < 2^53), chained joins compose.
+
+    ``left_dtypes`` / ``right_dtypes``: optional explicit column->dtype maps
+    (e.g. ``{"k": "int64"}``). PASS THESE WHEN CHAINING: ``Dataset.schema()``
+    on a shuffle-produced input (a previous join / map_groups) cannot peek at
+    one block — it executes the entire upstream pipeline, so an unhinted
+    chained join runs its upstream TWICE (measured 2-3x wall time on the
+    chained-join queries).
+
+    ``coalesce_blocks``: repartition the tagged union to this many blocks
+    before the sort shuffle. The sort pays per-block fixed costs; when the
+    join sides are partial aggregates / dimension slices (hundreds of tiny
+    blocks far below target block size) coalescing first is a measured ~3x
+    win. Leave None for corpus-scale inputs: their blocks are already
+    target-sized and the extra repartition would double shuffle volume.
     """
-    l_dtypes = _pandas_dtype_map(left_ds.schema())
-    r_dtypes = _pandas_dtype_map(right_ds.schema())
+    l_dtypes = (
+        {c: np.dtype(d) for c, d in left_dtypes.items()}
+        if left_dtypes is not None
+        else _pandas_dtype_map(left_ds.schema())
+    )
+    r_dtypes = (
+        {c: np.dtype(d) for c, d in right_dtypes.items()}
+        if right_dtypes is not None
+        else _pandas_dtype_map(right_ds.schema())
+    )
     l_names = list(l_dtypes)
     r_names = list(r_dtypes)
     all_dtypes = {**r_dtypes, **l_dtypes}  # left wins on shared names
@@ -120,6 +145,8 @@ def bucketed_join(
     ).union(
         right_ds.map_batches(pad("r", right_key), batch_format="pandas")
     )
+    if coalesce_blocks:
+        tagged = tagged.repartition(coalesce_blocks)
 
     def _restore(df: pd.DataFrame, dtypes: dict[str, np.dtype]) -> pd.DataFrame:
         # cast back to the source dtypes (cheap no-op when already right);
@@ -146,13 +173,18 @@ def bucketed_join(
     )
 
 
-def bucketed_combine(ds, key_cols, partial_fn, combine_fn, num_buckets: int = 32):
+def bucketed_combine(ds, key_cols, partial_fn, combine_fn, num_buckets: int = 32,
+                     coalesce_blocks: int | None = None):
     """partial per batch -> bucket tag -> per-bucket vectorized combine.
 
     ``partial_fn``: pandas batch -> partial-aggregate frame (must include
     ``key_cols``). ``combine_fn``: pandas frame of one bucket's partials ->
     final rows for the keys in that bucket.
     Returns a Ray Dataset of combined rows.
+
+    ``coalesce_blocks``: see ``bucketed_join`` — partial outputs are tiny
+    blocks; merging them before the sort shuffle saves its per-block fixed
+    cost. Leave None when partials are themselves block-sized.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
@@ -164,8 +196,11 @@ def bucketed_combine(ds, key_cols, partial_fn, combine_fn, num_buckets: int = 32
     def combine_drop(g: pd.DataFrame) -> pd.DataFrame:
         return combine_fn(g.drop(columns=["_bucket"]))
 
+    partials = ds.map_batches(partial_with_bucket, batch_format="pandas")
+    if coalesce_blocks:
+        partials = partials.repartition(coalesce_blocks)
     return (
-        ds.map_batches(partial_with_bucket, batch_format="pandas")
+        partials
         .groupby("_bucket")
         .map_groups(combine_drop, batch_format="pandas")
     )

@@ -81,6 +81,60 @@ ORDER BY text_hash
 """
 
 
+def dedup_exact_keep(sf_dir: str) -> pd.DataFrame:
+    """Materialize the KEPT documents after exact dedup (smallest doc_id per
+    content hash) — the operator a training pipeline actually consumes.
+
+    Fully distributed: keeper ids come out of the bucketed combine as a
+    Dataset (never a driver set — keeper cardinality == distinct contents,
+    which grows with the corpus) and the kept rows are produced by a
+    ``bucketed_join`` semi-join of documents against them."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ["" if t is None else t for t in df["text"]]
+        p = pd.DataFrame(
+            {"text_hash": md5_hex_batch(texts), "doc_id": df["doc_id"]}
+        )
+        return p.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min")
+        )[["keep_doc_id"]]
+
+    keepers = bucketed_combine(docs, "text_hash", partial, combine)
+
+    def semi(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(
+            right.drop_duplicates(), left_on="doc_id", right_on="keep_doc_id"
+        )
+        return m[["doc_id", "text"]]
+
+    out = bucketed_join(
+        docs, keepers, "doc_id", "keep_doc_id", semi,
+        right_dtypes={"keep_doc_id": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_EXACT_KEEP_SQL = """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY md5(COALESCE(text, ''))) AS keep
+  FROM documents
+) WHERE doc_id = keep
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
@@ -171,6 +225,7 @@ def dedup_minhash_candidates(
         pairs_raw.map_batches(
             lambda df: add_bucket_column(df, ["doc_a"], 64), batch_format="pandas"
         )
+        .repartition(16)  # pair rows are tiny; merge before the sort shuffle
         .groupby("_bucket")
         .map_groups(lambda g: g.drop(columns=["_bucket"]).drop_duplicates(),
                     batch_format="pandas")
@@ -228,7 +283,8 @@ def dedup_minhash_candidates(
         r = right.rename(columns={"doc_id": "doc_a", "sh": "sh_a"})
         return left.merge(r, on="doc_a")
 
-    with_a = bucketed_join(pairs_dd, sh_ds, "doc_a", "doc_id", attach_a)
+    with_a = bucketed_join(pairs_dd, sh_ds, "doc_a", "doc_id", attach_a,
+                           coalesce_blocks=16)
 
     def verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         r = right.rename(columns={"doc_id": "doc_b", "sh": "sh_b"})
@@ -246,7 +302,12 @@ def dedup_minhash_candidates(
         )
         return out[jac >= min_jaccard]
 
-    pairs = bucketed_join(with_a, sh_ds, "doc_b", "doc_id", verify).to_pandas()
+    pairs = bucketed_join(
+        with_a, sh_ds, "doc_b", "doc_id", verify,
+        # with_a is shuffle-produced: schema() would re-run the first join
+        left_dtypes={"doc_a": "int64", "doc_b": "int64", "sh_a": "object"},
+        coalesce_blocks=16,
+    ).to_pandas()
     if pairs.empty:
         return empty
     return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -449,12 +510,22 @@ def ngram_jaccard_exact(
     shingle_rows = docs.map_batches(explode_shingles, batch_format="pandas")
 
     def bucket_partial_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized group detection (most shingles have df == 1 in a web
+        # corpus — never enter Python for those): sort by shingle, find run
+        # boundaries, loop only over runs of length >= 2
+        sh = g["sh"].to_numpy(np.uint64)
+        doc = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        sizes = np.diff(np.r_[starts, len(sh)])
+        multi = np.flatnonzero(sizes >= 2)
         out_a, out_b = [], []
-        for _, grp in g.groupby("sh"):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            d = len(ids)
-            if d < 2 or (df_cap is not None and d > df_cap):
+        for gi in multi:
+            d = int(sizes[gi])
+            if df_cap is not None and d > df_cap:
                 continue
+            ids = doc[starts[gi]:starts[gi] + d]  # sorted, unique per doc
             ii, jj = np.triu_indices(d, k=1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
@@ -497,7 +568,11 @@ def ngram_jaccard_exact(
         r = right.rename(columns={"doc_id": "doc_a", "n_sh": "n_a"})
         return left.merge(r, on="doc_a")
 
-    with_a = bucketed_join(pairs_inter, sizes, "doc_a", "doc_id", attach_a)
+    with_a = bucketed_join(
+        pairs_inter, sizes, "doc_a", "doc_id", attach_a,
+        left_dtypes={"doc_a": "int64", "doc_b": "int64", "inter": "int64"},
+        coalesce_blocks=16,
+    )
 
     def finish(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         r = right.rename(columns={"doc_id": "doc_b", "n_sh": "n_b"})
@@ -515,7 +590,12 @@ def ngram_jaccard_exact(
                             "jaccard": np.round(jac, 6)})
         return out[jac >= min_jaccard]
 
-    out = bucketed_join(with_a, sizes, "doc_b", "doc_id", finish).to_pandas()
+    out = bucketed_join(
+        with_a, sizes, "doc_b", "doc_id", finish,
+        left_dtypes={"doc_a": "int64", "doc_b": "int64", "inter": "int64",
+                     "n_a": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),

