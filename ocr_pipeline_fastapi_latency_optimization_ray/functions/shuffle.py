@@ -23,8 +23,21 @@ cluster ``num_buckets`` scales with cluster size, not key cardinality.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
+
+# the typed join padding intentionally produces all-NA columns on each
+# side; pandas 2.x warns about a future concat-dtype change that cannot
+# affect us (each side's own columns are restored to their source dtypes
+# before join_fn). Filter here so worker processes importing this module
+# don't emit one warning per reduce task.
+warnings.filterwarnings(
+    "ignore",
+    message=".*empty or all-NA entries is deprecated.*",
+    category=FutureWarning,
+)
 
 
 def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> pd.DataFrame:

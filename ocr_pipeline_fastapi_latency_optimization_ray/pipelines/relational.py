@@ -8,10 +8,11 @@ aggregation, top-k — the way a 100 TB deployment must run them:
   - **partial pre-aggregation**: every groupby first combines inside
     ``map_batches`` (one row per key per batch) so the all-to-all shuffle
     moves partial aggregates, not raw rows;
-  - **broadcast joins**: the small side is read once, put in the object
-    store (``ray.put``), and joined per batch with a pandas merge — no
-    shuffle of the big side;
-  - **top-k**: global sort only over the (small) post-aggregate result.
+  - **joins**: any side whose cardinality grows with the data (orders,
+    customer, lineitem, supplier) goes through the co-partitioned
+    ``bucketed_join`` (functions/shuffle.py); ONLY schema-bounded dims
+    (region: 5 rows, nation: 25) are broadcast, as numpy LUTs;
+  - **top-k**: bucket-local top-k inside the shuffle, tiny global merge.
 
 All float aggregates are rounded identically to the oracle SQL so
 value-hash comparison is byte-stable.
