@@ -106,10 +106,26 @@ def ann_ivf_topk(
     brute-force baseline; recall measured in tests against it."""
     import pyarrow.parquet as pq
 
-    # index-training sample: first batch only (bounded read, not the table)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    first = next(pf.iter_batches(batch_size=512, columns=["embedding"]))
-    sample = np.stack([np.asarray(v) for v in first["embedding"].to_pylist()])
+    # index-training sample: deterministic hash sample spread across the
+    # WHOLE table (~512 rows regardless of size; round 1 took the first
+    # batch, which biases centroids to however the file was written). The
+    # driver holds only the sample; the scan is a streaming column read.
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    rate = max(1, n_rows // 512)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
+        return df.loc[keep, ["embedding"]]
+
+    sample_df = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
     index = IvfIndex(sample, n_lists=n_lists)
 
     qvec = _query_vector(sf_dir, query_vec_id)

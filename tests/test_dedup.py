@@ -218,6 +218,34 @@ def test_dedup_exact_null_text(ray_session, tmp_path):
     assert int(grp.keep_doc_id.iloc[0]) == 2
 
 
+def test_pairwise_jaccard_property():
+    """Property test: the lexsort/adjacent-dup vectorized Jaccard equals the
+    per-pair set formula on arbitrary unique-element uint64 arrays."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.dedup import (
+        pairwise_jaccard,
+    )
+
+    elem = st.integers(min_value=0, max_value=2**64 - 1)
+    one_set = st.lists(elem, min_size=0, max_size=30, unique=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(one_set, one_set), min_size=0, max_size=8))
+    def inner(pairs):
+        sa = [np.array(sorted(a), dtype=np.uint64) for a, _ in pairs]
+        sb = [np.array(sorted(b), dtype=np.uint64) for _, b in pairs]
+        got = pairwise_jaccard(sa, sb)
+        assert len(got) == len(pairs)
+        for g, (a, b) in zip(got, pairs):
+            A, B = set(a), set(b)
+            exp = 1.0 if not A and not B else len(A & B) / max(1, len(A | B))
+            assert abs(g - exp) < 1e-12
+
+    inner()
+
+
 def test_rolling_fingerprint_stability():
     """The winnowing-style min rolling hash survives edits far from the
     minimizing window; fp_full does not."""
