@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 43 entries, 27 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 45 entries, 29 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text_analysis.doc_fingerprint,
         "token_topk": text_analysis.token_topk,
         "doc_sample_split": text_analysis.doc_sample_split,
+        "doc_length_histogram": text_analysis.doc_length_histogram,
         # dedup family
         "dedup_exact": dedup.dedup_exact_groups,
         "dedup_exact_keep": dedup.dedup_exact_keep,
@@ -215,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_range_search": similarity.ann_range_search,
         "knn_label_vote": similarity.knn_label_vote,
         # multimodal (binary media columns -> actor-pool decode/featurize;
         # decode is a deterministic stub, plumbing is real — stages/multimodal.py)
@@ -252,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_exact": dedup.NGRAM_JACCARD_EXACT_SQL,
         "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
+        "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
+        "doc_length_histogram": text_analysis.DOC_LENGTH_HISTOGRAM_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
         # extraction pipeline, langid, fingerprints, minhash/simhash and the
         # LSH/IVF paths are not SQL-expressible -> rows-only checks

@@ -159,6 +159,49 @@ def ann_ivf_topk(
     return out.reset_index(drop=True)
 
 
+def ann_range_search(
+    sf_dir: str, query_vec_id: int = 0, threshold: float = 0.3
+) -> pd.DataFrame:
+    """Range (radius) search: EVERY vector with cosine >= threshold against
+    the query — the dedup/retrieval primitive top-k can't express. Same
+    broadcast + per-batch matmul shape as ``ann_cosine_topk``; output size
+    is data-dependent, so each batch emits only its qualifying rows
+    (streaming, no global top-k merge)."""
+    qvec = _query_vector(sf_dir, query_vec_id)
+    q_ref = ray.put(qvec)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        mat = np.stack(df["embedding"].values).astype(np.float64)
+        cos = _l2norm(mat) @ qv
+        keep = (cos >= threshold) & (df["vec_id"] != query_vec_id).to_numpy()
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64)[keep],
+             "cosine": np.round(cos[keep], 6)}
+        )
+
+    out = ds.map_batches(score_batch, batch_format="pandas").to_pandas()
+    out["vec_id"] = out.vec_id.astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+ANN_RANGE_SEARCH_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != 0
+  AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.3
+ORDER BY e.vec_id
+"""
+
+
 def knn_label_vote(sf_dir: str, query_vec_id: int = 0, k: int = 20) -> pd.DataFrame:
     """Label histogram of the k nearest neighbors (classification-style
     consumer of the ANN baseline)."""

@@ -329,6 +329,40 @@ def doc_sample_split(sf_dir: str, eval_pct: int = 10) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_length_histogram(sf_dir: str, bucket_chars: int = 50) -> pd.DataFrame:
+    """Document-length histogram (the corpus-profiling staple): bucket by
+    ``n_chars // bucket_chars``, partial counts inside map_batches, tiny
+    final groupby (bucket count is bounded by max document length)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["n_chars"].to_numpy(np.int64) // bucket_chars)
+        c = pd.Series(b).value_counts()
+        return pd.DataFrame({"bucket": c.index.to_numpy(np.int64),
+                             "n_docs": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["bucket"] = out.bucket.astype("int64")
+    out["n_docs"] = out.n_docs.astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 DOC_SAMPLE_SPLIT_SQL = """
 SELECT doc_id,
        CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100

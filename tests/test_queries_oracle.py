@@ -80,6 +80,7 @@ SQL_CHECKED = [
     "q5_local_supplier_volume", "orders_monthly_volume",
     "customer_segment_stats", "ngram_jaccard_exact", "doc_langid",
     "token_topk", "doc_sample_split", "dedup_exact_keep",
+    "ann_range_search", "doc_length_histogram",
 ]
 
 
