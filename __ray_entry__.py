@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 45 entries, 29 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 53 entries, 37 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -28,6 +28,7 @@ import ray.data  # noqa: E402
 
 from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig  # noqa: E402
 from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E402
+    curation,
     dedup,
     multimodal,
     relational,
@@ -203,6 +204,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": text_analysis.token_topk,
         "doc_sample_split": text_analysis.doc_sample_split,
         "doc_length_histogram": text_analysis.doc_length_histogram,
+        # corpus curation (chunk dedup, dup clusters, repetition, PII,
+        # normalization, contamination, source stats, filter funnel —
+        # pipelines/curation.py)
+        "chunk_dedup_stats": curation.chunk_dedup_stats,
+        "dup_clusters": curation.dup_clusters,
+        "doc_repetition_stats": curation.doc_repetition_stats,
+        "pii_scan": curation.pii_scan,
+        "doc_normalize": curation.doc_normalize,
+        "contamination_check": curation.contamination_check,
+        "source_stats": curation.source_stats,
+        "filter_funnel": curation.filter_funnel,
         # dedup family
         "dedup_exact": dedup.dedup_exact_groups,
         "dedup_exact_keep": dedup.dedup_exact_keep,
@@ -257,6 +269,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "doc_length_histogram": text_analysis.DOC_LENGTH_HISTOGRAM_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
+        "chunk_dedup_stats": curation.CHUNK_DEDUP_STATS_SQL,
+        "dup_clusters": curation.DUP_CLUSTERS_SQL,
+        "doc_repetition_stats": curation.DOC_REPETITION_SQL,
+        "pii_scan": curation.PII_SCAN_SQL,
+        "doc_normalize": curation.DOC_NORMALIZE_SQL,
+        "contamination_check": curation.CONTAMINATION_SQL,
+        "source_stats": curation.SOURCE_STATS_SQL,
+        "filter_funnel": curation.FILTER_FUNNEL_SQL,
         # extraction pipeline, langid, fingerprints, minhash/simhash and the
         # LSH/IVF paths are not SQL-expressible -> rows-only checks
     }

@@ -1,0 +1,649 @@
+"""Corpus-curation operators — the remaining staples of a web-scale
+training-data pipeline: chunk-level (paragraph) deduplication, duplicate-
+cluster assignment via distributed connected components, Gopher-style
+repetition statistics, PII scanning/redaction, unicode text normalization,
+benchmark-contamination n-gram overlap, per-source corpus stats, and the
+classic quality-filter funnel.
+
+Design notes (100 TB posture):
+  - Per-document statistics (repetition, PII, normalize, funnel partials)
+    are single ``map_batches`` stages — no shuffle at any scale.
+  - Cross-document statistics (chunk dedup, clusters) shuffle only
+    fixed-width ``(doc_id, hash)`` pairs via ``bucketed_combine`` /
+    ``bucketed_join`` — text never leaves its source block.
+  - Connected components is iterative hash-to-min label propagation over
+    the duplicate-edge set: O(component diameter) rounds, each round two
+    bucketed shuffles of (node, label) pairs. Star edges (component-local
+    minimum -> member) keep the edge count linear in membership even when
+    one chunk occurs in thousands of documents (no cliques).
+  - The benchmark side of the contamination check is bounded by
+    construction (a held-out eval set, not the corpus), so it is the
+    sanctioned broadcast: distinct n-gram hashes via ``ray.put`` once,
+    ``np.searchsorted`` membership per batch.
+
+Chunks/n-grams are compared by 64-bit positional polynomial hashes of
+C-level token hashes (``functions.hashing.fast_token_hash``), never by
+materialized chunk strings; the DuckDB oracles compare the equivalent
+string-valued expressions, so any hash collision would surface as an
+oracle mismatch (none at these scales; at 64 bits the expected collision
+count stays < 1e-6 up to ~10^6 distinct chunks per bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.hashing import fast_token_hash, md5_hex_batch
+from ..functions.shuffle import bucketed_combine, bucketed_join
+
+_BASE = np.uint64(1099511628211)  # FNV prime; uint64 wraparound
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# chunk hashing: non-overlapping k-token windows (pseudo-paragraphs)
+# ---------------------------------------------------------------------------
+
+def _chunk_pairs_batch(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """(doc_id, chunk_hash) per chunk position. Chunk = non-overlapping
+    window of ``k`` lowercased space-split tokens (last window may be
+    short), hashed as a positional polynomial over C-level token hashes —
+    equivalent (modulo 64-bit collisions) to hashing the joined string,
+    with no per-chunk string building. Fully vectorized: one explode, one
+    hash_array call, one wraparound scatter-add per batch."""
+    toks = df["text"].fillna("").str.lower().str.split(" ")
+    ex = toks.explode()
+    n = len(ex)
+    if n == 0:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                             "h": np.empty(0, np.int64)})
+    h = fast_token_hash(ex.to_numpy())
+    row = ex.index.to_numpy()  # positional: RangeIndex per batch
+    pos = np.arange(n) - np.repeat(
+        np.concatenate(([0], np.flatnonzero(np.diff(row)) + 1)),
+        np.diff(np.concatenate(
+            ([0], np.flatnonzero(np.diff(row)) + 1, [n]))),
+    )
+    chunk = pos // k
+    within = pos % k
+    powers = np.power(_BASE, np.arange(k - 1, -1, -1, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        contrib = h * powers[within]
+    # wraparound sum per (row, chunk) — np.add.at keeps uint64 semantics
+    key = row.astype(np.int64) * np.int64(1 << 20) + chunk
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.uint64)
+    np.add.at(sums, inv, contrib)
+    doc = df["doc_id"].to_numpy(np.int64)[(uniq >> 20).astype(np.int64)]
+    return pd.DataFrame({"doc_id": doc, "h": sums.astype(np.int64)})
+
+
+def _chunk_pairs(sf_dir: str, k: int) -> "ray.data.Dataset":
+    return _docs(sf_dir).map_batches(
+        lambda df: _chunk_pairs_batch(df, k), batch_format="pandas"
+    )
+
+
+def chunk_dedup_stats(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Paragraph-level (chunk-level) dedup profile: for each document, how
+    many of its k-token chunks occur more than once in the corpus. The
+    per-chunk global counts and the per-document rollup are both
+    hash-bucketed shuffles of (id, hash, count) triples — the classic
+    two-exchange plan; document text is read once and never shuffled."""
+    pairs = _chunk_pairs(sf_dir, k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # shrink to one row per (doc, chunk-hash) with multiplicity
+        g = df.groupby(["doc_id", "h"], sort=False).size().reset_index(name="m")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a hash land in one bucket: global count first,
+        # then a per-document partial rollup within the bucket
+        tot = g.groupby("h")["m"].transform("sum")
+        dup = (tot > 1).to_numpy()
+        m = g["m"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_chunks": m,
+            "n_dup_chunks": np.where(dup, m, 0),
+        })
+        return out.groupby("doc_id", as_index=False).sum()
+
+    per_bucket = bucketed_combine(pairs, "h", partial, combine,
+                                  coalesce_blocks=16)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).sum()
+
+    out = bucketed_combine(per_bucket, "doc_id", lambda df: df, final,
+                           coalesce_blocks=16).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CHUNK_DEDUP_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks)+1, 5),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS chunk
+  FROM tok
+), c AS (
+  SELECT chunk, COUNT(*) AS n FROM ch GROUP BY chunk
+)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM ch JOIN c USING (chunk)
+GROUP BY ch.doc_id
+ORDER BY ch.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: distributed connected components (hash-to-min)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
+    """Cluster id per document, where two documents are linked iff they
+    share a k-token chunk, and a cluster's id is the minimum doc_id of its
+    connected component — the canonical-document assignment step of
+    corpus-level dedup (pick min-id per cluster, drop the rest).
+
+    Plan: (doc, chunk-hash) pairs -> per-hash star edges (min-doc ->
+    member; linear, never a clique) -> iterative min-label propagation.
+    Each round sends every node's current label along every edge and takes
+    the per-node min: two bucketed shuffles of fixed-width (node, label)
+    rows, materialized per round (the iterative-algorithm exception to
+    lazy streaming — each round's result is O(nodes-in-edges), tiny next
+    to the corpus). Converges in O(component diameter) rounds; the label
+    sum is monotone non-increasing, so an unchanged sum is a fixpoint.
+    Documents with no duplicate chunk never enter the iteration and get
+    their own id in the final left join."""
+    pairs = _chunk_pairs(sf_dir, k)
+
+    def edges_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "h"])
+        m = g.groupby("h")["doc_id"].transform("min")
+        mask = (g["doc_id"] != m).to_numpy()
+        return pd.DataFrame({
+            "a": m.to_numpy(np.int64)[mask],
+            "b": g["doc_id"].to_numpy(np.int64)[mask],
+        }).drop_duplicates()
+
+    edges = bucketed_combine(
+        pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
+        edges_combine, coalesce_blocks=16,
+    ).materialize()
+
+    sym = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "src": np.concatenate([df["a"].to_numpy(np.int64),
+                                   df["b"].to_numpy(np.int64)]),
+            "dst": np.concatenate([df["b"].to_numpy(np.int64),
+                                   df["a"].to_numpy(np.int64)]),
+        }),
+        batch_format="pandas",
+    ).materialize()
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    # round 0: label(node) = min(node, neighbors) — init fused with one step
+    labels = bucketed_combine(
+        sym,
+        "node",
+        lambda df: pd.DataFrame({
+            "node": np.concatenate([df["src"].to_numpy(np.int64)] * 2),
+            "label": np.concatenate([df["src"].to_numpy(np.int64),
+                                     df["dst"].to_numpy(np.int64)]),
+        }),
+        min_label,
+        coalesce_blocks=8,
+    ).materialize()
+    prev = labels.sum("label") if labels.count() else 0
+
+    dtypes_sym = {"src": "int64", "dst": "int64"}
+    dtypes_lbl = {"node": "int64", "label": "int64"}
+    for _ in range(max_iters):
+        if prev == 0:
+            break
+
+        def send(sym_df: pd.DataFrame, lbl_df: pd.DataFrame) -> pd.DataFrame:
+            m = sym_df.merge(lbl_df, left_on="src", right_on="node")
+            return pd.DataFrame({"node": m["dst"].to_numpy(np.int64),
+                                 "label": m["label"].to_numpy(np.int64)})
+
+        msgs = bucketed_join(sym, labels, "src", "node", send,
+                             left_dtypes=dtypes_sym, right_dtypes=dtypes_lbl,
+                             coalesce_blocks=8)
+        labels = bucketed_combine(
+            msgs.union(labels), "node", lambda df: df, min_label,
+            coalesce_blocks=8,
+        ).materialize()
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def attach(ddf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        m = ddf.merge(ldf, left_on="doc_id", right_on="node", how="left")
+        lab = m["label"].to_numpy()
+        doc = m["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": doc,
+            "cluster_id": np.where(np.isnan(lab.astype(float)), doc,
+                                   np.nan_to_num(lab.astype(float))).astype(np.int64),
+        })
+
+    out = bucketed_join(docs, labels, "doc_id", "node", attach,
+                        left_dtypes={"doc_id": "int64"},
+                        right_dtypes=dtypes_lbl,
+                        coalesce_blocks=16).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks)+1, 5),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS chunk
+  FROM tok
+), g AS (
+  SELECT chunk, MIN(doc_id) AS m FROM ch GROUP BY chunk
+), e AS (
+  SELECT DISTINCT g.m AS a, ch.doc_id AS b
+  FROM ch JOIN g USING (chunk) WHERE ch.doc_id != g.m
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(s, t) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, y.b FROM reach r JOIN sym y ON y.a = r.t
+)
+SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s ORDER BY s
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document repetition signals: token count, count of the most
+    frequent token, and number of bigram positions covered by a
+    within-document duplicated bigram — the integer numerators of the
+    Gopher repetition filters (ratios left to the consumer; integers keep
+    the oracle comparison exact). Pure per-doc stage: no shuffle."""
+    toks = df["text"].fillna("").str.split(" ")
+    ex = toks.explode()
+    n = len(ex)
+    doc_ids = df["doc_id"].to_numpy(np.int64)
+    if n == 0:
+        z = np.zeros(len(df), np.int64)
+        return pd.DataFrame({"doc_id": doc_ids, "n_tokens": z,
+                             "max_token_count": z,
+                             "n_dup_bigram_positions": z})
+    row = ex.index.to_numpy()
+    h = fast_token_hash(ex.to_numpy())
+    # max per-token count within each doc
+    tok_key = pd.DataFrame({"r": row, "h": h})
+    counts = tok_key.groupby(["r", "h"], sort=False).size()
+    mx = counts.groupby(level=0).max().reindex(df.index, fill_value=0)
+    # bigram positions whose bigram occurs >1 times within the doc
+    same = row[:-1] == row[1:]
+    with np.errstate(over="ignore"):
+        bg = h[:-1] * _BASE + h[1:]
+    bg_key = pd.DataFrame({"r": row[:-1][same], "h": bg[same]})
+    if len(bg_key):
+        bc = bg_key.groupby(["r", "h"], sort=False).size()
+        dup = bc[bc > 1].groupby(level=0).sum().reindex(
+            df.index, fill_value=0)
+    else:
+        dup = pd.Series(0, index=df.index)
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "n_tokens": toks.str.len().to_numpy(np.int64),
+        "max_token_count": mx.to_numpy(np.int64),
+        "n_dup_bigram_positions": dup.to_numpy(np.int64),
+    })
+
+
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(
+        repetition_batch, batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+), t AS (
+  SELECT doc_id, UNNEST(toks) AS w FROM tok
+), tc AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mx
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w)
+  GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                               i -> array_to_string(toks[i:i+1], ' '))) AS g
+  FROM tok
+), bc AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS nd
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       tc.mx AS max_token_count,
+       COALESCE(bc.nd, 0) AS n_dup_bigram_positions
+FROM tok JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+# RE2 syntax on both sides: pyarrow.compute regex kernels and DuckDB's
+# regexp_* are both RE2, so count and replacement semantics agree exactly.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_batch(batch):
+    """PII counts + redacted-content hash, Arrow-native (zero-copy batch,
+    RE2 kernels). The synthetic corpus contains no PII, so counts are zero
+    here; the non-degenerate behavior (counts, chained redaction order
+    email -> phone -> ip) is pinned by tests/test_curation.py on text that
+    does contain PII."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(batch.column("text"), "")
+    n_emails = pc.count_substring_regex(text, pattern=PII_EMAIL)
+    n_ipv4 = pc.count_substring_regex(text, pattern=PII_IPV4)
+    n_phones = pc.count_substring_regex(text, pattern=PII_PHONE)
+    red = pc.replace_substring_regex(text, pattern=PII_EMAIL,
+                                     replacement="<EMAIL>")
+    red = pc.replace_substring_regex(red, pattern=PII_PHONE,
+                                     replacement="<PHONE>")
+    red = pc.replace_substring_regex(red, pattern=PII_IPV4,
+                                     replacement="<IP>")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_emails": pc.cast(n_emails, pa.int64()),
+        "n_ipv4": pc.cast(n_ipv4, pa.int64()),
+        "n_phones": pc.cast(n_phones, pa.int64()),
+        "redacted_md5": pa.array(md5_hex_batch(red.to_pylist())),
+    })
+
+
+def pii_scan(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(pii_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PII_SCAN_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(COALESCE(text, ''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(COALESCE(text, ''),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(COALESCE(text, ''),
+           '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(COALESCE(text, ''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unicode text normalization
+# ---------------------------------------------------------------------------
+
+def normalize_batch(batch):
+    """NFC normalize -> collapse runs of (ASCII) whitespace -> trim ->
+    lowercase; emitted as (md5, length) so the oracle compares the entire
+    normalized byte stream without shipping text through the compare.
+
+    NFC runs through ``unicodedata`` (this pyarrow's ``utf8_normalize``
+    ignores its ``form`` option and always decomposes — pinned by
+    tests/test_curation.py::test_normalize_unicode_and_whitespace); the
+    whitespace/case kernels stay Arrow-native RE2, matching DuckDB."""
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(batch.column("text"), "")
+    norm = pa.array([unicodedata.normalize("NFC", t)
+                     for t in text.to_pylist()], pa.string())
+    norm = pc.replace_substring_regex(norm, pattern=r"\s+", replacement=" ")
+    norm = pc.utf8_lower(pc.utf8_trim_whitespace(norm))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "norm_md5": pa.array(md5_hex_batch(norm.to_pylist())),
+        "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+    })
+
+
+def doc_normalize(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir).map_batches(
+        normalize_batch, batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                                     '\s+', ' ', 'g')))) AS norm_md5,
+       CAST(length(lower(trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                                             '\s+', ' ', 'g')))) AS BIGINT)
+           AS n_chars_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination n-gram overlap
+# ---------------------------------------------------------------------------
+
+def _gram_hashes(text: str, k: int) -> np.ndarray:
+    toks = (text or "").lower().split(" ")
+    if len(toks) < k:
+        return np.empty(0, dtype=np.uint64)
+    h = fast_token_hash(toks)
+    powers = np.power(_BASE, np.arange(k - 1, -1, -1, dtype=np.uint64))
+    wins = np.lib.stride_tricks.sliding_window_view(h, k)
+    with np.errstate(over="ignore"):
+        return (wins * powers).sum(axis=1, dtype=np.uint64)
+
+
+def contamination_check(sf_dir: str, k: int = 3, modulus: int = 97) -> pd.DataFrame:
+    """Per-document count of word k-grams that also occur in a benchmark
+    set (here: documents with ``doc_id % modulus == 0`` stand in for a
+    held-out eval set). The benchmark is bounded by construction, so its
+    distinct gram hashes are the one sanctioned broadcast: ``ray.put``
+    once, sorted-array membership (searchsorted) per batch. Documents
+    shorter than k tokens have no k-grams and are absent from the output
+    (matching the SQL GROUP BY over the unnested grams)."""
+    import ray
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % modulus == 0]
+        gs = [_gram_hashes(t, k) for t in df["text"].fillna("")]
+        allg = (np.unique(np.concatenate(gs)) if gs
+                else np.empty(0, np.uint64))
+        return pd.DataFrame({"g": allg.astype(np.int64)})
+
+    bench = np.unique(
+        _docs(sf_dir).map_batches(bench_grams, batch_format="pandas")
+        .to_pandas()["g"].to_numpy(np.int64).astype(np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bench_ref)
+        rows = []
+        for doc_id, t in zip(df["doc_id"].to_numpy(np.int64),
+                             df["text"].fillna("")):
+            g = _gram_hashes(t, k)
+            if g.size == 0:
+                continue
+            if b.size == 0:
+                rows.append((doc_id, g.size, 0))
+                continue
+            idx = np.searchsorted(b, g)
+            hit = (idx < b.size) & (b[np.minimum(idx, b.size - 1)] == g)
+            rows.append((doc_id, g.size, int(hit.sum())))
+        return pd.DataFrame(rows, columns=["doc_id", "n_ngrams",
+                                           "n_contaminated"])
+
+    out = _docs(sf_dir).map_batches(score, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CONTAMINATION_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ng AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS g
+  FROM tok
+), bench AS (
+  SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0
+)
+SELECT ng.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+FROM ng LEFT JOIN bench ON ng.g = bench.g
+GROUP BY ng.doc_id
+ORDER BY ng.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus stats + quality-filter funnel
+# ---------------------------------------------------------------------------
+
+def source_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus profile by source: doc count, total chars, distinct langs.
+    Partial aggregation per batch keyed on the bounded (source, lang)
+    pair; the final combine sees one row per (source, lang) per batch —
+    bounded by dimension cardinality, not corpus size."""
+    ds = _docs(sf_dir, columns=("source", "lang", "n_chars"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sl = parts.groupby(["source", "lang"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+    out = sl.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+        n_langs=("lang", "nunique"))
+    for c in ("n_docs", "sum_chars", "n_langs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_STATS_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+_FUNNEL_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that",
+                     "it", "for")
+
+
+def filter_funnel(sf_dir: str) -> pd.DataFrame:
+    """The C4/Gopher-style quality-filter funnel as one streaming pass:
+    cumulative survivor counts for length -> alphabetic-mass -> stopword
+    gates. Per-batch partial sums, four-integer final reduce — the whole
+    corpus collapses to one row regardless of scale."""
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len()
+        len_ok = (n_chars >= 100) & (n_chars <= 500)
+        alpha = text.str.count(r"[A-Za-z]")
+        alpha_ok = len_ok & (2 * alpha >= n_chars)
+        ex = text.str.split(" ").explode()
+        stop = ex.isin(_FUNNEL_STOPWORDS).groupby(ex.index).sum().reindex(
+            df.index, fill_value=0)
+        stop_ok = alpha_ok & (stop >= 1)
+        return pd.DataFrame({
+            "n_total": [len(df)],
+            "n_len_ok": [int(len_ok.sum())],
+            "n_alpha_ok": [int(alpha_ok.sum())],
+            "n_stopword_ok": [int(stop_ok.sum())],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.sum().to_frame().T
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+FILTER_FUNNEL_SQL = """
+WITH t AS (
+  SELECT COALESCE(text, '') AS txt,
+         length(COALESCE(text, '')) AS n_chars,
+         length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+             AS n_alpha,
+         len(list_filter(string_split(COALESCE(text, ''), ' '),
+             w -> w IN ('the','a','of','and','to','in','is','that','it','for')))
+             AS n_stop
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_len_ok,
+       CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
+                      AND 2*n_alpha >= n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alpha_ok,
+       CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
+                      AND 2*n_alpha >= n_chars
+                      AND n_stop >= 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stopword_ok
+FROM t
+"""

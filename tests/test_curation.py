@@ -1,0 +1,191 @@
+"""Unit tests for pipelines/curation.py — the cases the sf0.01 oracle runs
+can't exercise: PII text that actually contains PII, duplicate clusters
+checked against a brute-force union-find, and chunk-hash edge cases."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import curation as C
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array(sources or ["s0"] * n, pa.string()),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+PII_TEXTS = [
+    "contact bob@example.com or alice.smith+x@sub.domain.org today",
+    "call +1 415-555-2671 or 212 555 0199 from 10.0.0.1",
+    "server at 192.168.001.005 mailed root@localhost.localdomain",
+    "nothing sensitive here at all",
+    None,
+]
+
+
+def test_pii_scan_nondegenerate(ray_session, tmp_path):
+    """Counts and chained redaction on text that DOES contain PII, checked
+    against DuckDB running the exact oracle SQL over the same rows —
+    the sf0.01 corpus has no PII, so this is the non-trivial pin."""
+    sf = _write_docs(tmp_path, PII_TEXTS)
+    got = C.pii_scan(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(C.PII_SCAN_SQL).df()
+    assert got["n_emails"].tolist() == want["n_emails"].tolist() == [2, 0, 1, 0, 0]
+    assert got["n_ipv4"].tolist() == want["n_ipv4"].tolist()
+    assert got["n_phones"].tolist() == want["n_phones"].tolist()
+    assert got["redacted_md5"].tolist() == want["redacted_md5"].tolist()
+    # the redaction actually fired: hashes differ from the raw-text hashes
+    raw = con.execute(
+        "SELECT md5(COALESCE(text,'')) AS h FROM documents ORDER BY doc_id"
+    ).df()["h"]
+    assert (got["redacted_md5"] != raw).tolist()[:3] == [True, True, True]
+
+
+def _brute_clusters(texts, k=5):
+    """Union-find over 'share a k-token chunk' edges."""
+    def chunks(t):
+        toks = (t or "").lower().split(" ")
+        return {" ".join(toks[i:i + k]) for i in range(0, len(toks), k)}
+
+    n = len(texts)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sets = [chunks(t) for t in texts]
+    by_chunk = {}
+    for i, s in enumerate(sets):
+        for c in s:
+            by_chunk.setdefault(c, []).append(i)
+    for ids in by_chunk.values():
+        for j in ids[1:]:
+            a, b = find(ids[0]), find(j)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    # path-compress to canonical minimum
+    out = []
+    for i in range(n):
+        r = find(i)
+        # min element of the component
+        out.append(min(j for j in range(n) if find(j) == r))
+    return out
+
+
+def test_dup_clusters_high_duplication_vs_union_find(ray_session, tmp_path):
+    """A corpus with ~50% near-dups and chained components (A~B via chunk1,
+    B~C via chunk2) must produce exactly the union-find clusters — and the
+    chain forces >1 propagation round, exercising the iteration."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mid = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    tail = "phi chi psi omega aleph bet gimel dalet he vav"
+    texts = [
+        base + " unique one two three four",          # 0: shares base-chunk w/ 1
+        base + " " + mid,                             # 1: bridges 0 and 2
+        mid + " " + tail,                             # 2: bridges 1 and 3
+        tail + " totally different ending here now",  # 3
+        "an island document with its own words only", # 4: singleton
+        "another isolated text nothing shared at all",# 5: singleton
+        base + " yet another suffix for the corpus",  # 6: joins cluster of 0
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = C.dup_clusters(sf)
+    want = _brute_clusters(texts)
+    assert got["doc_id"].tolist() == list(range(len(texts)))
+    assert got["cluster_id"].tolist() == want
+    # the chain really is one component
+    assert want[0] == want[1] == want[2] == want[3] == want[6] == 0
+    assert want[4] == 4 and want[5] == 5
+
+
+def test_chunk_dedup_stats_edge_cases(ray_session, tmp_path):
+    """Empty text (one empty-string chunk), within-doc repeats, and
+    multi-space token boundaries all match the SQL semantics."""
+    texts = [
+        "",                                   # one chunk: ""
+        "a b c d e a b c d e",                # within-doc duplicate chunk
+        "a b c d e x y z w v",                # shares first chunk with doc 1
+        "solo words that match nothing else", # unique chunk(s)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = C.chunk_dedup_stats(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(C.CHUNK_DEDUP_STATS_SQL).df()
+    assert got["n_chunks"].tolist() == want["n_chunks"].tolist()
+    assert got["n_dup_chunks"].tolist() == want["n_dup_chunks"].tolist()
+    # doc 1: both its chunks are the duplicated "a b c d e"
+    assert got.loc[1, "n_dup_chunks"] == 2
+
+
+def test_repetition_stats_synthetic(ray_session, tmp_path):
+    texts = ["x x x y", "a b a b a", "once upon a time", ""]
+    sf = _write_docs(tmp_path, texts)
+    got = C.doc_repetition_stats(sf)
+    # "x x x y": max token count 3; bigrams: (x x)x2,(x y) -> 2 dup positions
+    assert got.loc[0, "max_token_count"] == 3
+    assert got.loc[0, "n_dup_bigram_positions"] == 2
+    # "a b a b a": (a b)x2, (b a)x2 -> 4 dup bigram positions
+    assert got.loc[1, "n_dup_bigram_positions"] == 4
+    assert got.loc[2, "n_dup_bigram_positions"] == 0
+    # empty text splits to one empty token
+    assert got.loc[3, "n_tokens"] == 1 and got.loc[3, "max_token_count"] == 1
+
+
+def test_contamination_counts_synthetic(ray_session, tmp_path):
+    """Doc 0 is the benchmark (doc_id % 97 == 0); overlapping trigram counts
+    are exact."""
+    texts = [
+        "the quick brown fox jumps",        # benchmark: 3 trigrams
+        "the quick brown dog sits today",   # shares 1 trigram w/ benchmark
+        "quick brown fox and the rest",     # shares 1
+        "no overlap at all here",           # 0
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = C.contamination_check(sf).set_index("doc_id")
+    assert got.loc[0, "n_contaminated"] == 3  # benchmark vs itself
+    assert got.loc[1, "n_contaminated"] == 1
+    assert got.loc[2, "n_contaminated"] == 1
+    assert got.loc[3, "n_contaminated"] == 0
+
+
+def test_normalize_unicode_and_whitespace(ray_session, tmp_path):
+    """NFC composition (e + combining acute == é) and whitespace collapse
+    produce identical hashes for visually identical text."""
+    composed = "café au lait"
+    decomposed = "café   au\tlait"
+    sf = _write_docs(tmp_path, [composed, decomposed])
+    got = C.doc_normalize(sf)
+    assert got.loc[0, "norm_md5"] == got.loc[1, "norm_md5"]
+    assert got.loc[0, "n_chars_norm"] == got.loc[1, "n_chars_norm"] == 12
+    # and the oracle agrees on non-ASCII input too
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(C.DOC_NORMALIZE_SQL).df()
+    assert got["norm_md5"].tolist() == want["norm_md5"].tolist()
+    assert got["n_chars_norm"].tolist() == want["n_chars_norm"].tolist()

@@ -81,6 +81,9 @@ SQL_CHECKED = [
     "customer_segment_stats", "ngram_jaccard_exact", "doc_langid",
     "token_topk", "doc_sample_split", "dedup_exact_keep",
     "ann_range_search", "doc_length_histogram",
+    "chunk_dedup_stats", "dup_clusters", "doc_repetition_stats",
+    "pii_scan", "doc_normalize", "contamination_check",
+    "source_stats", "filter_funnel",
 ]
 
 
