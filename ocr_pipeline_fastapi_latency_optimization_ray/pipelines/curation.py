@@ -116,14 +116,18 @@ def chunk_dedup_stats(sf_dir: str, k: int = 5) -> pd.DataFrame:
         })
         return out.groupby("doc_id", as_index=False).sum()
 
+    # num_buckets=16 / coalesce_blocks=4: the partial streams are tiny
+    # relative to corpus size, and the sort pays per-block + per-bucket
+    # fixed costs — measured 6x faster than 32/16 at sf0.1. On a real
+    # cluster num_buckets scales with node count, not key cardinality.
     per_bucket = bucketed_combine(pairs, "h", partial, combine,
-                                  coalesce_blocks=16)
+                                  num_buckets=16, coalesce_blocks=4)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("doc_id", as_index=False).sum()
 
     out = bucketed_combine(per_bucket, "doc_id", lambda df: df, final,
-                           coalesce_blocks=16).to_pandas()
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -183,7 +187,7 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
 
     edges = bucketed_combine(
         pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
-        edges_combine, coalesce_blocks=16,
+        edges_combine, num_buckets=16, coalesce_blocks=4,
     ).materialize()
 
     sym = edges.map_batches(
@@ -209,7 +213,7 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
                                      df["dst"].to_numpy(np.int64)]),
         }),
         min_label,
-        coalesce_blocks=8,
+        num_buckets=8, coalesce_blocks=4,
     ).materialize()
     prev = labels.sum("label") if labels.count() else 0
 
@@ -225,11 +229,12 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
                                  "label": m["label"].to_numpy(np.int64)})
 
         msgs = bucketed_join(sym, labels, "src", "node", send,
+                             num_buckets=16,
                              left_dtypes=dtypes_sym, right_dtypes=dtypes_lbl,
-                             coalesce_blocks=8)
+                             coalesce_blocks=4)
         labels = bucketed_combine(
             msgs.union(labels), "node", lambda df: df, min_label,
-            coalesce_blocks=8,
+            num_buckets=8, coalesce_blocks=4,
         ).materialize()
         cur = labels.sum("label")
         if cur == prev:
@@ -249,9 +254,10 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
         })
 
     out = bucketed_join(docs, labels, "doc_id", "node", attach,
+                        num_buckets=16,
                         left_dtypes={"doc_id": "int64"},
                         right_dtypes=dtypes_lbl,
-                        coalesce_blocks=16).to_pandas()
+                        coalesce_blocks=4).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
