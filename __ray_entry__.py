@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 53 entries, 37 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 55 entries, 39 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -30,6 +30,7 @@ from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig 
 from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E402
     curation,
     dedup,
+    extract_checks,
     multimodal,
     relational,
     similarity,
@@ -175,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages_visual": _extract_pages_visual,
         "extract_metrics": _extract_metrics,
         "extract_job_lineage": _extract_job_lineage,
+        # SQL-checkable slices of the flagship path (pipelines/extract_checks.py)
+        "extract_kind_counts": extract_checks.extract_kind_counts,
+        "extract_closed_paths": extract_checks.extract_closed_paths,
         # relational / wide operators (partial agg + broadcast joins + windows)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -269,6 +273,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "doc_length_histogram": text_analysis.DOC_LENGTH_HISTOGRAM_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
+        "extract_kind_counts": extract_checks.EXTRACT_KIND_COUNTS_SQL,
+        "extract_closed_paths": extract_checks.EXTRACT_CLOSED_PATHS_SQL,
         "chunk_dedup_stats": curation.CHUNK_DEDUP_STATS_SQL,
         "dup_clusters": curation.DUP_CLUSTERS_SQL,
         "doc_repetition_stats": curation.DOC_REPETITION_SQL,

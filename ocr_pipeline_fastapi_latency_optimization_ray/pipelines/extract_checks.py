@@ -1,0 +1,146 @@
+"""SQL-oracle-checkable slices of the flagship extraction pipeline.
+
+The extraction pipeline's full output (HTML boilerplate strip, layout parse,
+enrichment) has no SQL equivalent — the driver records only a rows-only
+check for ``extract_pages`` and byte-identity lives in pytest
+(tests/test_pipeline_golden.py). These two queries carve out the parts of
+the SAME pipeline whose expected output has a closed form over the driver's
+``documents`` table, giving the driver's hard hash-compare gate direct
+purchase on the flagship path:
+
+- ``extract_kind_counts``: the format-dispatch stage (S2, the reference's
+  extension dispatch FileIngestor.py:133-162) — the REAL vectorized
+  magic-byte sniffer (stages/classify.py:_sniff_kinds) over synthesized
+  pages, cross-checked against pure doc_id arithmetic (the generator's
+  payload mix is a function of the row id, sources/synth.py:build_page_row).
+  Any sniffer regression (wrong magic, null handling, text/empty
+  precedence) breaks the hash match.
+
+- ``extract_closed_paths``: END-TO-END extraction (classify -> actor-pool
+  extract -> finalize) for the two payload kinds whose output bytes are a
+  closed form of the input: the ``text`` path (reference text->PDF
+  collapse, FileIngestor.py:119-131 -> extracted text == stripped input
+  text when it contains no placeholder/fence patterns) and the ``empty``
+  path (zero bytes out). Compared by md5 of the extracted text per doc —
+  a per-row VALUE check on real pipeline output, not just row counts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..config import PipelineConfig
+from ..sources.synth import pages_from_documents
+from ..stages.classify import make_classifier
+from .extract import build_extraction_pipeline
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+
+def extract_kind_counts(sf_dir: str) -> pd.DataFrame:
+    """Pages per payload kind as sniffed by the real classify stage."""
+    from ray.data.aggregate import Count
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+    ds = pages.map_batches(
+        make_classifier(PipelineConfig()), batch_format="pyarrow", batch_size=None
+    )
+    out = (
+        ds.groupby("payload_kind")
+        .aggregate(Count(alias_name="n_pages"))
+        .to_pandas()
+    )
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("payload_kind").reset_index(drop=True)
+
+
+# mirrors sources/synth.py:build_page_row branch order exactly: the
+# empty/text branches (m 43/44) are checked BEFORE the corrupt-PDF branch
+# (rid%997==13, which sniffs as 'pdf' — corrupt payloads are discovered at
+# decode, not dispatch), then image (m>=49), pdf (m>=45), else html
+EXTRACT_KIND_COUNTS_SQL = """
+SELECT payload_kind, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM (
+  SELECT CASE
+    WHEN doc_id % 50 = 43 THEN 'empty'
+    WHEN doc_id % 50 = 44 THEN 'text'
+    WHEN doc_id % 997 = 13 THEN 'pdf'
+    WHEN doc_id % 50 >= 49 THEN 'image'
+    WHEN doc_id % 50 >= 45 THEN 'pdf'
+    ELSE 'html' END AS payload_kind
+  FROM documents
+)
+GROUP BY payload_kind
+ORDER BY payload_kind
+"""
+
+
+def extract_closed_paths(sf_dir: str) -> pd.DataFrame:
+    """End-to-end extraction output for the closed-form payload kinds.
+
+    Returns (doc_id, payload_kind, text_md5, n_chars) for every document
+    whose page takes the ``text`` or ``empty`` path. Text-path docs with a
+    null/empty source text are excluded ON BOTH SIDES: the generator
+    substitutes synthetic filler there (sources/synth.py:build_page_row),
+    which has no SQL closed form (the driver's testdata has none, so the
+    exclusion is normally a no-op).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def gen(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 50
+        has_text = pc.fill_null(
+            pc.not_equal(pc.fill_null(b["text"], ""), ""), False
+        ).to_numpy(zero_copy_only=False)
+        keep = (m == 43) | ((m == 44) & has_text)
+        return pages_from_documents(b.filter(pa.array(keep)), repeat=1)
+
+    pages = _docs(sf_dir).map_batches(gen, batch_format="pyarrow")
+    ds = build_extraction_pipeline(pages, PipelineConfig())
+
+    def proj(t: pa.Table) -> pa.Table:
+        # urls end in /doc/<rid>; rid == doc_id at repeat=1
+        doc_ids = [int(u.rsplit("/", 1)[1]) for u in t["url"].to_pylist()]
+        texts = t["extracted_text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "payload_kind": t["payload_kind"],
+                "text_md5": pa.array(
+                    [hashlib.md5(x.encode()).hexdigest() for x in texts],
+                    pa.string(),
+                ),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(proj, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+EXTRACT_CLOSED_PATHS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 50 = 44 THEN 'text' ELSE 'empty' END AS payload_kind,
+       CASE WHEN doc_id % 50 = 44
+            THEN md5(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+            ELSE md5('') END AS text_md5,
+       CASE WHEN doc_id % 50 = 44
+            THEN CAST(length(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS n_chars
+FROM documents
+WHERE doc_id % 50 = 43
+   OR (doc_id % 50 = 44 AND text IS NOT NULL AND text <> '')
+ORDER BY doc_id
+"""

@@ -178,6 +178,8 @@ def build_page_row(rid: int, base_text: str | None, lang: str | None, seed: int 
 
 
 def _rows_to_table(rows) -> pa.Table:
+    if not rows:  # filtered-out batch: keep the schema, zero rows
+        return PAGES_SCHEMA.empty_table()
     urls, tss, htmls, texts, langs = zip(*rows)
     return pa.Table.from_arrays(
         [
