@@ -142,6 +142,25 @@ def bucketed_join(
     all_dtypes = {**r_dtypes, **l_dtypes}  # left wins on shared names
     all_names = l_names + [c for c in r_names if c not in l_names]
 
+    # One WIRE dtype per column, identical for both sides, so every padded
+    # block has the same schema — otherwise the union's blocks flap between
+    # e.g. (int64, float64) and (float64, int64) layouts and the executor
+    # falls back to per-block schema reconciliation. A column padded with
+    # NaN on either side promotes to float64 (values < 2^53 survive the
+    # round trip exactly; _restore casts back before join_fn).
+    def _wire(dt: np.dtype) -> np.dtype:
+        if np.issubdtype(dt, np.datetime64) or dt == np.dtype(object):
+            return dt
+        if np.issubdtype(dt, np.number):
+            return np.dtype(np.float64)
+        return np.dtype(object)  # bool etc.: NaN-capable container
+
+    wire_dtypes = {
+        c: (all_dtypes[c] if c in l_dtypes and c in r_dtypes
+            and l_dtypes[c] == r_dtypes[c] else _wire(all_dtypes[c]))
+        for c in all_names
+    }
+
     def pad(side: str, key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = add_bucket_column(df, [key], num_buckets)
@@ -149,6 +168,11 @@ def bucketed_join(
             for c in all_names:
                 if c not in df.columns:
                     df[c] = _null_of(all_dtypes[c])
+                if df[c].dtype != wire_dtypes[c]:
+                    try:
+                        df[c] = df[c].astype(wire_dtypes[c])
+                    except (TypeError, ValueError):
+                        pass  # e.g. object column of arrays — leave as is
             return df[[*all_names, "_bucket", "_side"]]
 
         return fn
