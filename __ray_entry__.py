@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 55 entries, 39 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 56 entries, 40 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation (chunk dedup, dup clusters, repetition, PII,
         # normalization, contamination, source stats, filter funnel —
         # pipelines/curation.py)
+        "corpus_build": curation.corpus_build,
         "chunk_dedup_stats": curation.chunk_dedup_stats,
         "dup_clusters": curation.dup_clusters,
         "doc_repetition_stats": curation.doc_repetition_stats,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
         "extract_kind_counts": extract_checks.EXTRACT_KIND_COUNTS_SQL,
         "extract_closed_paths": extract_checks.EXTRACT_CLOSED_PATHS_SQL,
+        "corpus_build": curation.CORPUS_BUILD_SQL,
         "chunk_dedup_stats": curation.CHUNK_DEDUP_STATS_SQL,
         "dup_clusters": curation.DUP_CLUSTERS_SQL,
         "doc_repetition_stats": curation.DOC_REPETITION_SQL,

@@ -653,3 +653,87 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
             AS BIGINT) AS n_stopword_ok
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus build: the end-to-end curated-corpus composition
+# ---------------------------------------------------------------------------
+
+def corpus_build(sf_dir: str) -> pd.DataFrame:
+    """The full curation chain composed as ONE pipeline — what a real
+    training-data build runs per snapshot: quality gates (the funnel's
+    length -> alphabetic-mass -> stopword predicates) -> normalization
+    (NFC + whitespace collapse + case fold) -> exact dedup on the
+    NORMALIZED text keeping the minimum doc_id per duplicate group.
+    Returns the surviving rows (doc_id, lang, source, norm_md5,
+    n_chars_norm).
+
+    Plan: one streaming ``map_batches`` pass does gate + normalize + md5
+    AND pre-shrinks to one candidate row per normalized-hash per batch
+    (min doc_id carries its row), so the single ``bucketed_combine``
+    exchange moves only fixed-width survivor rows — the text itself never
+    leaves its source block, and there is no join: the winning row's
+    attributes travel with its hash."""
+    import unicodedata
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len()
+        len_ok = (n_chars >= 100) & (n_chars <= 500)
+        alpha = text.str.count(r"[A-Za-z]")
+        alpha_ok = len_ok & (2 * alpha >= n_chars)
+        ex = text.str.split(" ").explode()
+        stop = ex.isin(_FUNNEL_STOPWORDS).groupby(ex.index).sum().reindex(
+            df.index, fill_value=0)
+        keep = alpha_ok & (stop >= 1)
+        df = df[keep]
+        norm = [
+            " ".join(unicodedata.normalize("NFC", t).split()).lower()
+            for t in df["text"].fillna("")
+        ]
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"].to_numpy(),
+            "source": df["source"].to_numpy(),
+            "norm_md5": md5_hex_batch(norm),
+            "n_chars_norm": np.array([len(t) for t in norm], np.int64),
+        })
+        # pre-shrink: min-doc_id row per hash within the batch
+        return out.sort_values("doc_id", kind="stable").drop_duplicates(
+            "norm_md5", keep="first")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="stable").drop_duplicates(
+            "norm_md5", keep="first")
+
+    out = bucketed_combine(ds, "norm_md5", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars_norm"] = out["n_chars_norm"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CORPUS_BUILD_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         lower(trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                                   '\s+', ' ', 'g'))) AS norm
+  FROM documents
+  WHERE length(COALESCE(text, '')) BETWEEN 100 AND 500
+    AND 2 * length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+        >= length(COALESCE(text, ''))
+    AND len(list_filter(string_split(COALESCE(text, ''), ' '),
+        w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) >= 1
+), k AS (
+  SELECT doc_id, lang, source, norm,
+         MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep
+  FROM f
+)
+SELECT doc_id, lang, source, md5(norm) AS norm_md5,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM k
+WHERE doc_id = keep
+ORDER BY doc_id
+"""

@@ -84,7 +84,7 @@ SQL_CHECKED = [
     "chunk_dedup_stats", "dup_clusters", "doc_repetition_stats",
     "pii_scan", "doc_normalize", "contamination_check",
     "source_stats", "filter_funnel",
-    "extract_kind_counts", "extract_closed_paths",
+    "extract_kind_counts", "extract_closed_paths", "corpus_build",
 ]
 
 
