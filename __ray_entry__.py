@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 56 entries, 40 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 57 entries, 41 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": text_analysis.token_topk,
         "doc_sample_split": text_analysis.doc_sample_split,
         "doc_length_histogram": text_analysis.doc_length_histogram,
+        "doc_length_quantiles": text_analysis.doc_length_quantiles,
         # corpus curation (chunk dedup, dup clusters, repetition, PII,
         # normalization, contamination, source stats, filter funnel —
         # pipelines/curation.py)
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,
         "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "doc_length_histogram": text_analysis.DOC_LENGTH_HISTOGRAM_SQL,
+        "doc_length_quantiles": text_analysis.DOC_LENGTH_QUANTILES_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
         "extract_kind_counts": extract_checks.EXTRACT_KIND_COUNTS_SQL,
         "extract_closed_paths": extract_checks.EXTRACT_CLOSED_PATHS_SQL,

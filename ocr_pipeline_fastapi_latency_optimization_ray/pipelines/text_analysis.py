@@ -372,3 +372,50 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT order statistics of document length at corpus scale without a
+    global sort: per-batch value counts -> one small groupby (cardinality
+    bounded by the number of distinct lengths, not the corpus) -> driver
+    walks the cumulative histogram. The discrete-quantile convention
+    matches SQL ``percentile_disc``: the value at row ``ceil(p * n)`` of
+    the sorted sequence — smallest v with cum_count(v) >= ceil(p * n)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_chars"].value_counts()
+        return pd.DataFrame({"v": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    qs = [int(vals[np.searchsorted(cum, math.ceil(p * n))]) for p in ps]
+    return pd.DataFrame({"p": ps, "n_chars_q": pd.array(qs, dtype="int64")})
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT 0.25 AS p, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS n_chars_q FROM documents
+UNION ALL
+SELECT 0.5 AS p, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS n_chars_q FROM documents
+UNION ALL
+SELECT 0.75 AS p, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS n_chars_q FROM documents
+UNION ALL
+SELECT 0.9 AS p, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS n_chars_q FROM documents
+UNION ALL
+SELECT 0.99 AS p, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS n_chars_q FROM documents
+ORDER BY p
+"""
