@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 57 entries, 41 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 58 entries, 42 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
         "events_sliding_hourly": streaming.events_sliding_hourly,
         "events_user_sessions": streaming.events_user_sessions,
+        "events_retention": streaming.events_retention,
         "events_distinct_users": streaming.events_distinct_users,
         "events_distinct_users_hll": streaming.events_distinct_users_hll,
         "orders_topk_by_priority": streaming.orders_topk_by_priority,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase_click": streaming.EVENTS_ASOF_SQL,
         "events_sliding_hourly": streaming.EVENTS_SLIDING_SQL,
         "events_user_sessions": streaming.EVENTS_SESSIONS_SQL,
+        "events_retention": streaming.EVENTS_RETENTION_SQL,
         "events_distinct_users": streaming.EVENTS_DISTINCT_SQL,
         "orders_topk_by_priority": streaming.ORDERS_TOPK_SQL,
         "doc_token_stats": text_analysis.DOC_TOKEN_STATS_SQL,

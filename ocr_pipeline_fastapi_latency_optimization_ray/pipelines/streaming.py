@@ -397,3 +397,58 @@ FROM (
 WHERE rank <= 3
 ORDER BY o_orderpriority, rank
 """
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users grouped by their first-active day; for each
+    (cohort_day, day_offset) the count of cohort users active that day —
+    the standard product-analytics matrix, here as a two-level distributed
+    plan with no self-join: per-batch distinct (user, day) pairs shrink the
+    stream, one bucketed exchange on user_id computes each user's cohort
+    and emits its (cohort, offset) pairs, and the final count is a groupby
+    whose cardinality is bounded by days^2, not users."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day": df["ts"].dt.floor("D"),
+        })
+        return out.drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        offs = (g["day"] - cohort).dt.days
+        pairs = pd.DataFrame({"cohort_day": cohort, "day_offset": offs})
+        c = pairs.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return c.rename(columns={"size": "n_users"})
+
+    parts = bucketed_combine(ds, "user_id", partial, combine,
+                             num_buckets=16, coalesce_blocks=8)
+    out = (
+        parts.groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+    out["cohort_day"] = pd.to_datetime(out["cohort_day"]).dt.strftime("%Y-%m-%d")
+    out["day_offset"] = out["day_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+EVENTS_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), c AS (
+  SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id
+)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort, ud.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
