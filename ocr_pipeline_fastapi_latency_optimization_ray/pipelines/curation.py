@@ -2,8 +2,9 @@
 training-data pipeline: chunk-level (paragraph) deduplication, duplicate-
 cluster assignment via distributed connected components, Gopher-style
 repetition statistics, PII scanning/redaction, unicode text normalization,
-benchmark-contamination n-gram overlap, per-source corpus stats, and the
-classic quality-filter funnel.
+benchmark-contamination n-gram overlap, per-source corpus stats, the
+classic quality-filter funnel, and ``corpus_build`` — the composed
+end-to-end build (gates -> normalize -> exact dedup keep).
 
 Design notes (100 TB posture):
   - Per-document statistics (repetition, PII, normalize, funnel partials)
