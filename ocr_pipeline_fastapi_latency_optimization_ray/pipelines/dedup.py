@@ -284,7 +284,7 @@ def dedup_minhash_candidates(
         return left.merge(r, on="doc_a")
 
     with_a = bucketed_join(pairs_dd, sh_ds, "doc_a", "doc_id", attach_a,
-                           coalesce_blocks=16)
+                           num_buckets=16, coalesce_blocks=8)
 
     def verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         r = right.rename(columns={"doc_id": "doc_b", "sh": "sh_b"})
@@ -306,7 +306,7 @@ def dedup_minhash_candidates(
         with_a, sh_ds, "doc_b", "doc_id", verify,
         # with_a is shuffle-produced: schema() would re-run the first join
         left_dtypes={"doc_a": "int64", "doc_b": "int64", "sh_a": "object"},
-        coalesce_blocks=16,
+        num_buckets=16, coalesce_blocks=8,
     ).to_pandas()
     if pairs.empty:
         return empty
@@ -571,7 +571,7 @@ def ngram_jaccard_exact(
     with_a = bucketed_join(
         pairs_inter, sizes, "doc_a", "doc_id", attach_a,
         left_dtypes={"doc_a": "int64", "doc_b": "int64", "inter": "int64"},
-        coalesce_blocks=16,
+        num_buckets=16, coalesce_blocks=8,
     )
 
     def finish(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -594,7 +594,7 @@ def ngram_jaccard_exact(
         with_a, sizes, "doc_b", "doc_id", finish,
         left_dtypes={"doc_a": "int64", "doc_b": "int64", "inter": "int64",
                      "n_a": "int64"},
-        coalesce_blocks=16,
+        num_buckets=16, coalesce_blocks=8,
     ).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),

@@ -469,7 +469,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> pd.DataF
         return m[["o_orderkey", "c_nationkey"]]
 
     ordcust = bucketed_join(orders, cust, "o_custkey", "c_custkey", j_ordcust,
-                            coalesce_blocks=16)
+                            num_buckets=16, coalesce_blocks=8)
 
     line = _read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -491,7 +491,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> pd.DataF
     linecust = bucketed_join(
         line_p, ordcust, "l_orderkey", "o_orderkey", j_line,
         right_dtypes={"o_orderkey": "int64", "c_nationkey": "int64"},
-        coalesce_blocks=16,
+        num_buckets=16, coalesce_blocks=8,
     )
 
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
@@ -511,7 +511,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> pd.DataF
         linecust, supp, "l_suppkey", "s_suppkey", j_supp,
         left_dtypes={"l_suppkey": "int64", "c_nationkey": "int64",
                      "revenue": "float64"},
-        coalesce_blocks=16,
+        num_buckets=16, coalesce_blocks=8,
     ).to_pandas()
     out = out.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
     out["revenue"] = out.revenue.round(2)
