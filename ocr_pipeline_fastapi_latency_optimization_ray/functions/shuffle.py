@@ -57,10 +57,14 @@ def add_bucket_column(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -
 
 def _pandas_dtype_map(schema) -> dict[str, np.dtype]:
     """Column -> numpy/pandas dtype from a Ray Dataset schema (Arrow- or
-    pandas-backed). Nested (list/struct) columns map to object."""
+    pandas-backed). Nested (list/struct) columns map to object. An empty
+    dataset has no schema (``None``) -> empty map; ``bucketed_join`` then
+    short-circuits to an empty result."""
     import pyarrow as pa
 
     out: dict[str, np.dtype] = {}
+    if schema is None:
+        return out
     for name, typ in zip(schema.names, schema.types):
         if isinstance(typ, pa.DataType):
             try:
@@ -137,6 +141,15 @@ def bucketed_join(
         if right_dtypes is not None
         else _pandas_dtype_map(right_ds.schema())
     )
+    if not l_dtypes or not r_dtypes:
+        # a side with zero blocks has no schema and (without hints) no known
+        # columns, so join_fn cannot be called; every join_fn here is
+        # inner-join-shaped (empty side -> empty result), so short-circuit.
+        # The caller's typed_out tail restores the declared output columns.
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame())
+
     l_names = list(l_dtypes)
     r_names = list(r_dtypes)
     all_dtypes = {**r_dtypes, **l_dtypes}  # left wins on shared names

@@ -28,6 +28,8 @@ import pyarrow.parquet  # noqa: F401  (enables pa.parquet.read_table)
 import ray
 import ray.data
 
+from ..functions.frames import typed_out
+
 
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
@@ -78,6 +80,13 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             Sum("count_order", alias_name="count_order"),
         ),
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {
+            "l_returnflag": "object", "l_linestatus": "object",
+            "sum_qty": "float64", "sum_base_price": "float64",
+            "sum_disc_price": "float64", "sum_charge": "float64",
+            "count_order": "int64", "avg_qty": "float64",
+            "avg_price": "float64", "avg_disc": "float64"})
     out["avg_qty"] = (out.sum_qty / out.count_order).round(4)
     out["avg_price"] = (out.sum_base_price / out.count_order).round(4)
     out["avg_disc"] = (out.sum_disc / out.count_order).round(4)
@@ -167,6 +176,9 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         right_dtypes={"o_orderkey": "int64", "o_orderdate": "datetime64[us]"},
         coalesce_blocks=16,
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {"l_orderkey": "int64", "revenue": "float64",
+                               "o_orderdate": "datetime64[us]"})
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
@@ -240,6 +252,9 @@ def orders_per_region(sf_dir: str) -> pd.DataFrame:
         orders_partial, cust, "o_custkey", "c_custkey", join_fn,
         coalesce_blocks=16,
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {"r_name": "object", "n_orders": "int64",
+                               "total": "float64"})
     out = out.groupby("r_name", as_index=False).agg(
         n_orders=("n_orders", "sum"), total=("total", "sum")
     )
@@ -284,6 +299,9 @@ def events_tumbling_hourly(sf_dir: str) -> pd.DataFrame:
     # window count grows with the time range -> bucketed combine
     out = bucketed_combine(ds, ["window_h", "event_type"], partial, combine,
                            coalesce_blocks=16).to_pandas()
+    if out.empty:
+        return typed_out(out, {"window_h": "int64", "event_type": "object",
+                               "n_events": "int64", "sum_value": "float64"})
     out["sum_value"] = out.sum_value.round(2)
     out["n_events"] = out.n_events.astype("int64")
     return out.sort_values(["window_h", "event_type"]).reset_index(drop=True)
@@ -327,6 +345,9 @@ def events_top_users(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_combine(ds, "user_id", partial, combine,
                            coalesce_blocks=16).to_pandas()
+    if out.empty:
+        return typed_out(out, {"user_id": "int64", "total_value": "float64",
+                               "n_events": "int64"})
     out["total_value"] = out.total_value.round(2)
     out["n_events"] = out.n_events.astype("int64")
     out = out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
@@ -368,6 +389,10 @@ def part_type_stats(sf_dir: str) -> pd.DataFrame:
             Max("max_size", alias_name="max_size"),
         ),
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {"p_type": "object", "n_parts": "int64",
+                               "min_size": "int32", "max_size": "int32",
+                               "avg_price": "float64"})
     out["avg_price"] = (out.sum_price / out.n_parts).round(4)
     out = out.drop(columns=["sum_price"])
     out["n_parts"] = out.n_parts.astype("int64")
@@ -411,6 +436,9 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         line_partial, orders, "l_orderkey", "o_orderkey", join_fn,
         coalesce_blocks=16,
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {"o_orderpriority": "object",
+                               "revenue": "float64"})
     out = out.groupby("o_orderpriority", as_index=False).agg(
         revenue=("revenue", "sum")
     )
@@ -513,6 +541,8 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> pd.DataF
                      "revenue": "float64"},
         num_buckets=16, coalesce_blocks=8,
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {"n_name": "object", "revenue": "float64"})
     out = out.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
     out["revenue"] = out.revenue.round(2)
     return out.sort_values("n_name").reset_index(drop=True)
@@ -557,6 +587,9 @@ def orders_monthly_volume(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_combine(ds, "month", partial, combine,
                            coalesce_blocks=16).to_pandas()
+    if out.empty:
+        return typed_out(out, {"month": "object", "n_orders": "int64",
+                               "total": "float64"})
     out["total"] = out.total.round(2)
     out["n_orders"] = out.n_orders.astype("int64")
     return out.sort_values("month").reset_index(drop=True)
@@ -598,6 +631,10 @@ def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
             Max("max_acctbal", alias_name="max_acctbal"),
         ),
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {"c_mktsegment": "object", "n_customers": "int64",
+                               "min_acctbal": "float64", "max_acctbal": "float64",
+                               "avg_acctbal": "float64"})
     out["avg_acctbal"] = (out.sum_acctbal / out.n_customers).round(4)
     out = out.drop(columns=["sum_acctbal"])
     out["n_customers"] = out.n_customers.astype("int64")

@@ -21,6 +21,7 @@ import pandas as pd
 
 import ray.data
 
+from ..functions.frames import typed_out
 from ..functions.shuffle import add_bucket_column, bucketed_combine
 
 EVENTS_COLS = ["ts", "user_id", "event_type", "value"]
@@ -50,6 +51,9 @@ def events_high_value_errors(sf_dir: str, min_value: float = 90.0) -> pd.DataFra
         & (pads.field("value") >= min_value),
     )
     out = ds.to_pandas()
+    if out.empty:
+        return typed_out(out, {"event_id": "int64", "user_id": "int64",
+                               "value": "float64"})
     out = out[["event_id", "user_id", "value"]]
     out["value"] = out.value.round(6)
     return out.sort_values("event_id").reset_index(drop=True)
@@ -116,7 +120,11 @@ def events_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
                     batch_format="pandas")
         .to_pandas()
     )
-    return out.sort_values(["user_id", "purchase_ts"]).reset_index(drop=True)
+    return typed_out(out, {"user_id": "int64",
+                           "purchase_ts": "datetime64[us]",
+                           "click_ts": "datetime64[us]",
+                           "gap_s": "float64"},
+                     sort_by=["user_id", "purchase_ts"])
 
 
 EVENTS_ASOF_SQL = """
@@ -160,6 +168,10 @@ def events_sliding_hourly(sf_dir: str) -> pd.DataFrame:
     out = bucketed_combine(
         ds, ["window_start", "event_type"], partial, combine
     ).to_pandas()
+    if out.empty:
+        return typed_out(out, {"window_start": "datetime64[us]",
+                               "event_type": "object", "n_events": "int64",
+                               "sum_value": "float64"})
     out["sum_value"] = out.sum_value.round(2)
     out["n_events"] = out.n_events.astype("int64")
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
@@ -223,6 +235,11 @@ def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
                     batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:
+        return typed_out(out, {"user_id": "int64",
+                               "session_start": "datetime64[us]",
+                               "session_end": "datetime64[us]",
+                               "n_events": "int64", "duration_s": "float64"})
     out["n_events"] = out.n_events.astype("int64")
     return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
@@ -283,6 +300,8 @@ def events_distinct_users(sf_dir: str) -> pd.DataFrame:
                     batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:
+        return typed_out(out, {"event_type": "object", "n_users": "int64"})
     out = out.groupby("event_type", as_index=False).agg(n_users=("n_users", "sum"))
     out["n_users"] = out.n_users.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
@@ -344,7 +363,8 @@ def events_distinct_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
-    return out.sort_values("event_type").reset_index(drop=True)
+    return typed_out(out, {"event_type": "object", "n_users_approx": "int64"},
+                     sort_by="event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +391,10 @@ def orders_topk_by_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
         )
 
     out = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if out.empty:
+        return typed_out(out, {"o_orderpriority": "object", "rank": "int64",
+                               "o_orderkey": "int64",
+                               "o_totalprice": "float64"})
     out = (
         out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
         .groupby("o_orderpriority", as_index=False)
@@ -433,6 +457,9 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n_users", alias_name="n_users"))
         .to_pandas()
     )
+    if out.empty:
+        return typed_out(out, {"cohort_day": "object", "day_offset": "int64",
+                               "n_users": "int64"})
     out["cohort_day"] = pd.to_datetime(out["cohort_day"]).dt.strftime("%Y-%m-%d")
     out["day_offset"] = out["day_offset"].astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
