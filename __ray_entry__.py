@@ -88,7 +88,13 @@ def _extract_metrics(sf_dir: str):
         )
         .to_pandas()
     )
-    return out.sort_values("payload_kind").reset_index(drop=True)
+    from ocr_pipeline_fastapi_latency_optimization_ray.functions.frames import typed_out
+
+    return typed_out(out, {"payload_kind": "object", "n_docs": "int64",
+                           "sum_extracted_bytes": "int64",
+                           "sum_blocks_kept": "int64",
+                           "sum_blocks_dropped": "int64"},
+                     sort_by="payload_kind")
 
 
 def _extract_job_lineage(sf_dir: str):
@@ -143,10 +149,12 @@ def _extract_job_lineage(sf_dir: str):
         finally:
             for w in writers.values():
                 w.close()
-        run_extraction_job(in_dir, work / "out", PipelineConfig())
-        recs = load_lineage(work / "out")
         cols = ["partition_id", "input_file", "row_count", "n_errors",
                 "blocks_kept", "blocks_dropped", "bytes_in", "bytes_out"]
+        if not writers:  # empty corpus: zero shards, zero lineage records
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        run_extraction_job(in_dir, work / "out", PipelineConfig())
+        recs = load_lineage(work / "out")
         df = pd.DataFrame([{c: recs[p][c] for c in cols} for p in sorted(recs)])
         return df
     finally:

@@ -42,3 +42,23 @@ def typed_out(
         keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         out = out.sort_values(keys, kind="stable")
     return out.reset_index(drop=True)
+
+
+def round_away(x, ndigits: int):
+    """Round half AWAY from zero, matching SQL ROUND (DuckDB, ANSI).
+
+    numpy/pandas ``round`` is banker's (half to even): 4190.83825 -> .8382
+    while DuckDB gives .8383, so any oracle-compared rounded column must
+    round with this helper or hash-compare fails whenever a true tie occurs.
+    Accepts a pandas Series or numpy array; returns the same shape.
+    """
+    import numpy as np
+
+    scale = 10.0 ** ndigits
+    arr = x.to_numpy(dtype=float) if hasattr(x, "to_numpy") else np.asarray(x, dtype=float)
+    out = np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    if hasattr(x, "index"):
+        import pandas as pd
+
+        return pd.Series(out, index=x.index)
+    return out

@@ -37,6 +37,7 @@ import pandas as pd
 
 import ray.data
 
+from ..functions.frames import typed_out
 from ..functions.hashing import fast_token_hash, md5_hex_batch
 from ..functions.shuffle import bucketed_combine, bucketed_join
 
@@ -129,9 +130,8 @@ def chunk_dedup_stats(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     out = bucketed_combine(per_bucket, "doc_id", lambda df: df, final,
                            num_buckets=16, coalesce_blocks=4).to_pandas()
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "n_chunks": "int64",
+                           "n_dup_chunks": "int64"}, sort_by="doc_id")
 
 
 CHUNK_DEDUP_STATS_SQL = """
@@ -259,7 +259,8 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
                         left_dtypes={"doc_id": "int64"},
                         right_dtypes=dtypes_lbl,
                         coalesce_blocks=4).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "cluster_id": "int64"},
+                     sort_by="doc_id")
 
 
 DUP_CLUSTERS_SQL = """
@@ -336,7 +337,10 @@ def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
     out = _docs(sf_dir).map_batches(
         repetition_batch, batch_format="pandas"
     ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "n_tokens": "int64",
+                           "max_token_count": "int64",
+                           "n_dup_bigram_positions": "int64"},
+                     sort_by="doc_id")
 
 
 DOC_REPETITION_SQL = """
@@ -408,7 +412,9 @@ def pii_batch(batch):
 
 def pii_scan(sf_dir: str) -> pd.DataFrame:
     out = _docs(sf_dir).map_batches(pii_batch, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "n_emails": "int64",
+                           "n_ipv4": "int64", "n_phones": "int64",
+                           "redacted_md5": "object"}, sort_by="doc_id")
 
 
 PII_SCAN_SQL = r"""
@@ -462,7 +468,8 @@ def doc_normalize(sf_dir: str) -> pd.DataFrame:
     out = _docs(sf_dir).map_batches(
         normalize_batch, batch_format="pyarrow"
     ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "norm_md5": "object",
+                           "n_chars_norm": "int64"}, sort_by="doc_id")
 
 
 DOC_NORMALIZE_SQL = r"""
@@ -509,10 +516,10 @@ def contamination_check(sf_dir: str, k: int = 3, modulus: int = 97) -> pd.DataFr
                 else np.empty(0, np.uint64))
         return pd.DataFrame({"g": allg.astype(np.int64)})
 
-    bench = np.unique(
-        _docs(sf_dir).map_batches(bench_grams, batch_format="pandas")
-        .to_pandas()["g"].to_numpy(np.int64).astype(np.uint64)
-    )
+    bench_df = _docs(sf_dir).map_batches(
+        bench_grams, batch_format="pandas").to_pandas()
+    bench = (np.unique(bench_df["g"].to_numpy(np.int64).astype(np.uint64))
+             if "g" in bench_df.columns else np.empty(0, np.uint64))
     bench_ref = ray.put(bench)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -533,9 +540,8 @@ def contamination_check(sf_dir: str, k: int = 3, modulus: int = 97) -> pd.DataFr
                                            "n_contaminated"])
 
     out = _docs(sf_dir).map_batches(score, batch_format="pandas").to_pandas()
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "n_ngrams": "int64",
+                           "n_contaminated": "int64"}, sort_by="doc_id")
 
 
 CONTAMINATION_SQL = """
@@ -576,6 +582,9 @@ def source_stats(sf_dir: str) -> pd.DataFrame:
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return typed_out(parts, {"source": "object", "n_docs": "int64",
+                                 "sum_chars": "int64", "n_langs": "int64"})
     sl = parts.groupby(["source", "lang"], as_index=False).agg(
         n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
     out = sl.groupby("source", as_index=False).agg(
@@ -625,8 +634,11 @@ def filter_funnel(sf_dir: str) -> pd.DataFrame:
         })
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = parts.sum().to_frame().T
-    for c in out.columns:
+    cols = ["n_total", "n_len_ok", "n_alpha_ok", "n_stopword_ok"]
+    if parts.empty:  # empty corpus: the funnel is all zeros
+        return pd.DataFrame({c: pd.array([0], dtype="int64") for c in cols})
+    out = parts[cols].sum().to_frame().T
+    for c in cols:
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
 
@@ -643,14 +655,15 @@ WITH t AS (
   FROM documents
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-       CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END)
+       CAST(COALESCE(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
+                              THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_len_ok,
-       CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
-                      AND 2*n_alpha >= n_chars THEN 1 ELSE 0 END)
+       CAST(COALESCE(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
+                              AND 2*n_alpha >= n_chars THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_alpha_ok,
-       CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
-                      AND 2*n_alpha >= n_chars
-                      AND n_stop >= 1 THEN 1 ELSE 0 END)
+       CAST(COALESCE(SUM(CASE WHEN n_chars BETWEEN 100 AND 500
+                              AND 2*n_alpha >= n_chars
+                              AND n_stop >= 1 THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_stopword_ok
 FROM t
 """
@@ -711,9 +724,9 @@ def corpus_build(sf_dir: str) -> pd.DataFrame:
 
     out = bucketed_combine(ds, "norm_md5", partial, combine,
                            num_buckets=16, coalesce_blocks=4).to_pandas()
-    out["doc_id"] = out["doc_id"].astype("int64")
-    out["n_chars_norm"] = out["n_chars_norm"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "lang": "object",
+                           "source": "object", "norm_md5": "object",
+                           "n_chars_norm": "int64"}, sort_by="doc_id")
 
 
 CORPUS_BUILD_SQL = r"""

@@ -22,6 +22,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..functions.frames import round_away
+
 import ray.data
 
 from ..functions.hashing import (
@@ -66,9 +68,10 @@ def dedup_exact_groups(sf_dir: str) -> pd.DataFrame:
         )
 
     out = bucketed_combine(ds, "text_hash", partial, combine).to_pandas()
-    out["n_dups"] = out["n_dups"].astype("int64")
-    out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
-    return out.sort_values("text_hash").reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"text_hash": "object", "keep_doc_id": "int64",
+                           "n_dups": "int64"}, sort_by="text_hash")
 
 
 DEDUP_EXACT_SQL = """
@@ -122,7 +125,10 @@ def dedup_exact_keep(sf_dir: str) -> pd.DataFrame:
         right_dtypes={"keep_doc_id": "int64"},
         coalesce_blocks=16,
     ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"doc_id": "int64", "text": "object"},
+                     sort_by="doc_id")
 
 
 DEDUP_EXACT_KEEP_SQL = """
@@ -298,7 +304,7 @@ def dedup_minhash_candidates(
         out = pd.DataFrame(
             {"doc_a": m["doc_a"].to_numpy(np.int64),
              "doc_b": m["doc_b"].to_numpy(np.int64),
-             "jaccard": np.round(jac, 6)}
+             "jaccard": round_away(jac, 6)}
         )
         return out[jac >= min_jaccard]
 
@@ -359,7 +365,10 @@ def doc_simhash(sf_dir: str) -> pd.DataFrame:
         )
 
     out = ds.map_batches(sim_batch, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"doc_id": "int64", "simhash": "int64"},
+                     sort_by="doc_id")
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -587,7 +596,7 @@ def ngram_jaccard_exact(
         )
         out = pd.DataFrame({"doc_a": m["doc_a"].to_numpy(np.int64),
                             "doc_b": m["doc_b"].to_numpy(np.int64),
-                            "jaccard": np.round(jac, 6)})
+                            "jaccard": round_away(jac, 6)})
         return out[jac >= min_jaccard]
 
     out = bucketed_join(
@@ -685,7 +694,7 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame
             {
                 "vec_a": np.concatenate(out_a).astype(np.int64),
                 "vec_b": np.concatenate(out_b).astype(np.int64),
-                "cosine": np.round(np.concatenate(out_c), 6),
+                "cosine": round_away(np.concatenate(out_c), 6),
             }
         )
 

@@ -58,8 +58,10 @@ def extract_kind_counts(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_pages"))
         .to_pandas()
     )
-    out["n_pages"] = out["n_pages"].astype("int64")
-    return out.sort_values("payload_kind").reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"payload_kind": "object", "n_pages": "int64"},
+                     sort_by="payload_kind")
 
 
 # mirrors sources/synth.py:build_page_row branch order exactly: the
@@ -127,7 +129,11 @@ def extract_closed_paths(sf_dir: str) -> pd.DataFrame:
         )
 
     out = ds.map_batches(proj, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"doc_id": "int64", "payload_kind": "object",
+                           "text_md5": "object", "n_chars": "int64"},
+                     sort_by="doc_id")
 
 
 EXTRACT_CLOSED_PATHS_SQL = r"""

@@ -50,7 +50,13 @@ def image_features(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    return out.sort_values("media_id").reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"media_id": "object", "width": "int64",
+                           "height": "int64", "mean_r": "float64",
+                           "mean_g": "float64", "mean_b": "float64",
+                           "std_gray": "float64", "ahash": "object",
+                           "error": "object"}, sort_by="media_id")
 
 
 def audio_features(sf_dir: str) -> pd.DataFrame:
@@ -64,7 +70,13 @@ def audio_features(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    return out.sort_values("media_id").reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"media_id": "object", "sample_rate": "int64",
+                           "n_samples": "int64", "duration_s": "float64",
+                           "n_frames": "int64", "rms_mean": "float64",
+                           "rms_max": "float64", "error": "object"},
+                     sort_by="media_id")
 
 
 def video_frame_hashes(sf_dir: str) -> pd.DataFrame:
@@ -78,4 +90,8 @@ def video_frame_hashes(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"media_id": "object", "frame_idx": "int64",
+                           "ahash": "object", "error": "object"},
+                     sort_by=["media_id", "frame_idx"])

@@ -28,7 +28,7 @@ import pyarrow.parquet  # noqa: F401  (enables pa.parquet.read_table)
 import ray
 import ray.data
 
-from ..functions.frames import typed_out
+from ..functions.frames import round_away, typed_out
 
 
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
@@ -36,9 +36,24 @@ def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
 
 
 def _partial_then_final(ds, key_cols, partial_fn, final_agg):
-    """partial combine inside map_batches -> small groupby over partials."""
-    partials = ds.map_batches(partial_fn, batch_format="pandas")
-    return partials.groupby(key_cols).aggregate(*final_agg)
+    """Partial combine inside map_batches -> deterministic final combine.
+
+    The partial stream is bounded (blocks x schema-bounded group count), so
+    the final combine collects it and reduces with pandas AFTER a full sort.
+    A distributed Sum would add float partials in block-arrival order, which
+    differs run to run; near a round() boundary that flips the last digit
+    and breaks the hash-compare determinism the driver's gate relies on.
+    ``final_agg`` maps output column -> (source column, "sum"|"min"|"max").
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    parts = ds.map_batches(partial_fn, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return parts
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    return parts.groupby(key_cols, as_index=False).agg(
+        **{out: (col, op) for out, (col, op) in final_agg.items()}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -46,8 +61,6 @@ def _partial_then_final(ds, key_cols, partial_fn, final_agg):
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
-
     ds = _read(
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -71,15 +84,15 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     out = _partial_then_final(
         ds, ["l_returnflag", "l_linestatus"], partial,
-        (
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("sum_charge", alias_name="sum_charge"),
-            Sum("sum_disc", alias_name="sum_disc"),
-            Sum("count_order", alias_name="count_order"),
-        ),
-    ).to_pandas()
+        {
+            "sum_qty": ("sum_qty", "sum"),
+            "sum_base_price": ("sum_base_price", "sum"),
+            "sum_disc_price": ("sum_disc_price", "sum"),
+            "sum_charge": ("sum_charge", "sum"),
+            "sum_disc": ("sum_disc", "sum"),
+            "count_order": ("count_order", "sum"),
+        },
+    )
     if out.empty:
         return typed_out(out, {
             "l_returnflag": "object", "l_linestatus": "object",
@@ -87,11 +100,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             "sum_disc_price": "float64", "sum_charge": "float64",
             "count_order": "int64", "avg_qty": "float64",
             "avg_price": "float64", "avg_disc": "float64"})
-    out["avg_qty"] = (out.sum_qty / out.count_order).round(4)
-    out["avg_price"] = (out.sum_base_price / out.count_order).round(4)
-    out["avg_disc"] = (out.sum_disc / out.count_order).round(4)
+    out["avg_qty"] = round_away(out.sum_qty / out.count_order, 4)
+    out["avg_price"] = round_away(out.sum_base_price / out.count_order, 4)
+    out["avg_disc"] = round_away(out.sum_disc / out.count_order, 4)
     for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
-        out[c] = out[c].round(2)
+        out[c] = round_away(out[c], 2)
     out = out.drop(columns=["sum_disc"])
     out["count_order"] = out["count_order"].astype("int64")
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
@@ -165,7 +178,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     def bucket_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         rev = left.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
         m = rev.merge(right, left_on="l_orderkey", right_on="o_orderkey")
-        m["revenue"] = m.revenue.round(2)
+        m["revenue"] = round_away(m.revenue, 2)
         m = m.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
         return m[["l_orderkey", "revenue", "o_orderdate"]]
 
@@ -258,7 +271,7 @@ def orders_per_region(sf_dir: str) -> pd.DataFrame:
     out = out.groupby("r_name", as_index=False).agg(
         n_orders=("n_orders", "sum"), total=("total", "sum")
     )
-    out["total"] = out.total.round(2)
+    out["total"] = round_away(out.total, 2)
     out["n_orders"] = out.n_orders.astype("int64")
     return out.sort_values("r_name").reset_index(drop=True)
 
@@ -302,7 +315,7 @@ def events_tumbling_hourly(sf_dir: str) -> pd.DataFrame:
     if out.empty:
         return typed_out(out, {"window_h": "int64", "event_type": "object",
                                "n_events": "int64", "sum_value": "float64"})
-    out["sum_value"] = out.sum_value.round(2)
+    out["sum_value"] = round_away(out.sum_value, 2)
     out["n_events"] = out.n_events.astype("int64")
     return out.sort_values(["window_h", "event_type"]).reset_index(drop=True)
 
@@ -348,7 +361,7 @@ def events_top_users(sf_dir: str) -> pd.DataFrame:
     if out.empty:
         return typed_out(out, {"user_id": "int64", "total_value": "float64",
                                "n_events": "int64"})
-    out["total_value"] = out.total_value.round(2)
+    out["total_value"] = round_away(out.total_value, 2)
     out["n_events"] = out.n_events.astype("int64")
     out = out.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
     return out[["user_id", "total_value", "n_events"]].reset_index(drop=True)
@@ -368,8 +381,6 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Max, Min, Sum
-
     ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -382,18 +393,18 @@ def part_type_stats(sf_dir: str) -> pd.DataFrame:
 
     out = _partial_then_final(
         ds, "p_type", partial,
-        (
-            Sum("n_parts", alias_name="n_parts"),
-            Sum("sum_price", alias_name="sum_price"),
-            Min("min_size", alias_name="min_size"),
-            Max("max_size", alias_name="max_size"),
-        ),
-    ).to_pandas()
+        {
+            "n_parts": ("n_parts", "sum"),
+            "sum_price": ("sum_price", "sum"),
+            "min_size": ("min_size", "min"),
+            "max_size": ("max_size", "max"),
+        },
+    )
     if out.empty:
         return typed_out(out, {"p_type": "object", "n_parts": "int64",
                                "min_size": "int32", "max_size": "int32",
                                "avg_price": "float64"})
-    out["avg_price"] = (out.sum_price / out.n_parts).round(4)
+    out["avg_price"] = round_away(out.sum_price / out.n_parts, 4)
     out = out.drop(columns=["sum_price"])
     out["n_parts"] = out.n_parts.astype("int64")
     out["min_size"] = out.min_size.astype("int32")
@@ -610,8 +621,6 @@ ORDER BY month
 # ---------------------------------------------------------------------------
 
 def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Max, Min, Sum
-
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -624,22 +633,22 @@ def customer_segment_stats(sf_dir: str) -> pd.DataFrame:
 
     out = _partial_then_final(
         ds, "c_mktsegment", partial,
-        (
-            Sum("n_customers", alias_name="n_customers"),
-            Sum("sum_acctbal", alias_name="sum_acctbal"),
-            Min("min_acctbal", alias_name="min_acctbal"),
-            Max("max_acctbal", alias_name="max_acctbal"),
-        ),
-    ).to_pandas()
+        {
+            "n_customers": ("n_customers", "sum"),
+            "sum_acctbal": ("sum_acctbal", "sum"),
+            "min_acctbal": ("min_acctbal", "min"),
+            "max_acctbal": ("max_acctbal", "max"),
+        },
+    )
     if out.empty:
         return typed_out(out, {"c_mktsegment": "object", "n_customers": "int64",
                                "min_acctbal": "float64", "max_acctbal": "float64",
                                "avg_acctbal": "float64"})
-    out["avg_acctbal"] = (out.sum_acctbal / out.n_customers).round(4)
+    out["avg_acctbal"] = round_away(out.sum_acctbal / out.n_customers, 4)
     out = out.drop(columns=["sum_acctbal"])
     out["n_customers"] = out.n_customers.astype("int64")
-    out["min_acctbal"] = out.min_acctbal.round(2)
-    out["max_acctbal"] = out.max_acctbal.round(2)
+    out["min_acctbal"] = round_away(out.min_acctbal, 2)
+    out["max_acctbal"] = round_away(out.max_acctbal, 2)
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 

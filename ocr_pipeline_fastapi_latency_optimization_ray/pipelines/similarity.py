@@ -18,6 +18,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from ..functions.frames import round_away
+
 
 def _l2norm(mat: np.ndarray) -> np.ndarray:
     return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
@@ -32,6 +34,8 @@ def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
     t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["embedding"], filter=pads.field("vec_id") == query_vec_id
     )
+    if t.num_rows == 0:  # missing query id / empty partition -> no matches
+        return None
     qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
     return qvec / max(np.linalg.norm(qvec), 1e-12)
 
@@ -39,7 +43,12 @@ def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
 def ann_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Brute-force cosine top-k against the embedding of ``query_vec_id``
     (excluded from results). Per-batch local top-k, tiny global merge."""
+    from ..functions.frames import typed_out
+
+    empty = pd.DataFrame()
     qvec = _query_vector(sf_dir, query_vec_id)
+    if qvec is None:
+        return typed_out(empty, {"vec_id": "int64", "cosine": "float64"})
     q_ref = ray.put(qvec)
 
     ds = ray.data.read_parquet(
@@ -56,8 +65,10 @@ def ann_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
         return out.nlargest(k, "cosine")
 
     out = ds.map_batches(score_batch, batch_format="pandas").to_pandas()
+    if out.empty:
+        return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
     out = out.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-    out["cosine"] = out.cosine.round(6)
+    out["cosine"] = round_away(out.cosine, 6)
     out["vec_id"] = out.vec_id.astype("int64")
     return out.reset_index(drop=True)
 
@@ -125,10 +136,14 @@ def ann_ivf_topk(
         .map_batches(pick, batch_format="pandas")
         .to_pandas()
     )
-    sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
-    index = IvfIndex(sample, n_lists=n_lists)
+    from ..functions.frames import typed_out
 
     qvec = _query_vector(sf_dir, query_vec_id)
+    if qvec is None or sample_df.empty:
+        return typed_out(pd.DataFrame(), {"vec_id": "int64",
+                                          "cosine": "float64"})
+    sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
+    index = IvfIndex(sample, n_lists=n_lists)
     probe_lists = np.argsort(-(index.centroids @ qvec))[:n_probe]
     index_ref = ray.put(index)
     q_ref = ray.put(qvec)
@@ -153,8 +168,10 @@ def ann_ivf_topk(
         return out.nlargest(k, "cosine")
 
     out = ds.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    if out.empty:
+        return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
     out = out.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-    out["cosine"] = out.cosine.round(6)
+    out["cosine"] = round_away(out.cosine, 6)
     out["vec_id"] = out.vec_id.astype("int64")
     return out.reset_index(drop=True)
 
@@ -167,7 +184,12 @@ def ann_range_search(
     broadcast + per-batch matmul shape as ``ann_cosine_topk``; output size
     is data-dependent, so each batch emits only its qualifying rows
     (streaming, no global top-k merge)."""
+    from ..functions.frames import typed_out
+
     qvec = _query_vector(sf_dir, query_vec_id)
+    if qvec is None:
+        return typed_out(pd.DataFrame(), {"vec_id": "int64",
+                                          "cosine": "float64"})
     q_ref = ray.put(qvec)
 
     ds = ray.data.read_parquet(
@@ -185,8 +207,8 @@ def ann_range_search(
         )
 
     out = ds.map_batches(score_batch, batch_format="pandas").to_pandas()
-    out["vec_id"] = out.vec_id.astype("int64")
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return typed_out(out, {"vec_id": "int64", "cosine": "float64"},
+                     sort_by="vec_id")
 
 
 ANN_RANGE_SEARCH_SQL = """

@@ -21,7 +21,7 @@ import pandas as pd
 
 import ray.data
 
-from ..functions.frames import typed_out
+from ..functions.frames import round_away, typed_out
 from ..functions.shuffle import add_bucket_column, bucketed_combine
 
 EVENTS_COLS = ["ts", "user_id", "event_type", "value"]
@@ -55,7 +55,7 @@ def events_high_value_errors(sf_dir: str, min_value: float = 90.0) -> pd.DataFra
         return typed_out(out, {"event_id": "int64", "user_id": "int64",
                                "value": "float64"})
     out = out[["event_id", "user_id", "value"]]
-    out["value"] = out.value.round(6)
+    out["value"] = round_away(out.value, 6)
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -108,7 +108,7 @@ def events_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
                 "user_id": m.user_id.astype("int64"),
                 "purchase_ts": m.ts,
                 "click_ts": m.click_ts,
-                "gap_s": (m.ts - m.click_ts).dt.total_seconds().round(6),
+                "gap_s": round_away((m.ts - m.click_ts).dt.total_seconds(), 6),
             }
         )
         return out
@@ -172,7 +172,7 @@ def events_sliding_hourly(sf_dir: str) -> pd.DataFrame:
         return typed_out(out, {"window_start": "datetime64[us]",
                                "event_type": "object", "n_events": "int64",
                                "sum_value": "float64"})
-    out["sum_value"] = out.sum_value.round(2)
+    out["sum_value"] = round_away(out.sum_value, 2)
     out["n_events"] = out.n_events.astype("int64")
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
@@ -224,7 +224,7 @@ def events_user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             n_events=("ts", "size"),
         )
         agg["duration_s"] = (
-            (agg.session_end - agg.session_start).dt.total_seconds().round(6)
+            round_away((agg.session_end - agg.session_start).dt.total_seconds(), 6)
         )
         return agg.reset_index(drop=True)
 

@@ -15,6 +15,7 @@ import pandas as pd
 
 import ray.data
 
+from ..functions.frames import typed_out
 from ..functions.hashing import stable_hash64_batch
 
 # fixed stopword lists for the n-gram/stopword language heuristic — tiny and
@@ -57,7 +58,9 @@ def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(token_stats_batch, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "n_tokens": "int64",
+                           "n_chars": "int64", "n_distinct_tokens": "int64"},
+                     sort_by="doc_id")
 
 
 DOC_TOKEN_STATS_SQL = """
@@ -102,7 +105,9 @@ def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(quality_batch, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "n_tokens": "int64",
+                           "n_chars": "int64", "n_stopwords": "int64",
+                           "n_alpha": "int64"}, sort_by="doc_id")
 
 
 DOC_QUALITY_SQL = """
@@ -160,7 +165,8 @@ def doc_langid(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(
         LangIdModel, batch_format="pandas", concurrency=2
     ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "pred_lang": "object",
+                           "score": "int64"}, sort_by="doc_id")
 
 
 def _langid_sql() -> str:
@@ -246,8 +252,8 @@ def docs_longest(sf_dir: str, k: int = 100) -> pd.DataFrame:
         .limit(k)
         .to_pandas()
     )
-    out["n_chars"] = out.n_chars.astype("int64")
-    return out[["doc_id", "n_chars", "lang"]].reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "n_chars": "int64",
+                           "lang": "object"})
 
 
 DOCS_LONGEST_SQL = """
@@ -261,7 +267,9 @@ LIMIT 100
 def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "fp_full": "object",
+                           "fp_head": "object", "fp_tail": "object",
+                           "fp_roll": "int64"}, sort_by="doc_id")
 
 
 def token_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
@@ -287,6 +295,8 @@ def token_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
         return t.sort_values(["n", "token"], ascending=[False, True]).head(k)
 
     out = bucketed_combine(ds, "token", partial, combine).to_pandas()
+    if out.empty:
+        return typed_out(out, {"token": "object", "n": "int64"})
     out["n"] = out.n.astype("int64")
     return (
         out.sort_values(["n", "token"], ascending=[False, True])
@@ -326,7 +336,8 @@ def doc_sample_split(sf_dir: str, eval_pct: int = 10) -> pd.DataFrame:
         )
 
     out = ds.map_batches(split, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return typed_out(out, {"doc_id": "int64", "bucket": "int64",
+                           "split": "object"}, sort_by="doc_id")
 
 
 def doc_length_histogram(sf_dir: str, bucket_chars: int = 50) -> pd.DataFrame:
@@ -349,9 +360,8 @@ def doc_length_histogram(sf_dir: str, bucket_chars: int = 50) -> pd.DataFrame:
         .aggregate(Sum("n_docs", alias_name="n_docs"))
         .to_pandas()
     )
-    out["bucket"] = out.bucket.astype("int64")
-    out["n_docs"] = out.n_docs.astype("int64")
-    return out.sort_values("bucket").reset_index(drop=True)
+    return typed_out(out, {"bucket": "int64", "n_docs": "int64"},
+                     sort_by="bucket")
 
 
 DOC_LENGTH_HISTOGRAM_SQL = """
@@ -397,12 +407,15 @@ def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
         .groupby("v")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values("v")
     )
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    if "v" not in hist.columns or not len(hist):
+        # empty corpus: percentile over nothing is NULL (matches the oracle)
+        return pd.DataFrame({"p": ps, "n_chars_q": [np.nan] * len(ps)})
+    hist = hist.sort_values("v")
     vals = hist["v"].to_numpy(np.int64)
     cum = hist["n"].to_numpy(np.int64).cumsum()
-    n = int(cum[-1]) if len(cum) else 0
-    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    n = int(cum[-1])
     qs = [int(vals[np.searchsorted(cum, math.ceil(p * n))]) for p in ps]
     return pd.DataFrame({"p": ps, "n_chars_q": pd.array(qs, dtype="int64")})
 
