@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 58 entries, 42 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 59 entries, 42 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_range_search": similarity.ann_range_search,
         "knn_label_vote": similarity.knn_label_vote,
+        "embedding_kmeans": similarity.embedding_kmeans,
         # multimodal (binary media columns -> actor-pool decode/featurize;
         # decode is a deterministic stub, plumbing is real — stages/multimodal.py)
         "image_features": multimodal.image_features,

@@ -245,3 +245,95 @@ def knn_label_vote(sf_dir: str, query_vec_id: int = 0, k: int = 20) -> pd.DataFr
         .astype({"label": "int32", "n": "int64"})
     )
     return out.sort_values(["n", "label"], ascending=[False, True]).reset_index(drop=True)
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = 8, n_iters: int = 5
+) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    clustering step of semantic dedup / data-mixing pipelines. Returns one
+    row per cluster: (cluster_id, n_vecs, inertia), sorted by cluster_id.
+
+    Scale shape: centroids broadcast via ``ray.put`` (k x dim, bounded);
+    each iteration is ONE streaming pass — per-batch assignment is a
+    matmul against the broadcast centroids, and the update reduces
+    per-batch partial sums (k x dim + k counts per batch, bounded by k,
+    not the corpus). Deterministic: centroids init from the same
+    whole-table hash sample the IVF index uses, and float partials are
+    summed after a stable sort. Iterative by nature -> no SQL oracle;
+    tests pin determinism and monotone non-increasing inertia."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    from ..functions.frames import typed_out
+
+    if n_rows == 0:
+        return typed_out(pd.DataFrame(), {"cluster_id": "int64",
+                                          "n_vecs": "int64",
+                                          "inertia": "float64"})
+    rate = max(1, n_rows // 512)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
+        return df.loc[keep, ["vec_id", "embedding"]]
+
+    sample_df = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")  # deterministic regardless of block order
+    )
+    sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
+    centroids = sample[:k].astype(np.float64).copy()
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    for _ in range(n_iters):
+        c_ref = ray.put(centroids)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            mat = np.stack(df["embedding"].values).astype(np.float64)
+            # squared-euclidean assignment via the expansion trick
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                - 2.0 * (mat @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            rows = []
+            for cid in np.unique(a):
+                m = a == cid
+                rows.append({
+                    "cluster_id": int(cid),
+                    "n_vecs": int(m.sum()),
+                    "sum_vec": mat[m].sum(0).tobytes(),
+                    "inertia": float(d2[m, cid].sum()),
+                })
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        # deterministic reduce: sort the bounded partial stream first
+        parts = parts.sort_values(
+            ["cluster_id", "n_vecs", "inertia"], kind="stable"
+        ).reset_index(drop=True)
+        dim = centroids.shape[1]
+        new_c = centroids.copy()
+        stats = []
+        for cid, g in parts.groupby("cluster_id"):
+            s = np.zeros(dim)
+            for b in g["sum_vec"]:
+                s = s + np.frombuffer(b, dtype=np.float64)
+            n = int(g["n_vecs"].sum())
+            if n:
+                new_c[cid] = s / n
+            stats.append((int(cid), n, float(g["inertia"].sum())))
+        centroids = new_c
+        last = stats
+
+    out = pd.DataFrame(last, columns=["cluster_id", "n_vecs", "inertia"])
+    out["inertia"] = out["inertia"].round(6)
+    return typed_out(out, {"cluster_id": "int64", "n_vecs": "int64",
+                           "inertia": "float64"}, sort_by="cluster_id")

@@ -103,6 +103,7 @@ ROWS_ONLY = [
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
+    "embedding_kmeans",
 ]
 
 
@@ -191,3 +192,19 @@ def test_bucketed_join_empty_sides(ray_session, tmp_path):
 
     out = bucketed_join(left, right, "k", "k2", join_fn, num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_kmeans_deterministic_and_converging(entry_mod, ray_session):
+    """Same input twice -> identical clusters; inertia non-increasing in
+    iteration count; cluster sizes cover the table."""
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import similarity
+
+    a = similarity.embedding_kmeans(SF_DIR, k=8, n_iters=4)
+    b = similarity.embedding_kmeans(SF_DIR, k=8, n_iters=4)
+    assert a.equals(b)
+    n_rows = pq.ParquetFile(f"{SF_DIR}/embeddings.parquet").metadata.num_rows
+    assert a.n_vecs.sum() == n_rows
+    short = similarity.embedding_kmeans(SF_DIR, k=8, n_iters=1)
+    assert a.inertia.sum() <= short.inertia.sum() + 1e-6
