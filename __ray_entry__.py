@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 59 entries, 42 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 60 entries, 43 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_split": text_analysis.doc_sample_split,
         "doc_length_histogram": text_analysis.doc_length_histogram,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
+        "corpus_mix": text_analysis.corpus_mix,
         # corpus curation (chunk dedup, dup clusters, repetition, PII,
         # normalization, contamination, source stats, filter funnel —
         # pipelines/curation.py)
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "doc_length_histogram": text_analysis.DOC_LENGTH_HISTOGRAM_SQL,
         "doc_length_quantiles": text_analysis.DOC_LENGTH_QUANTILES_SQL,
+        "corpus_mix": text_analysis.CORPUS_MIX_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
         "extract_kind_counts": extract_checks.EXTRACT_KIND_COUNTS_SQL,
         "extract_closed_paths": extract_checks.EXTRACT_CLOSED_PATHS_SQL,

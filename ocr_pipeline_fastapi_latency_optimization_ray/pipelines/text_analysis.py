@@ -432,3 +432,44 @@ UNION ALL
 SELECT 0.99 AS p, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS n_chars_q FROM documents
 ORDER BY p
 """
+
+
+def corpus_mix(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-source downsampling — the data-mixing step that
+    reweights a corpus before training (keep 100% of one source family,
+    50% / 20% of others). Keep decision = Knuth multiplicative hash of
+    doc_id compared against the source's rate, so the sample is exactly
+    reproducible under any partitioning and in SQL. Pure map + filter:
+    no shuffle at any scale."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def mix(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+        fam = df["source"].str[3:].astype(int).to_numpy(np.int64) % 3
+        rate = np.select([fam == 0, fam == 1], [100, 50], default=20)
+        keep = bucket < rate
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+            "source": df["source"].to_numpy()[keep],
+        })
+
+    out = ds.map_batches(mix, batch_format="pandas").to_pandas()
+    return typed_out(out, {"doc_id": "int64", "source": "object"},
+                     sort_by="doc_id")
+
+
+CORPUS_MIX_SQL = """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS bucket,
+         CASE CAST(substr(source, 4) AS INTEGER) % 3
+              WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS rate
+  FROM documents
+)
+WHERE bucket < rate
+ORDER BY doc_id
+"""

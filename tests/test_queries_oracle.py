@@ -85,7 +85,7 @@ SQL_CHECKED = [
     "pii_scan", "doc_normalize", "contamination_check",
     "source_stats", "filter_funnel",
     "extract_kind_counts", "extract_closed_paths", "corpus_build",
-    "doc_length_quantiles", "events_retention",
+    "doc_length_quantiles", "events_retention", "corpus_mix",
 ]
 
 
