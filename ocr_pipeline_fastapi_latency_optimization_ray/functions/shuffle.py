@@ -93,6 +93,21 @@ def _null_of(dtype: np.dtype):
     return None
 
 
+def _stable_order(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort a bucket's rows by every column before handing them to the
+    user's combine/join function. Bucket contents are a deterministic SET,
+    but their ORDER depends on block-arrival scheduling — a per-key float
+    sum inside the user fn would then add in varying order and flip the
+    last rounded digit run to run (breaking the driver's hash compare).
+    Falls back to arrival order only for unsortable object payloads."""
+    if len(df) <= 1:
+        return df
+    try:
+        return df.sort_values(list(df.columns), kind="stable")
+    except TypeError:
+        return df
+
+
 def bucketed_join(
     left_ds,
     right_ds,
@@ -212,7 +227,7 @@ def bucketed_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = _restore(g[g["_side"] == "l"][l_names].copy(), l_dtypes)
         right = _restore(g[g["_side"] == "r"][r_names].copy(), r_dtypes)
-        return join_fn(left, right)
+        return join_fn(_stable_order(left), _stable_order(right))
 
     return (
         tagged.groupby("_bucket")
@@ -244,7 +259,7 @@ def bucketed_combine(ds, key_cols, partial_fn, combine_fn, num_buckets: int = 32
         return add_bucket_column(p, key_cols, num_buckets)
 
     def combine_drop(g: pd.DataFrame) -> pd.DataFrame:
-        return combine_fn(g.drop(columns=["_bucket"]))
+        return combine_fn(_stable_order(g.drop(columns=["_bucket"])))
 
     partials = ds.map_batches(partial_with_bucket, batch_format="pandas")
     if coalesce_blocks:
