@@ -166,15 +166,15 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
     corpus-level dedup (pick min-id per cluster, drop the rest).
 
     Plan: (doc, chunk-hash) pairs -> per-hash star edges (min-doc ->
-    member; linear, never a clique) -> iterative min-label propagation.
-    Each round sends every node's current label along every edge and takes
-    the per-node min: two bucketed shuffles of fixed-width (node, label)
-    rows, materialized per round (the iterative-algorithm exception to
-    lazy streaming — each round's result is O(nodes-in-edges), tiny next
-    to the corpus). Converges in O(component diameter) rounds; the label
-    sum is monotone non-increasing, so an unchanged sum is a fixpoint.
-    Documents with no duplicate chunk never enter the iteration and get
-    their own id in the final left join."""
+    member; linear, never a clique) -> BSP min-label propagation over
+    sharded edge actors (state/cc_bsp.py): the static edge set loads into
+    per-bucket actors ONCE and stays resident across supersteps, so each
+    round moves only (node, label) messages — the round-1 Dataset
+    formulation re-shuffled the unchanged edges through a sort exchange
+    every round. Documents with no duplicate chunk never enter the
+    propagation and get their own id in the final left join."""
+    from ..state.cc_bsp import connected_components_bsp
+
     pairs = _chunk_pairs(sf_dir, k)
 
     def edges_combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -189,58 +189,9 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
     edges = bucketed_combine(
         pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
         edges_combine, num_buckets=16, coalesce_blocks=4,
-    ).materialize()
+    )
 
-    sym = edges.map_batches(
-        lambda df: pd.DataFrame({
-            "src": np.concatenate([df["a"].to_numpy(np.int64),
-                                   df["b"].to_numpy(np.int64)]),
-            "dst": np.concatenate([df["b"].to_numpy(np.int64),
-                                   df["a"].to_numpy(np.int64)]),
-        }),
-        batch_format="pandas",
-    ).materialize()
-
-    def min_label(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["label"].min()
-
-    # round 0: label(node) = min(node, neighbors) — init fused with one step
-    labels = bucketed_combine(
-        sym,
-        "node",
-        lambda df: pd.DataFrame({
-            "node": np.concatenate([df["src"].to_numpy(np.int64)] * 2),
-            "label": np.concatenate([df["src"].to_numpy(np.int64),
-                                     df["dst"].to_numpy(np.int64)]),
-        }),
-        min_label,
-        num_buckets=8, coalesce_blocks=4,
-    ).materialize()
-    prev = labels.sum("label") if labels.count() else 0
-
-    dtypes_sym = {"src": "int64", "dst": "int64"}
-    dtypes_lbl = {"node": "int64", "label": "int64"}
-    for _ in range(max_iters):
-        if prev == 0:
-            break
-
-        def send(sym_df: pd.DataFrame, lbl_df: pd.DataFrame) -> pd.DataFrame:
-            m = sym_df.merge(lbl_df, left_on="src", right_on="node")
-            return pd.DataFrame({"node": m["dst"].to_numpy(np.int64),
-                                 "label": m["label"].to_numpy(np.int64)})
-
-        msgs = bucketed_join(sym, labels, "src", "node", send,
-                             num_buckets=16,
-                             left_dtypes=dtypes_sym, right_dtypes=dtypes_lbl,
-                             coalesce_blocks=4)
-        labels = bucketed_combine(
-            msgs.union(labels), "node", lambda df: df, min_label,
-            num_buckets=8, coalesce_blocks=4,
-        ).materialize()
-        cur = labels.sum("label")
-        if cur == prev:
-            break
-        prev = cur
+    labels = connected_components_bsp(edges, n_buckets=8, max_iters=max_iters)
 
     docs = _docs(sf_dir, columns=("doc_id",))
 
@@ -257,7 +208,7 @@ def dup_clusters(sf_dir: str, k: int = 5, max_iters: int = 30) -> pd.DataFrame:
     out = bucketed_join(docs, labels, "doc_id", "node", attach,
                         num_buckets=16,
                         left_dtypes={"doc_id": "int64"},
-                        right_dtypes=dtypes_lbl,
+                        right_dtypes={"node": "int64", "label": "int64"},
                         coalesce_blocks=4).to_pandas()
     return typed_out(out, {"doc_id": "int64", "cluster_id": "int64"},
                      sort_by="doc_id")

@@ -189,3 +189,43 @@ def test_normalize_unicode_and_whitespace(ray_session, tmp_path):
     want = con.execute(C.DOC_NORMALIZE_SQL).df()
     assert got["norm_md5"].tolist() == want["norm_md5"].tolist()
     assert got["n_chars_norm"].tolist() == want["n_chars_norm"].tolist()
+
+
+def test_cc_bsp_chain_and_forest(ray_session):
+    """Direct BSP check on a graph that needs multi-hop propagation: a
+    10-node path (diameter 9), a triangle, and isolated pairs — labels
+    must reach the component minimum, matching union-find."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.state.cc_bsp import (
+        connected_components_bsp,
+    )
+
+    edges = [(i, i + 1) for i in range(100, 109)]          # path 100..109
+    edges += [(200, 201), (201, 202), (202, 200)]          # triangle
+    edges += [(300, 301), (400, 401)]                      # pairs
+    df = pd.DataFrame({"a": [a for a, _ in edges],
+                       "b": [b for _, b in edges]})
+    ds = ray.data.from_pandas(df)
+    out = connected_components_bsp(ds, n_buckets=4).to_pandas()
+    got = dict(zip(out.node, out.label))
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        parent[find(a)] = find(b)
+    for a, b in edges:
+        union(a, b)
+    comp_min = {}
+    for n in list(parent):
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+    assert got == want
