@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 60 entries, 43 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 61 entries, 43 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact_groups,
         "dedup_exact_keep": dedup.dedup_exact_keep,
+        "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
         "dedup_minhash": dedup.dedup_minhash_candidates,
         "doc_simhash": dedup.doc_simhash,
         "dedup_simhash": dedup.dedup_simhash_candidates,

@@ -715,3 +715,59 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame
                              "vec_b": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def dedup_minhash_clusters(
+    sf_dir: str, min_jaccard: float = 0.7
+) -> pd.DataFrame:
+    """Near-duplicate canonical assignment — the step a production dedup
+    actually ships: verified MinHash pairs (LSH candidates -> exact
+    Jaccard >= threshold) become edges, BSP connected components
+    (state/cc_bsp.py) assign each document the minimum doc_id of its
+    near-dup cluster, and every unclustered document keeps its own id.
+    Returns (doc_id, canonical_id, is_kept) for all documents. Transitive
+    by construction: A~B and B~C place A,B,C in one cluster even when
+    A~C is below threshold (the standard corpus-dedup semantics).
+    No SQL oracle (MinHash); pinned by a brute-force comparison test.
+    (At full scale the pairs stay a Dataset feeding the BSP shards
+    directly; the pandas hop here mirrors dedup_minhash_candidates'
+    query-result contract, whose pair count is threshold-bounded.)"""
+    import ray.data
+
+    from ..functions.frames import typed_out
+    from ..state.cc_bsp import connected_components_bsp
+
+    pairs = dedup_minhash_candidates(sf_dir, min_jaccard=min_jaccard)
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"a": pairs["doc_a"].to_numpy(np.int64),
+                      "b": pairs["doc_b"].to_numpy(np.int64)})
+        if len(pairs) else
+        pd.DataFrame({"a": pd.Series(dtype="int64"),
+                      "b": pd.Series(dtype="int64")})
+    )
+    labels = connected_components_bsp(edges, n_buckets=8)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def attach(ddf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        m = ddf.merge(ldf, left_on="doc_id", right_on="node", how="left")
+        lab = m["label"].to_numpy(dtype=float)
+        doc = m["doc_id"].to_numpy(np.int64)
+        canon = np.where(np.isnan(lab), doc, np.nan_to_num(lab)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": doc,
+            "canonical_id": canon,
+            "is_kept": doc == canon,
+        })
+
+    from ..functions.shuffle import bucketed_join
+
+    out = bucketed_join(docs, labels, "doc_id", "node", attach,
+                        num_buckets=16,
+                        left_dtypes={"doc_id": "int64"},
+                        right_dtypes={"node": "int64", "label": "int64"},
+                        coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "canonical_id": "int64",
+                           "is_kept": "bool"}, sort_by="doc_id")

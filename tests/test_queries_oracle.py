@@ -103,7 +103,7 @@ ROWS_ONLY = [
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
-    "embedding_kmeans",
+    "embedding_kmeans", "dedup_minhash_clusters",
 ]
 
 
@@ -208,3 +208,35 @@ def test_kmeans_deterministic_and_converging(entry_mod, ray_session):
     assert a.n_vecs.sum() == n_rows
     short = similarity.embedding_kmeans(SF_DIR, k=8, n_iters=1)
     assert a.inertia.sum() <= short.inertia.sum() + 1e-6
+
+
+def test_minhash_clusters_transitive_closure(entry_mod, ray_session):
+    """canonical_id must equal the transitive closure (union-find) of the
+    verified MinHash pair set, with min-id canonicals and is_kept
+    consistent."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+    pairs = dedup.dedup_minhash_candidates(SF_DIR)
+    out = dedup.dedup_minhash_clusters(SF_DIR)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        parent[find(int(a))] = find(int(b))
+    comp_min = {}
+    for n in list(parent):
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    got = dict(zip(out.doc_id, out.canonical_id))
+    for n in parent:
+        assert got[n] == comp_min[find(n)]
+    for d, c, kept in zip(out.doc_id, out.canonical_id, out.is_kept):
+        if d not in parent:
+            assert c == d
+        assert kept == (c == d)
