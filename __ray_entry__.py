@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 61 entries, 43 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 62 entries, 44 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checkable slices of the flagship path (pipelines/extract_checks.py)
         "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_closed_paths": extract_checks.extract_closed_paths,
+        "extract_ts_histogram": extract_checks.extract_ts_histogram,
         # relational / wide operators (partial agg + broadcast joins + windows)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
         "extract_kind_counts": extract_checks.EXTRACT_KIND_COUNTS_SQL,
         "extract_closed_paths": extract_checks.EXTRACT_CLOSED_PATHS_SQL,
+        "extract_ts_histogram": extract_checks.EXTRACT_TS_HISTOGRAM_SQL,
         "corpus_build": curation.CORPUS_BUILD_SQL,
         "chunk_dedup_stats": curation.CHUNK_DEDUP_STATS_SQL,
         "dup_clusters": curation.DUP_CLUSTERS_SQL,

@@ -150,3 +150,53 @@ WHERE doc_id % 50 = 43
    OR (doc_id % 50 = 44 AND text IS NOT NULL AND text <> '')
 ORDER BY doc_id
 """
+
+
+def extract_ts_histogram(sf_dir: str) -> pd.DataFrame:
+    """Pages per crawl month from the ``warc_ts`` column — the snapshot
+    profile every crawl pipeline reports, and the only query exercising
+    the timestamp column of the input schema end-to-end (read -> floor to
+    month -> bounded count). The generator's timestamp is a closed form of
+    the row id (sources/synth.py:build_page_row: epoch-2024 +
+    (rid * 1000003) mod 365d), so the oracle reproduces it with integer
+    arithmetic."""
+    import pyarrow.compute as pc
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t["warc_ts"], format="%Y-%m")
+        counts = month.value_counts()
+        if hasattr(counts, "flatten"):
+            vals, ns = counts.flatten()
+        else:  # chunked
+            vals, ns = counts.combine_chunks().flatten()
+        return pa.table({"month": vals, "n": pc.cast(ns, pa.int64())})
+
+    out = (
+        pages.select_columns(["warc_ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    from ..functions.frames import typed_out
+
+    if out.empty:
+        return typed_out(out, {"month": "object", "n_pages": "int64"})
+    out = out.groupby("month", as_index=False).agg(n_pages=("n", "sum"))
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return typed_out(out, {"month": "object", "n_pages": "int64"},
+                     sort_by="month")
+
+
+EXTRACT_TS_HISTOGRAM_SQL = """
+SELECT strftime(
+         make_timestamp((1704067200 + (doc_id * 1000003) % (365 * 86400))
+                        * 1000000),
+         '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM documents
+GROUP BY month
+ORDER BY month
+"""

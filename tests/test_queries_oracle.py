@@ -86,6 +86,7 @@ SQL_CHECKED = [
     "source_stats", "filter_funnel",
     "extract_kind_counts", "extract_closed_paths", "corpus_build",
     "doc_length_quantiles", "events_retention", "corpus_mix",
+    "extract_ts_histogram",
 ]
 
 
