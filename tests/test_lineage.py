@@ -264,3 +264,39 @@ def test_same_size_rewrite_detected_via_mtime(ray_session, pages_dir, tmp_path):
     os.utime(mod_dir / "shard_01.parquet", ns=(1, 1))
     summary = run_extraction_job(mod_dir, out, _cfg())
     assert summary["processed"] == 1 and summary["skipped"] == N_SHARDS - 1
+
+
+def test_cli_extract_and_resume(ray_session, tmp_path):
+    """The ray-job CLI entry point: extract runs the partitioned job,
+    re-running skips every committed partition, status reports totals."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray import cli
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.synth import (
+        synth_pages_table,
+    )
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    pq.write_table(synth_pages_table(120), pages / "p0.parquet")
+    pq.write_table(synth_pages_table(120, start=120), pages / "p1.parquet")
+    out = tmp_path / "out"
+
+    rc = cli.main(["extract", "--input", str(pages), "--output", str(out),
+                   "--num-partitions", "4"])
+    assert rc == 0
+    rc = cli.main(["status", "--output", str(out)])
+    assert rc == 0
+    # resume: nothing left to do
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["extract", "--input", str(pages), "--output", str(out),
+                  "--num-partitions", "4"])
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["processed"] == 0
+    assert summary["skipped"] == summary["partitions"]
