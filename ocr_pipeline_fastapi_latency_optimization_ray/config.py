@@ -196,4 +196,25 @@ class PipelineConfig:
     link_density_abandon: float = LINK_DENSITY_ABANDON
     boilerplate_hints: tuple[str, ...] = BOILERPLATE_HINTS
 
+    # Memory sizing: Ray block-size target for payload-heavy inputs. None
+    # keeps Ray's default (128 MiB), which at extract_batch_size=256 and
+    # ~5 KB median pages holds batch x actor-pool heap use well under a
+    # worker's share. For corpora whose MEDIAN payload is large (scanned
+    # PDFs, images), set ~32 MiB so a batch of decoded payloads times the
+    # pool's concurrency still fits in heap; apply via
+    # ``apply_data_context(cfg)`` before building the pipeline.
+    target_block_size_bytes: int | None = None
+
     extra: dict = field(default_factory=dict)
+
+
+def apply_data_context(cfg: "PipelineConfig") -> None:
+    """Apply engine-level DataContext settings from the config (call once
+    in the job driver, before building datasets). Only touches settings
+    the config explicitly sets, so tests and embedding callers keep Ray's
+    defaults."""
+    import ray.data
+
+    if cfg.target_block_size_bytes:
+        ctx = ray.data.DataContext.get_current()
+        ctx.target_max_block_size = cfg.target_block_size_bytes

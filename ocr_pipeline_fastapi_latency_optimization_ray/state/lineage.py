@@ -42,7 +42,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..config import PipelineConfig
+from ..config import apply_data_context, PipelineConfig
 
 LINEAGE_DIR = "_lineage"
 
@@ -174,6 +174,7 @@ def run_extraction_job(
     from ..pipelines.extract import build_extraction_pipeline
 
     cfg = cfg or PipelineConfig()
+    apply_data_context(cfg)  # block-size target for payload-heavy corpora
     out_dir = Path(out_dir)
     shards = list_input_shards(input_dir)
     if not shards:
