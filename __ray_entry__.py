@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 62 entries, 44 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 63 entries, 44 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text_analysis.doc_length_histogram,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "corpus_mix": text_analysis.corpus_mix,
+        "token_topk_cms": text_analysis.token_topk_cms,
         # corpus curation (chunk dedup, dup clusters, repetition, PII,
         # normalization, contamination, source stats, filter funnel —
         # pipelines/curation.py)

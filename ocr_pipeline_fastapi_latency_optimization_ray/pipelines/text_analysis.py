@@ -473,3 +473,64 @@ FROM (
 WHERE bucket < rate
 ORDER BY doc_id
 """
+
+
+def token_topk_cms(
+    sf_dir: str, k: int = 50, width: int = 4096, depth: int = 4
+) -> pd.DataFrame:
+    """Approximate heavy hitters via a count-min sketch — the mergeable-
+    sketch alternative to the exact bucketed ``token_topk`` when even one
+    row per distinct token per bucket is too much (open-vocabulary n-grams
+    at corpus scale). Each batch emits ONE fixed-size (depth x width)
+    count matrix plus its local top candidates; matrices merge by
+    elementwise sum (the CMS property), so the reduce is O(batches) over
+    constant-size state no matter the vocabulary. Final counts = CMS
+    estimate (min over rows) for the union of local candidates.
+    Overestimates only (one-sided error <= eps*N with eps = e/width);
+    accuracy pinned against the exact top-k in tests."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        toks = ex.dropna().to_numpy(dtype=object)
+        cms = np.zeros((depth, width), np.int64)
+        if len(toks):
+            h = pd.util.hash_array(toks)  # stable across processes
+            for d in range(depth):
+                with np.errstate(over="ignore"):
+                    idx = ((h * seeds[d]) >> np.uint64(40)) % np.uint64(width)
+                np.add.at(cms[d], idx.astype(np.int64), 1)
+            c = pd.Series(toks).value_counts().head(2 * k)
+            cand = c.index.to_numpy(object)
+        else:
+            cand = np.empty(0, object)
+        return pd.DataFrame({
+            "cms": [cms.tobytes()],
+            "cand": [list(map(str, cand))],
+        })
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    if parts.empty:
+        from ..functions.frames import typed_out
+
+        return typed_out(parts, {"token": "object", "n_est": "int64"})
+    total = np.zeros((depth, width), np.int64)
+    cands: set[str] = set()
+    for b, cl in zip(parts["cms"], parts["cand"]):
+        total += np.frombuffer(b, np.int64).reshape(depth, width)
+        cands.update(cl)
+    cand = np.array(sorted(cands), object)
+    if not len(cand):
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "n_est": pd.Series(dtype="int64")})
+    h = pd.util.hash_array(cand)
+    est = np.full(len(cand), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        with np.errstate(over="ignore"):
+            idx = ((h * seeds[d]) >> np.uint64(40)) % np.uint64(width)
+        est = np.minimum(est, total[d, idx.astype(np.int64)])
+    out = pd.DataFrame({"token": cand, "n_est": est})
+    return (out.sort_values(["n_est", "token"], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -104,7 +104,7 @@ ROWS_ONLY = [
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
-    "embedding_kmeans", "dedup_minhash_clusters",
+    "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
 ]
 
 
@@ -241,3 +241,19 @@ def test_minhash_clusters_transitive_closure(entry_mod, ray_session):
         if d not in parent:
             assert c == d
         assert kept == (c == d)
+
+
+def test_cms_topk_matches_exact(entry_mod, ray_session):
+    """CMS heavy hitters: with width 4096 over this vocabulary the
+    estimates should be near-exact — require top-10 set overlap >= 0.8
+    vs the exact bucketed top-k and one-sided (over-)estimation."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import text_analysis
+
+    exact = text_analysis.token_topk(SF_DIR, k=10)
+    approx = text_analysis.token_topk_cms(SF_DIR, k=10)
+    overlap = len(set(exact.token) & set(approx.token)) / 10
+    assert overlap >= 0.8, f"overlap {overlap}"
+    truth = dict(zip(exact.token, exact.n))
+    for t, n in zip(approx.token, approx.n_est):
+        if t in truth:
+            assert n >= truth[t]  # CMS never underestimates
