@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "corpus_mix": text_analysis.corpus_mix,
         "token_topk_cms": text_analysis.token_topk_cms,
+        "token_doc_freq": text_analysis.token_doc_freq,
         # corpus curation (chunk dedup, dup clusters, repetition, PII,
         # normalization, contamination, source stats, filter funnel —
         # pipelines/curation.py)
@@ -232,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": curation.doc_normalize,
         "contamination_check": curation.contamination_check,
         "source_stats": curation.source_stats,
+        "source_vocab_overlap": curation.source_vocab_overlap,
         "filter_funnel": curation.filter_funnel,
         # dedup family
         "dedup_exact": dedup.dedup_exact_groups,
@@ -282,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_longest": text_analysis.DOCS_LONGEST_SQL,
         "doc_langid": text_analysis.DOC_LANGID_SQL,
         "token_topk": text_analysis.TOKEN_TOPK_SQL,
+        "token_doc_freq": text_analysis.TOKEN_DOC_FREQ_SQL,
         "doc_sample_split": text_analysis.DOC_SAMPLE_SPLIT_SQL,
         "dedup_exact_keep": dedup.DEDUP_EXACT_KEEP_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
@@ -303,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_normalize": curation.DOC_NORMALIZE_SQL,
         "contamination_check": curation.CONTAMINATION_SQL,
         "source_stats": curation.SOURCE_STATS_SQL,
+        "source_vocab_overlap": curation.SOURCE_VOCAB_OVERLAP_SQL,
         "filter_funnel": curation.FILTER_FUNNEL_SQL,
         # extraction pipeline, langid, fingerprints, minhash/simhash and the
         # LSH/IVF paths are not SQL-expressible -> rows-only checks

@@ -556,6 +556,62 @@ GROUP BY source
 ORDER BY source
 """
 
+def source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary-overlap matrix between sources — the
+    mirror-site / re-crawl detector: two sources whose distinct-token sets
+    almost coincide are probably the same site crawled twice, a per-SOURCE
+    analog of per-doc near-dup detection.
+
+    Plan: per batch, distinct (source, token) pairs (exact within a batch,
+    deduped again per bucket); bucketed exchange on token so every holder
+    of a token meets in one bucket; inside the bucket a self-merge on token
+    emits ordered source pairs and pre-counts them — each bucket returns at
+    most ``n_sources^2`` rows, so the driver's final sum is bounded by the
+    (schema-bounded) source dimension, never by vocabulary or corpus size.
+    Text never shuffles; what moves is distinct (token, source) pairs."""
+    ds = _docs(sf_dir, columns=("source", "text"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("source")["text"].fillna("").str.split(" ").explode()
+        return (
+            pd.DataFrame({"source": ex.index.to_numpy(object),
+                          "token": ex.to_numpy(object)})
+            .drop_duplicates()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # same (source, token) from different batches
+        pairs = g.merge(g, on="token")
+        pairs = pairs[pairs.source_x < pairs.source_y]
+        out = pairs.groupby(["source_x", "source_y"], as_index=False).size()
+        return out.rename(columns={"source_x": "src_a", "source_y": "src_b",
+                                   "size": "n_shared"})
+
+    parts = bucketed_combine(ds, "token", partial, combine,
+                             num_buckets=16, coalesce_blocks=4).to_pandas()
+    if parts.empty:
+        return typed_out(parts, {"src_a": "object", "src_b": "object",
+                                 "n_shared": "int64"})
+    out = parts.groupby(["src_a", "src_b"], as_index=False).agg(
+        n_shared=("n_shared", "sum"))
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH ts AS (
+  SELECT DISTINCT source,
+         UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ts a JOIN ts b ON a.tok = b.tok AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _FUNNEL_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that",
                      "it", "for")
 

@@ -316,6 +316,62 @@ LIMIT 50
 """
 
 
+def token_doc_freq(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Top-k vocabulary by DOCUMENT frequency — the IDF denominator table
+    (how many docs contain each token, vs ``token_topk``'s raw occurrence
+    count). The standard prep for TF-IDF weighting / stopword discovery on
+    a new corpus.
+
+    Exactness without a doc-level shuffle: each document is one row, so one
+    batch sees every occurrence of a doc's tokens — per-batch
+    ``drop_duplicates(doc, token)`` gives exact per-doc distinct sets, and
+    summing those partials over the token-bucketed exchange is the exact
+    global df. What shuffles is (token, count) partials, never text; the
+    driver merges ``num_buckets x k`` rows regardless of vocabulary size."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        d = (
+            pd.DataFrame({"doc_id": ex.index.to_numpy(),
+                          "token": ex.to_numpy(object)})
+            .drop_duplicates()
+        )
+        c = d["token"].value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(object),
+                             "df": c.to_numpy(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("token", as_index=False).agg(df=("df", "sum"))
+        return t.sort_values(["df", "token"], ascending=[False, True]).head(k)
+
+    out = bucketed_combine(ds, "token", partial, combine).to_pandas()
+    if out.empty:
+        return typed_out(out, {"token": "object", "df": "int64"})
+    out["df"] = out.df.astype("int64")
+    return (
+        out.sort_values(["df", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+TOKEN_DOC_FREQ_SQL = """
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS df
+FROM (
+  SELECT DISTINCT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY df DESC, token
+LIMIT 50
+"""
+
+
 def doc_sample_split(sf_dir: str, eval_pct: int = 10) -> pd.DataFrame:
     """Deterministic train/eval split by multiplicative hash of doc_id —
     the standard reproducible held-out-set assignment (no RNG state, stable

@@ -86,7 +86,7 @@ SQL_CHECKED = [
     "source_stats", "filter_funnel",
     "extract_kind_counts", "extract_closed_paths", "corpus_build",
     "doc_length_quantiles", "events_retention", "corpus_mix",
-    "extract_ts_histogram",
+    "extract_ts_histogram", "token_doc_freq", "source_vocab_overlap",
 ]
 
 
