@@ -531,6 +531,66 @@ ORDER BY doc_id
 """
 
 
+def corpus_sample_quota(sf_dir: str, quota: int = 20) -> pd.DataFrame:
+    """Exact-quota stratified sample: exactly ``min(quota, n)`` docs per
+    source, chosen by multiplicative-hash order — the fixed-budget
+    counterpart to rate-based ``corpus_mix`` (e.g. "eval set: 10k docs per
+    source, reproducibly, regardless of source size").
+
+    Hash order makes the selection a per-group top-k, so no per-source
+    global sort is needed: each batch keeps at most ``quota`` rows per
+    source it sees (partial top-k), the source-bucketed combine merges
+    partials and keeps the global smallest ``quota``. Rows on the wire are
+    bounded by ``quota x sources x batches`` pre-combine and
+    ``quota x sources`` after — never corpus-sized, and skew-immune because
+    a giant source still ships only ``quota`` rows per batch."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["h", "doc_id"], kind="stable")
+            .groupby("source", as_index=False, sort=False)
+            .head(quota)
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        return _top(pd.DataFrame({
+            "source": df["source"].to_numpy(object),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "h": h.astype(np.int64),
+        }))
+
+    out = bucketed_combine(ds, "source", partial, _top,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    if out.empty:
+        return typed_out(out, {"source": "object", "doc_id": "int64"})
+    return typed_out(out.drop(columns=["h"]),
+                     {"source": "object", "doc_id": "int64"},
+                     sort_by=["source", "doc_id"])
+
+
+CORPUS_SAMPLE_QUOTA_SQL = """
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+ORDER BY source, doc_id
+"""
+
+
 def token_topk_cms(
     sf_dir: str, k: int = 50, width: int = 4096, depth: int = 4
 ) -> pd.DataFrame:
