@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": streaming.events_distinct_users,
         "events_distinct_users_hll": streaming.events_distinct_users_hll,
         "orders_topk_by_priority": streaming.orders_topk_by_priority,
+        "events_clicks_before_purchase": streaming.events_clicks_before_purchase,
         # text analysis (documents table)
         "doc_token_stats": text_analysis.doc_token_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": streaming.EVENTS_RETENTION_SQL,
         "events_distinct_users": streaming.EVENTS_DISTINCT_SQL,
         "orders_topk_by_priority": streaming.ORDERS_TOPK_SQL,
+        "events_clicks_before_purchase": streaming.EVENTS_RANGE_JOIN_SQL,
         "doc_token_stats": text_analysis.DOC_TOKEN_STATS_SQL,
         "doc_quality": text_analysis.DOC_QUALITY_SQL,
         "docs_longest": text_analysis.DOCS_LONGEST_SQL,

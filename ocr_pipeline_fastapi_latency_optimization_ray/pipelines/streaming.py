@@ -140,6 +140,101 @@ ORDER BY p.user_id, purchase_ts
 
 
 # ---------------------------------------------------------------------------
+# range join: clicks inside a bounded interval before each purchase
+# ---------------------------------------------------------------------------
+
+def events_clicks_before_purchase(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """For every purchase, the number of the same user's clicks in the
+    window ``[ts - window_s, ts)`` — an interval/range join, the join class
+    between equality (hash) and as-of (one nearest match): each left row
+    matches a RANGE of right rows.
+
+    The naive plan (join then filter) is quadratic per hot user. Instead
+    each user-hash bucket computes per-user prefix counts of clicks
+    (cumcount, vectorized) and answers each purchase with a difference of
+    two ``merge_asof`` probes: ``C(ts - 1us) - C(ts - window - 1us)``,
+    where C(x) = clicks with click_ts <= x. Timestamps are integral
+    microseconds, so the 1-us shift makes both window edges exact
+    (left-closed, right-open). Everything in the bucket is one sort plus
+    two vectorized asof merges — no per-user loop, and a hot user costs
+    O(its rows), not O(rows^2)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["purchase", "click"])]
+        return add_bucket_column(df, ["user_id"], 32)
+
+    out_schema = {"event_id": "int64", "user_id": "int64",
+                  "purchase_ts": "datetime64[us]", "n_clicks_1h": "int64"}
+
+    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        purch = g[g.event_type == "purchase"]
+        if len(purch) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=dt) for c, dt in out_schema.items()})
+        clicks = (
+            g[g.event_type == "click"][["user_id", "ts"]]
+            .sort_values(["ts", "user_id"], kind="stable")
+        )
+        # per-user running click count AFTER this click (1-based)
+        clicks["cum"] = clicks.groupby("user_id").cumcount() + 1
+
+        def prefix_count(at: pd.Series, base: pd.DataFrame) -> np.ndarray:
+            probe = pd.DataFrame({
+                "user_id": base.user_id.to_numpy(),
+                # Timedelta arithmetic upcasts to ns; merge_asof needs both
+                # sides at the table's native us resolution (values are
+                # integral us, so the cast is lossless)
+                "at": at.to_numpy().astype("datetime64[us]"),
+            }).sort_values(["at", "user_id"], kind="stable")
+            m = pd.merge_asof(probe, clicks, left_on="at", right_on="ts",
+                              by="user_id", direction="backward")
+            # un-sort back to base order
+            c = pd.Series(m["cum"].fillna(0).to_numpy(np.int64),
+                          index=probe.index)
+            return c.sort_index().to_numpy()
+
+        one_us = pd.Timedelta(microseconds=1)
+        win = pd.Timedelta(seconds=window_s)
+        purch = purch.reset_index(drop=True)
+        hi = prefix_count(purch.ts - one_us, purch)
+        lo = prefix_count(purch.ts - win - one_us, purch)
+        return pd.DataFrame({
+            "event_id": purch.event_id.astype("int64"),
+            "user_id": purch.user_id.astype("int64"),
+            "purchase_ts": purch.ts,
+            "n_clicks_1h": (hi - lo).astype("int64"),
+        })
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: range_bucket(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    return typed_out(out, {"event_id": "int64", "user_id": "int64",
+                           "purchase_ts": "datetime64[us]",
+                           "n_clicks_1h": "int64"},
+                     sort_by=["event_id"])
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # sliding windows: 1 h windows sliding every 30 min
 # ---------------------------------------------------------------------------
 

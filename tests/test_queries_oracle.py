@@ -87,7 +87,7 @@ SQL_CHECKED = [
     "extract_kind_counts", "extract_closed_paths", "corpus_build",
     "doc_length_quantiles", "events_retention", "corpus_mix",
     "extract_ts_histogram", "token_doc_freq", "source_vocab_overlap",
-    "corpus_sample_quota",
+    "corpus_sample_quota", "events_clicks_before_purchase",
 ]
 
 
