@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk_cms": text_analysis.token_topk_cms,
         "token_doc_freq": text_analysis.token_doc_freq,
         "corpus_sample_quota": text_analysis.corpus_sample_quota,
+        "token_bigram_topk": text_analysis.token_bigram_topk,
         # corpus curation (chunk dedup, dup clusters, repetition, PII,
         # normalization, contamination, source stats, filter funnel —
         # pipelines/curation.py)
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": text_analysis.TOKEN_TOPK_SQL,
         "token_doc_freq": text_analysis.TOKEN_DOC_FREQ_SQL,
         "corpus_sample_quota": text_analysis.CORPUS_SAMPLE_QUOTA_SQL,
+        "token_bigram_topk": text_analysis.TOKEN_BIGRAM_TOPK_SQL,
         "doc_sample_split": text_analysis.DOC_SAMPLE_SPLIT_SQL,
         "dedup_exact_keep": dedup.DEDUP_EXACT_KEEP_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -372,6 +372,64 @@ LIMIT 50
 """
 
 
+def token_bigram_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Top-k adjacent token pairs — the first merge-candidate table of
+    BPE-style tokenizer training (which symbol pairs co-occur most).
+
+    Bigrams are formed vectorized from the exploded token stream: two
+    consecutive explode entries form a pair iff they carry the same source
+    row index (numpy shift-compare, no per-row loop). Counting then follows
+    the ``token_topk`` shape: bigram-bucketed partial sums, each bucket
+    emits its local top-k, driver merges ``buckets x k`` rows regardless of
+    the (corpus-sized) distinct-bigram count."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        arr = ex.to_numpy(object)
+        idx = ex.index.to_numpy()
+        if len(arr) < 2:
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        same = idx[1:] == idx[:-1]
+        pairs = (pd.Series(arr[:-1][same]) + " " + pd.Series(arr[1:][same]))
+        c = pairs.value_counts()
+        return pd.DataFrame({"bigram": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        return t.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    out = bucketed_combine(ds, "bigram", partial, combine).to_pandas()
+    if out.empty:
+        return typed_out(out, {"bigram": "object", "n": "int64"})
+    out["n"] = out.n.astype("int64")
+    return (
+        out.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+TOKEN_BIGRAM_TOPK_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+),
+p AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+)
+SELECT a || ' ' || b AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM p
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 50
+"""
+
+
 def doc_sample_split(sf_dir: str, eval_pct: int = 10) -> pd.DataFrame:
     """Deterministic train/eval split by multiplicative hash of doc_id —
     the standard reproducible held-out-set assignment (no RNG state, stable
