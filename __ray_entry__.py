@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": streaming.events_distinct_users_hll,
         "orders_topk_by_priority": streaming.orders_topk_by_priority,
         "events_clicks_before_purchase": streaming.events_clicks_before_purchase,
+        "events_funnel": streaming.events_funnel,
         # text analysis (documents table)
         "doc_token_stats": text_analysis.doc_token_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": streaming.EVENTS_DISTINCT_SQL,
         "orders_topk_by_priority": streaming.ORDERS_TOPK_SQL,
         "events_clicks_before_purchase": streaming.EVENTS_RANGE_JOIN_SQL,
+        "events_funnel": streaming.EVENTS_FUNNEL_SQL,
         "doc_token_stats": text_analysis.DOC_TOKEN_STATS_SQL,
         "doc_quality": text_analysis.DOC_QUALITY_SQL,
         "docs_longest": text_analysis.DOCS_LONGEST_SQL,

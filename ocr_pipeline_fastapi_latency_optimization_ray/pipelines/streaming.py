@@ -235,6 +235,89 @@ ORDER BY p.event_id
 
 
 # ---------------------------------------------------------------------------
+# sequential funnel: view -> click -> purchase, in time order per user
+# ---------------------------------------------------------------------------
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Time-ordered conversion funnel: users with a view, users with a
+    click AFTER their first view, users with a purchase AFTER that first
+    qualifying click — the product-analytics staple that needs event
+    SEQUENCE, not mere co-occurrence (a purchase before any view must not
+    count).
+
+    Each user's full event history lands in one user-hash bucket, where
+    the three stages are chained vectorized groupby-mins (t1 = min view
+    ts; t2 = min click ts > t1; t3 = min purchase ts > t2) — no per-user
+    loop, no self-join. Buckets emit 3 counter rows each; the driver sums
+    ``buckets x 3`` rows however many users exist."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["view", "click", "purchase"])]
+        return add_bucket_column(df, ["user_id"], 32)
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g.event_type == "view"]
+        t1 = (views.groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t1"}))
+
+        clicks = g[g.event_type == "click"].merge(t1, on="user_id")
+        clicks = clicks[clicks.ts > clicks.t1]
+        t2 = (clicks.groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "t2"}))
+
+        purch = g[g.event_type == "purchase"].merge(t2, on="user_id")
+        purch = purch[purch.ts > purch.t2]
+        t3 = purch.groupby("user_id", as_index=False)["ts"].min()
+
+        return pd.DataFrame({
+            "stage": ["stage1_view", "stage2_click", "stage3_purchase"],
+            "n_users": np.array([len(t1), len(t2), len(t3)], dtype=np.int64),
+        })
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: funnel_bucket(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        parts = pd.DataFrame({
+            "stage": ["stage1_view", "stage2_click", "stage3_purchase"],
+            "n_users": np.zeros(3, dtype=np.int64),
+        })
+    out = parts.groupby("stage", as_index=False).agg(n_users=("n_users", "sum"))
+    out["n_users"] = out["n_users"].astype("int64")
+    return typed_out(out, {"stage": "object", "n_users": "int64"},
+                     sort_by="stage")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'stage1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'stage2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'stage3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
 # sliding windows: 1 h windows sliding every 30 min
 # ---------------------------------------------------------------------------
 

@@ -229,3 +229,40 @@ def test_cc_bsp_chain_and_forest(ray_session):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {n: comp_min[find(n)] for n in parent}
     assert got == want
+
+
+def test_events_funnel_sequence_matters(ray_session, tmp_path):
+    """The funnel is ORDER-sensitive: a purchase before any click, or a
+    click before any view, must not advance the user — exactly the case
+    the sf0.01 oracle check cannot discriminate (every user there reaches
+    every stage)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.streaming import events_funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # u1: view -> click -> purchase (full conversion)
+        (1, t0, "view"), (1, t0 + h, "click"), (1, t0 + 2 * h, "purchase"),
+        # u2: purchase BEFORE click; click before view -> stage1 only
+        (2, t0, "purchase"), (2, t0 + h, "click"), (2, t0 + 2 * h, "view"),
+        # u3: view -> click, purchase earlier than the click -> stage2 only
+        (3, t0, "purchase"), (3, t0 + h, "view"), (3, t0 + 2 * h, "click"),
+        # u4: clicks only -> no stage at all
+        (4, t0, "click"), (4, t0 + h, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["event_id"] = range(len(df))
+    df["value"] = 0.0
+    df["props"] = ""
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+
+    out = events_funnel(str(tmp_path)).set_index("stage")["n_users"]
+    assert out["stage1_view"] == 3       # u1, u2, u3
+    assert out["stage2_click"] == 2      # u1, u3 (u2's click precedes its view)
+    assert out["stage3_purchase"] == 1   # u1 only
