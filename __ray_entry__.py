@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact_groups,
         "dedup_exact_keep": dedup.dedup_exact_keep,
+        "dedup_exact_keep_bloom": dedup.dedup_exact_keep_bloom,
         "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
         "dedup_minhash": dedup.dedup_minhash_candidates,
         "doc_simhash": dedup.doc_simhash,
@@ -295,6 +296,8 @@ def oracle_sql() -> dict[str, str]:
         "token_bigram_topk": text_analysis.TOKEN_BIGRAM_TOPK_SQL,
         "doc_sample_split": text_analysis.DOC_SAMPLE_SPLIT_SQL,
         "dedup_exact_keep": dedup.DEDUP_EXACT_KEEP_SQL,
+        # bloom-pruned plan, identical result contract
+        "dedup_exact_keep_bloom": dedup.DEDUP_EXACT_KEEP_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_exact": dedup.NGRAM_JACCARD_EXACT_SQL,
         "ann_cosine_topk": similarity.ANN_COSINE_TOPK_SQL,

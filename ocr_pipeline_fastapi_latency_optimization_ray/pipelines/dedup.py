@@ -141,6 +141,107 @@ ORDER BY doc_id
 """
 
 
+def _bloom_probe(ids: np.ndarray, m_bits: int, k_hashes: int,
+                 words: np.ndarray | None = None):
+    """Vectorized double-hashing Bloom positions for int64 ids. With
+    ``words`` given, returns the membership mask; else the flat position
+    array (for building)."""
+    x = ids.astype(np.uint64)
+    h1 = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1)
+    h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+    mask = None
+    positions = []
+    for i in range(k_hashes):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+        if words is None:
+            positions.append(idx)
+            continue
+        hit = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+        mask = hit.astype(bool) if mask is None else (mask & hit.astype(bool))
+    return np.concatenate(positions) if words is None else mask
+
+
+def dedup_exact_keep_bloom(sf_dir: str, m_bits: int = 1 << 20,
+                           k_hashes: int = 4) -> pd.DataFrame:
+    """Same result as ``dedup_exact_keep``, Bloom-pruned plan — the keep-
+    list pattern for when the keeper set is too big to broadcast exactly
+    but a fixed-size bit array is not: build a Bloom filter of keeper ids
+    distributed (per-block partial bit arrays, OR-reduced), broadcast it
+    ONCE via ``ray.put``, and prefilter the document stream so only
+    bloom-positive rows (keepers plus a bounded false-positive tail) enter
+    the verification semi-join. The join stays exact — false positives
+    die there — so output is identical to the unpruned plan, but the
+    doc-side exchange shrinks from the full corpus to ~keepers x (1 + fp).
+
+    Driver-side state is the OR of per-block partials: ``m_bits/8`` bytes
+    each (128 KiB at the default), bounded by block count, never by corpus
+    size; at 100 TB you size ``m_bits`` to the keeper cardinality
+    (~10 bits/key for ~1% fp) and the broadcast is still one object."""
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ["" if t is None else t for t in df["text"]]
+        p = pd.DataFrame(
+            {"text_hash": md5_hex_batch(texts), "doc_id": df["doc_id"]}
+        )
+        return p.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("doc_id", "min")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "min")
+        )[["keep_doc_id"]]
+
+    # consumed twice (bloom build + verify join); materialize so the
+    # bucketed combine runs once — keeper rows are single int64 ids held in
+    # the distributed object store, not the corpus
+    keepers = bucketed_combine(docs, "text_hash", partial, combine).materialize()
+
+    n_words = m_bits // 64
+
+    def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(n_words, dtype=np.uint64)
+        idx = _bloom_probe(df["keep_doc_id"].to_numpy(np.int64),
+                           m_bits, k_hashes)
+        np.bitwise_or.at(words, idx >> 6,
+                         np.uint64(1) << (idx & 63).astype(np.uint64))
+        return pd.DataFrame({"bloom": [words.tobytes()]})
+
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for row in keepers.map_batches(partial_bloom,
+                                   batch_format="pandas").take_all():
+        bloom |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        words = ray.get(bloom_ref)
+        keep = _bloom_probe(df["doc_id"].to_numpy(np.int64),
+                            m_bits, k_hashes, words)
+        return df[keep]
+
+    candidates = docs.map_batches(prefilter, batch_format="pandas")
+
+    def semi(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(
+            right.drop_duplicates(), left_on="doc_id", right_on="keep_doc_id"
+        )
+        return m[["doc_id", "text"]]
+
+    out = bucketed_join(
+        candidates, keepers, "doc_id", "keep_doc_id", semi,
+        right_dtypes={"keep_doc_id": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "text": "object"},
+                     sort_by="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

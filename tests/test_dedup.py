@@ -261,3 +261,38 @@ def test_rolling_fingerprint_stability():
     assert _min_rolling_hash(base + "abcdefghijklmnopqrstuvwxyz") == h
     # short text falls back to the full-content hash
     assert _min_rolling_hash("tiny") == _min_rolling_hash("tiny")
+
+def test_dedup_exact_keep_bloom_matches_exact_and_prunes(ray_session, tmp_path):
+    """Bloom-pruned keep plan: identical output to the unpruned semi-join,
+    and on a high-duplication corpus the bloom prefilter actually discards
+    non-keeper rows before the exchange (keeper ids never false-negative;
+    duplicates of a keeper are true negatives unless FP)."""
+    d = tmp_path / "dups"
+    d.mkdir()
+    n = 400
+    texts = [f"unique document {i}" if i % 4 == 0 else f"shared blob {i % 10}"
+             for i in range(n)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        d / "documents.parquet",
+    )
+    exact = dedup.dedup_exact_keep(str(d))
+    bloom = dedup.dedup_exact_keep_bloom(str(d))
+    pd.testing.assert_frame_equal(exact, bloom)
+    # 100 unique + 10 shared keepers
+    assert len(bloom) == 110
+
+    # prefilter effectiveness: probe the built filter directly — all
+    # keepers positive, and the FP rate over non-keepers is far below the
+    # worst case at this fill (m=2^20 bits, 110 keys)
+    keep_ids = exact.doc_id.to_numpy()
+    all_ids = np.arange(n, dtype=np.int64)
+    non_keep = np.setdiff1d(all_ids, keep_ids)
+    m_bits, k_hashes = 1 << 20, 4
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    idx = dedup._bloom_probe(keep_ids, m_bits, k_hashes)
+    np.bitwise_or.at(words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+    assert dedup._bloom_probe(keep_ids, m_bits, k_hashes, words).all()
+    fp = dedup._bloom_probe(non_keep, m_bits, k_hashes, words).mean()
+    assert fp < 0.05
