@@ -32,6 +32,7 @@ from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E
     dedup,
     extract_checks,
     multimodal,
+    packing,
     relational,
     similarity,
     streaming,
@@ -226,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": text_analysis.token_doc_freq,
         "corpus_sample_quota": text_analysis.corpus_sample_quota,
         "token_bigram_topk": text_analysis.token_bigram_topk,
+        # sequence packing (distributed prefix-sum scan — pipelines/packing.py)
+        "pack_sequences": packing.pack_sequences,
+        "pack_stats": packing.pack_stats,
         # corpus curation (chunk dedup, dup clusters, repetition, PII,
         # normalization, contamination, source stats, filter funnel —
         # pipelines/curation.py)
@@ -294,6 +298,8 @@ def oracle_sql() -> dict[str, str]:
         "token_doc_freq": text_analysis.TOKEN_DOC_FREQ_SQL,
         "corpus_sample_quota": text_analysis.CORPUS_SAMPLE_QUOTA_SQL,
         "token_bigram_topk": text_analysis.TOKEN_BIGRAM_TOPK_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
+        "pack_stats": packing.PACK_STATS_SQL,
         "doc_sample_split": text_analysis.DOC_SAMPLE_SPLIT_SQL,
         "dedup_exact_keep": dedup.DEDUP_EXACT_KEEP_SQL,
         # bloom-pruned plan, identical result contract

@@ -1,0 +1,202 @@
+"""Sequence packing — the training-data step that concatenates documents
+into fixed token-budget training sequences (every LLM data loader does
+this; doing it *deterministically and distributed* requires a global
+prefix sum over the document stream, i.e. a distributed SCAN, which Ray
+Data has no built-in for).
+
+``pack_sequences`` assigns every document a ``seq_id`` / ``seq_off`` under
+contiguous greedy chunking in ``doc_id`` order:
+
+    prefix(d)  = sum of n_tok over all docs with doc_id < d   (exclusive)
+    seq_id(d)  = prefix(d) // budget
+    seq_off(d) = prefix(d) %  budget
+
+(A document longer than the remaining budget spills into the next
+sequence — the standard "packed + split at boundary" layout; the split
+point is derivable from ``seq_off`` so the assignment surface stays one
+row per document.)
+
+The scan is the textbook two-pass plan, expressed in Dataset primitives:
+
+  pass 1 (range sums): one streaming ``map_batches`` emits per-batch
+      partial sums keyed by ``range_id = doc_id // range_size``; a tiny
+      groupby reduces them to one total per range; the driver computes the
+      exclusive prefix over ranges (state = O(n_docs / range_size), NOT
+      O(corpus) — at 10^12 docs pick range_size=10^6 and the offsets
+      array is 8 MB) and broadcasts it once via ``ray.put``.
+  pass 2 (local scan + offset): fixed-width ``(doc_id, n_tok, range_id)``
+      rows are co-partitioned by range via ``bucketed_combine``; each
+      bucket sorts its ranges by doc_id, cumsums within range, and adds
+      the broadcast range offset. Text never enters the exchange.
+
+Both passes stream; the only materialized state is the offsets array.
+Token convention matches ``doc_token_stats`` (whitespace split of
+COALESCE(text,''), so an empty/null doc counts 1 token == SQL
+``len(string_split(...))``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ..functions.frames import typed_out
+from ..functions.shuffle import bucketed_combine
+
+PACK_BUDGET = 2048
+# docs per scan range. Small here so the multi-range scan path is exercised
+# even at test scale (sf0.01 has 500 docs -> 8 ranges); at corpus scale raise
+# it so the driver offsets array stays small (10^12 docs / 10^6 = 8 MB).
+PACK_RANGE_SIZE = 64
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _tok_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_tok, range_id) — fixed-width rows; the only thing that
+    ever moves. n_tok = whitespace token count (doc_token_stats convention)."""
+    n_tok = df["text"].fillna("").str.split(" ").str.len().astype("int64")
+    ids = df["doc_id"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "n_tok": n_tok.to_numpy(np.int64),
+        "range_id": ids // np.int64(PACK_RANGE_SIZE),
+    })
+
+
+def _packed_dataset(sf_dir: str, budget: int):
+    """The scan as a streaming Dataset of (doc_id, n_tok, seq_id, seq_off),
+    or None when the corpus is empty. Shared by ``pack_sequences`` (row
+    surface) and ``pack_stats`` (aggregate surface)."""
+    ds = _docs(sf_dir)
+
+    # ---- pass 1: per-range token totals -> driver exclusive prefix ----
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _tok_batch(df)
+        g = t.groupby("range_id", sort=False)["n_tok"].sum().reset_index()
+        return g.rename(columns={"n_tok": "tok_sum"})
+
+    parts = ds.map_batches(range_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return None
+    totals = parts.groupby("range_id", sort=True)["tok_sum"].sum().sort_index()
+    # dense offsets array indexed by range_id (ranges are contiguous small
+    # ints by construction); exclusive prefix over ranges
+    n_ranges = int(totals.index.max()) + 1
+    sums = np.zeros(n_ranges, np.int64)
+    sums[totals.index.to_numpy(np.int64)] = totals.to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    offsets_ref = ray.put(offsets)  # broadcast once, read per reduce task
+
+    # ---- pass 2: co-partition by range, local scan + broadcast offset ----
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        g = g.sort_values("doc_id", kind="stable")
+        excl = (
+            g.groupby("range_id", sort=False)["n_tok"].cumsum().to_numpy(np.int64)
+            - g["n_tok"].to_numpy(np.int64)
+        )
+        prefix = off[g["range_id"].to_numpy(np.int64)] + excl
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tok": g["n_tok"].to_numpy(np.int64),
+            "seq_id": prefix // np.int64(budget),
+            "seq_off": prefix % np.int64(budget),
+        })
+
+    return bucketed_combine(
+        ds, "range_id", _tok_batch, combine, num_buckets=16, coalesce_blocks=4
+    )
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pd.DataFrame:
+    """Deterministic sequence packing via distributed prefix sum (see
+    module docstring). Output: one row per document with its packed
+    position — ``seq_id`` (which training sequence it starts in) and
+    ``seq_off`` (token offset within that sequence)."""
+    packed = _packed_dataset(sf_dir, budget)
+    out = pd.DataFrame() if packed is None else packed.to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_tok": "int64",
+                           "seq_id": "int64", "seq_off": "int64"},
+                     sort_by="doc_id")
+
+
+PACK_SEQUENCES_SQL = f"""
+SELECT doc_id, n_tok,
+       (prefix // {PACK_BUDGET})::BIGINT AS seq_id,
+       (prefix % {PACK_BUDGET})::BIGINT AS seq_off
+FROM (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM (
+    SELECT doc_id,
+           len(string_split(COALESCE(text, ''), ' '))::BIGINT AS n_tok
+    FROM documents
+  )
+)
+ORDER BY doc_id
+"""
+
+
+def pack_stats(sf_dir: str, budget: int = PACK_BUDGET) -> pd.DataFrame:
+    """Packing-efficiency profile derived from the same scan: sequences
+    produced, documents split across a sequence boundary
+    (``seq_off + n_tok > budget``), total tokens — the numbers one checks
+    before a training run (waste == split fraction under this layout).
+    Computed as streaming partials over the scan output reduced to ONE
+    row; the corpus-sized assignment never lands on the driver."""
+    schema = {"n_docs": "int64", "n_seqs": "int64",
+              "n_split_docs": "int64", "total_tokens": "int64"}
+    packed = _packed_dataset(sf_dir, budget)
+    if packed is None:
+        # SQL aggregate w/o GROUP BY yields one row; COALESCE pins zeros
+        return typed_out(pd.DataFrame({k: [0] for k in schema}), schema)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        split = (df["seq_off"].to_numpy(np.int64)
+                 + df["n_tok"].to_numpy(np.int64)) > budget
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "n_split_docs": [np.int64(split.sum())],
+            "total_tokens": [df["n_tok"].to_numpy(np.int64).sum()],
+        })
+
+    p = packed.map_batches(partial, batch_format="pandas").to_pandas()
+    total = int(p["total_tokens"].sum())
+    out = pd.DataFrame({
+        "n_docs": [int(p["n_docs"].sum())],
+        "n_seqs": [(total + budget - 1) // budget],
+        "n_split_docs": [int(p["n_split_docs"].sum())],
+        "total_tokens": [total],
+    })
+    return typed_out(out, schema)
+
+
+PACK_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS n_tok
+  FROM documents
+), scanned AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM toks
+)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       COALESCE(CAST(CEIL(SUM(n_tok) / {PACK_BUDGET}.0) AS BIGINT), 0) AS n_seqs,
+       COALESCE(SUM(CASE WHEN prefix % {PACK_BUDGET} + n_tok > {PACK_BUDGET}
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_split_docs,
+       COALESCE(SUM(n_tok), 0)::BIGINT AS total_tokens
+FROM scanned
+"""
