@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text_analysis.doc_length_histogram,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "corpus_mix": text_analysis.corpus_mix,
+        "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         "token_topk_cms": text_analysis.token_topk_cms,
         "token_doc_freq": text_analysis.token_doc_freq,
         "corpus_sample_quota": text_analysis.corpus_sample_quota,
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": text_analysis.DOC_LENGTH_HISTOGRAM_SQL,
         "doc_length_quantiles": text_analysis.DOC_LENGTH_QUANTILES_SQL,
         "corpus_mix": text_analysis.CORPUS_MIX_SQL,
+        "corpus_temperature_mix": text_analysis.CORPUS_TEMPERATURE_MIX_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,
         "extract_kind_counts": extract_checks.EXTRACT_KIND_COUNTS_SQL,
         "extract_closed_paths": extract_checks.EXTRACT_CLOSED_PATHS_SQL,

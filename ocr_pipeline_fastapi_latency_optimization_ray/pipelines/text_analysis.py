@@ -548,6 +548,22 @@ ORDER BY p
 """
 
 
+def _mix_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """The corpus_mix keep rule as a reusable batch filter: Knuth
+    multiplicative hash of doc_id vs the source family's rate
+    (100 / 50 / 20 %). Shared by ``corpus_mix`` and the temperature
+    stage that composes on top of it."""
+    ids = df["doc_id"].to_numpy(np.uint64)
+    bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+    fam = df["source"].str[3:].astype(int).to_numpy(np.int64) % 3
+    rate = np.select([fam == 0, fam == 1], [100, 50], default=20)
+    keep = bucket < rate
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+        "source": df["source"].to_numpy()[keep],
+    })
+
+
 def corpus_mix(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-source downsampling — the data-mixing step that
     reweights a corpus before training (keep 100% of one source family,
@@ -558,19 +574,7 @@ def corpus_mix(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
-
-    def mix(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.uint64)
-        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
-        fam = df["source"].str[3:].astype(int).to_numpy(np.int64) % 3
-        rate = np.select([fam == 0, fam == 1], [100, 50], default=20)
-        keep = bucket < rate
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
-            "source": df["source"].to_numpy()[keep],
-        })
-
-    out = ds.map_batches(mix, batch_format="pandas").to_pandas()
+    out = ds.map_batches(_mix_batch, batch_format="pandas").to_pandas()
     return typed_out(out, {"doc_id": "int64", "source": "object"},
                      sort_by="doc_id")
 
@@ -585,6 +589,86 @@ FROM (
   FROM documents
 )
 WHERE bucket < rate
+ORDER BY doc_id
+"""
+
+
+def corpus_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-flattened source sampling (alpha = 0.5) composed on top
+    of the family mix — the multilingual/multi-source reweighting step
+    (cf. T5/mC4-style p_s ∝ n_s^alpha): after the family-rate mix skews
+    per-source counts, each source s is downsampled at
+    ``rate_s = sqrt(n_min / n_s)`` so the kept distribution flattens
+    toward n_s^0.5 while the smallest source keeps 100%.
+
+    The keep decision is EXACT integer arithmetic — no float pow on
+    either engine: with a 20-bit doc hash ``h``, keep iff
+    ``h^2 <= (2^40 * n_min - 1) // n_s`` (equivalent to
+    ``h / 2^20 < sqrt(n_min / n_s)``). Thresholds are computed on the
+    driver with arbitrary-precision Python ints from the bounded
+    per-source counts and broadcast as a tiny dict; workers compare two
+    int64s. The second-stage hash uses a different multiplier than the
+    mix stage so the two sampling decisions are uncorrelated.
+
+    Two streaming passes (counts, then filter); per-source counts are the
+    only driver state — bounded by the source dimension, not the corpus."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mix_batch(df)
+        c = m.groupby("source", sort=False).size().reset_index(name="n")
+        return c
+
+    parts = ds.map_batches(count_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return typed_out(pd.DataFrame(), {"doc_id": "int64", "source": "object"})
+    counts = parts.groupby("source")["n"].sum()
+    n_min = int(counts.min())
+    # exact: h^2 <= (2^40 * n_min - 1) // n_s  <=>  h/2^20 < sqrt(n_min/n_s);
+    # thresholds <= 2^40 so they always fit int64 regardless of corpus size
+    thr = {s: (((1 << 40) * n_min) - 1) // int(n) for s, n in counts.items()}
+
+    def temp_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mix_batch(df)
+        ids = m["doc_id"].to_numpy(np.uint64)
+        h = ((ids * np.uint64(2246822519)) % np.uint64(2**32)) % np.uint64(1 << 20)
+        h2 = (h * h).astype(np.int64)
+        t = m["source"].map(thr).to_numpy(np.int64)
+        keep = h2 <= t
+        return m.loc[keep].reset_index(drop=True)
+
+    out = ds.map_batches(temp_filter, batch_format="pandas").to_pandas()
+    return typed_out(out, {"doc_id": "int64", "source": "object"},
+                     sort_by="doc_id")
+
+
+CORPUS_TEMPERATURE_MIX_SQL = """
+WITH mixed AS (
+  SELECT doc_id, source
+  FROM (
+    SELECT doc_id, source,
+           (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS bucket,
+           CASE CAST(substr(source, 4) AS INTEGER) % 3
+                WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 20 END AS rate
+    FROM documents
+  )
+  WHERE bucket < rate
+), counts AS (
+  SELECT source, COUNT(*)::HUGEINT AS n FROM mixed GROUP BY source
+), thr AS (
+  SELECT source,
+         (1099511627776::HUGEINT * (SELECT MIN(n) FROM counts) - 1) // n AS t
+  FROM counts
+), hashed AS (
+  SELECT m.doc_id, m.source, t.t,
+         (CAST(m.doc_id AS HUGEINT) * 2246822519) % 4294967296 % 1048576 AS h
+  FROM mixed m JOIN thr t USING (source)
+)
+SELECT doc_id, source
+FROM hashed
+WHERE h * h <= t
 ORDER BY doc_id
 """
 

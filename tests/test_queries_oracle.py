@@ -89,7 +89,7 @@ SQL_CHECKED = [
     "extract_ts_histogram", "token_doc_freq", "source_vocab_overlap",
     "corpus_sample_quota", "events_clicks_before_purchase",
     "token_bigram_topk", "events_funnel", "dedup_exact_keep_bloom",
-    "pack_sequences", "pack_stats",
+    "pack_sequences", "pack_stats", "corpus_temperature_mix",
 ]
 
 
