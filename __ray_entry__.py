@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_range_search": similarity.ann_range_search,
         "knn_label_vote": similarity.knn_label_vote,
         "embedding_kmeans": similarity.embedding_kmeans,
