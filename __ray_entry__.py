@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "orders_monthly_volume": relational.orders_monthly_volume,
         "customer_segment_stats": relational.customer_segment_stats,
         # stream-shaped custom operators (as-of join, sliding/session
@@ -281,6 +283,8 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": relational.PART_TYPE_STATS_SQL,
         "order_priority_revenue": relational.ORDER_PRIORITY_REVENUE_SQL,
         "q5_local_supplier_volume": relational.Q5_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "q14_promo_revenue": relational.Q14_SQL,
         "orders_monthly_volume": relational.ORDERS_MONTHLY_SQL,
         "customer_segment_stats": relational.CUSTOMER_SEGMENT_SQL,
         "events_high_value_errors": streaming.EVENTS_HIGH_VALUE_ERRORS_SQL,

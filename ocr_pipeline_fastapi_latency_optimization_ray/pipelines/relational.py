@@ -662,3 +662,134 @@ FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue — pure filter+global-sum, the predicate-pushdown demo:
+# every predicate is a pyarrow dataset filter evaluated at the READ (row
+# groups whose shipdate stats miss the range never leave storage), and only
+# 3 of 11 lineitem columns are projected.
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q6 shape: SUM(extendedprice*discount) over a date-range +
+    discount-band + quantity cap. The global float sum is made
+    deterministic the same way as q1: one partial per batch, sorted,
+    reduced once on the driver (a distributed Sum adds partials in
+    block-arrival order and can flip the rounded last digit)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    flt = (
+        (pads.field("l_shipdate") >= pa.scalar(datetime.datetime(1996, 1, 1)))
+        & (pads.field("l_shipdate") < pa.scalar(datetime.datetime(1997, 1, 1)))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=flt,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "revenue": [(df.l_extendedprice * df.l_discount).sum()],
+            "n_items": [len(df)],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return typed_out(pd.DataFrame({"revenue": [0.0], "n_items": [0]}),
+                         {"revenue": "float64", "n_items": "int64"})
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    out = pd.DataFrame({
+        "revenue": [round_away(pd.Series([parts.revenue.sum()]), 2)[0]],
+        "n_items": [int(parts.n_items.sum())],
+    })
+    out["n_items"] = out.n_items.astype("int64")
+    return out
+
+
+Q6_SQL = """
+SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14: promo revenue share — date-pruned lineitem partial-aggregated per
+# partkey, then co-partitioned bucketed join against part (a GROWING dim:
+# never broadcast), per-bucket promo/total sums, tiny driver combine.
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(sf_dir: str, year: int = 1996, month: int = 3) -> pd.DataFrame:
+    """Share of revenue from PROMO parts in one month. Scale shape: the
+    shipdate window prunes at the read; lineitem collapses to one row per
+    (batch, partkey) before the shuffle, so the bucketed join moves
+    partial aggregates, not raw line items; part co-partitions on the same
+    hash(partkey) % B. Output is 1 row — the driver combine is O(buckets)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from ..functions.shuffle import bucketed_join
+
+    lo = datetime.datetime(year, month, 1)
+    hi = (datetime.datetime(year + 1, 1, 1) if month == 12
+          else datetime.datetime(year, month + 1, 1))
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo))
+               & (pads.field("l_shipdate") < pa.scalar(hi)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(disc_price=df.l_extendedprice * (1 - df.l_discount))
+        return df.groupby("l_partkey", as_index=False).agg(
+            disc_price=("disc_price", "sum"))
+
+    line_partial = line.map_batches(partial, batch_format="pandas")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def join_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        if m.empty:
+            return pd.DataFrame({"promo": [], "total": []})
+        return pd.DataFrame({
+            "promo": [m.disc_price[m.p_type == "PROMO"].sum()],
+            "total": [m.disc_price.sum()],
+        })
+
+    parts = bucketed_join(
+        line_partial, part, "l_partkey", "p_partkey", join_fn,
+        left_dtypes={"l_partkey": "int64", "disc_price": "float64"},
+        right_dtypes={"p_partkey": "int64", "p_type": "object"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    if parts.empty or parts.total.sum() == 0:
+        return typed_out(pd.DataFrame({"promo_revenue": [0.0]}),
+                         {"promo_revenue": "float64"})
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    share = 100.0 * parts.promo.sum() / parts.total.sum()
+    return pd.DataFrame({
+        "promo_revenue": [round_away(pd.Series([share]), 4)[0]]})
+
+
+Q14_SQL = """
+SELECT ROUND(COALESCE(
+    100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+    / NULLIF(SUM(l_extendedprice * (1 - l_discount)), 0), 0), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
