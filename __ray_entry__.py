@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_split": text_analysis.doc_sample_split,
         "doc_length_histogram": text_analysis.doc_length_histogram,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
+        "doc_length_quantiles_sketch": text_analysis.doc_length_quantiles_sketch,
         "corpus_mix": text_analysis.corpus_mix,
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         "token_topk_cms": text_analysis.token_topk_cms,

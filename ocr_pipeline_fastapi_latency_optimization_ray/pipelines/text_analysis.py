@@ -548,6 +548,70 @@ ORDER BY p
 """
 
 
+def doc_length_quantiles_sketch(
+    sf_dir: str, sketch_size: int = 256, combine_blocks: int = 8
+) -> pd.DataFrame:
+    """APPROXIMATE quantiles via a mergeable weighted equi-depth summary —
+    the third sketch next to HLL (events_distinct_users_hll) and count-min
+    (token_topk_cms), and the scale path when the value domain is NOT
+    bounded (doc_length_quantiles' exact histogram assumes distinct-value
+    cardinality << corpus; continuous scores break that).
+
+    Shape: each batch collapses to ``sketch_size`` weighted points at
+    even local ranks (weight = batch_n / S); a second map_batches level
+    compacts ``combine_blocks`` coalesced summary blocks the same way, so
+    what reaches the driver is O(combine_blocks x S) regardless of input
+    size — a two-level KLL-style hierarchy. Deterministic (rank midpoints,
+    no sampling); rank error is O(levels / sketch_size), pinned against
+    the exact operator in tests. No SQL oracle: approximate by design."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def _compact(vals: np.ndarray, wts: np.ndarray, s: int):
+        """(values, weights) -> <= s equi-depth points of equal weight."""
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        total = wts.sum()
+        if len(vals) <= s:
+            return vals, wts
+        cum = wts.cumsum()
+        targets = total * (np.arange(s) + 0.5) / s
+        idx = np.searchsorted(cum, targets, side="left")
+        return vals[np.clip(idx, 0, len(vals) - 1)], np.full(s, total / s)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["n_chars"].to_numpy(np.float64)
+        if not len(v):
+            return pd.DataFrame({"v": pd.Series([], dtype="float64"),
+                                 "w": pd.Series([], dtype="float64")})
+        pv, pw = _compact(v, np.ones(len(v)), sketch_size)
+        return pd.DataFrame({"v": pv, "w": pw})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        cv, cw = _compact(df["v"].to_numpy(np.float64),
+                          df["w"].to_numpy(np.float64), sketch_size)
+        return pd.DataFrame({"v": cv, "w": cw})
+
+    summary = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(combine_blocks)
+        .map_batches(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    if summary.empty:
+        return pd.DataFrame({"p": ps, "n_chars_q": [np.nan] * len(ps)})
+    # deterministic final reduce: full sort of <= combine_blocks x S points
+    summary = summary.sort_values(["v", "w"], kind="stable")
+    vals = summary["v"].to_numpy(np.float64)
+    cum = summary["w"].to_numpy(np.float64).cumsum()
+    total = cum[-1]
+    qs = [float(vals[min(np.searchsorted(cum, p * total), len(vals) - 1)])
+          for p in ps]
+    return pd.DataFrame({"p": ps, "n_chars_q": qs})
+
+
 def _mix_batch(df: pd.DataFrame) -> pd.DataFrame:
     """The corpus_mix keep rule as a reusable batch filter: Knuth
     multiplicative hash of doc_id vs the source family's rate

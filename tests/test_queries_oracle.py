@@ -109,6 +109,7 @@ ROWS_ONLY = [
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
+    "doc_length_quantiles_sketch",
 ]
 
 
@@ -162,6 +163,27 @@ def test_extract_metrics_vs_duckdb_over_own_output(entry_mod, ddb, tmp_path):
     """).df()
     ray_df = to_df(entry_mod.queries()["extract_metrics"](SF_DIR))
     compare(ray_df, sql_df, "extract_metrics_crosscheck")
+
+
+def test_quantile_sketch_vs_exact(entry_mod, ray_session):
+    """The mergeable equi-depth summary must land within 2% RANK error of
+    the exact order statistics: for each reported quantile value, the true
+    CDF position of that value must be within 0.02 of the requested p."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import text_analysis
+
+    import pyarrow.parquet as pq
+
+    approx = text_analysis.doc_length_quantiles_sketch(SF_DIR)
+    lens = np.sort(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["n_chars"])
+        .column("n_chars").to_numpy()
+    )
+    n = len(lens)
+    for p, v in zip(approx["p"], approx["n_chars_q"]):
+        lo = np.searchsorted(lens, v, side="left") / n
+        hi = np.searchsorted(lens, v, side="right") / n
+        # the CDF interval covered by value v must touch [p-0.02, p+0.02]
+        assert lo - 0.02 <= p <= hi + 0.02, f"p={p}: value {v} at CDF [{lo:.3f},{hi:.3f}]"
 
 
 def test_ivf_recall_vs_bruteforce(entry_mod, ray_session):
