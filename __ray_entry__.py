@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "customers_inactive_year": relational.customers_inactive_year,
         "orders_monthly_volume": relational.orders_monthly_volume,
         "customer_segment_stats": relational.customer_segment_stats,
         # stream-shaped custom operators (as-of join, sliding/session
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": relational.Q5_SQL,
         "q6_forecast_revenue": relational.Q6_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
+        "customers_inactive_year": relational.CUSTOMERS_INACTIVE_SQL,
         "orders_monthly_volume": relational.ORDERS_MONTHLY_SQL,
         "customer_segment_stats": relational.CUSTOMER_SEGMENT_SQL,
         "events_high_value_errors": streaming.EVENTS_HIGH_VALUE_ERRORS_SQL,

@@ -793,3 +793,70 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
 """
+
+
+# ---------------------------------------------------------------------------
+# left-ANTI join — the join shape missing from the inventory until now:
+# customers with NO order inside a date window. Distributed as the same
+# co-partitioned bucketed join (a bucket holds every order and every
+# customer with that key hash, so bucket-local NOT-IN is globally exact);
+# the probe side dedups per batch BEFORE the shuffle, so what moves is
+# distinct (batch, custkey) pairs, not raw orders.
+# ---------------------------------------------------------------------------
+
+def customers_inactive_year(sf_dir: str, year: int = 1997) -> pd.DataFrame:
+    """Per-segment count of customers who placed no order in ``year``.
+    Scale shape: the orders side prunes to the year at the read and
+    collapses to distinct custkeys per batch; the anti-join is bucket-local
+    set difference (vectorized ``isin``); output is one row per segment."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from ..functions.shuffle import bucketed_join
+
+    lo = datetime.datetime(year, 1, 1)
+    hi = datetime.datetime(year + 1, 1, 1)
+    active = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo))
+               & (pads.field("o_orderdate") < pa.scalar(hi)),
+    ).map_batches(
+        lambda df: df.drop_duplicates("o_custkey"), batch_format="pandas"
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def anti_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        keep = left[~left.c_custkey.isin(right.o_custkey)]
+        if keep.empty:
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                                 "n_inactive": pd.Series([], dtype="int64")})
+        return keep.groupby("c_mktsegment", as_index=False).agg(
+            n_inactive=("c_custkey", "size"))
+
+    parts = bucketed_join(
+        cust, active, "c_custkey", "o_custkey", anti_fn,
+        left_dtypes={"c_custkey": "int64", "c_mktsegment": "object"},
+        right_dtypes={"o_custkey": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    if parts.empty:
+        return typed_out(parts, {"c_mktsegment": "object",
+                                 "n_inactive": "int64"})
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_inactive=("n_inactive", "sum"))
+    out["n_inactive"] = out.n_inactive.astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+CUSTOMERS_INACTIVE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -90,7 +90,7 @@ SQL_CHECKED = [
     "corpus_sample_quota", "events_clicks_before_purchase",
     "token_bigram_topk", "events_funnel", "dedup_exact_keep_bloom",
     "pack_sequences", "pack_stats", "corpus_temperature_mix",
-    "q6_forecast_revenue", "q14_promo_revenue",
+    "q6_forecast_revenue", "q14_promo_revenue", "customers_inactive_year",
 ]
 
 
