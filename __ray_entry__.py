@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text_analysis.doc_length_histogram,
         "doc_length_quantiles": text_analysis.doc_length_quantiles,
         "doc_length_quantiles_sketch": text_analysis.doc_length_quantiles_sketch,
+        "doc_length_quantiles_by_source": text_analysis.doc_length_quantiles_by_source,
         "corpus_mix": text_analysis.corpus_mix,
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         "token_topk_cms": text_analysis.token_topk_cms,
@@ -319,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": similarity.ANN_RANGE_SEARCH_SQL,
         "doc_length_histogram": text_analysis.DOC_LENGTH_HISTOGRAM_SQL,
         "doc_length_quantiles": text_analysis.DOC_LENGTH_QUANTILES_SQL,
+        "doc_length_quantiles_by_source": text_analysis.DOC_LENGTH_QUANTILES_BY_SOURCE_SQL,
         "corpus_mix": text_analysis.CORPUS_MIX_SQL,
         "corpus_temperature_mix": text_analysis.CORPUS_TEMPERATURE_MIX_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,

@@ -856,3 +856,60 @@ def token_topk_cms(
     out = pd.DataFrame({"token": cand, "n_est": est})
     return (out.sort_values(["n_est", "token"], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def doc_length_quantiles_by_source(sf_dir: str) -> pd.DataFrame:
+    """GROUPED exact order statistics: the median + p90 of document length
+    PER SOURCE, without a sort — the grouped variant of
+    ``doc_length_quantiles``. Per-batch (source, n_chars) value counts ->
+    one distributed groupby whose cardinality is bounded by
+    |sources| x |distinct lengths| (independent of corpus row count) ->
+    driver walks each source's cumulative histogram. Convention matches
+    SQL ``percentile_disc``: smallest v with cum_count(v) >= ceil(p*n)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if "source" not in hist.columns or not len(hist):
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "median_chars": pd.Series([], dtype="int64"),
+                             "p90_chars": pd.Series([], dtype="int64")})
+    rows = []
+    for src, g in hist.sort_values(["source", "n_chars"]).groupby("source"):
+        vals = g["n_chars"].to_numpy(np.int64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        rows.append({
+            "source": src,
+            "median_chars": int(vals[np.searchsorted(cum, math.ceil(0.5 * n))]),
+            "p90_chars": int(vals[np.searchsorted(cum, math.ceil(0.9 * n))]),
+        })
+    out = pd.DataFrame(rows)
+    out["median_chars"] = out.median_chars.astype("int64")
+    out["p90_chars"] = out.p90_chars.astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+DOC_LENGTH_QUANTILES_BY_SOURCE_SQL = """
+SELECT source,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+           AS median_chars,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+           AS p90_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
