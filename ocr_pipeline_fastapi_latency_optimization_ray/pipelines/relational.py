@@ -860,3 +860,80 @@ WHERE NOT EXISTS (
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — multi-level aggregation in ONE distributed pass: the finest
+# grouping (returnflag, linestatus) is schema-bounded, so every coarser
+# level (per-flag subtotal, grand total) is derived from it on the driver
+# by re-aggregating a handful of rows — never a second scan.
+# ---------------------------------------------------------------------------
+
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over quantity/revenue.
+    Rolled-up cells use the sentinel 'ALL' rather than NULL so the frame
+    sorts and hash-compares deterministically on both engines."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
+        return df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            revenue=("revenue", "sum"),
+            n_items=("l_quantity", "size"))
+
+    base = _partial_then_final(
+        ds, ["l_returnflag", "l_linestatus"], partial,
+        {"sum_qty": ("sum_qty", "sum"), "revenue": ("revenue", "sum"),
+         "n_items": ("n_items", "sum")})
+    if base.empty:
+        # SQL's () grouping set still emits ONE grand-total row over empty
+        # input: SUM -> NULL, COUNT -> 0
+        return pd.DataFrame({
+            "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+            "sum_qty": [np.nan], "revenue": [np.nan],
+            "n_items": pd.array([0], dtype="int64")})
+
+    def _lvl(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        # deterministic driver re-aggregation of the (sorted) bounded base
+        df = df.sort_values(["l_returnflag", "l_linestatus"], kind="stable")
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                sum_qty=("sum_qty", "sum"), revenue=("revenue", "sum"),
+                n_items=("n_items", "sum"))
+        else:
+            g = pd.DataFrame({"sum_qty": [df.sum_qty.sum()],
+                              "revenue": [df.revenue.sum()],
+                              "n_items": [df.n_items.sum()]})
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        return g
+
+    out = pd.concat([
+        _lvl(base, ["l_returnflag", "l_linestatus"]),
+        _lvl(base, ["l_returnflag"]),
+        _lvl(base, []),
+    ], ignore_index=True)
+    out["sum_qty"] = round_away(out.sum_qty, 2)
+    out["revenue"] = round_away(out.revenue, 2)
+    out["n_items"] = out.n_items.astype("int64")
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "revenue", "n_items"]
+    return (out[cols]
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+LINEITEM_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""

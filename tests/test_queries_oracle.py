@@ -91,7 +91,7 @@ SQL_CHECKED = [
     "token_bigram_topk", "events_funnel", "dedup_exact_keep_bloom",
     "pack_sequences", "pack_stats", "corpus_temperature_mix",
     "q6_forecast_revenue", "q14_promo_revenue", "customers_inactive_year",
-    "doc_length_quantiles_by_source",
+    "doc_length_quantiles_by_source", "lineitem_rollup",
 ]
 
 
