@@ -937,3 +937,95 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# left-OUTER join — NULL-preserving: every order survives; orders with no
+# lineitem shipped in the window aggregate into the unmatched count. Same
+# co-partitioned bucket shuffle as the inner/anti variants (a bucket holds
+# both sides of every key it owns, so bucket-local outer-merge is exact).
+# ---------------------------------------------------------------------------
+
+def orders_march_activity(sf_dir: str, year: int = 1996, month: int = 3) -> pd.DataFrame:
+    """Per-priority order counts split by whether the order had any lineitem
+    shipped in ``year-month``, plus that month's revenue. Scale shape: the
+    lineitem side prunes to the window at the read and partial-aggregates
+    per orderkey before the shuffle; the outer merge + per-priority
+    aggregate run bucket-locally, so the driver combines |priorities| rows
+    per bucket."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from ..functions.shuffle import bucketed_join
+
+    lo = datetime.datetime(year, month, 1)
+    hi = (datetime.datetime(year + 1, 1, 1) if month == 12
+          else datetime.datetime(year, month + 1, 1))
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo))
+               & (pads.field("l_shipdate") < pa.scalar(hi)),
+    ).map_batches(
+        lambda df: df.assign(revenue=df.l_extendedprice * (1 - df.l_discount))
+                     .groupby("l_orderkey", as_index=False)
+                     .agg(revenue=("revenue", "sum")),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def outer_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # complete the per-key revenue first: the bucket holds EVERY partial
+        # for its keys, but one key may arrive as several per-batch partials
+        right = right.groupby("l_orderkey", as_index=False).agg(
+            revenue=("revenue", "sum"))
+        m = left.merge(right, left_on="o_orderkey", right_on="l_orderkey",
+                       how="left")
+        if m.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "n_active": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64")})
+        return m.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("o_orderkey", "size"),
+            n_active=("revenue", "count"),   # non-NULL = matched
+            revenue=("revenue", "sum"))      # pandas sum skips NaN
+
+    parts = bucketed_join(
+        orders, line, "o_orderkey", "l_orderkey", outer_fn,
+        left_dtypes={"o_orderkey": "int64", "o_orderpriority": "object"},
+        right_dtypes={"l_orderkey": "int64", "revenue": "float64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    if parts.empty:
+        return typed_out(parts, {
+            "o_orderpriority": "object", "n_orders": "int64",
+            "n_active": "int64", "revenue": "float64"})
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), n_active=("n_active", "sum"),
+        revenue=("revenue", "sum"))
+    out["n_orders"] = out.n_orders.astype("int64")
+    out["n_active"] = out.n_active.astype("int64")
+    out["revenue"] = round_away(out.revenue, 2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDERS_MARCH_ACTIVITY_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(r.revenue) AS n_active,
+       ROUND(COALESCE(SUM(r.revenue), 0), 2) AS revenue
+FROM orders o
+LEFT JOIN (
+    SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_orderkey
+) r ON o.o_orderkey = r.l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
