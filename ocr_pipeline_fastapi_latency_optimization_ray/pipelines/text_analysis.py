@@ -913,3 +913,60 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+def doc_length_moments(sf_dir: str) -> pd.DataFrame:
+    """Distributed mergeable-moments aggregate: per-source mean / population
+    variance / stddev of document length from EXACT integer partials
+    (count, sum, sum-of-squares per batch). Integer addition is associative,
+    so the combine is order-independent with no sorted-reduce workaround —
+    the textbook mergeable aggregate. The float math happens ONCE at the
+    end, written as the exact same double expression the oracle SQL uses
+    ((s2 - s*s/n)/n), so rounding is bit-stable across engines."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_chars"].astype("int64")
+        return (df.assign(c=c, c2=c * c)
+                .groupby("source", as_index=False)
+                .agg(n=("c", "size"), s1=("c", "sum"), s2=("c2", "sum")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "mean_chars": pd.Series([], dtype="float64"),
+                             "var_chars": pd.Series([], dtype="float64"),
+                             "std_chars": pd.Series([], dtype="float64")})
+    agg = parts.groupby("source", as_index=False).agg(
+        n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    n = agg["n"].to_numpy(np.float64)
+    s1 = agg["s1"].to_numpy(np.float64)
+    s2 = agg["s2"].to_numpy(np.float64)
+    var = (s2 - s1 * s1 / n) / n
+    from ..functions.frames import round_away as _ra
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": agg["n"].astype("int64"),
+        "mean_chars": _ra(pd.Series(s1 / n), 4),
+        "var_chars": _ra(pd.Series(var), 4),
+        "std_chars": _ra(pd.Series(np.sqrt(var)), 4),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
+DOC_LENGTH_MOMENTS_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars,
+       ROUND((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+              - CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
+                / COUNT(*)) / COUNT(*), 4) AS var_chars,
+       ROUND(sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+              - CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE)
+                / COUNT(*)) / COUNT(*)), 4) AS std_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
