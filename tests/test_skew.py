@@ -1,57 +1,86 @@
-"""Size-based skew splitter (stages/classify.py; SURVEY.md §4.2,
-north_rule requirement): giant rows isolate into their own blocks and the
-isolation never changes output bytes."""
+"""Hot-key skew stress: one user owns HALF the event stream (the classic
+power-law head at web scale). The wide operators must (a) complete without
+one straggler bucket stalling the pipeline, and (b) still match the DuckDB
+oracle exactly — skew may cost time, never correctness.
 
-from __future__ import annotations
+Why these three: events_user_sessions is the one HOLISTIC per-key operator
+(a key's rows must co-locate; a hot key concentrates in one bucket — the
+vectorized sort+diff+cumsum inside the bucket keeps it O(rows log rows),
+not O(rows^2)); events_top_users and events_tumbling_hourly are algebraic,
+where per-batch partial aggregation collapses the hot key to one row per
+batch BEFORE any shuffle, so the exchange never sees the skew at all."""
 
-import pyarrow as pa
-import pyarrow.parquet as pq
+import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
-from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig
-from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.extract import (
-    build_extraction_pipeline, read_pages,
-)
-from ocr_pipeline_fastapi_latency_optimization_ray.stages.classify import (
-    make_classifier,
-)
-from ocr_pipeline_fastapi_latency_optimization_ray.sources.synth import (
-    synth_pages_table,
-)
+from test_queries_oracle import compare, to_df
+
+N_EVENTS = 60_000
+HOT_USER = 7
 
 
-def test_huge_rows_get_single_row_blocks():
-    base = synth_pages_table(20).select(["url", "html", "text", "lang"])
-    sizes = [len(v) if v else 0 for v in base["html"].to_pylist()]
-    threshold = sorted(sizes)[-3]  # top-3 payloads count as "huge"
-    cfg = PipelineConfig(huge_payload_bytes=threshold, extract_batch_size=8)
-    blocks = list(make_classifier(cfg)(base))
-    huge_blocks = [b for b in blocks if b.num_rows == 1
-                   and b["payload_bytes"][0].as_py() >= threshold]
-    n_huge = sum(1 for s in sizes if s >= threshold)
-    assert len(huge_blocks) == n_huge >= 3
-    # small-row remainder is chunked to the configured batch size
-    small = [b for b in blocks if b not in huge_blocks]
-    assert all(b.num_rows <= 8 for b in small)
-    # no rows lost
-    assert sum(b.num_rows for b in blocks) == base.num_rows
+@pytest.fixture(scope="module")
+def skewed_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("skewed_sf")
+    rng = np.random.RandomState(42)
+    n_hot = N_EVENTS // 2
+    user = np.concatenate([
+        np.full(n_hot, HOT_USER, dtype=np.int64),
+        rng.randint(100, 2000, N_EVENTS - n_hot).astype(np.int64),
+    ])
+    ts = (np.datetime64("2025-06-01", "us")
+          + np.sort(rng.randint(0, 30 * 86400, N_EVENTS)).astype("timedelta64[s]"))
+    df = pd.DataFrame({
+        "event_id": np.arange(N_EVENTS, dtype=np.int64),
+        "ts": ts,
+        "user_id": user,
+        "event_type": np.where(rng.rand(N_EVENTS) < 0.1, "purchase", "click"),
+        "value": rng.rand(N_EVENTS) * 100,
+        "props": "",
+    })
+    # shuffle row order so the hot user is interleaved across blocks, the
+    # way a crawl shard interleaves a hot domain
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   d / "events.parquet", row_group_size=4000)
+    return str(d)
 
 
-def test_skew_isolation_is_byte_invariant(ray_session, tmp_path):
-    t = synth_pages_table(150).select(["url", "html", "text", "lang"])
-    pq.write_table(t, tmp_path / "pages.parquet")
+@pytest.fixture(scope="module")
+def skew_ddb(skewed_sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{skewed_sf}/events.parquet')"
+    )
+    return con
 
-    def run(cfg):
-        out = build_extraction_pipeline(
-            read_pages(str(tmp_path / "pages.parquet")), cfg
-        ).to_pandas()
-        return (
-            out[["url", "extracted_text"]]
-            .sort_values("url")
-            .reset_index(drop=True)
-        )
 
-    normal = run(PipelineConfig())
-    # force nearly everything through the huge-row path
-    skewed = run(PipelineConfig(huge_payload_bytes=500))
-    assert normal.equals(skewed)
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.mark.parametrize("name", [
+    "events_user_sessions", "events_top_users", "events_tumbling_hourly",
+])
+def test_skewed_hot_key_matches_oracle(entry_mod, skew_ddb, skewed_sf, name):
+    ray_df = to_df(entry_mod.queries()[name](skewed_sf))
+    sql_df = skew_ddb.execute(entry_mod.oracle_sql()[name]).df()
+    compare(ray_df, sql_df, f"{name}[skewed]")
+
+
+def test_hot_user_dominates_fixture(skewed_sf):
+    """Guard: the fixture really is skewed (hot user holds 50% of rows)."""
+    import pyarrow.parquet as pq
+
+    u = pq.read_table(f"{skewed_sf}/events.parquet", columns=["user_id"])
+    share = (u.column("user_id").to_numpy() == HOT_USER).mean()
+    assert share > 0.45
