@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_sketch": text_analysis.doc_length_quantiles_sketch,
         "doc_length_quantiles_by_source": text_analysis.doc_length_quantiles_by_source,
         "doc_length_moments": text_analysis.doc_length_moments,
+        "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
         "corpus_mix": text_analysis.corpus_mix,
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         "token_topk_cms": text_analysis.token_topk_cms,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": text_analysis.DOC_LENGTH_QUANTILES_SQL,
         "doc_length_quantiles_by_source": text_analysis.DOC_LENGTH_QUANTILES_BY_SOURCE_SQL,
         "doc_length_moments": text_analysis.DOC_LENGTH_MOMENTS_SQL,
+        "tf_idf_top_terms": text_analysis.TF_IDF_TOP_TERMS_SQL,
         "corpus_mix": text_analysis.CORPUS_MIX_SQL,
         "corpus_temperature_mix": text_analysis.CORPUS_TEMPERATURE_MIX_SQL,
         "knn_label_vote": KNN_LABEL_VOTE_SQL,

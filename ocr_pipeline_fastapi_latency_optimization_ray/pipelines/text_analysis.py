@@ -970,3 +970,122 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+def tf_idf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k TF-IDF terms per document — the composition showcase: per-doc
+    term counts (complete per batch: one doc = one row) -> token-bucketed
+    exchange for the exact global document frequency -> token-keyed
+    bucketed join scoring tf * ln(N/df) -> doc-keyed exchange for the
+    per-doc top-k (per-batch local top-k per doc prunes first; top-k of a
+    union is contained in the union of per-part top-ks, so the prune is
+    exact). Two bucketed exchanges, both moving (token|doc, small-int)
+    partials — never text. Ranking uses the UNROUNDED double score with
+    token tiebreak, mirrored exactly by the oracle's ROW_NUMBER."""
+    from ..functions.frames import round_away as _ra
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = ds.count()  # parquet metadata count — no scan
+    empty_schema = {"doc_id": "int64", "token": "object", "tf": "int64",
+                    "df": "int64", "tfidf": "float64"}
+    if not n_docs:
+        return typed_out(pd.DataFrame(), empty_schema)
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        g = (pd.DataFrame({"doc_id": ex.index.to_numpy(),
+                           "token": ex.to_numpy(object)})
+             .groupby(["doc_id", "token"], as_index=False).size()
+             .rename(columns={"size": "tf"}))
+        g["tf"] = g.tf.astype("int64")
+        return g
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # input IS the tf stream: one row per (doc, token), so counting
+        # rows per token per batch sums to the exact global df
+        c = df["token"].value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(object),
+                             "df": c.to_numpy(np.int64)})
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(df=("df", "sum"))
+
+    # tf is consumed twice (df build + the scoring join): materialize the
+    # (doc, token, tf) partials once; they are small-int rows, not text
+    tf = tf.materialize()
+    dfreq = bucketed_combine(tf, "token", df_partial, df_combine)
+
+    def score_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="token")
+        if m.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in empty_schema.items()
+                                 }).rename(columns={"tfidf": "score"})
+        m["score"] = m.tf.to_numpy(np.float64) * np.log(
+            float(n_docs) / m.df.to_numpy(np.float64))
+        # local prune: top-k per doc within this bucket's frame
+        m = m.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="stable")
+        return m.groupby("doc_id", as_index=False).head(k)
+
+    scored = bucketed_join(
+        tf, dfreq, "token", "token", score_fn,
+        left_dtypes={"doc_id": "int64", "token": "object", "tf": "int64"},
+        right_dtypes={"token": "object", "df": "int64"},
+        coalesce_blocks=16,
+    )
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "token"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("doc_id", as_index=False).head(k)
+
+    def topk_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="stable")
+        return g.groupby("doc_id", as_index=False).head(k)
+
+    out = bucketed_combine(
+        scored, "doc_id", topk_partial, topk_combine, coalesce_blocks=16
+    ).to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty_schema)
+    out["tfidf"] = _ra(out["score"], 6)
+    out = out.drop(columns=["score"])
+    out["doc_id"] = out.doc_id.astype("int64")
+    out["tf"] = out.tf.astype("int64")
+    out["df"] = out.df.astype("int64")
+    return (out[["doc_id", "token", "tf", "df", "tfidf"]]
+            .sort_values(["doc_id", "tfidf", "token"],
+                         ascending=[True, False, True], kind="stable")
+            .reset_index(drop=True))
+
+
+TF_IDF_TOP_TERMS_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS score,
+         ROW_NUMBER() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
+                      tf.token) AS rn
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, ROUND(score, 6) AS tfidf
+FROM scored WHERE rn <= 3
+ORDER BY doc_id, tfidf DESC, token
+"""
