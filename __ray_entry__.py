@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_inactive_year": relational.customers_inactive_year,
         "lineitem_rollup": relational.lineitem_rollup,
         "orders_march_activity": relational.orders_march_activity,
+        "lineitem_corr": relational.lineitem_corr,
         "orders_monthly_volume": relational.orders_monthly_volume,
         "customer_segment_stats": relational.customer_segment_stats,
         # stream-shaped custom operators (as-of join, sliding/session
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_inactive_year": relational.CUSTOMERS_INACTIVE_SQL,
         "lineitem_rollup": relational.LINEITEM_ROLLUP_SQL,
         "orders_march_activity": relational.ORDERS_MARCH_ACTIVITY_SQL,
+        "lineitem_corr": relational.LINEITEM_CORR_SQL,
         "orders_monthly_volume": relational.ORDERS_MONTHLY_SQL,
         "customer_segment_stats": relational.CUSTOMER_SEGMENT_SQL,
         "events_high_value_errors": streaming.EVENTS_HIGH_VALUE_ERRORS_SQL,

@@ -1029,3 +1029,62 @@ LEFT JOIN (
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation — the two-column mergeable co-moment aggregate:
+# each batch emits (n, Sx, Sy, Sxx, Syy, Sxy); the bounded partial stream
+# reduces once after a deterministic sort (q1 pattern), and the float
+# formula is written identically to the oracle's expression.
+# ---------------------------------------------------------------------------
+
+def lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    """corr(l_quantity, l_extendedprice) per l_returnflag. One streaming
+    pass, one row per (flag, batch) on the wire, |flags| rows out."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.l_quantity
+        y = df.l_extendedprice
+        return (df.assign(x=x, y=y, xx=x * x, yy=y * y, xy=x * y)
+                .groupby("l_returnflag", as_index=False)
+                .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                     sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum")))
+
+    agg = _partial_then_final(
+        ds, "l_returnflag", partial,
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxx": ("sxx", "sum"), "syy": ("syy", "sum"), "sxy": ("sxy", "sum")})
+    if agg.empty:
+        return typed_out(agg, {"l_returnflag": "object", "n_items": "int64",
+                               "corr_qty_price": "float64"})
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+    sxx = agg["sxx"].to_numpy(np.float64)
+    syy = agg["syy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    corr = ((n * sxy - sx * sy)
+            / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n_items": agg["n"].astype("int64"),
+        "corr_qty_price": round_away(pd.Series(corr), 4),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+LINEITEM_CORR_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND((COUNT(*) * SUM(l_quantity * l_extendedprice)
+              - SUM(l_quantity) * SUM(l_extendedprice))
+             / sqrt((COUNT(*) * SUM(l_quantity * l_quantity)
+                     - SUM(l_quantity) * SUM(l_quantity))
+                    * (COUNT(*) * SUM(l_extendedprice * l_extendedprice)
+                       - SUM(l_extendedprice) * SUM(l_extendedprice))), 4)
+           AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
