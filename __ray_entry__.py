@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": relational.lineitem_rollup,
         "orders_march_activity": relational.orders_march_activity,
         "lineitem_corr": relational.lineitem_corr,
+        "events_decayed_value": streaming.events_decayed_value,
         "orders_monthly_volume": relational.orders_monthly_volume,
         "customer_segment_stats": relational.customer_segment_stats,
         # stream-shaped custom operators (as-of join, sliding/session
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": relational.LINEITEM_ROLLUP_SQL,
         "orders_march_activity": relational.ORDERS_MARCH_ACTIVITY_SQL,
         "lineitem_corr": relational.LINEITEM_CORR_SQL,
+        "events_decayed_value": streaming.EVENTS_DECAYED_SQL,
         "orders_monthly_volume": relational.ORDERS_MONTHLY_SQL,
         "customer_segment_stats": relational.CUSTOMER_SEGMENT_SQL,
         "events_high_value_errors": streaming.EVENTS_HIGH_VALUE_ERRORS_SQL,

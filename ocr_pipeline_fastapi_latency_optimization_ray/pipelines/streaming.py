@@ -657,3 +657,58 @@ FROM ud JOIN c USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def events_decayed_value(sf_dir: str, tau_days: float = 7.0,
+                         ref_ts: str = "2024-02-01") -> pd.DataFrame:
+    """Time-decayed value aggregate — the recency-weighted statistic of a
+    feature store: SUM(value * exp(-(T_ref - ts)/tau)) per event_type, with
+    a FIXED reference instant so the weight is a pure per-row function and
+    the aggregate stays algebraic/mergeable (one weighted partial per
+    (type, batch) on the wire, |types| rows out; no second pass to find
+    max(ts), no order sensitivity). The float formula mirrors the oracle's
+    expression; the bounded partial stream reduces after a sort (q1
+    pattern)."""
+    from ..functions.frames import round_away, typed_out
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    ref = pd.Timestamp(ref_ts)
+    tau_s = tau_days * 86400.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        age_s = (ref - df["ts"]).dt.total_seconds().to_numpy(np.float64)
+        w = np.exp(-age_s / tau_s)
+        return (df.assign(wv=df["value"].to_numpy(np.float64) * w, w=w)
+                .groupby("event_type", as_index=False)
+                .agg(decayed_value=("wv", "sum"),
+                     decayed_weight=("w", "sum"),
+                     n_events=("w", "size")))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return typed_out(parts, {"event_type": "object", "n_events": "int64",
+                                 "decayed_value": "float64",
+                                 "decayed_weight": "float64"})
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    out = parts.groupby("event_type", as_index=False).agg(
+        decayed_value=("decayed_value", "sum"),
+        decayed_weight=("decayed_weight", "sum"),
+        n_events=("n_events", "sum"))
+    out["decayed_value"] = round_away(out.decayed_value, 4)
+    out["decayed_weight"] = round_away(out.decayed_weight, 4)
+    out["n_events"] = out.n_events.astype("int64")
+    return (out[["event_type", "n_events", "decayed_value", "decayed_weight"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+EVENTS_DECAYED_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value * exp(-(EXTRACT(epoch FROM (TIMESTAMP '2024-02-01'
+                 - ts))) / (7.0 * 86400.0))), 4) AS decayed_value,
+       ROUND(SUM(exp(-(EXTRACT(epoch FROM (TIMESTAMP '2024-02-01'
+                 - ts))) / (7.0 * 86400.0))), 4) AS decayed_weight
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -70,6 +70,7 @@ def entry_mod(ray_session):
 
 @pytest.mark.parametrize("name", [
     "events_user_sessions", "events_top_users", "events_tumbling_hourly",
+    "events_decayed_value",
 ])
 def test_skewed_hot_key_matches_oracle(entry_mod, skew_ddb, skewed_sf, name):
     ray_df = to_df(entry_mod.queries()[name](skewed_sf))
