@@ -33,7 +33,9 @@ def skewed_sf(tmp_path_factory):
         np.full(n_hot, HOT_USER, dtype=np.int64),
         rng.randint(100, 2000, N_EVENTS - n_hot).astype(np.int64),
     ])
-    ts = (np.datetime64("2025-06-01", "us")
+    # January 2024, matching the real testdata epoch — and BEFORE the
+    # decay reference instant of events_decayed_value, so weights stay <= 1
+    ts = (np.datetime64("2024-01-01", "us")
           + np.sort(rng.randint(0, 30 * 86400, N_EVENTS)).astype("timedelta64[s]"))
     df = pd.DataFrame({
         "event_id": np.arange(N_EVENTS, dtype=np.int64),
