@@ -922,7 +922,13 @@ def doc_length_moments(sf_dir: str) -> pd.DataFrame:
     so the combine is order-independent with no sorted-reduce workaround —
     the textbook mergeable aggregate. The float math happens ONCE at the
     end, written as the exact same double expression the oracle SQL uses
-    ((s2 - s*s/n)/n), so rounding is bit-stable across engines."""
+    ((s2 - s*s/n)/n), so rounding is bit-stable across engines.
+
+    Range note: int64 sum-of-squares is exact while per-batch
+    sum(n_chars^2) < 2^63 — true for any batch of real documents
+    (n_chars < 1e8 -> c^2 <= 1e16, >900 such docs per batch before
+    overflow); a corpus of pathological multi-GB single documents would
+    need the skew splitter upstream anyway."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["source", "n_chars"])
 
