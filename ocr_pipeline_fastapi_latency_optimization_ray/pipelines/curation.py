@@ -389,25 +389,40 @@ ORDER BY doc_id
 # unicode text normalization
 # ---------------------------------------------------------------------------
 
-def normalize_batch(batch):
-    """NFC normalize -> collapse runs of (ASCII) whitespace -> trim ->
-    lowercase; emitted as (md5, length) so the oracle compares the entire
-    normalized byte stream without shipping text through the compare.
+def _normalize_texts(texts: list[str]) -> list[str]:
+    """The ONE definition of "normalized text" shared by ``normalize_batch``
+    and ``corpus_build``: NFC -> collapse RE2 ``\\s+`` runs (ASCII-only, no
+    ``\\v``) -> trim Unicode whitespace -> lowercase. Each kernel is the
+    Arrow twin of the DuckDB expression in the oracles
+    (``nfc_normalize``/``regexp_replace('\\s+')``/``trim``/``lower``) —
+    probed byte-equal on NBSP/U+3000/U+2028/``\\v`` edge inputs. Python
+    ``str.split()`` is NOT equivalent (it collapses all Unicode whitespace).
 
     NFC runs through ``unicodedata`` (this pyarrow's ``utf8_normalize``
     ignores its ``form`` option and always decomposes — pinned by
-    tests/test_curation.py::test_normalize_unicode_and_whitespace); the
-    whitespace/case kernels stay Arrow-native RE2, matching DuckDB."""
+    tests/test_curation.py::test_normalize_unicode_and_whitespace)."""
     import unicodedata
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    text = pc.coalesce(batch.column("text"), "")
-    norm = pa.array([unicodedata.normalize("NFC", t)
-                     for t in text.to_pylist()], pa.string())
+    norm = pa.array([unicodedata.normalize("NFC", t) for t in texts],
+                    pa.string())
     norm = pc.replace_substring_regex(norm, pattern=r"\s+", replacement=" ")
     norm = pc.utf8_lower(pc.utf8_trim_whitespace(norm))
+    return norm.to_pylist()
+
+
+def normalize_batch(batch):
+    """NFC normalize -> collapse runs of (ASCII) whitespace -> trim ->
+    lowercase (see ``_normalize_texts``); emitted as (md5, length) so the
+    oracle compares the entire normalized byte stream without shipping
+    text through the compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(batch.column("text"), "")
+    norm = pa.array(_normalize_texts(text.to_pylist()), pa.string())
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "norm_md5": pa.array(md5_hex_batch(norm.to_pylist())),
@@ -695,8 +710,6 @@ def corpus_build(sf_dir: str) -> pd.DataFrame:
     exchange moves only fixed-width survivor rows — the text itself never
     leaves its source block, and there is no join: the winning row's
     attributes travel with its hash."""
-    import unicodedata
-
     ds = _docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -710,10 +723,10 @@ def corpus_build(sf_dir: str) -> pd.DataFrame:
             df.index, fill_value=0)
         keep = alpha_ok & (stop >= 1)
         df = df[keep]
-        norm = [
-            " ".join(unicodedata.normalize("NFC", t).split()).lower()
-            for t in df["text"].fillna("")
-        ]
+        # The shared normalization kernel (RE2 \s+, ASCII-only) — NOT
+        # str.split(), which also collapses NBSP/U+3000/U+2028 and would
+        # diverge from CORPUS_BUILD_SQL on non-ASCII whitespace.
+        norm = _normalize_texts(df["text"].fillna("").tolist())
         out = pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),
             "lang": df["lang"].to_numpy(),

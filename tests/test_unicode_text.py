@@ -19,6 +19,12 @@ SNIPPETS = [
     "日本語のテキスト 漢字 テスト", "emoji 🎉🚀 mix", "café naïve résumé",
     "Ωμέγα ελληνικά", "über straße", "éclair combining", "عربى نص",
     "한국어 텍스트 테스트",
+    # Non-ASCII whitespace: NBSP, ideographic space, line separator,
+    # vertical tab. Python str.split() collapses ALL of these; the RE2
+    # '\s+' kernel the engine and the oracles share collapses NONE of the
+    # first three — this row pins corpus_build/doc_normalize to the RE2
+    # semantics (round-2 ADVICE: corpus_build diverged here).
+    "nb sp　wide line\x0bvt   mix",
 ]
 
 
