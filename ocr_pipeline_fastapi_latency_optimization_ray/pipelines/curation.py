@@ -77,12 +77,17 @@ def _chunk_pairs_batch(df: pd.DataFrame, k: int) -> pd.DataFrame:
     powers = np.power(_BASE, np.arange(k - 1, -1, -1, dtype=np.uint64))
     with np.errstate(over="ignore"):
         contrib = h * powers[within]
-    # wraparound sum per (row, chunk) — np.add.at keeps uint64 semantics
-    key = row.astype(np.int64) * np.int64(1 << 20) + chunk
+    # wraparound sum per (row, chunk) — np.add.at keeps uint64 semantics.
+    # Pack (row, chunk) into uint64 as row<<42 | chunk: row is the
+    # batch-local position (< block rows, far under 2^22) and 2^42 chunks
+    # ≈ 22T tokens per document — asserted, not silently collided (the
+    # old row*2^20+chunk packing wrapped at ~5M tokens/doc).
+    assert len(df) < (1 << 22) and chunk.max(initial=0) < (1 << 42)
+    key = (row.astype(np.uint64) << np.uint64(42)) | chunk.astype(np.uint64)
     uniq, inv = np.unique(key, return_inverse=True)
     sums = np.zeros(len(uniq), dtype=np.uint64)
     np.add.at(sums, inv, contrib)
-    doc = df["doc_id"].to_numpy(np.int64)[(uniq >> 20).astype(np.int64)]
+    doc = df["doc_id"].to_numpy(np.int64)[(uniq >> np.uint64(42)).astype(np.int64)]
     return pd.DataFrame({"doc_id": doc, "h": sums.astype(np.int64)})
 
 

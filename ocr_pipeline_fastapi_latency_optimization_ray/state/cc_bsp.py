@@ -189,6 +189,7 @@ def connected_components_bsp(
         labels[i].set_initial.remote([inits[i]]) for i in range(n_buckets)
     ])
 
+    converged = False
     for _ in range(max_iters):
         cur = [ray.get(labels[i].get.remote()) for i in range(n_buckets)]
         outs = ray.get([
@@ -200,7 +201,19 @@ def connected_components_bsp(
             for j in range(n_buckets)
         ])
         if not any(changed):
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are silently WRONG (a component with
+        # propagation diameter > max_iters keeps >1 label) — fail loudly
+        # rather than hand back plausible-looking garbage.
+        for a in (*shards, *labels):
+            ray.kill(a)
+        raise RuntimeError(
+            f"connected_components_bsp did not converge in {max_iters} "
+            "supersteps; raise max_iters (label propagation needs about "
+            "log2(longest chain) rounds with min-label shortcutting)"
+        )
 
     frames = ray.get([l.to_frame.remote() for l in labels])
     for s in shards:

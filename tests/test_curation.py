@@ -231,6 +231,25 @@ def test_cc_bsp_chain_and_forest(ray_session):
     assert got == want
 
 
+def test_cc_bsp_raises_on_nonconvergence(ray_session):
+    """A component whose propagation diameter exceeds max_iters must FAIL
+    LOUDLY, not return plausible-but-wrong labels (round-2 ADVICE): a
+    10-node path cannot converge in 2 min-label supersteps."""
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.state.cc_bsp import (
+        connected_components_bsp,
+    )
+
+    edges = [(i, i + 1) for i in range(100, 109)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"a": [a for a, _ in edges], "b": [b for _, b in edges]}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_bsp(ds, n_buckets=4, max_iters=2).to_pandas()
+
+
 def test_events_funnel_sequence_matters(ray_session, tmp_path):
     """The funnel is ORDER-sensitive: a purchase before any click, or a
     click before any view, must not advance the user — exactly the case
