@@ -68,3 +68,110 @@ def test_dup_heavy_matches_oracle(entry_mod, dup_ddb, dup_sf, name):
     ray_df = to_df(entry_mod.queries()[name](dup_sf))
     sql_df = dup_ddb.execute(entry_mod.oracle_sql()[name]).df()
     compare(ray_df, sql_df, f"{name}[dup-heavy]")
+
+
+# ---------------------------------------------------------------------------
+# hot-LSH-bucket corpus (round-2 VERDICT "what's wrong" #1): one
+# mass-duplicated boilerplate class owns most of every band bucket. The
+# capped star-collapse + jaccard-1 clique re-expansion must return EXACTLY
+# the brute-force pair set while candidate/verify work stays linear in the
+# bucket size (the cap here is far below the class size, forcing the path).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hot_bucket_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    boiler = " ".join(vocab[rng.randint(len(vocab))] for _ in range(30))
+    texts = {}
+    for did in range(60):                      # the hot class: 60 identical
+        texts[did] = boiler
+    for j in range(3):                         # near-dups of the boilerplate
+        w = boiler.split()
+        w[5 + 7 * j] = f"changed{j}"
+        texts[60 + j] = " ".join(w)
+    did = 63
+    for _ in range(40):                        # unrelated random docs
+        texts[did] = " ".join(
+            vocab[rng.randint(len(vocab))] for _ in range(30))
+        did += 1
+    d = tmp_path_factory.mktemp("hotbucket")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())}),
+        d / "documents.parquet",
+    )
+    return str(d), texts
+
+
+def _brute_jaccard_pairs(texts, k_shingle, threshold):
+    from ocr_pipeline_fastapi_latency_optimization_ray.functions.hashing import (
+        shingles,
+    )
+
+    smap = {k: np.unique(shingles(t, k_shingle)) for k, t in texts.items()}
+    ids = sorted(texts)
+    brute = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = smap[ids[i]], smap[ids[j]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac = inter / max(1, len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                brute[(ids[i], ids[j])] = jac
+    return brute
+
+
+def test_minhash_hot_bucket_capped_equals_bruteforce(ray_session,
+                                                     hot_bucket_dir):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+    d, texts = hot_bucket_dir
+    # cap 8 << class size 60: every band bucket takes the collapse path
+    out = dedup.dedup_minhash_candidates(d, lsh_bucket_cap=8)
+    got = {(int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+           for r in out.itertuples()}
+    # THE invariant: the cap is a pure optimization — star collapse +
+    # clique re-expansion reproduces the uncapped pair set bit-for-bit
+    base = dedup.dedup_minhash_candidates(d)
+    baseline = {(int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+                for r in base.itertuples()}
+    assert got == baseline
+    # precision is exact and every value matches brute force
+    brute = _brute_jaccard_pairs(texts, 3, 0.5)
+    assert set(got) <= set(brute)
+    for k, v in got.items():
+        assert abs(v - brute[k]) < 1e-6
+    # the hot class's full C(60,2) jaccard-1.0 clique is re-expanded, and
+    # each near-dup doc pairs with the ENTIRE class (sub-1 replication)
+    assert sum(1 for v in got.values() if v == 1.0) >= 60 * 59 // 2
+    for nd in (60, 61, 62):
+        assert sum(1 for (a, b) in got
+                   if (a < 60 and b == nd)) == 60, nd
+    # recall vs brute force stays >= 99% (LSH banding misses are the only
+    # allowed gap; on this corpus that is at most the 3 near-dup pairs)
+    assert len(got) >= 0.99 * len(brute)
+
+
+def test_simhash_hot_bucket_equals_bruteforce(ray_session, hot_bucket_dir):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+    d, texts = hot_bucket_dir
+    sims = dedup.doc_simhash(d)
+    vals = sims.simhash.values.astype(np.uint64)
+    ids = sims.doc_id.values
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = dedup._popcount64(vals[ii] ^ vals[jj])
+    brute = {(int(ids[a]), int(ids[b])): int(h)
+             for a, b, h in zip(ii, jj, ham) if h <= 3}
+    dist = dedup.dedup_simhash_candidates(d)
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.hamming)
+           for r in dist.itertuples()}
+    # value collapse is exact: banding still finds every hamming<=3 pair
+    assert got == brute
+    # the 60-doc identical class pairs at hamming 0
+    assert got[(0, 1)] == 0
