@@ -23,6 +23,7 @@ from ..functions.enrich import finalize_document
 from ..functions.html_tokenize import blocks_table_from_html
 from ..functions.masking import PageSkeleton, build_page_skeleton
 from ..functions.merge import filter_duplicates
+from ..functions.rtl import RTL_LANGS, rtl_normalize_text
 from ..sources.payloads import classify_payload_bytes, decode_fake_doc
 from ..stages.layout import (
     LayoutStub,
@@ -66,8 +67,17 @@ def extract_document(
     if kind == "text":
         # pre-extracted text path (reference text->PDF->OCR round trip,
         # FileIngestor.py:189-237, collapses to identity in a deterministic
-        # engine); fence strip still applies (PageProcessor.py:116)
-        page = PageSkeleton(parts=[text.strip()], block_ids=[0], enrich=[],
+        # engine); fence strip still applies (PageProcessor.py:116).
+        # The S4 lang semantic (FileIngestor.py:208-221): RTL-language
+        # payloads are reshaped into contextual presentation forms and
+        # reordered into display order per line (functions/rtl.py) before
+        # the identity collapse — keyed on the lang column, a no-op for
+        # every other language.
+        if lang in RTL_LANGS:
+            src = rtl_normalize_text(text, lang)
+        else:
+            src = text
+        page = PageSkeleton(parts=[src.strip()], block_ids=[0], enrich=[],
                             n_kept=1, n_dropped=0)
         out_text, spans, kept, dropped = finalize_document([page], {})
         return ExtractResult(out_text, spans, kept, dropped)

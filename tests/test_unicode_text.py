@@ -25,6 +25,10 @@ SNIPPETS = [
     # first three — this row pins corpus_build/doc_normalize to the RE2
     # semantics (round-2 ADVICE: corpus_build diverged here).
     "nb sp　wide line\x0bvt   mix",
+    # Reshaped RTL: Arabic Presentation Forms code points (what the S4
+    # rtl normalization emits, functions/rtl.py) — downstream token/
+    # hash/length ops must treat them as ordinary code points.
+    "ﻡﻼﺳ ﺪﻳﺪﺟ ﺺﻧ",
 ]
 
 
