@@ -230,6 +230,54 @@ class CountdownFlakyRecognizer:
         return RecognizerStub().recognize(page, bbox, mode)
 
 
+class EngineUnavailable(RecognitionError):
+    """Raised at CONSTRUCTION when an optional engine's dependencies are
+    absent — ``build_recognizer`` drops the engine from the chain (it never
+    reaches per-page failover, which is for runtime errors)."""
+
+
+class TesseractRecognizer:
+    """Optional REAL local OCR engine behind the registry (the
+    Tesseract-style recognizer the north_star names; reference OCR.py:32-56
+    registers named engine configs the same way). Import-guarded: this
+    container ships neither pytesseract nor PIL, so construction raises
+    :class:`EngineUnavailable` and ``build_recognizer`` falls through to
+    the next registry name — the deterministic stub stays the golden path
+    by default and whenever the engine is absent.
+
+    When the dependencies ARE present, the engine recognizes pages that
+    carry a real raster under ``page["image"]`` (encoded bytes); the
+    deterministic fake pages carry none, so such pages raise
+    ``RecognitionError`` and the chain's sticky failover hands them to the
+    stub — real rasters and fake pages can coexist in one run."""
+
+    def __init__(self, lang: str = "eng"):
+        try:
+            import pytesseract  # noqa: F401
+            from PIL import Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - deps absent here
+            raise EngineUnavailable(f"tesseract engine unavailable: {e}")
+        self._pytesseract = pytesseract
+        self.lang = lang
+
+    def recognize(self, page: dict, bbox, mode: str = "markdown") -> str:  # pragma: no cover - needs pytesseract
+        import io
+
+        from PIL import Image
+
+        raw = page.get("image")
+        if raw is None:
+            raise RecognitionError("page carries no raster image")
+        im = Image.open(io.BytesIO(raw))
+        x1, y1, x2, y2 = (int(round(c)) for c in bbox)
+        text = self._pytesseract.image_to_string(
+            im.crop((x1, y1, x2, y2)), lang=self.lang
+        ).strip()
+        if mode == "table":
+            return "\n".join(f"| {ln} |" for ln in text.split("\n"))
+        return text
+
+
 # Model-registry analog (reference OCR.py:37-48: name -> engine config;
 # primary/fallback choice PageProcessor.py:19-26). Names are the extension
 # surface: PipelineConfig.recognizers selects the chain.
@@ -237,6 +285,7 @@ RECOGNIZER_REGISTRY = {
     "stub": RecognizerStub,
     "flaky": FlakyRecognizerStub,
     "flaky_transient": CountdownFlakyRecognizer,
+    "tesseract": TesseractRecognizer,
 }
 
 
@@ -244,8 +293,24 @@ def build_recognizer(names, max_attempts: int = 3, retry_wait_s: float = 0.0,
                      retry_max_wait_s: float = 10.0):
     """Engine chain from registry names. Always returns a RecognizerChain so
     single engines get the same transient-retry policy as failover chains
-    (the reference decorates the inference call itself, OCR.py:103-115)."""
-    engines = [RECOGNIZER_REGISTRY[n]() for n in names]
+    (the reference decorates the inference call itself, OCR.py:103-115).
+    Engines whose optional dependencies are absent (EngineUnavailable at
+    construction) are dropped with a warning; an all-absent selection falls
+    back to the deterministic stub so the pipeline never loses pages to a
+    missing optional dependency."""
+    import logging
+
+    engines = []
+    for n in names:
+        try:
+            engines.append(RECOGNIZER_REGISTRY[n]())
+        except EngineUnavailable as e:
+            logging.getLogger(__name__).warning(
+                "recognizer %r unavailable (%s) — dropped from chain", n, e)
+    if not engines:
+        logging.getLogger(__name__).warning(
+            "no selected recognizer available — falling back to 'stub'")
+        engines = [RecognizerStub()]
     return RecognizerChain(engines, max_attempts=max_attempts,
                            retry_wait_s=retry_wait_s,
                            retry_max_wait_s=retry_max_wait_s)
