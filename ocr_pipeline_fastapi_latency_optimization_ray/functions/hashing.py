@@ -52,6 +52,50 @@ def md5_hex_batch(values) -> list[str]:
     return out
 
 
+def md5_hex_arrow(arr) -> list[str | None]:
+    """md5 hex digests straight off an Arrow string/binary column.
+
+    Hashes memoryview slices of the column's UTF-8 data buffer — no Python
+    string boxing and no re-encode (Arrow strings already store UTF-8
+    bytes, the exact input DuckDB's ``md5()`` hashes), so an Arrow-format
+    dedup partial never converts the text column at all. NULL slots emit
+    None (callers usually ``pc.coalesce`` to '' first)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        chunks = arr.chunks
+    else:
+        chunks = [arr]
+    out: list[str | None] = []
+    for ch in chunks:
+        t = ch.type
+        if pa.types.is_string(t) or pa.types.is_binary(t):
+            odt = np.int32
+        elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            odt = np.int64
+        else:
+            raise TypeError(f"md5_hex_arrow needs string/binary, got {t}")
+        validity, offsets_buf, data_buf = ch.buffers()
+        off = np.frombuffer(offsets_buf, dtype=odt, count=len(ch) + 1,
+                            offset=ch.offset * np.dtype(odt).itemsize)
+        data = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+        if validity is None or ch.null_count == 0:
+            out.extend(
+                hashlib.md5(data[off[i]:off[i + 1]]).hexdigest()
+                for i in range(len(ch))
+            )
+        else:
+            vb = np.frombuffer(validity, dtype=np.uint8)
+            for i in range(len(ch)):
+                j = i + ch.offset
+                if (vb[j >> 3] >> (j & 7)) & 1:
+                    out.append(hashlib.md5(data[off[i]:off[i + 1]]).hexdigest())
+                else:
+                    out.append(None)
+    return out
+
+
 def pseudo_confidence(content: str) -> float:
     """Deterministic stand-in for a model detection score, in [0.5, 1.0).
 

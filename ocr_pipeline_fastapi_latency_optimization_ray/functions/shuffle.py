@@ -265,13 +265,21 @@ def bucketed_join(
 
 
 def bucketed_combine(ds, key_cols, partial_fn, combine_fn, num_buckets: int = 32,
-                     coalesce_blocks: int | None = None):
+                     coalesce_blocks: int | None = None,
+                     partial_format: str = "pandas"):
     """partial per batch -> bucket tag -> per-bucket vectorized combine.
 
-    ``partial_fn``: pandas batch -> partial-aggregate frame (must include
+    ``partial_fn``: batch -> partial-aggregate PANDAS frame (must include
     ``key_cols``). ``combine_fn``: pandas frame of one bucket's partials ->
     final rows for the keys in that bucket.
     Returns a Ray Dataset of combined rows.
+
+    ``partial_format``: the batch format handed to ``partial_fn`` —
+    ``"pyarrow"`` keeps the input zero-copy from the object store (the
+    right choice when the batch carries wide payloads like full document
+    text that the partial only hashes/measures: the pandas conversion would
+    box every string into a Python object first). The partial's OUTPUT is
+    always a small pandas frame either way.
 
     ``coalesce_blocks``: see ``bucketed_join`` — partial outputs are tiny
     blocks; merging them before the sort shuffle saves its per-block fixed
@@ -280,14 +288,14 @@ def bucketed_combine(ds, key_cols, partial_fn, combine_fn, num_buckets: int = 32
     if isinstance(key_cols, str):
         key_cols = [key_cols]
 
-    def partial_with_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        p = partial_fn(df)
+    def partial_with_bucket(batch) -> pd.DataFrame:
+        p = partial_fn(batch)
         return add_bucket_column(p, key_cols, num_buckets)
 
     def combine_drop(g: pd.DataFrame) -> pd.DataFrame:
         return combine_fn(_stable_order(g.drop(columns=["_bucket"]), key_cols))
 
-    partials = ds.map_batches(partial_with_bucket, batch_format="pandas")
+    partials = ds.map_batches(partial_with_bucket, batch_format=partial_format)
     if coalesce_blocks:
         partials = partials.repartition(coalesce_blocks)
     return (

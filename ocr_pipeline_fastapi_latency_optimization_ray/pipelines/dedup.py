@@ -30,6 +30,7 @@ import ray.data
 
 from ..functions.hashing import (
     fast_token_hash,
+    md5_hex_arrow,
     md5_hex_batch,
     minhash_params,
     minhash_signature,
@@ -47,6 +48,25 @@ _LOG = logging.getLogger(__name__)
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def _exact_hash_partial(t, with_count: bool) -> pd.DataFrame:
+    """Arrow-format partial for the exact-dedup family: the text column is
+    hashed straight off its Arrow buffers (functions/hashing.md5_hex_arrow)
+    and never converts to pandas objects — only the fixed-width
+    (text_hash, doc_id) partials leave the batch. NULL text hashes as ''
+    (mirrors COALESCE in the oracle)."""
+    import pyarrow.compute as pc
+
+    hashes = md5_hex_arrow(pc.coalesce(t.column("text"), ""))
+    p = pd.DataFrame({
+        "text_hash": hashes,
+        "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+    })
+    g = p.groupby("text_hash", as_index=False)
+    if with_count:
+        return g.agg(keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+    return g.agg(keep_doc_id=("doc_id", "min"))
+
+
 def dedup_exact_groups(sf_dir: str) -> pd.DataFrame:
     """(text_hash, keep_doc_id, n_dups) per distinct content hash; keeper is
     the smallest doc_id (deterministic). Hash cardinality == corpus size, so
@@ -55,23 +75,15 @@ def dedup_exact_groups(sf_dir: str) -> pd.DataFrame:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # null text hashes as empty string (mirrors COALESCE in the oracle;
-        # pandas groupby would silently DROP a None key — dropna default)
-        texts = ["" if t is None else t for t in df["text"]]
-        p = pd.DataFrame(
-            {"text_hash": md5_hex_batch(texts), "doc_id": df["doc_id"]}
-        )
-        return p.groupby("text_hash", as_index=False).agg(
-            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
-        )
-
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("text_hash", as_index=False).agg(
             keep_doc_id=("keep_doc_id", "min"), n_dups=("n_dups", "sum")
         )
 
-    out = bucketed_combine(ds, "text_hash", partial, combine).to_pandas()
+    out = bucketed_combine(
+        ds, "text_hash", lambda t: _exact_hash_partial(t, True), combine,
+        partial_format="pyarrow",
+    ).to_pandas()
     from ..functions.frames import typed_out
 
     return typed_out(out, {"text_hash": "object", "keep_doc_id": "int64",
@@ -102,21 +114,15 @@ def dedup_exact_keep(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ["" if t is None else t for t in df["text"]]
-        p = pd.DataFrame(
-            {"text_hash": md5_hex_batch(texts), "doc_id": df["doc_id"]}
-        )
-        return p.groupby("text_hash", as_index=False).agg(
-            keep_doc_id=("doc_id", "min")
-        )
-
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("text_hash", as_index=False).agg(
             keep_doc_id=("keep_doc_id", "min")
         )[["keep_doc_id"]]
 
-    keepers = bucketed_combine(docs, "text_hash", partial, combine)
+    keepers = bucketed_combine(
+        docs, "text_hash", lambda t: _exact_hash_partial(t, False), combine,
+        partial_format="pyarrow",
+    )
 
     def semi(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         m = left.merge(
@@ -188,15 +194,6 @@ def dedup_exact_keep_bloom(sf_dir: str, m_bits: int = 1 << 20,
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ["" if t is None else t for t in df["text"]]
-        p = pd.DataFrame(
-            {"text_hash": md5_hex_batch(texts), "doc_id": df["doc_id"]}
-        )
-        return p.groupby("text_hash", as_index=False).agg(
-            keep_doc_id=("doc_id", "min")
-        )
-
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("text_hash", as_index=False).agg(
             keep_doc_id=("keep_doc_id", "min")
@@ -205,7 +202,10 @@ def dedup_exact_keep_bloom(sf_dir: str, m_bits: int = 1 << 20,
     # consumed twice (bloom build + verify join); materialize so the
     # bucketed combine runs once — keeper rows are single int64 ids held in
     # the distributed object store, not the corpus
-    keepers = bucketed_combine(docs, "text_hash", partial, combine).materialize()
+    keepers = bucketed_combine(
+        docs, "text_hash", lambda t: _exact_hash_partial(t, False), combine,
+        partial_format="pyarrow",
+    ).materialize()
 
     n_words = m_bits // 64
 
@@ -223,13 +223,18 @@ def dedup_exact_keep_bloom(sf_dir: str, m_bits: int = 1 << 20,
         bloom |= np.frombuffer(row["bloom"], dtype=np.uint64)
     bloom_ref = ray.put(bloom)
 
-    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
-        words = ray.get(bloom_ref)
-        keep = _bloom_probe(df["doc_id"].to_numpy(np.int64),
-                            m_bits, k_hashes, words)
-        return df[keep]
+    def prefilter(t):
+        # Arrow-native: the mask computes from doc_id alone and the filter
+        # kernel slices the text buffers zero-copy — no pandas boxing of
+        # the full-width stream that this stage exists to SHRINK
+        import pyarrow as pa
 
-    candidates = docs.map_batches(prefilter, batch_format="pandas")
+        words = ray.get(bloom_ref)
+        keep = _bloom_probe(t.column("doc_id").to_numpy(zero_copy_only=False),
+                            m_bits, k_hashes, words)
+        return t.filter(pa.array(keep))
+
+    candidates = docs.map_batches(prefilter, batch_format="pyarrow")
 
     def semi(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         m = left.merge(

@@ -27,9 +27,17 @@ from ..functions.shuffle import add_bucket_column, bucketed_combine
 EVENTS_COLS = ["ts", "user_id", "event_type", "value"]
 
 
-def _events(sf_dir: str, columns=None):
+def _events(sf_dir: str, columns=None, event_types=None):
+    """events reader; ``event_types`` pushes an IN-list predicate into the
+    parquet scan (row groups whose stats exclude every wanted type are never
+    read, and no downstream batch filter stage is needed)."""
+    import pyarrow.dataset as pads
+
+    flt = pads.field("event_type").isin(list(event_types)) \
+        if event_types else None
     return ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=columns or EVENTS_COLS
+        f"{sf_dir}/events.parquet", columns=columns or EVENTS_COLS,
+        filter=flt,
     )
 
 
@@ -80,10 +88,10 @@ def events_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     Output: (user_id, purchase_ts, click_ts, gap_s) sorted by user/ts;
     purchases with no prior click keep a null click_ts.
     """
-    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"],
+                 event_types=("purchase", "click"))
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.event_type.isin(["purchase", "click"])]
         return add_bucket_column(df, ["user_id"], 32)
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -158,10 +166,10 @@ def events_clicks_before_purchase(sf_dir: str, window_s: int = 3600) -> pd.DataF
     (left-closed, right-open). Everything in the bucket is one sort plus
     two vectorized asof merges — no per-user loop, and a hot user costs
     O(its rows), not O(rows^2)."""
-    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"],
+                 event_types=("purchase", "click"))
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.event_type.isin(["purchase", "click"])]
         return add_bucket_column(df, ["user_id"], 32)
 
     out_schema = {"event_id": "int64", "user_id": "int64",
@@ -250,10 +258,10 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
     ts; t2 = min click ts > t1; t3 = min purchase ts > t2) — no per-user
     loop, no self-join. Buckets emit 3 counter rows each; the driver sums
     ``buckets x 3`` rows however many users exist."""
-    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"],
+                 event_types=("view", "click", "purchase"))
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.event_type.isin(["view", "click", "purchase"])]
         return add_bucket_column(df, ["user_id"], 32)
 
     def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
