@@ -93,7 +93,7 @@ SQL_CHECKED = [
     "q6_forecast_revenue", "q14_promo_revenue", "customers_inactive_year",
     "doc_length_quantiles_by_source", "lineitem_rollup",
     "orders_march_activity", "doc_length_moments", "tf_idf_top_terms",
-    "lineitem_corr", "events_decayed_value",
+    "lineitem_corr", "events_decayed_value", "extract_metrics_roundtrip",
 ]
 
 
