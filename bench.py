@@ -153,9 +153,30 @@ def bench_queries() -> dict:
     return out
 
 
+def machine_canary() -> float:
+    """Fixed single-thread numpy workload (seconds). This sandbox's absolute
+    speed DRIFTS over hours (same commit measured 23/29/43 s across one day
+    in round 2 — BASELINE.md measurement notes), which poisons round-over-
+    round comparisons of raw wall times. Emitting the canary inside every
+    bench JSON lets any reader normalize: engine_time / canary_time is
+    comparable across VM windows; raw seconds are not. Best-of-3 to shed
+    scheduler blips; ~0.5 s on an uncontended core."""
+    import numpy as np
+
+    x = np.random.RandomState(0).standard_normal((1200, 1200))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = x @ x
+        float(y[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 10, 4)  # x10: a ~0.05 s matmul -> ~0.5 s units
+
+
 def run_once() -> dict:
     import ray
 
+    canary = machine_canary()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -183,6 +204,7 @@ def run_once() -> dict:
         "docs_per_sec": head["docs_per_sec"],
         "extracted_bytes_per_sec": head["extracted_bytes_per_sec"],
         "headline_runs": head["runs"],
+        "canary_sec": canary,
     }
 
 
@@ -242,6 +264,11 @@ def run_scaling() -> dict:
         f"docs_per_sec_{n_hi}cpu": hi["docs_per_sec"],
         "n_docs": hi["n_docs"],
         "sf": hi["sf"],
+        # per-level machine canaries (see machine_canary): if these differ
+        # materially the VM drifted BETWEEN the two levels and the ratio is
+        # suspect — rerun rather than trust it
+        f"canary_sec_{n_lo}cpu": lo.get("canary_sec"),
+        f"canary_sec_{n_hi}cpu": hi.get("canary_sec"),
     }
 
 
