@@ -31,33 +31,38 @@ _QUALITY_STOPWORDS = STOPWORDS["en"]
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")  # BPE-ish split
 
 
-def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """Whitespace token counting, vectorized with pandas str ops. Distinct
-    counting is explode -> drop_duplicates -> group-size (all C level), not a
-    per-row ``set()`` lambda."""
-    text = df["text"].fillna("")
-    toks = text.str.split(" ")
-    ex = toks.explode()
-    nd = (
-        pd.DataFrame({"pos": ex.index, "tok": ex.to_numpy()})
-        .drop_duplicates()
-        .groupby("pos")
-        .size()
-        .reindex(df.index, fill_value=0)
-    )
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            "n_tokens": toks.str.len().astype("int64"),
-            "n_chars": text.str.len().astype("int64"),
-            "n_distinct_tokens": nd.astype("int64"),
-        }
-    )
+def token_stats_batch(t) -> "pa.Table":
+    """Whitespace token counting on zero-copy Arrow batches: split/length
+    via pyarrow.compute kernels (the strings never box into pandas
+    objects), distinct-per-doc via dictionary-encode -> pack (doc, code)
+    into int64 -> one np.unique + bincount. Everything is C level; the
+    only per-token Python object ever created is none."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(t.column("text"), "")
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())  # code points, = SQL length()
+    n = len(t)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    codes = pc.dictionary_encode(flat).combine_chunks()
+    code_np = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    packed = (parents.astype(np.int64) << np.int64(32)) | code_np
+    uniq_parent = (np.unique(packed) >> np.int64(32)).astype(np.int64)
+    nd = np.bincount(uniq_parent, minlength=n).astype(np.int64)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_distinct_tokens": pa.array(nd, pa.int64()),
+    })
 
 
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(token_stats_batch, batch_format="pandas").to_pandas()
+    out = ds.map_batches(token_stats_batch, batch_format="pyarrow").to_pandas()
     return typed_out(out, {"doc_id": "int64", "n_tokens": "int64",
                            "n_chars": "int64", "n_distinct_tokens": "int64"},
                      sort_by="doc_id")
@@ -73,38 +78,44 @@ ORDER BY doc_id
 """
 
 
-def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
+def quality_batch(t) -> "pa.Table":
     """Quality scoring components: the standard cheap quality filters of
     web-scale corpora (length, stopword hits, alphabetic mass). Emitted as
     exact integer counts — ratios of small integers land on decimal .5
     boundaries where numpy (half-to-even) and SQL ROUND (half-away) disagree,
-    so the comparable surface stays integral; consumers derive ratios."""
-    text = df["text"].fillna("")
-    toks = text.str.split(" ")
-    # explode once, one C-level isin, counts re-aggregated by row position
-    # (same pattern as LangIdModel; replaces a per-row generator lambda)
-    ex = toks.explode()
-    stop = (
-        ex.isin(_QUALITY_STOPWORDS)
-        .groupby(ex.index)
-        .sum()
-        .reindex(df.index, fill_value=0)
-    )
-    alpha = text.str.count(r"[A-Za-z]")
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            "n_tokens": toks.str.len().astype("int64"),
-            "n_chars": text.str.len().astype("int64"),
-            "n_stopwords": stop.astype("int64"),
-            "n_alpha": alpha.astype("int64"),
-        }
-    )
+    so the comparable surface stays integral; consumers derive ratios.
+
+    Arrow-native: stopword membership tests run against the batch's token
+    DICTIONARY (unique tokens), not every token — one is_in over ~thousands
+    of uniques instead of millions of occurrences, then a code-indexed
+    gather + bincount."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = pc.coalesce(t.column("text"), "")
+    toks = pc.split_pattern(text, " ")
+    n = len(t)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    d = pc.dictionary_encode(flat).combine_chunks()
+    stop_dict = pc.is_in(
+        d.dictionary, value_set=pa.array(sorted(_QUALITY_STOPWORDS))
+    ).to_numpy(zero_copy_only=False)
+    stop_tok = stop_dict[d.indices.to_numpy(zero_copy_only=False)]
+    n_stop = np.bincount(parents[stop_tok], minlength=n).astype(np.int64)
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "n_stopwords": pa.array(n_stop, pa.int64()),
+        "n_alpha": pc.cast(
+            pc.count_substring_regex(text, "[A-Za-z]"), pa.int64()),
+    })
 
 
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(quality_batch, batch_format="pandas").to_pandas()
+    out = ds.map_batches(quality_batch, batch_format="pyarrow").to_pandas()
     return typed_out(out, {"doc_id": "int64", "n_tokens": "int64",
                            "n_chars": "int64", "n_stopwords": "int64",
                            "n_alpha": "int64"}, sort_by="doc_id")
