@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": text_analysis.token_doc_freq,
         "corpus_sample_quota": text_analysis.corpus_sample_quota,
         "token_bigram_topk": text_analysis.token_bigram_topk,
+        # NEW in round 3 (never driver-checked, oracle-backed)
+        "doc_unigram_logprob": text_analysis.doc_unigram_logprob,
+        "window_dedup_stats": curation.window_dedup_stats,
         # -- never driver-checked, rows-only (LSH/sketch/stub: no SQL analog;
         # accuracy/recall/byte-identity enforced in pytest) --
         "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
@@ -247,10 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": streaming.events_funnel,
         "doc_token_stats": text_analysis.doc_token_stats,
         "doc_quality": text_analysis.doc_quality,
-        "doc_length_moments": text_analysis.doc_length_moments,
-        "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
         # -------------------- ~50-entry window boundary --------------------
         # everything below was driver-green in rounds 1-2 (CORRECTNESS_r01/r02)
+        "doc_length_moments": text_analysis.doc_length_moments,
+        "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         # and stays byte-checked against DuckDB in tests/test_queries_oracle.py.
         # extraction engine (SURVEY.md §2 golden path; byte-identity in pytest)
@@ -331,6 +334,8 @@ def oracle_sql() -> dict[str, str]:
         "token_doc_freq": text_analysis.TOKEN_DOC_FREQ_SQL,
         "corpus_sample_quota": text_analysis.CORPUS_SAMPLE_QUOTA_SQL,
         "token_bigram_topk": text_analysis.TOKEN_BIGRAM_TOPK_SQL,
+        "doc_unigram_logprob": text_analysis.DOC_UNIGRAM_LOGPROB_SQL,
+        "window_dedup_stats": curation.WINDOW_DEDUP_STATS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "pack_stats": packing.PACK_STATS_SQL,
         "doc_sample_split": text_analysis.DOC_SAMPLE_SPLIT_SQL,

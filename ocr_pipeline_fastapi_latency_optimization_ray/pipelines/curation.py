@@ -161,6 +161,106 @@ ORDER BY ch.doc_id
 
 
 # ---------------------------------------------------------------------------
+# sliding-window duplicate profile (exact-substring-dedup statistics)
+# ---------------------------------------------------------------------------
+
+def _window_pairs_batch(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """(doc_id, window_hash) per SLIDING k-token window (stride 1 — unlike
+    ``_chunk_pairs_batch``'s disjoint chunks). Fully vectorized: windows
+    come out of k shifted slice-multiply-adds over the flat token-hash
+    array; a window is valid iff its first and last token share a row."""
+    toks = df["text"].fillna("").str.split(" ")
+    ex = toks.explode()
+    n = len(ex)
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "h": np.empty(0, np.int64)})
+    if n < k:
+        return empty
+    h = fast_token_hash(ex.to_numpy())
+    row = ex.index.to_numpy()  # positional: RangeIndex per batch
+    m = n - k + 1
+    powers = np.power(_BASE, np.arange(k - 1, -1, -1, dtype=np.uint64))
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc += h[j:j + m] * powers[j]
+    valid = row[:m] == row[k - 1:]
+    if not valid.any():
+        return empty
+    doc = df["doc_id"].to_numpy(np.int64)[row[:m][valid]]
+    return pd.DataFrame({"doc_id": doc, "h": acc[valid].astype(np.int64)})
+
+
+def window_dedup_stats(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Exact-substring duplication profile: per document, how many of its
+    sliding k-token windows occur more than once in the corpus — the
+    statistic behind substring-level dedup of training corpora (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better":
+    repeated ~50-token spans are removed; this reports the per-doc exposure
+    at a test-friendly k). Documents shorter than k tokens have no windows
+    and are absent, exactly like the oracle.
+
+    Same two-exchange plan as ``chunk_dedup_stats`` (window hashes bucketed
+    for the global count, rollup re-bucketed by doc); the sliding windows
+    are hashed content — k-gram equality up to a ~2^-64 hash collision,
+    mirrored by the oracle's string windows."""
+    import ray.data
+
+    pairs = _docs(sf_dir).map_batches(
+        lambda df: _window_pairs_batch(df, k), batch_format="pandas"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_id", "h"], sort=False).size().reset_index(
+            name="m")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h")["m"].transform("sum")
+        dup = (tot > 1).to_numpy()
+        m = g["m"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_windows": m,
+            "n_dup_windows": np.where(dup, m, 0),
+        })
+        return out.groupby("doc_id", as_index=False).sum()
+
+    per_bucket = bucketed_combine(pairs, "h", partial, combine,
+                                  num_buckets=16, coalesce_blocks=4)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).sum()
+
+    out = bucketed_combine(per_bucket, "doc_id", lambda df: df, final,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_windows": "int64",
+                           "n_dup_windows": "int64"}, sort_by="doc_id")
+
+
+WINDOW_DEDUP_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks) - 6),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS w
+  FROM tok
+  WHERE len(toks) >= 8
+), c AS (
+  SELECT w, COUNT(*) AS n FROM win GROUP BY w
+)
+SELECT win.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+FROM win JOIN c USING (w)
+GROUP BY win.doc_id
+ORDER BY win.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters: distributed connected components (hash-to-min)
 # ---------------------------------------------------------------------------
 

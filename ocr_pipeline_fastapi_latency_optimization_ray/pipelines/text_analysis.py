@@ -1106,3 +1106,112 @@ SELECT doc_id, token, tf, df, ROUND(score, 6) AS tfidf
 FROM scored WHERE rn <= 3
 ORDER BY doc_id, tfidf DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-unigram-LM document scoring (CCNet-style quality proxy)
+# ---------------------------------------------------------------------------
+
+def doc_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Mean log-probability of each document's tokens under the corpus's
+    OWN unigram distribution — the classic cheap LM-quality proxy (CCNet /
+    Gopher filtering families): gibberish and boilerplate-free prose
+    separate cleanly on this score before any real LM runs.
+
+    Plan (two bucketed exchanges, text never shuffles):
+      1. (doc, token, cnt) partials, complete per batch;
+      2. token-bucketed combine -> exact global term frequency f(token);
+         total token count N reduces exactly (integers) on the driver;
+      3. token-keyed bucketed join attaches ln(f) and pre-aggregates per
+         doc WITHIN the bucket (sum cnt*ln f, sum cnt);
+      4. doc-keyed exchange sums the bucket partials; logprob =
+         sum/n_tokens - ln(N), rounded half-away like the oracle.
+
+    Determinism: both exchanges run over _stable_order'ed buckets, so the
+    float sums add in a fixed order; the 1e-6 rounding absorbs DuckDB's
+    own summation-order ulps. Returns (doc_id, logprob, n_tokens)."""
+    from ..functions.frames import round_away
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    empty_schema = {"doc_id": "int64", "logprob": "float64",
+                    "n_tokens": "int64"}
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        g = (pd.DataFrame({"doc_id": ex.index.to_numpy(),
+                           "token": ex.to_numpy(object)})
+             .groupby(["doc_id", "token"], as_index=False).size()
+             .rename(columns={"size": "tf"}))
+        g["tf"] = g.tf.astype("int64")
+        return g
+
+    # consumed twice (frequency build + scoring join): materialize the
+    # small-int (doc, token, tf) partials once
+    tf = ds.map_batches(tf_partial, batch_format="pandas").materialize()
+
+    def f_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).agg(f=("tf", "sum"))
+
+    def f_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(f=("f", "sum"))
+
+    freq = bucketed_combine(tf, "token", f_partial, f_combine).materialize()
+
+    n_parts = freq.map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(df.f.sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_total = int(n_parts.n.sum()) if len(n_parts) else 0
+    if n_total == 0:
+        return typed_out(pd.DataFrame(), empty_schema)
+
+    def attach(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="token")
+        if m.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n_tok": pd.Series(dtype="int64")})
+        m["s"] = m.tf.to_numpy(np.float64) * np.log(m.f.to_numpy(np.float64))
+        return m.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), n_tok=("tf", "sum"))
+
+    partials = bucketed_join(
+        tf, freq, "token", "token", attach,
+        left_dtypes={"doc_id": "int64", "token": "object", "tf": "int64"},
+        right_dtypes={"token": "object", "f": "int64"},
+        coalesce_blocks=16,
+    )
+
+    def docsum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), n_tok=("n_tok", "sum"))
+        return pd.DataFrame({
+            "doc_id": out.doc_id.to_numpy(np.int64),
+            "logprob": round_away(
+                out.s.to_numpy() / out.n_tok.to_numpy() - np.log(n_total), 6),
+            "n_tokens": out.n_tok.to_numpy(np.int64),
+        })
+
+    out = bucketed_combine(
+        partials, "doc_id", lambda df: df, docsum, coalesce_blocks=8,
+    ).to_pandas()
+    return typed_out(out, empty_schema, sort_by="doc_id")
+
+
+DOC_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS f FROM tok GROUP BY w
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+SELECT t.doc_id,
+       ROUND(SUM(ln(f.f)) / COUNT(*) - ln((SELECT n FROM tot)), 6) AS logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok t JOIN freq f ON t.w = f.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

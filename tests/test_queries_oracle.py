@@ -94,6 +94,7 @@ SQL_CHECKED = [
     "doc_length_quantiles_by_source", "lineitem_rollup",
     "orders_march_activity", "doc_length_moments", "tf_idf_top_terms",
     "lineitem_corr", "events_decayed_value", "extract_metrics_roundtrip",
+    "doc_unigram_logprob", "window_dedup_stats",
 ]
 
 
