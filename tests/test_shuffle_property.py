@@ -124,3 +124,46 @@ def test_bucketed_join_dtype_roundtrip(ray_session, tmp_path):
     assert set(got.l_dtype) == {"int64"}
     assert list(got.k) == [2**53 + 3, 2**53 + 5]
     assert list(got.tag) == ["a", "b"]
+
+
+def test_stable_order_is_arrival_order_invariant():
+    """_stable_order (key cols + row-hash tiebreak) must produce the SAME
+    row order for any arrival permutation of the same row multiset — the
+    property float-sum determinism rests on. Pure unit test (no Ray).
+    Includes duplicate keys with differing payloads and fully duplicated
+    rows (interchangeable, so any position among equals is fine: compare
+    the full frame, which is equal iff ordering of distinct rows is
+    fixed)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.functions.shuffle import (
+        _stable_order,
+    )
+
+    rng = np.random.RandomState(7)
+    base = pd.DataFrame({
+        "k": rng.randint(0, 5, 64),
+        "text": [f"payload-{i % 7}" * 10 for i in range(64)],
+        "x": rng.standard_normal(64),
+    })
+    # exact duplicate rows too
+    base = pd.concat([base, base.iloc[:8]], ignore_index=True)
+
+    ref = _stable_order(
+        base.sample(frac=1, random_state=0).reset_index(drop=True), ["k"]
+    ).reset_index(drop=True)
+    for seed in (1, 2, 3):
+        perm = _stable_order(
+            base.sample(frac=1, random_state=seed).reset_index(drop=True),
+            ["k"],
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(ref, perm)
+    # keys are primary: non-decreasing after ordering
+    assert (np.diff(ref["k"].to_numpy()) >= 0).all()
+    # and a float sum per key is reproducible bit-for-bit
+    s1 = ref.groupby("k")["x"].sum()
+    s2 = _stable_order(
+        base.sample(frac=1, random_state=9).reset_index(drop=True), ["k"]
+    ).groupby("k")["x"].sum()
+    assert (s1 == s2).all()
