@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 88 entries, 67 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 89 entries, 68 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW in round 3 (never driver-checked, oracle-backed)
         "doc_unigram_logprob": text_analysis.doc_unigram_logprob,
         "window_dedup_stats": curation.window_dedup_stats,
+        "embedding_cosine_pairs_exact": dedup.embedding_cosine_pairs_exact,
         # -- never driver-checked, rows-only (LSH/sketch/stub: no SQL analog;
         # accuracy/recall/byte-identity enforced in pytest) --
         "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
@@ -244,7 +245,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-        "orders_per_region": relational.orders_per_region,
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
         "events_user_sessions": streaming.events_user_sessions,
         "events_funnel": streaming.events_funnel,
@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.doc_quality,
         # -------------------- ~50-entry window boundary --------------------
         # everything below was driver-green in rounds 1-2 (CORRECTNESS_r01/r02)
+        "orders_per_region": relational.orders_per_region,
         "doc_length_moments": text_analysis.doc_length_moments,
         "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
@@ -336,6 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "token_bigram_topk": text_analysis.TOKEN_BIGRAM_TOPK_SQL,
         "doc_unigram_logprob": text_analysis.DOC_UNIGRAM_LOGPROB_SQL,
         "window_dedup_stats": curation.WINDOW_DEDUP_STATS_SQL,
+        "embedding_cosine_pairs_exact":
+            dedup.EMBEDDING_COSINE_PAIRS_EXACT_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "pack_stats": packing.PACK_STATS_SQL,
         "doc_sample_split": text_analysis.DOC_SAMPLE_SPLIT_SQL,

@@ -1062,3 +1062,61 @@ def dedup_minhash_clusters(
                         coalesce_blocks=4).to_pandas()
     return typed_out(out, {"doc_id": "int64", "canonical_id": "int64",
                            "is_kept": "bool"}, sort_by="doc_id")
+
+
+def embedding_cosine_pairs_exact(sf_dir: str,
+                                 threshold: float = 0.2) -> pd.DataFrame:
+    """ALL vector pairs with cosine >= threshold — exact, no LSH: the
+    blocked all-pairs similarity plan that serves as the verification tier
+    of embedding dedup. The L2-normalized embedding matrix is assembled
+    once and broadcast via ``ray.put`` (N x dim floats — the documented
+    bound: this exact variant is for corpora whose embedding matrix fits
+    worker memory, e.g. one dedup shard or an LSH candidate subset;
+    ``dedup_embedding_cosine``'s sign-LSH bucketing is the open-scale
+    path). Every batch then scores rows x matrix in ONE matmul and emits
+    only its (vec_a < vec_b) upper-triangle hits, so pair work distributes
+    across the stream while the broadcast side ships once per node.
+    Returns (vec_a, vec_b, cos) sorted, cos rounded half-away to 6."""
+    from ..functions.frames import round_away, typed_out
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = ds.to_pandas()  # bounded by this variant's contract (see above)
+    empty = {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+    if emb.empty:
+        return typed_out(pd.DataFrame(), empty)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64)
+    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    ref = ray.put((ids, mat))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        bids = df["vec_id"].to_numpy(np.int64)
+        bmat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        bmat /= np.clip(np.linalg.norm(bmat, axis=1, keepdims=True),
+                        1e-12, None)
+        cos = bmat @ all_mat.T
+        ii, jj = np.nonzero(cos >= threshold)
+        keep = bids[ii] < all_ids[jj]  # upper triangle only, no self-pairs
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame({
+            "vec_a": bids[ii],
+            "vec_b": all_ids[jj],
+            "cos": round_away(cos[ii, jj], 6),
+        })
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return typed_out(out, empty, sort_by=["vec_a", "vec_b"])
+
+
+EMBEDDING_COSINE_PAIRS_EXACT_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.2
+ORDER BY vec_a, vec_b
+"""

@@ -95,6 +95,7 @@ SQL_CHECKED = [
     "orders_march_activity", "doc_length_moments", "tf_idf_top_terms",
     "lineitem_corr", "events_decayed_value", "extract_metrics_roundtrip",
     "doc_unigram_logprob", "window_dedup_stats",
+    "embedding_cosine_pairs_exact",
 ]
 
 
