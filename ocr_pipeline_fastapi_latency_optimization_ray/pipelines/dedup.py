@@ -506,7 +506,11 @@ def _expand_equal_jaccard_cliques(pairs: pd.DataFrame) -> pd.DataFrame:
     scores against an outside doc exactly as every other member of its
     component does. Expanding (1) the full clique inside each component and
     (2) each sub-1 pair across both endpoints' components reconstructs the
-    complete brute-force pair set with no approximation. Work here is
+    complete brute-force pair set with no approximation. (Precision bound:
+    equality is tested on the 6-decimal ROUNDED jaccard, so a pair at true
+    jaccard in [0.9999995, 1) would be treated as exact — that needs two
+    documents of >2M shingles differing in ~one shingle; at any realistic
+    document size the rounded 1.0 is exact.) Work here is
     bounded by the OUTPUT size (which is inherently quadratic on a
     mass-duplicated corpus); the linear-sized star spokes are all that flows
     through shuffles and the shingle verifier. On corpora with no jaccard-1
