@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": text_analysis.doc_unigram_logprob,
         "window_dedup_stats": curation.window_dedup_stats,
         "embedding_cosine_pairs_exact": dedup.embedding_cosine_pairs_exact,
+        "cross_doc_gram_coverage": curation.cross_doc_gram_coverage,
+        "doc_char_entropy": text_analysis.doc_char_entropy,
+        "token_pmi_topk": text_analysis.token_pmi_topk,
         # -- never driver-checked, rows-only (LSH/sketch/stub: no SQL analog;
         # accuracy/recall/byte-identity enforced in pytest) --
         "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
@@ -242,16 +245,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         # NEW in round 3: html-path driver slice (metrics over own parquet)
         "extract_metrics_roundtrip": extract_checks.extract_metrics_roundtrip,
-        "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
-        "events_user_sessions": streaming.events_user_sessions,
         "events_funnel": streaming.events_funnel,
-        "doc_token_stats": text_analysis.doc_token_stats,
         "doc_quality": text_analysis.doc_quality,
         # -------------------- ~50-entry window boundary --------------------
         # everything below was driver-green in rounds 1-2 (CORRECTNESS_r01/r02)
+        # (q1/sessions/token_stats rotated below: each proven in BOTH rounds)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "events_user_sessions": streaming.events_user_sessions,
+        "doc_token_stats": text_analysis.doc_token_stats,
         "orders_per_region": relational.orders_per_region,
         "doc_length_moments": text_analysis.doc_length_moments,
         "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
@@ -337,6 +341,9 @@ def oracle_sql() -> dict[str, str]:
         "token_bigram_topk": text_analysis.TOKEN_BIGRAM_TOPK_SQL,
         "doc_unigram_logprob": text_analysis.DOC_UNIGRAM_LOGPROB_SQL,
         "window_dedup_stats": curation.WINDOW_DEDUP_STATS_SQL,
+        "cross_doc_gram_coverage": curation.CROSS_DOC_GRAM_COVERAGE_SQL,
+        "doc_char_entropy": text_analysis.DOC_CHAR_ENTROPY_SQL,
+        "token_pmi_topk": text_analysis.TOKEN_PMI_TOPK_SQL,
         "embedding_cosine_pairs_exact":
             dedup.EMBEDDING_COSINE_PAIRS_EXACT_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

@@ -37,7 +37,7 @@ import pandas as pd
 
 import ray.data
 
-from ..functions.frames import typed_out
+from ..functions.frames import round_away, typed_out
 from ..functions.hashing import fast_token_hash, md5_hex_batch
 from ..functions.shuffle import bucketed_combine, bucketed_join
 
@@ -254,6 +254,80 @@ SELECT win.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_windows,
        CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_dup_windows
+FROM win JOIN c USING (w)
+GROUP BY win.doc_id
+ORDER BY win.doc_id
+"""
+
+
+def cross_doc_gram_coverage(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """INTER-document duplication coverage: per document, the fraction of
+    its DISTINCT sliding k-token grams that also occur in at least one
+    OTHER document. This is the cross-document contamination signal that
+    decides how aggressive corpus dedup must be — distinct from
+    ``window_dedup_stats``, which counts occurrence multiplicity and so
+    flags intra-document repetition too (a doc repeating its own phrase
+    scores there but not here).
+
+    Same two-exchange plan (gram hashes bucketed for the distinct-doc
+    count, rollup re-bucketed by doc); hashed k-grams are gram equality up
+    to a ~2^-64 collision, mirrored by the oracle's string grams. Docs
+    shorter than k tokens have no grams and are absent, like the oracle."""
+    pairs = _docs(sf_dir).map_batches(
+        lambda df: _window_pairs_batch(df, k), batch_format="pandas"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, gram-hash): a document lives in one row of one
+        # batch, so per-batch distinct IS global distinct
+        return df.drop_duplicates(["doc_id", "h"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are globally unique (doc, h) pairs, so the per-hash group
+        # size is exactly the number of distinct docs carrying that gram
+        nd = g.groupby("h")["h"].transform("size").to_numpy()
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_grams": np.ones(len(g), np.int64),
+            "n_dup_grams": (nd >= 2).astype(np.int64),
+        })
+        return out.groupby("doc_id", as_index=False).sum()
+
+    per_bucket = bucketed_combine(pairs, "h", partial, combine,
+                                  num_buckets=16, coalesce_blocks=4)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False).sum()
+        s["dup_frac"] = round_away(
+            s.n_dup_grams.to_numpy(np.float64) / s.n_grams.to_numpy(np.float64), 6)
+        return s
+
+    out = bucketed_combine(per_bucket, "doc_id", lambda df: df, final,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_grams": "int64",
+                           "n_dup_grams": "int64", "dup_frac": "float64"},
+                     sort_by="doc_id")
+
+
+CROSS_DOC_GRAM_COVERAGE_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), win AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS w
+  FROM tok
+  WHERE len(toks) >= 5
+), c AS (
+  SELECT w, COUNT(*) AS nd FROM win GROUP BY w
+)
+SELECT win.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
+       ROUND(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS dup_frac
 FROM win JOIN c USING (w)
 GROUP BY win.doc_id
 ORDER BY win.doc_id

@@ -15,7 +15,7 @@ import pandas as pd
 
 import ray.data
 
-from ..functions.frames import typed_out
+from ..functions.frames import round_away, typed_out
 from ..functions.hashing import stable_hash64_batch
 
 # fixed stopword lists for the n-gram/stopword language heuristic — tiny and
@@ -1214,4 +1214,235 @@ SELECT t.doc_id,
 FROM tok t JOIN freq f ON t.w = f.w
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document character entropy (gibberish / binary-junk filter signal)
+# ---------------------------------------------------------------------------
+
+def entropy_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Shannon entropy over each document's Unicode codepoints, fully
+    vectorized: ONE ``str.join`` + ONE utf-32 encode per batch turns the
+    whole batch's text into a flat uint32 codepoint array; per-doc
+    boundaries come from codepoint lengths; per-(doc, char) counts from
+    one ``np.unique`` over packed ``row << 21 | codepoint`` keys (21 bits
+    covers U+10FFFF); per-doc reduction via ``np.add.reduceat``. No
+    per-character Python objects are ever created."""
+    texts = df["text"].fillna("")
+    lens = texts.str.len().to_numpy(np.int64)
+    joined = "".join(texts.to_numpy(object))
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    cps = cps.astype(np.int64)
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    ent = np.zeros(len(lens), np.float64)
+    if len(cps):
+        packed = (rows << np.int64(21)) | cps
+        uniq, counts = np.unique(packed, return_counts=True)
+        up = (uniq >> np.int64(21)).astype(np.int64)
+        p = counts.astype(np.float64) / lens[up].astype(np.float64)
+        contrib = -(p * np.log2(p))
+        # uniq is sorted, so per-doc runs are contiguous: reduceat over
+        # the run starts sums each doc's contributions in codepoint order
+        # (a fixed order — the 1e-6 rounding absorbs DuckDB's own ulps)
+        starts = np.flatnonzero(np.r_[True, up[1:] != up[:-1]])
+        ent[up[starts]] = np.add.reduceat(contrib, starts)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(np.int64),
+        "n_chars": lens,
+        # + 0.0 folds IEEE -0.0 (single-distinct-char docs) to +0.0 so the
+        # value-hash compare can never see a sign-of-zero difference
+        "entropy": round_away(ent, 6) + 0.0,
+    })
+
+
+def doc_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    cheap gibberish/binary-junk detector of web-corpus quality filtering:
+    natural prose sits ~3.5-4.5 bits, mojibake and base64 blobs jump
+    higher, single-character spam drops to ~0. Pure ``map_batches``: no
+    shuffle at any scale."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(entropy_batch, batch_format="pandas").to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_chars": "int64",
+                           "entropy": "float64"}, sort_by="doc_id")
+
+
+DOC_CHAR_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), '')) AS ch
+  FROM documents
+), cnt AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS m FROM c GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, SUM(m) AS n FROM cnt GROUP BY 1
+), h AS (
+  SELECT cnt.doc_id, -SUM((m / n.n) * LOG2(m / n.n)) AS ent
+  FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT d.doc_id,
+       CAST(length(COALESCE(d.text, '')) AS BIGINT) AS n_chars,
+       ROUND(COALESCE(h.ent, 0.0), 6) + 0.0 AS entropy
+FROM documents d LEFT JOIN h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (tokenizer-merge / multi-word-expression candidates)
+# ---------------------------------------------------------------------------
+
+def token_pmi_topk(sf_dir: str, k: int = 50, min_count: int = 5) -> pd.DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information —
+    the statistic behind multi-word-expression mining and informed BPE
+    merges: PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) ranks pairs that co-occur
+    far above chance, where raw bigram counts just rank frequent pairs.
+
+    Plan (everything distributed, text never shuffles):
+      1. bigram counts via bigram-bucketed combine, pruned to
+         ``n >= min_count`` (the support filter standard in collocation
+         mining — and what bounds the candidate set at corpus scale);
+      2. unigram counts via token-bucketed combine; corpus totals T
+         (tokens) and B (adjacent pairs) reduce exactly as integers;
+      3. two bucketed joins attach p(a) then p(b) (candidates re-key by
+         the b token between them);
+      4. per-bucket local top-k by (unrounded PMI, bigram), driver merges
+         buckets x k rows.
+    """
+    from ..functions.frames import round_away as _ra
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    empty_schema = {"bigram": "object", "n": "int64", "pmi": "float64"}
+    n_docs = ds.count()
+    if not n_docs:
+        return typed_out(pd.DataFrame(), empty_schema)
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        c = ex.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(object),
+                             "f": c.to_numpy(np.int64)})
+
+    def uni_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(f=("f", "sum"))
+
+    uni = bucketed_combine(ds, "token", uni_partial, uni_combine,
+                           partial_format="pandas").materialize()
+
+    t_parts = uni.map_batches(
+        lambda df: pd.DataFrame({"t": [np.int64(df.f.sum())]}),
+        batch_format="pandas").to_pandas()
+    t_total = int(t_parts.t.sum()) if len(t_parts) else 0
+    b_total = t_total - n_docs  # sum over docs of (len - 1)
+    if b_total <= 0:
+        return typed_out(pd.DataFrame(), empty_schema)
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        arr = ex.to_numpy(object)
+        idx = ex.index.to_numpy()
+        if len(arr) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        same = idx[1:] == idx[:-1]
+        g = (pd.DataFrame({"a": arr[:-1][same], "b": arr[1:][same]})
+             .groupby(["a", "b"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g.n.astype("int64")
+        return g
+
+    def big_combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["a", "b"], as_index=False).agg(n=("n", "sum"))
+        return t[t.n >= min_count]
+
+    # bucket by the full bigram (both tokens): a hot unigram like "the"
+    # spreads across buckets instead of landing in one
+    def big_partial_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        g = big_partial(df)
+        g["bigram"] = g.a.astype(object) + " " + g.b.astype(object)
+        return g
+
+    cands = bucketed_combine(ds, "bigram", big_partial_keyed,
+                             big_combine, partial_format="pandas")
+
+    def attach_a(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right.rename(columns={"token": "a", "f": "fa"}), on="a")
+        return m[["a", "b", "n", "fa"]]
+
+    with_fa = bucketed_join(
+        cands, uni, "a", "token", attach_a,
+        left_dtypes={"a": "object", "b": "object", "n": "int64"},
+        right_dtypes={"token": "object", "f": "int64"},
+        coalesce_blocks=8,
+    )
+
+    def attach_b(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right.rename(columns={"token": "b", "f": "fb"}), on="b")
+        if m.empty:
+            return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "pmi": pd.Series(dtype="float64")})
+        T, B = np.float64(t_total), np.float64(b_total)
+        n2 = m.n.to_numpy(np.float64)
+        pmi = np.log((n2 / B) / ((m.fa.to_numpy(np.float64) / T)
+                                 * (m.fb.to_numpy(np.float64) / T)))
+        out = pd.DataFrame({"bigram": (m.a.astype(object) + " "
+                                       + m.b.astype(object)),
+                            "n": m.n.to_numpy(np.int64), "pmi": pmi})
+        # local prune: this bucket's top-k is a superset of its share of
+        # the global top-k
+        return (out.sort_values(["pmi", "bigram"], ascending=[False, True],
+                                kind="stable").head(k))
+
+    scored = bucketed_join(
+        with_fa, uni, "b", "token", attach_b,
+        left_dtypes={"a": "object", "b": "object", "n": "int64",
+                     "fa": "int64"},
+        right_dtypes={"token": "object", "f": "int64"},
+        coalesce_blocks=8,
+    )
+
+    out = scored.to_pandas()  # <= num_buckets x k rows
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty_schema)
+    out["pmi"] = _ra(out["pmi"], 6)
+    out["n"] = out.n.astype("int64")
+    return (out.sort_values(["pmi", "bigram"], ascending=[False, True],
+                            kind="stable")
+            .head(k)[["bigram", "n", "pmi"]]
+            .reset_index(drop=True))
+
+
+TOKEN_PMI_TOPK_SQL = """
+WITH t AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS ts FROM documents
+), tot AS (
+  SELECT CAST(SUM(len(ts)) AS DOUBLE) AS T,
+         CAST(SUM(len(ts) - 1) AS DOUBLE) AS B
+  FROM t
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS f
+  FROM (SELECT UNNEST(ts) AS w FROM t) GROUP BY w
+), big AS (
+  SELECT ts[i] AS a, ts[i + 1] AS b, COUNT(*) AS n
+  FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT big.a || ' ' || big.b AS bigram,
+       CAST(big.n AS BIGINT) AS n,
+       ROUND(LN((big.n / tot.B) / ((ua.f / tot.T) * (ub.f / tot.T))), 6)
+           AS pmi
+FROM big
+CROSS JOIN tot
+JOIN uni ua ON ua.w = big.a
+JOIN uni ub ON ub.w = big.b
+ORDER BY pmi DESC, bigram
+LIMIT 50
 """

@@ -96,6 +96,7 @@ SQL_CHECKED = [
     "lineitem_corr", "events_decayed_value", "extract_metrics_roundtrip",
     "doc_unigram_logprob", "window_dedup_stats",
     "embedding_cosine_pairs_exact",
+    "cross_doc_gram_coverage", "doc_char_entropy", "token_pmi_topk",
 ]
 
 
