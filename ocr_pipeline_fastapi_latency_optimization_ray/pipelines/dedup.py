@@ -1118,9 +1118,18 @@ def embedding_cosine_pairs_exact(sf_dir: str,
 
 
 EMBEDDING_COSINE_PAIRS_EXACT_SQL = """
+-- embeddings are stored FLOAT (f32); cast to DOUBLE[] BEFORE the cosine so
+-- DuckDB accumulates in f64 like the engine's float64 matmul does —
+-- list_cosine_similarity on FLOAT[] accumulates in f32 and lands ~1e-7 off,
+-- which crosses 6-decimal rounding boundaries (and the 0.2 threshold)
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.2
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2
 ORDER BY vec_a, vec_b
 """
