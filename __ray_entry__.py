@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_streaming_stats": _dedup_streaming_stats,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
         "embedding_kmeans": similarity.embedding_kmeans,
         # multimodal (binary media columns -> actor-pool decode/featurize;
         # decode is a deterministic stub, plumbing is real — stages/multimodal.py)
@@ -249,10 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
         "events_funnel": streaming.events_funnel,
-        "doc_quality": text_analysis.doc_quality,
         # -------------------- ~50-entry window boundary --------------------
         # everything below was driver-green in rounds 1-2 (CORRECTNESS_r01/r02)
-        # (q1/sessions/token_stats rotated below: each proven in BOTH rounds)
+        # (q1/sessions/token_stats/quality rotated below: proven BOTH rounds)
+        "doc_quality": text_analysis.doc_quality,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "events_user_sessions": streaming.events_user_sessions,
         "doc_token_stats": text_analysis.doc_token_stats,

@@ -110,7 +110,7 @@ def test_query_matches_oracle(entry_mod, ddb, name):
 ROWS_ONLY = [
     "extract_pages", "extract_metrics", "doc_fingerprint",
     "dedup_minhash", "doc_simhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "ann_ivf_topk", "ann_lsh_topk",
+    "dedup_embedding_cosine", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
@@ -214,6 +214,21 @@ def test_lsh_recall_vs_bruteforce(entry_mod, ray_session):
     exact_df = similarity.ann_cosine_topk(SF_DIR, k=1000)
     merged = approx_df.merge(exact_df, on="vec_id", suffixes=("_lsh", "_bf"))
     assert (merged["cosine_lsh"] == merged["cosine_bf"]).all()
+
+
+def test_pq_recall_vs_bruteforce(entry_mod, ray_session):
+    """PQ ANN (ADC candidates + exact re-rank): recall@10 >= 0.6 vs brute
+    force, and every returned cosine equals the exact cosine for that id
+    (the re-rank step computes true cosines; PQ only restricts the
+    candidate set)."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import similarity
+
+    exact = set(similarity.ann_cosine_topk(SF_DIR).vec_id)
+    approx_df = similarity.ann_pq_topk(SF_DIR)
+    assert len(exact & set(approx_df.vec_id)) / 10 >= 0.6
+    exact_df = similarity.ann_cosine_topk(SF_DIR, k=1000)
+    merged = approx_df.merge(exact_df, on="vec_id", suffixes=("_pq", "_bf"))
+    assert (merged["cosine_pq"] == merged["cosine_bf"]).all()
 
 
 def test_bucketed_join_empty_sides(ray_session, tmp_path):
