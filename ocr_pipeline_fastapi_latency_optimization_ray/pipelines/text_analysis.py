@@ -1446,3 +1446,76 @@ JOIN uni ub ON ub.w = big.b
 ORDER BY pmi DESC, bigram
 LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (corpus-health diagnostic)
+# ---------------------------------------------------------------------------
+
+def doc_zipf_fit(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Least-squares Zipf fit over the top-``top_n`` token frequencies:
+    slope of ln(freq) on ln(rank). Natural-language corpora sit near -1;
+    template/boilerplate floods flatten the head and machine-generated
+    junk steepens it — a one-number corpus-health diagnostic computed
+    before/after every curation step.
+
+    Distribution: exact global top-N comes out of the token-bucketed
+    combine (each bucket emits its local top-N; the global top-N of a
+    disjoint union is inside the union of per-bucket top-Ns), driver fits
+    OLS on N bounded rows. Rank ties broken by token, mirroring the
+    oracle's ROW_NUMBER ordering."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        c = ex.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return t.sort_values(["n", "token"], ascending=[False, True]).head(top_n)
+
+    out = bucketed_combine(ds, "token", partial, combine).to_pandas()
+    if out.empty:
+        # aggregate-without-GROUP-BY parity: the oracle returns ONE row
+        # (count 0, NULL slope/intercept) on an empty corpus
+        return pd.DataFrame({"n_terms": np.array([0], np.int64),
+                             "zipf_slope": [np.nan],
+                             "zipf_intercept": [np.nan]})
+    top = (out.sort_values(["n", "token"], ascending=[False, True])
+           .head(top_n))
+    y = np.log(top.n.to_numpy(np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    if len(top) < 2:  # var_pop(x) = 0: regr_slope is NULL in SQL
+        slope = intercept = np.nan
+    else:
+        # population covariance / variance — the regr_slope definition
+        mx, my = x.mean(), y.mean()
+        slope = ((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum()
+        intercept = my - slope * mx
+    return pd.DataFrame({
+        "n_terms": np.array([len(top)], np.int64),
+        "zipf_slope": round_away(np.array([slope]), 6),
+        "zipf_intercept": round_away(np.array([intercept]), 6),
+    })
+
+
+DOC_ZIPF_FIT_SQL = """
+WITH f AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM documents)
+  GROUP BY w
+  ORDER BY n DESC, w
+  LIMIT 100
+), r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(LN(n), LN(rank)), 6) AS zipf_slope,
+       ROUND(regr_intercept(LN(n), LN(rank)), 6) AS zipf_intercept
+FROM r
+"""

@@ -119,6 +119,29 @@ def test_token_pmi_topk_matches_oracle_and_ranks_collocation(
     assert got.bigram.iloc[0] == "new york"  # collocation must win
 
 
+def test_doc_zipf_fit_matches_oracle(ray_session, tmp_path):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.text_analysis import (
+        DOC_ZIPF_FIT_SQL,
+        doc_zipf_fit,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    # Zipf-ish draw so the fit is non-degenerate
+    p = 1.0 / np.arange(1, 41)
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=50, p=p)) for _ in range(30)]
+    sf, con = _write_docs(tmp_path, texts)
+    got = doc_zipf_fit(sf)
+    sql = con.execute(DOC_ZIPF_FIT_SQL).df()
+    assert got.n_terms.tolist() == sql.n_terms.tolist()
+    np.testing.assert_allclose(got.zipf_slope.to_numpy(),
+                               sql.zipf_slope.to_numpy(), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got.zipf_intercept.to_numpy(),
+                               sql.zipf_intercept.to_numpy(), rtol=0, atol=1e-9)
+    assert got.zipf_slope.iloc[0] < -0.5  # Zipf-ish corpus fits steeply
+
+
 def test_doc_char_entropy_pipeline_roundtrip(ray_session, tmp_path):
     texts = ["aab", None, "", "zzzz", "mixed content here 123"]
     sf, con = _write_docs(tmp_path, texts)
