@@ -1519,3 +1519,62 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
        ROUND(regr_intercept(LN(n), LN(rank)), 6) AS zipf_intercept
 FROM r
 """
+
+
+def corpus_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Exact unigram-distribution Shannon entropy of the WHOLE corpus
+    (nats) plus exact vocabulary size — the information-density dial of a
+    training mix (low entropy = boilerplate-flooded; the per-token
+    average-depth bound a tokenizer/LM sees).
+
+    Exact at any scale because the statistic decomposes over disjoint
+    token buckets: H = ln(T) - (sum over tokens of n ln n) / T, and each
+    bucketed-combine group owns ALL occurrences of its tokens, so one
+    (sum_n, sum_nlogn, n_vocab) triple per bucket reduces to the exact
+    global answer — no vocabulary-sized table ever leaves the workers."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        c = ex.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        n = t.n.to_numpy(np.float64)
+        return pd.DataFrame({
+            "n_vocab": np.array([len(t)], np.int64),
+            "n_tok": np.array([int(t.n.sum())], np.int64),
+            "nlogn": np.array([(n * np.log(n)).sum()], np.float64),
+        })
+
+    parts = bucketed_combine(ds, "token", partial, combine).to_pandas()
+    if parts.empty or not parts.n_tok.sum():
+        return pd.DataFrame({"n_vocab": np.array([0], np.int64),
+                             "n_tokens": np.array([0], np.int64),
+                             "token_entropy": [np.nan]})
+    t = np.float64(int(parts.n_tok.sum()))
+    h = np.log(t) - np.float64(parts.nlogn.sum()) / t
+    return pd.DataFrame({
+        "n_vocab": np.array([int(parts.n_vocab.sum())], np.int64),
+        "n_tokens": np.array([int(parts.n_tok.sum())], np.int64),
+        "token_entropy": round_away(np.array([h]), 6),
+    })
+
+
+CORPUS_TOKEN_ENTROPY_SQL = """
+WITH f AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM documents)
+  GROUP BY w
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_tokens,
+       ROUND(LN((SELECT SUM(n) FROM f))
+             - SUM(n * LN(n)) / (SELECT SUM(n) FROM f), 6) AS token_entropy
+FROM f
+"""

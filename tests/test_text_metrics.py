@@ -148,3 +148,53 @@ def test_doc_char_entropy_pipeline_roundtrip(ray_session, tmp_path):
     got = doc_char_entropy(sf)
     sql = con.execute(DOC_CHAR_ENTROPY_SQL).df()
     pd.testing.assert_frame_equal(got, sql, check_dtype=False)
+
+
+def test_entropy_batch_property_vs_slow_reference():
+    """Property: the vectorized packed-unique kernel equals a per-doc
+    Counter reference on arbitrary unicode text (incl. astral planes,
+    NULLs, repeats)."""
+    import collections
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(
+        st.one_of(st.none(), st.text(max_size=60)), min_size=1, max_size=12))
+    def prop(texts):
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "text": pd.Series(texts, dtype=object)})
+        got = entropy_batch(df)
+        for i, s in enumerate(texts):
+            s = s or ""
+            if not s:
+                exp = 0.0
+            else:
+                cnt = np.array(list(collections.Counter(s).values()), float)
+                p = cnt / cnt.sum()
+                exp = float(-(p * np.log2(p)).sum())
+            assert got.n_chars.iloc[i] == len(s)
+            assert abs(got.entropy.iloc[i] - round(exp, 6)) <= 1e-6
+
+    prop()
+
+
+def test_corpus_token_entropy_matches_oracle(ray_session, tmp_path):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.text_analysis import (
+        CORPUS_TOKEN_ENTROPY_SQL,
+        corpus_token_entropy,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(30)]
+    texts += [None, "", "w0 w0 w0"]
+    sf, con = _write_docs(tmp_path, texts)
+    got = corpus_token_entropy(sf)
+    sql = con.execute(CORPUS_TOKEN_ENTROPY_SQL).df()
+    assert got.n_vocab.tolist() == sql.n_vocab.tolist()
+    assert got.n_tokens.tolist() == sql.n_tokens.tolist()
+    np.testing.assert_allclose(got.token_entropy.to_numpy(),
+                               sql.token_entropy.to_numpy(),
+                               rtol=0, atol=1e-9)
