@@ -75,6 +75,100 @@ ORDER BY event_id
 """
 
 
+def events_user_anomalies(sf_dir: str, n_sigma: float = 3.0) -> pd.DataFrame:
+    """Per-user outlier profile: how many of each user's events sit more
+    than ``n_sigma`` population standard deviations from that user's own
+    mean value — the fraud/telemetry-QC staple (a per-entity z-score needs
+    TWO passes over grouped data, which is exactly what makes it a good
+    distributed-plan exercise).
+
+    Plan: (1) mergeable per-user moments (n, sum, sum-of-squares) via a
+    user-bucketed combine; (2) a user-keyed bucketed join flags each event
+    against its user's mean/std and pre-aggregates in-bucket. Events and
+    moments co-partition on the same key, so pass 2 reshuffles only the
+    (user, n, sum, sumsq) stats stream. STRICT ``>`` keeps single-event
+    users (std = 0) non-anomalous on both sides. ``value`` is a dense
+    (non-NULL) column in this schema — the moments do not NaN-guard.
+    Determinism: the flag compares |v - mean| > n_sigma * std where both
+    sides' mean/std agree to ~1e-12 relative (stable accumulation vs
+    two-pass formula); a flip needs a true z within ulps of n_sigma."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    out_schema = {"user_id": "int64", "n_events": "int64",
+                  "mean_value": "float64", "std_value": "float64",
+                  "n_anomalies": "int64"}
+
+    def mom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        g = df.assign(v=v, v2=v * v).groupby("user_id", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum"))
+        g["n"] = g.n.astype("int64")
+        return g
+
+    def mom_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+
+    stats = bucketed_combine(ds, "user_id", mom_partial, mom_combine,
+                             num_buckets=16, coalesce_blocks=4)
+
+    def flag(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="user_id")
+        if m.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_schema.items()})
+        n = m.n.to_numpy(np.float64)
+        mean = m.s.to_numpy(np.float64) / n
+        var = np.maximum(m.s2.to_numpy(np.float64) / n - mean * mean, 0.0)
+        std = np.sqrt(var)
+        anom = (np.abs(m["value"].to_numpy(np.float64) - mean)
+                > n_sigma * std)
+        out = pd.DataFrame({"user_id": m.user_id.to_numpy(np.int64),
+                            "n_events": m.n.to_numpy(np.int64),
+                            "mean_value": mean, "std_value": std,
+                            "anom": anom.astype(np.int64)})
+        agg = out.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "first"), mean_value=("mean_value", "first"),
+            std_value=("std_value", "first"), n_anomalies=("anom", "sum"))
+        return agg
+
+    out = bucketed_join(
+        ds, stats, "user_id", "user_id", flag,
+        num_buckets=16,
+        left_dtypes={"user_id": "int64", "value": "float64"},
+        right_dtypes={"user_id": "int64", "n": "int64",
+                      "s": "float64", "s2": "float64"},
+        coalesce_blocks=8,
+    ).to_pandas()
+    if out.empty:
+        return typed_out(out, out_schema)
+    out["mean_value"] = round_away(out.mean_value, 6)
+    out["std_value"] = round_away(out.std_value, 6)
+    return typed_out(out, out_schema, sort_by="user_id")
+
+
+EVENTS_USER_ANOMALIES_SQL = """
+WITH s AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         AVG(value) AS mean_value,
+         STDDEV_POP(value) AS std_value
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       CAST(MAX(s.n_events) AS BIGINT) AS n_events,
+       ROUND(MAX(s.mean_value), 6) AS mean_value,
+       ROUND(MAX(s.std_value), 6) AS std_value,
+       CAST(SUM(CASE WHEN ABS(e.value - s.mean_value) > 3.0 * s.std_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM events e JOIN s USING (user_id)
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # as-of join: each purchase joined to the user's latest prior-or-equal click
 # ---------------------------------------------------------------------------

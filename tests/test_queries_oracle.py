@@ -97,7 +97,7 @@ SQL_CHECKED = [
     "doc_unigram_logprob", "window_dedup_stats",
     "embedding_cosine_pairs_exact",
     "cross_doc_gram_coverage", "doc_char_entropy", "token_pmi_topk",
-    "doc_zipf_fit", "corpus_token_entropy",
+    "doc_zipf_fit", "corpus_token_entropy", "events_user_anomalies",
 ]
 
 
