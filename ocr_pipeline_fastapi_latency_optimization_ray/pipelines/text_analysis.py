@@ -1578,3 +1578,75 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
              - SUM(n * LN(n)) / (SELECT SUM(n) FROM f), 6) AS token_entropy
 FROM f
 """
+
+
+_COVERAGE_KS = (10, 50, 100, 500, 1000)
+
+
+def token_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """What fraction of all token OCCURRENCES the top-k vocabulary covers,
+    at k in {10, 50, 100, 500, 1000} — the curve that sizes a tokenizer
+    vocabulary (and exposes boilerplate floods: unnaturally steep heads).
+
+    One token-bucketed exchange: each bucket emits its local top-1000
+    (the global top-1000 of a disjoint union is inside the union of
+    per-bucket top-1000s) PLUS one exact total-occurrence row for its
+    whole token set, so the tail is counted without ever shipping the
+    vocabulary. Driver merges buckets x (1000 + 1) rows."""
+    from ..functions.shuffle import bucketed_combine
+
+    top_n = _COVERAGE_KS[-1]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        c = ex.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        top = t.sort_values(["n", "token"], ascending=[False, True]).head(top_n)
+        top = top.assign(is_tot=False)
+        tot = pd.DataFrame({"token": [""], "n": [np.int64(t.n.sum())],
+                            "is_tot": [True]})
+        return pd.concat([top, tot], ignore_index=True)
+
+    out = bucketed_combine(ds, "token", partial, combine).to_pandas()
+    ks = np.array(_COVERAGE_KS, np.int64)
+    if out.empty or not out[out.is_tot].n.sum():
+        return pd.DataFrame({"top_k": ks,
+                             "coverage_pct": np.full(len(ks), np.nan)})
+    t_total = np.float64(int(out[out.is_tot].n.sum()))
+    top = (out[~out.is_tot]
+           .sort_values(["n", "token"], ascending=[False, True])
+           .head(top_n))
+    cum = np.cumsum(top.n.to_numpy(np.float64))
+    # coverage at k: cumulative count at rank min(k, vocab size); cum is
+    # non-empty here (the early return above handles the empty corpus)
+    idx = np.minimum(ks, len(cum)) - 1
+    cov = cum[idx]
+    return pd.DataFrame({
+        "top_k": ks,
+        "coverage_pct": round_away(cov / t_total * 100.0, 6),
+    })
+
+
+TOKEN_COVERAGE_CURVE_SQL = """
+WITH f AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM (SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+        FROM documents)
+  GROUP BY w
+), tot AS (SELECT SUM(n) AS t FROM f),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk FROM f
+), c AS (
+  SELECT rnk, SUM(n) OVER (ORDER BY rnk) AS cum FROM r
+), ks AS (SELECT UNNEST([10, 50, 100, 500, 1000]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS top_k,
+       ROUND((SELECT MAX(cum) FROM c WHERE rnk <= ks.k) / tot.t * 100, 6)
+           AS coverage_pct
+FROM ks CROSS JOIN tot
+ORDER BY top_k
+"""
