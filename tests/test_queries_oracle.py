@@ -148,6 +148,15 @@ def test_every_query_has_callable(entry_mod):
         assert name in o
     for fn in q.values():
         assert callable(fn)
+    # closed-world: every queries() entry must be test-covered — either
+    # oracle-compared (SQL_CHECKED) or at least executed (ROWS_ONLY); a
+    # new operator that is wired into __ray_entry__ but not into these
+    # lists fails HERE instead of silently shipping untested
+    untested = set(q) - set(SQL_CHECKED) - set(ROWS_ONLY)
+    assert not untested, f"queries() entries with no test coverage: {sorted(untested)}"
+    # and every oracle-backed entry must be oracle-COMPARED, not just run
+    weak = set(o) - set(SQL_CHECKED)
+    assert not weak, f"oracle_sql() entries not oracle-compared: {sorted(weak)}"
 
 
 def test_extract_metrics_vs_duckdb_over_own_output(entry_mod, ddb, tmp_path):
