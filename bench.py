@@ -272,8 +272,43 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the Ray Data per-operator execution stats of ONE headline run
+    to stderr (wall time, blocks, rows, memory per stage) — the ds.stats()
+    evidence behind the tuning notes in BASELINE.md. Not part of the
+    driver flow; stdout stays silent so ``--stats`` can't corrupt a JSON
+    consumer."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        from ocr_pipeline_fastapi_latency_optimization_ray.config import PipelineConfig
+        from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.extract import (
+            build_extraction_pipeline, read_pages,
+        )
+
+        prepare_pages()
+        conc = max(2, NUM_CPUS * 3 // 4)
+        cfg = PipelineConfig(extract_concurrency=conc,
+                             extract_batch_size=int(os.environ.get("BENCH_BATCH", "2048")))
+        ds = build_extraction_pipeline(read_pages(PAGES_DIR), cfg)
+        # materialize so stats() reflects THIS dataset's executed plan (an
+        # aggregate would execute a derived plan and leave ds.stats() empty);
+        # --stats is an opt-in diagnostic, not the streaming benchmark path
+        m = ds.materialize()
+        print(m.stats(), file=sys.stderr)
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_once()))
