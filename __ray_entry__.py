@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_token_entropy": text_analysis.corpus_token_entropy,
         "events_user_anomalies": streaming.events_user_anomalies,
         "token_coverage_curve": text_analysis.token_coverage_curve,
+        "corpus_shuffle_shards": curation.corpus_shuffle_shards,
         # -- never driver-checked, rows-only (LSH/sketch/stub: no SQL analog;
         # accuracy/recall/byte-identity enforced in pytest) --
         "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
@@ -247,13 +248,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed slice to keep the flagship + each family in-window --
         "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_closed_paths": extract_checks.extract_closed_paths,
-        "extract_ts_histogram": extract_checks.extract_ts_histogram,
         # NEW in round 3: html-path driver slice (metrics over own parquet)
         "extract_metrics_roundtrip": extract_checks.extract_metrics_roundtrip,
         # -------------------- ~50-entry window boundary --------------------
         # everything below was driver-green in rounds 1-2 (CORRECTNESS_r01/r02)
-        # (q1/q3/q5/sessions/funnel/token_stats/quality/asof rotated:
-        # each already driver-proven)
+        # (q1/q3/q5/sessions/funnel/token_stats/quality/asof/ts_histogram
+        # rotated: each already driver-proven)
+        "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q3_top_orders": relational.q3_top_orders,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_entropy": text_analysis.CORPUS_TOKEN_ENTROPY_SQL,
         "events_user_anomalies": streaming.EVENTS_USER_ANOMALIES_SQL,
         "token_coverage_curve": text_analysis.TOKEN_COVERAGE_CURVE_SQL,
+        "corpus_shuffle_shards": curation.CORPUS_SHUFFLE_SHARDS_SQL,
         "embedding_cosine_pairs_exact":
             dedup.EMBEDDING_COSINE_PAIRS_EXACT_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

@@ -260,6 +260,64 @@ ORDER BY win.doc_id
 """
 
 
+def corpus_shuffle_shards(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    (shard, pos) — which output shard it belongs to and its position
+    within that shard — from a seeded multiplicative hash. This is the
+    scale-correct way to randomize training order: ``random_shuffle`` is
+    a full all-to-all of the DATA, while a hash shard assignment moves
+    each row exactly once to its shard (and is reproducible, resumable,
+    and verifiable — the properties a 100 TB corpus build actually
+    needs; the trade is pseudo-random order, which is what every seeded
+    shuffle is anyway).
+
+    Plan: one streaming map computes ``h = doc_id * 2654435761 mod 2^32``
+    (Knuth multiplicative hash — exact in SQL too, so the oracle is a
+    ROW_NUMBER window); one shard-keyed exchange ranks within shards.
+    Documents with doc_id >= 2^32 would overflow the SQL-exact contract
+    and are asserted against (the engine itself is fine to 2^64)."""
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        assert (ids >= 0).all() and (ids < (1 << 32)).all()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pd.DataFrame({"doc_id": ids,
+                             "h": h.astype(np.int64),
+                             "shard": (h % np.uint64(n_shards)).astype(np.int64)})
+
+    pairs = docs.map_batches(hashed, batch_format="pandas")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        # a bucket may hold several whole shards: rank within each
+        g = g.sort_values(["shard", "h", "doc_id"], kind="stable")
+        pos = g.groupby("shard").cumcount().to_numpy(np.int64) + 1
+        return pd.DataFrame({"doc_id": g.doc_id.to_numpy(np.int64),
+                             "shard": g.shard.to_numpy(np.int64),
+                             "pos": pos})
+
+    out = bucketed_combine(pairs, "shard", lambda df: df, rank,
+                           num_buckets=min(16, n_shards),
+                           coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "shard": "int64",
+                           "pos": "int64"}, sort_by="doc_id")
+
+
+CORPUS_SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % 16 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+            AS BIGINT) AS pos
+FROM h
+ORDER BY doc_id
+"""
+
+
 def cross_doc_gram_coverage(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """INTER-document duplication coverage: per document, the fraction of
     its DISTINCT sliding k-token grams that also occur in at least one
