@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_anomalies": streaming.events_user_anomalies,
         "token_coverage_curve": text_analysis.token_coverage_curve,
         "corpus_shuffle_shards": curation.corpus_shuffle_shards,
+        "source_dedup_matrix": curation.source_dedup_matrix,
         # -- never driver-checked, rows-only (LSH/sketch/stub: no SQL analog;
         # accuracy/recall/byte-identity enforced in pytest) --
         "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
@@ -246,14 +247,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_hashes": multimodal.video_frame_hashes,
         # -- already driver-proven (green in CORRECTNESS_r02), representative
         # oracle-backed slice to keep the flagship + each family in-window --
-        "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_closed_paths": extract_checks.extract_closed_paths,
         # NEW in round 3: html-path driver slice (metrics over own parquet)
         "extract_metrics_roundtrip": extract_checks.extract_metrics_roundtrip,
         # -------------------- ~50-entry window boundary --------------------
         # everything below was driver-green in rounds 1-2 (CORRECTNESS_r01/r02)
-        # (q1/q3/q5/sessions/funnel/token_stats/quality/asof/ts_histogram
-        # rotated: each already driver-proven)
+        # (q1/q3/q5/sessions/funnel/token_stats/quality/asof/ts_histogram/
+        # kind_counts rotated: each already driver-proven)
+        "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_anomalies": streaming.EVENTS_USER_ANOMALIES_SQL,
         "token_coverage_curve": text_analysis.TOKEN_COVERAGE_CURVE_SQL,
         "corpus_shuffle_shards": curation.CORPUS_SHUFFLE_SHARDS_SQL,
+        "source_dedup_matrix": curation.SOURCE_DEDUP_MATRIX_SQL,
         "embedding_cosine_pairs_exact":
             dedup.EMBEDDING_COSINE_PAIRS_EXACT_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

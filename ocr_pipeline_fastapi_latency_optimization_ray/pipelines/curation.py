@@ -318,6 +318,70 @@ ORDER BY doc_id
 """
 
 
+def source_dedup_matrix(sf_dir: str) -> pd.DataFrame:
+    """Cross-source EXACT-duplicate pair counts — the document-level
+    mirror-site detector (``source_vocab_overlap`` flags similar
+    vocabularies; this flags verbatim copies): for every source pair
+    (a < b), how many (doc-from-a, doc-from-b) pairs share identical
+    text.
+
+    One hash-bucketed exchange of (md5, source, count) triples — all
+    occurrences of a hash land in one bucket, so per-hash cross-source
+    pair counts (m_a * m_b) are exact in-bucket; the rollup is bounded by
+    n_sources^2 rows (the same bounded-output contract as
+    ``source_vocab_overlap``), so the driver merge is constant-size no
+    matter the corpus."""
+    pairs = _docs(sf_dir, columns=("text", "source"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hex_batch(df["text"].fillna("").to_numpy(object))
+        g = (pd.DataFrame({"h": h, "source": df["source"].to_numpy(object)})
+             .groupby(["h", "source"], as_index=False).size()
+             .rename(columns={"size": "m"}))
+        g["m"] = g.m.astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["h", "source"], as_index=False).agg(m=("m", "sum"))
+        # cross pairs within each hash: merge the per-source counts with
+        # themselves, keep source_a < source_b (vectorized; group sizes
+        # are bounded by n_sources per hash)
+        x = c.merge(c, on="h", suffixes=("_a", "_b"))
+        x = x[x.source_a < x.source_b]
+        if x.empty:
+            return pd.DataFrame({"source_a": pd.Series(dtype=object),
+                                 "source_b": pd.Series(dtype=object),
+                                 "n_dup_pairs": pd.Series(dtype="int64")})
+        x["n_dup_pairs"] = (x.m_a.to_numpy(np.int64)
+                            * x.m_b.to_numpy(np.int64))
+        return x.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_dup_pairs=("n_dup_pairs", "sum"))
+
+    out = bucketed_combine(pairs, "h", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    if out.empty:
+        return typed_out(out, {"source_a": "object", "source_b": "object",
+                               "n_dup_pairs": "int64"})
+    out = out.groupby(["source_a", "source_b"], as_index=False).agg(
+        n_dup_pairs=("n_dup_pairs", "sum"))
+    out["n_dup_pairs"] = out.n_dup_pairs.astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+SOURCE_DEDUP_MATRIX_SQL = """
+WITH c AS (
+  SELECT md5(COALESCE(text, '')) AS h, source, COUNT(*) AS m
+  FROM documents GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(a.m * b.m) AS BIGINT) AS n_dup_pairs
+FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 def cross_doc_gram_coverage(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """INTER-document duplication coverage: per document, the fraction of
     its DISTINCT sliding k-token grams that also occur in at least one

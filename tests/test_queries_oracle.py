@@ -98,7 +98,7 @@ SQL_CHECKED = [
     "embedding_cosine_pairs_exact",
     "cross_doc_gram_coverage", "doc_char_entropy", "token_pmi_topk",
     "doc_zipf_fit", "corpus_token_entropy", "events_user_anomalies",
-    "token_coverage_curve", "corpus_shuffle_shards",
+    "token_coverage_curve", "corpus_shuffle_shards", "source_dedup_matrix",
 ]
 
 
