@@ -120,7 +120,8 @@ def bench_headline() -> dict:
 def bench_queries() -> dict:
     """Secondary operator timings at the same scale dir."""
     from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (
-        dedup, multimodal, relational, similarity, streaming, text_analysis,
+        curation, dedup, multimodal, relational, similarity, streaming,
+        text_analysis,
     )
 
     out = {}
@@ -146,6 +147,11 @@ def bench_queries() -> dict:
         ("doc_token_stats", text_analysis.doc_token_stats),
         ("doc_langid", text_analysis.doc_langid),
         ("image_features", multimodal.image_features),
+        # round-3 additions: one map-only metric, one multi-join analytic,
+        # one shuffle op — the three plan shapes the new surface added
+        ("doc_char_entropy", text_analysis.doc_char_entropy),
+        ("token_pmi_topk", text_analysis.token_pmi_topk),
+        ("corpus_shuffle_shards", curation.corpus_shuffle_shards),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
