@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_ahash_dedup is rows-only and its machinery is the
         # driver-checked simhash path: pytest coverage suffices out-of-window
         "image_ahash_dedup": multimodal.image_ahash_dedup,
+        # oracle-backed but the window is full of never-checked entries;
+        # pytest oracle coverage applies (tests/test_queries_oracle.py)
+        "events_path_transitions": streaming.events_path_transitions,
         "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,
@@ -361,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "token_coverage_curve": text_analysis.TOKEN_COVERAGE_CURVE_SQL,
         "corpus_shuffle_shards": curation.CORPUS_SHUFFLE_SHARDS_SQL,
         "source_dedup_matrix": curation.SOURCE_DEDUP_MATRIX_SQL,
+        "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "embedding_cosine_pairs_exact":
             dedup.EMBEDDING_COSINE_PAIRS_EXACT_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

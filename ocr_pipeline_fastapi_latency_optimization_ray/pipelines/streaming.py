@@ -395,6 +395,68 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
                      sort_by="stage")
 
 
+def events_path_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts between consecutive event types per user —
+    the behavioral-path matrix behind funnel discovery and session-flow
+    dashboards (which step follows which, corpus-wide).
+
+    Plan: one user-bucketed exchange of (user, ts, event_id, type) rows —
+    all of a user's events co-locate, so each bucket sorts its users'
+    streams once (ts, event_id tiebreak exactly like the oracle's window
+    ORDER BY) and forms consecutive pairs with a vectorized shift-compare;
+    the (from_type, to_type) count matrix is bounded by n_types^2, so the
+    driver merge is constant-size at any corpus scale."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(object)
+        if len(g) < 2:
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        same = u[1:] == u[:-1]
+        t = (pd.DataFrame({"from_type": et[:-1][same],
+                           "to_type": et[1:][same]})
+             .groupby(["from_type", "to_type"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        t["n"] = t.n.astype("int64")
+        return t
+
+    out = bucketed_combine(ds, "user_id", lambda df: df, combine,
+                           num_buckets=16, coalesce_blocks=8).to_pandas()
+    if out.empty:
+        return typed_out(out, {"from_type": "object", "to_type": "object",
+                               "n": "int64"})
+    out = out.groupby(["from_type", "to_type"], as_index=False).agg(
+        n=("n", "sum"))
+    out["n"] = out.n.astype("int64")
+    return (out.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+
+
+EVENTS_PATH_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o
+WHERE prev IS NOT NULL
+GROUP BY 1, 2
+ORDER BY from_type, to_type
+"""
+
+
 EVENTS_FUNNEL_SQL = """
 WITH v AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
