@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed but the window is full of never-checked entries;
         # pytest oracle coverage applies (tests/test_queries_oracle.py)
         "events_path_transitions": streaming.events_path_transitions,
+        "orders_rolling_revenue": relational.orders_rolling_revenue,
         "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_shards": curation.CORPUS_SHUFFLE_SHARDS_SQL,
         "source_dedup_matrix": curation.SOURCE_DEDUP_MATRIX_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
+        "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":
             dedup.EMBEDDING_COSINE_PAIRS_EXACT_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,

@@ -616,6 +616,65 @@ ORDER BY month
 """
 
 
+def orders_rolling_revenue(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Daily revenue with a trailing ``window_days``-row rolling sum (ROWS
+    semantics: the last 7 PRESENT days) — the momentum series every
+    revenue dashboard draws.
+
+    Scale shape: the distributed part is the day-bucketed partial
+    aggregation (day cardinality is bounded by TIME, not data size — a
+    century is ~36.5k rows), so the driver-side rolling window over the
+    sorted daily series is a constant-size final step, exactly like the
+    oracle's window function over the grouped CTE."""
+    from ..functions.frames import round_away
+    from ..functions.shuffle import bucketed_combine
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=pd.to_datetime(df.o_orderdate).dt.strftime("%Y-%m-%d"))
+        return df.groupby("day", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+        )
+
+    out = bucketed_combine(ds, "day", partial, combine,
+                           coalesce_blocks=16).to_pandas()
+    if out.empty:
+        return typed_out(out, {"day": "object", "n_orders": "int64",
+                               "revenue": "float64",
+                               "rolling_revenue": "float64"})
+    out = out.sort_values("day").reset_index(drop=True)
+    roll = out.revenue.rolling(window_days, min_periods=1).sum()
+    out["rolling_revenue"] = round_away(roll, 2)
+    out["revenue"] = round_away(out.revenue, 2)
+    out["n_orders"] = out.n_orders.astype("int64")
+    return out[["day", "n_orders", "revenue", "rolling_revenue"]]
+
+
+ORDERS_ROLLING_REVENUE_SQL = """
+WITH d AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         COUNT(*) AS n_orders,
+         SUM(o_totalprice) AS revenue
+  FROM orders
+  GROUP BY day
+)
+SELECT day,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       ROUND(revenue, 2) AS revenue,
+       ROUND(SUM(revenue) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+           AS rolling_revenue
+FROM d
+ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # customer segment stats (bounded-cardinality groupby: 5 segments)
 # ---------------------------------------------------------------------------
