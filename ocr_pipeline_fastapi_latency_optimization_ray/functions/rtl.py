@@ -1,11 +1,10 @@
-"""lang-keyed RTL text normalization — the S4 semantic.
+"""content-keyed RTL text normalization — the S4 semantic.
 
 The reference's text->PDF renderer reshapes Arabic letters into their
 contextual presentation forms and reorders each line into visual (display)
 order before drawing it (FileIngestor.py:208-221: ``arabic_reshaper.reshape``
 then ``bidi.algorithm.get_display``). SURVEY.md §2.1 maps that semantic to a
-vectorized normalization step in the extract stage keyed by the ``lang``
-column. Those two libraries are not available here, so this module
+vectorized normalization step in the extract stage keyed on RTL content. Those two libraries are not available here, so this module
 implements the same two public algorithms from first principles:
 
 - **Contextual shaping** (``reshape_arabic``): Unicode Arabic Presentation
@@ -28,10 +27,14 @@ implements the same two public algorithms from first principles:
   as neutral.
 
 Batch shape: ``rtl_normalize_texts`` is the stage-facing entry — it takes a
-whole column plus the ``lang`` column and touches ONLY rows whose lang is in
-``RTL_LANGS`` (per-char shaping is inherently sequential, so the vectorized
-win is the lang-mask: on a web corpus the RTL subset is a few percent of
-rows and every other row passes through untouched, zero-copy).
+whole column and touches ONLY rows that actually contain RTL code points
+(``contains_rtl``; the reference applies its Arabic branch to every line
+whenever the libraries import, regardless of the document's language —
+FileIngestor.py:209 — so the faithful gate is content, not the ``lang``
+column). Per-char shaping is inherently sequential, so the vectorized win
+is the mask: on a web corpus the RTL subset is a few percent of rows and
+every other row is rejected by one C-speed ``max`` and passes through
+untouched, zero-copy.
 """
 
 from __future__ import annotations
@@ -290,29 +293,50 @@ def bidi_display(s: str) -> str:
     return "".join(chars)
 
 
-def rtl_normalize_line(line: str, lang: str) -> str:
-    """reshape (Arabic-script langs) then reorder one logical line."""
-    if lang in ARABIC_SCRIPT_LANGS:
-        line = reshape_arabic(line)
-    return bidi_display(line)
+def contains_rtl(s: str | None) -> bool:
+    """True iff ``s`` holds any code point with bidirectional class R, AL
+    or AN — the content gate for RTL normalization. Fast path: every code
+    point below U+0590 (ASCII, Latin, Greek, Cyrillic — the overwhelming
+    bulk of a web corpus) is rejected by one C-speed ``max`` without any
+    per-char Python work."""
+    if not s or max(s) < "\u0590":
+        return False
+    return any(unicodedata.bidirectional(c) in ("R", "AL", "AN") for c in s)
 
 
-def rtl_normalize_text(text: str, lang: str) -> str:
+def rtl_normalize_line(line: str, lang: str | None = None) -> str:
+    """reshape then reorder one logical line. Shaping runs unconditionally
+    (the reference reshapes every line it renders, FileIngestor.py:209-213;
+    ``reshape_arabic`` is the identity on non-Arabic text so Hebrew-only
+    lines are unaffected). ``lang`` is kept for API compatibility and
+    ignored."""
+    return bidi_display(reshape_arabic(line))
+
+
+def rtl_normalize_text(text: str, lang: str | None = None) -> str:
     """The S4 semantic over a whole text payload: per line — strip, then
     reshape+reorder (the reference renders line-by-line and strips each
-    line, FileIngestor.py:205-221). Only called for ``lang in RTL_LANGS``;
-    pure-ASCII lines come back byte-identical (shaping and reordering are
-    both identities on LTR text), so a mislabeled lang is harmless."""
+    line, FileIngestor.py:205-221). The reference applies this branch to
+    EVERY non-empty line whenever Arabic support is importable, regardless
+    of the document's language — so callers gate on CONTENT
+    (:func:`contains_rtl`), not on the ``lang`` column: an English document
+    with an embedded Arabic/Hebrew run is normalized exactly like an
+    Arabic one, and the per-line gate below skips lines with no RTL code
+    points (where shaping and reordering are both identities) without
+    paying the sequential per-char cost."""
     return "\n".join(
-        rtl_normalize_line(ln.strip(), lang) if ln.strip() else ""
+        rtl_normalize_line(ln.strip()) if contains_rtl(ln) else ln.strip()
         for ln in text.split("\n")
     )
 
 
 def rtl_normalize_texts(texts: list[str | None],
-                        langs: list[str | None]) -> list[str | None]:
-    """Column-level entry: lang-mask first, transform only the RTL subset."""
+                        langs: list[str | None] | None = None) -> list[str | None]:
+    """Column-level entry: content-mask first, transform only rows that
+    actually hold RTL code points (``langs`` is accepted for API
+    compatibility and ignored — the gate is content, matching the
+    reference's HAS_ARABIC_SUPPORT branch which never consults language)."""
     return [
-        rtl_normalize_text(t, l) if (t and l and l in RTL_LANGS) else t
-        for t, l in zip(texts, langs)
+        rtl_normalize_text(t) if (t and contains_rtl(t)) else t
+        for t in texts
     ]

@@ -86,8 +86,14 @@ def oracle_extract(
 
     if kind == "text":
         # pre-extracted text page: enrichment regex + fence strip still apply
-        # (the reference OCRs the rendered text page like any other)
-        page_strs.append(text.strip())
+        # (the reference OCRs the rendered text page like any other).
+        # S4: content-gated RTL normalization, identical to the engine
+        # (FileIngestor.py:208-221 applies the Arabic branch per line
+        # whenever the libraries import, regardless of document language)
+        from ..functions.rtl import contains_rtl, rtl_normalize_text
+
+        src = rtl_normalize_text(text) if contains_rtl(text) else text
+        page_strs.append(src.strip())
     elif kind == "html":
         # engine="reference": the oracle always takes the stdlib-HTMLParser
         # tokenizer path, so the byte-identity suite cross-validates the

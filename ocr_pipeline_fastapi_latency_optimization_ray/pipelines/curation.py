@@ -80,9 +80,15 @@ def _chunk_pairs_batch(df: pd.DataFrame, k: int) -> pd.DataFrame:
     # wraparound sum per (row, chunk) — np.add.at keeps uint64 semantics.
     # Pack (row, chunk) into uint64 as row<<42 | chunk: row is the
     # batch-local position (< block rows, far under 2^22) and 2^42 chunks
-    # ≈ 22T tokens per document — asserted, not silently collided (the
-    # old row*2^20+chunk packing wrapped at ~5M tokens/doc).
-    assert len(df) < (1 << 22) and chunk.max(initial=0) < (1 << 42)
+    # ≈ 22T tokens per document — checked with a real raise (not assert:
+    # python -O would strip it and out-of-range inputs would silently
+    # collide keys; the old row*2^20+chunk packing wrapped at ~5M
+    # tokens/doc).
+    if len(df) >= (1 << 22) or chunk.max(initial=0) >= (1 << 42):
+        raise ValueError(
+            f"chunk-pack key domain exceeded: batch rows={len(df)} "
+            f"(max 2^22), max chunk={int(chunk.max(initial=0))} (max 2^42)"
+        )
     key = (row.astype(np.uint64) << np.uint64(42)) | chunk.astype(np.uint64)
     uniq, inv = np.unique(key, return_inverse=True)
     sums = np.zeros(len(uniq), dtype=np.uint64)
@@ -275,12 +281,18 @@ def corpus_shuffle_shards(sf_dir: str, n_shards: int = 16) -> pd.DataFrame:
     (Knuth multiplicative hash — exact in SQL too, so the oracle is a
     ROW_NUMBER window); one shard-keyed exchange ranks within shards.
     Documents with doc_id >= 2^32 would overflow the SQL-exact contract
-    and are asserted against (the engine itself is fine to 2^64)."""
+    and are rejected with ValueError (the engine itself is fine to 2^64)."""
     docs = _docs(sf_dir, columns=("doc_id",))
 
     def hashed(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
-        assert (ids >= 0).all() and (ids < (1 << 32)).all()
+        # input-domain check must survive python -O: a bare assert would be
+        # stripped and out-of-range ids would silently alias shard keys
+        if len(ids) and ((ids < 0).any() or (ids >= (1 << 32)).any()):
+            raise ValueError(
+                "corpus_shuffle_shards requires 0 <= doc_id < 2^32 for the "
+                "SQL-exact Knuth-hash contract; got out-of-range doc_id"
+            )
         h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
         return pd.DataFrame({"doc_id": ids,
                              "h": h.astype(np.int64),

@@ -23,7 +23,7 @@ from ..functions.enrich import finalize_document
 from ..functions.html_tokenize import blocks_table_from_html
 from ..functions.masking import PageSkeleton, build_page_skeleton
 from ..functions.merge import filter_duplicates
-from ..functions.rtl import RTL_LANGS, rtl_normalize_text
+from ..functions.rtl import contains_rtl, rtl_normalize_text
 from ..sources.payloads import classify_payload_bytes, decode_fake_doc
 from ..stages.layout import (
     LayoutStub,
@@ -68,13 +68,18 @@ def extract_document(
         # pre-extracted text path (reference text->PDF->OCR round trip,
         # FileIngestor.py:189-237, collapses to identity in a deterministic
         # engine); fence strip still applies (PageProcessor.py:116).
-        # The S4 lang semantic (FileIngestor.py:208-221): RTL-language
-        # payloads are reshaped into contextual presentation forms and
+        # The S4 semantic (FileIngestor.py:208-221): payloads containing
+        # RTL runs are reshaped into contextual presentation forms and
         # reordered into display order per line (functions/rtl.py) before
-        # the identity collapse — keyed on the lang column, a no-op for
-        # every other language.
-        if lang in RTL_LANGS:
-            src = rtl_normalize_text(text, lang)
+        # the identity collapse. The gate is CONTENT, not the lang column —
+        # the reference applies its Arabic branch to every non-empty line
+        # whenever the libraries import, so an LTR-lang document with an
+        # embedded Arabic/Hebrew run is normalized exactly like an Arabic
+        # one (round-3 ADVICE). Docs with no RTL code points skip per-line
+        # processing entirely (reshape+bidi are identities there), keeping
+        # the doc-level strip contract of EXTRACT_CLOSED_PATHS_SQL.
+        if contains_rtl(text):
+            src = rtl_normalize_text(text)
         else:
             src = text
         page = PageSkeleton(parts=[src.strip()], block_ids=[0], enrich=[],

@@ -152,7 +152,15 @@ ORDER BY doc_id
 """
 
 
-ROUNDTRIP_DIR = "/tmp/ray_extract_metrics_roundtrip"
+# Per-process path: the roundtrip query wipes and rewrites this directory,
+# so concurrent harnesses (pytest + the driver, or two driver processes)
+# must write disjoint paths or one clobbers the other mid-run. The SQL
+# oracle below embeds the same module-level constant, and queries() and
+# oracle_sql() are always evaluated in the same process, so the oracle
+# reads exactly the directory this process wrote.
+import os as _os
+
+ROUNDTRIP_DIR = f"/tmp/ray_extract_metrics_roundtrip_{_os.getpid()}"
 
 
 def extract_metrics_roundtrip(sf_dir: str) -> pd.DataFrame:

@@ -1390,8 +1390,12 @@ def token_pmi_topk(sf_dir: str, k: int = 50, min_count: int = 5) -> pd.DataFrame
                                  "pmi": pd.Series(dtype="float64")})
         T, B = np.float64(t_total), np.float64(b_total)
         n2 = m.n.to_numpy(np.float64)
-        pmi = np.log((n2 / B) / ((m.fa.to_numpy(np.float64) / T)
-                                 * (m.fb.to_numpy(np.float64) / T)))
+        # round BEFORE the local prune: the oracle orders by ROUND(pmi, 6),
+        # so two bigrams that round equal tie-break lexicographically — an
+        # unrounded local sort could prune the one the global rounded sort
+        # keeps at a k-boundary
+        pmi = _ra(np.log((n2 / B) / ((m.fa.to_numpy(np.float64) / T)
+                                     * (m.fb.to_numpy(np.float64) / T))), 6)
         out = pd.DataFrame({"bigram": (m.a.astype(object) + " "
                                        + m.b.astype(object)),
                             "n": m.n.to_numpy(np.int64), "pmi": pmi})

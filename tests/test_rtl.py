@@ -1,8 +1,9 @@
-"""S4 lang/RTL normalization semantic (functions/rtl.py; reference
-FileIngestor.py:208-221 reshape + bidi per line, keyed here on the ``lang``
-column per SURVEY.md §2.1). Expected strings are hand-derived from the
-public Unicode data: Arabic Presentation Forms code points via their
-standard joining rules, display order via UAX #9."""
+"""S4 RTL normalization semantic (functions/rtl.py; reference
+FileIngestor.py:208-221 reshape + bidi per line, keyed here on CONTENT —
+the reference's Arabic branch runs on every line whenever the libraries
+import, regardless of document language). Expected strings are
+hand-derived from the public Unicode data: Arabic Presentation Forms code
+points via their standard joining rules, display order via UAX #9."""
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -73,20 +74,35 @@ def test_hebrew_reorders_without_shaping():
     assert rtl.rtl_normalize_text("שלום עולם", "he") == "םלוע םולש"
 
 
-def test_normalize_per_line_and_lang_mask():
+def test_normalize_per_line_and_content_mask():
     t = "  سلام  \n  keep ltr  "
-    # ar: each line stripped, Arabic line shaped+reordered, LTR line intact
-    got = rtl.rtl_normalize_text(t, "ar")
+    # each line stripped, Arabic line shaped+reordered, LTR line intact
+    got = rtl.rtl_normalize_text(t)
     assert got == MEEM_ISO + LAM_ALEF_FINAL + SEEN_INIT + "\nkeep ltr"
-    # column entry: non-RTL langs pass through untouched (same object)
-    texts = [t, None, "x"]
-    out = rtl.rtl_normalize_texts(texts, ["en", "ar", None])
-    assert out == texts
+    # the gate is CONTENT (round-3 ADVICE): a doc with RTL runs is
+    # normalized no matter what the lang column says — the reference's
+    # Arabic branch never consults language (FileIngestor.py:209)
+    out = rtl.rtl_normalize_texts([t, None, "x"], ["en", "ar", None])
+    assert out[0] == got
+    # rows with no RTL code points pass through untouched (same object)
+    assert out[1] is None and out[2] == "x"
+    plain = ["hello", "tabs\tstay", ""]
+    assert rtl.rtl_normalize_texts(plain, ["ar", "he", "ar"]) == plain
+
+
+def test_contains_rtl_gate():
+    assert not rtl.contains_rtl(None)
+    assert not rtl.contains_rtl("")
+    assert not rtl.contains_rtl("plain ascii, Ωμέγα, über, 日本語")
+    assert rtl.contains_rtl("embedded سلام run")
+    assert rtl.contains_rtl("שלום")  # Hebrew (class R)
+    assert rtl.contains_rtl("ﻡﻼﺳ")  # presentation forms (class AL)
 
 
 def test_extraction_pipeline_applies_rtl_for_text_kind(ray_session, tmp_path):
-    """End-to-end byte identity: a text-kind page with lang='ar' comes out
-    shaped + display-ordered; the same bytes with lang='en' are identity."""
+    """End-to-end byte identity: a text-kind page containing Arabic runs
+    comes out shaped + display-ordered REGARDLESS of the lang column (the
+    content gate, round-3 ADVICE); a pure-LTR page is identity."""
     from ocr_pipeline_fastapi_latency_optimization_ray.config import (
         PipelineConfig,
     )
@@ -95,13 +111,15 @@ def test_extraction_pipeline_applies_rtl_for_text_kind(ray_session, tmp_path):
     )
 
     body = "سلام\nplain line"
+    plain = "just latin text\nsecond line"
     t = pa.table({
         "url": pa.array(["https://a.example/ar/doc/1",
-                         "https://a.example/en/doc/2"], pa.string()),
-        "warc_ts": pa.array([0, 0], pa.timestamp("us")),
-        "html": pa.array([None, None], pa.binary()),
-        "text": pa.array([body, body], pa.string()),
-        "lang": pa.array(["ar", "en"], pa.string()),
+                         "https://a.example/en/doc/2",
+                         "https://a.example/en/doc/3"], pa.string()),
+        "warc_ts": pa.array([0, 0, 0], pa.timestamp("us")),
+        "html": pa.array([None, None, None], pa.binary()),
+        "text": pa.array([body, body, plain], pa.string()),
+        "lang": pa.array(["ar", "en", "en"], pa.string()),
     })
     pq.write_table(t, tmp_path / "pages.parquet")
     out = (
@@ -111,7 +129,9 @@ def test_extraction_pipeline_applies_rtl_for_text_kind(ray_session, tmp_path):
         .to_pandas()
         .set_index("url")["extracted_text"]
     )
-    assert out["https://a.example/ar/doc/1"] == (
-        MEEM_ISO + LAM_ALEF_FINAL + SEEN_INIT + "\nplain line"
-    )
-    assert out["https://a.example/en/doc/2"] == body
+    normalized = MEEM_ISO + LAM_ALEF_FINAL + SEEN_INIT + "\nplain line"
+    assert out["https://a.example/ar/doc/1"] == normalized
+    # lang='en' but the content has an Arabic run: normalized identically
+    assert out["https://a.example/en/doc/2"] == normalized
+    # no RTL content: byte identity
+    assert out["https://a.example/en/doc/3"] == plain
