@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_coverage_curve": text_analysis.token_coverage_curve,
         "corpus_shuffle_shards": curation.corpus_shuffle_shards,
         "source_dedup_matrix": curation.source_dedup_matrix,
+        "source_dedup_matrix_mirrored": curation.source_dedup_matrix_mirrored,
         # -- never driver-checked, rows-only (LSH/sketch/stub: no SQL analog;
         # accuracy/recall/byte-identity enforced in pytest) --
         "dedup_minhash_clusters": dedup.dedup_minhash_clusters,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "token_coverage_curve": text_analysis.TOKEN_COVERAGE_CURVE_SQL,
         "corpus_shuffle_shards": curation.CORPUS_SHUFFLE_SHARDS_SQL,
         "source_dedup_matrix": curation.SOURCE_DEDUP_MATRIX_SQL,
+        "source_dedup_matrix_mirrored": curation.SOURCE_DEDUP_MATRIX_MIRRORED_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":

@@ -343,7 +343,12 @@ def source_dedup_matrix(sf_dir: str) -> pd.DataFrame:
     n_sources^2 rows (the same bounded-output contract as
     ``source_vocab_overlap``), so the driver merge is constant-size no
     matter the corpus."""
-    pairs = _docs(sf_dir, columns=("text", "source"))
+    return _source_dedup_matrix_over(_docs(sf_dir, columns=("text", "source")))
+
+
+def _source_dedup_matrix_over(pairs: "ray.data.Dataset") -> pd.DataFrame:
+    """Shared plan for :func:`source_dedup_matrix` and its mirrored
+    variant: input is any Dataset with (text, source) columns."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = md5_hex_batch(df["text"].fillna("").to_numpy(object))
@@ -385,6 +390,57 @@ SOURCE_DEDUP_MATRIX_SQL = """
 WITH c AS (
   SELECT md5(COALESCE(text, '')) AS h, source, COUNT(*) AS m
   FROM documents GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(a.m * b.m) AS BIGINT) AS n_dup_pairs
+FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+def source_dedup_matrix_mirrored(sf_dir: str) -> pd.DataFrame:
+    """``source_dedup_matrix`` over a deterministically MIRRORED corpus:
+    every document with ``doc_id % 41 == 0`` is re-emitted verbatim under
+    source ``'mirror::' || source`` before the matrix is computed.
+
+    Why this entry exists: the synthetic driver corpora contain zero
+    cross-source exact duplicates (source is ``src{doc_id % 20}`` and the
+    text generator never repeats across sources), so the plain
+    ``source_dedup_matrix`` driver row is vacuously green — 0 expected,
+    0 produced (round-3 VERDICT "what's wrong" #1). The mirror injection
+    simulates the mirror-site regime the operator detects and makes the
+    driver's hash comparison check a NON-EMPTY matrix; the oracle SQL
+    replicates the identical injection with a UNION ALL. The injected rows
+    are produced streaming inside ``map_batches`` (a bounded 1/41 fraction
+    appended per batch) — no extra exchange versus the plain matrix."""
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def mirror(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[["text", "source"]]
+        m = df[df["doc_id"].to_numpy(np.int64) % 41 == 0]
+        if not len(m):
+            return base
+        mirrored = pd.DataFrame({
+            "text": m["text"].to_numpy(object),
+            "source": "mirror::" + m["source"].astype(object),
+        })
+        return pd.concat([base, mirrored], ignore_index=True)
+
+    return _source_dedup_matrix_over(
+        docs.map_batches(mirror, batch_format="pandas")
+    )
+
+
+SOURCE_DEDUP_MATRIX_MIRRORED_SQL = """
+WITH corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror::' || source AS source
+  FROM documents WHERE doc_id % 41 = 0
+), c AS (
+  SELECT md5(COALESCE(text, '')) AS h, source, COUNT(*) AS m
+  FROM corpus GROUP BY 1, 2
 )
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(SUM(a.m * b.m) AS BIGINT) AS n_dup_pairs

@@ -29,7 +29,14 @@ def dup_sf(tmp_path_factory):
     rng = np.random.RandomState(9)
     pool = docs["text"].iloc[:20].tolist()
     mask = rng.rand(len(docs)) < 0.5
-    docs.loc[mask, "text"] = [pool[i % len(pool)] for i in np.where(mask)[0]]
+    # pool index is OFFSET by 7 from the doc position: source is
+    # src{doc_id % 20} and the pool holds docs 0-19, so an unoffset
+    # pool[i % 20] would copy every text into its OWN source and the
+    # corpus would contain zero cross-source duplicates — which left
+    # source_dedup_matrix vacuously green (round-3 VERDICT #1). With the
+    # offset, every copied text lands 7 sources away from its original.
+    docs.loc[mask, "text"] = [pool[(i + 7) % len(pool)]
+                              for i in np.where(mask)[0]]
     # keep the derived length column consistent with the rewritten text
     docs["n_chars"] = docs["text"].fillna("").str.len().astype("int64")
     pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
@@ -244,3 +251,16 @@ def test_minhash_sig_colliding_near_dup_class(ray_session, tmp_path):
     # and the cross-class pairs replicate over both components at sub-1
     cross = [v for (a, b), v in got.items() if a < 30 <= b]
     assert len(cross) == 30 * 30 and all(0.5 <= v < 1.0 for v in cross)
+
+
+def test_source_dedup_matrix_non_vacuous(entry_mod, dup_ddb, dup_sf):
+    """round-3 VERDICT #1: the cross-source matrix must be exercised with a
+    NON-EMPTY result somewhere — the offset pool planting above guarantees
+    cross-source verbatim duplicates, and the oracle must agree on the
+    non-zero pair counts, not just on emptiness."""
+    ray_df = to_df(entry_mod.queries()["source_dedup_matrix"](dup_sf))
+    assert len(ray_df) > 0 and (ray_df["n_dup_pairs"] > 0).all()
+    sql_df = dup_ddb.execute(
+        entry_mod.oracle_sql()["source_dedup_matrix"]).df()
+    assert len(sql_df) > 0
+    compare(ray_df, sql_df, "source_dedup_matrix[non-vacuous]")

@@ -99,6 +99,7 @@ SQL_CHECKED = [
     "cross_doc_gram_coverage", "doc_char_entropy", "token_pmi_topk",
     "doc_zipf_fit", "corpus_token_entropy", "events_user_anomalies",
     "token_coverage_curve", "corpus_shuffle_shards", "source_dedup_matrix",
+    "source_dedup_matrix_mirrored",
     "events_path_transitions", "orders_rolling_revenue",
 ]
 
