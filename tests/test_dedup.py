@@ -296,3 +296,25 @@ def test_dedup_exact_keep_bloom_matches_exact_and_prunes(ray_session, tmp_path):
     assert dedup._bloom_probe(keep_ids, m_bits, k_hashes, words).all()
     fp = dedup._bloom_probe(non_keep, m_bits, k_hashes, words).mean()
     assert fp < 0.05
+
+
+def test_embedding_cosine_exact_tiled_equals_single_tile(ray_session):
+    """The tile decomposition is a pure execution strategy: forcing many
+    small tiles must reproduce the single-tile result bit-for-bit
+    (round-3 VERDICT #2 — the exact tier must not depend on blocking)."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    one = dedup.embedding_cosine_pairs_exact(sf, tile_rows=10**9)
+    many = dedup.embedding_cosine_pairs_exact(sf, tile_rows=37)
+    assert len(one) > 0  # non-vacuous at threshold 0.2
+    import pandas as pd
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_embedding_cosine_exact_guard_raises(ray_session):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+    with pytest.raises(ValueError, match="dedup_embedding_cosine"):
+        dedup.embedding_cosine_pairs_exact("/root/testdata/sf0.001",
+                                           max_vectors=10)
