@@ -179,6 +179,13 @@ class PipelineConfig:
     # failover surface (OCR.py:37-48, PageProcessor.py:19-26).
     recognizers: tuple[str, ...] = ("stub",)
 
+    # S5/M3 payload-decoder chain by registry name (sources/decoders.py
+    # DECODER_REGISTRY: 'stub' | 'fitz' | 'pil') — the PDF-rasterize /
+    # image-load surface (reference FileIngestor.py:239-262, DLA.py:112-130).
+    # Real engines are import-guarded and dropped when absent, so
+    # ("fitz", "pil", "stub") degrades to the stub in this container.
+    decoders: tuple[str, ...] = ("stub",)
+
     # In-engine transient retry before failover (reference OCR.py:103-115:
     # tenacity stop_after_attempt(3), wait_exponential min=2 max=10). Wait
     # defaults to 0 here: the deterministic stubs never need wall-clock
@@ -206,6 +213,54 @@ class PipelineConfig:
     target_block_size_bytes: int | None = None
 
     extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def autosize(cls, total_ram_gb: float | None = None,
+                 cpus: int | None = None,
+                 ram_per_actor_gb: float = 1.5,
+                 system_reserve_gb: float = 4.0,
+                 **overrides) -> "PipelineConfig":
+        """RAM-aware actor-pool sizing — the reference's production worker
+        calculation mapped onto the extract stage's actor pool
+        (``compute_optimal_workers``, ocr_app.py:415-443; job variant
+        utils.py:113-140):
+
+          pool = max(2, min(int((total_ram - reserve) / ram_per_actor),
+                            cpus))
+
+        RAM is the binding constraint (the DLA/OCR engines hold decoded
+        pages in memory); the pool never exceeds the CPU count (stages are
+        CPU-bound) and never drops below the reference's floor of 2 (one
+        CPU-bound + one I/O-bound worker overlap, ocr_app.py:425,433).
+        With no arguments the host's RAM/CPU are probed via psutil —
+        exactly the reference's inputs. On a multi-node cluster pass the
+        PER-NODE shape: Ray schedules ``concurrency`` actors against the
+        whole cluster, so scale the ceiling by the node count via
+        ``overrides`` if desired.
+
+        Returns a config whose ``extract_concurrency`` is
+        ``(2, optimal)`` — a Ray autoscaling actor pool bounded by the
+        same numbers the reference would compute."""
+        if total_ram_gb is None:
+            # the reference probes via psutil.virtual_memory().total; psutil
+            # is not baked into this container, so fall back to /proc
+            try:
+                import psutil
+
+                total_ram_gb = psutil.virtual_memory().total / (1024 ** 3)
+            except ImportError:
+                with open("/proc/meminfo") as f:
+                    kb = int(next(ln for ln in f
+                                  if ln.startswith("MemTotal")).split()[1])
+                total_ram_gb = kb / (1024 ** 2)
+        if cpus is None:
+            import os
+
+            cpus = os.cpu_count() or 2
+        available = max(0.0, total_ram_gb - system_reserve_gb)
+        ram_limit = int(available / ram_per_actor_gb)
+        optimal = max(2, min(ram_limit, cpus))
+        return cls(extract_concurrency=(2, optimal), **overrides)
 
 
 def apply_data_context(cfg: "PipelineConfig") -> None:

@@ -58,6 +58,7 @@ def extract_document(
     layout: LayoutStub | None = None,
     recognizer: RecognizerStub | None = None,
     kind: str | None = None,
+    decoder=None,
 ) -> ExtractResult:
     kind = kind or classify_payload_bytes(payload, text)
 
@@ -99,11 +100,16 @@ def extract_document(
         meta = [(0, o, b) for (o, b) in (page.mask_meta or [])]
         return ExtractResult(out_text, spans, kept, dropped, mask_meta=meta)
 
-    # pdf / image branch
+    # pdf / image branch — payload -> pages via the decoder chain (S5/M3,
+    # sources/decoders.py; default chain is the deterministic stub, real
+    # fitz/PIL adapters slot in when their dependencies are present)
     layout = layout or LayoutStub(cfg.conf)
     recognizer = recognizer or RecognizerStub()
     try:
-        fake_pages = decode_fake_doc(payload)
+        if decoder is not None:
+            fake_pages = decoder.decode(payload, kind)
+        else:
+            fake_pages = decode_fake_doc(payload)
     except ValueError as e:
         return ExtractResult(ocr_failed_sentinel(str(e)), [], 0, 0, error=str(e))
 

@@ -62,6 +62,8 @@ class DocumentExtractor:
         # a primary->backup failover chain (stages/layout.py)
         from ..stages.layout import build_recognizer
 
+        from ..sources.decoders import build_decoder
+
         self.layout = LayoutStub(self.cfg.conf)
         self.recognizer = build_recognizer(
             self.cfg.recognizers,
@@ -69,6 +71,7 @@ class DocumentExtractor:
             retry_wait_s=self.cfg.recognizer_retry_wait_s,
             retry_max_wait_s=self.cfg.recognizer_retry_max_wait_s,
         )
+        self.decoder = build_decoder(self.cfg.decoders)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -92,6 +95,7 @@ class DocumentExtractor:
             res = extract_document(
                 payloads[i], texts[i], langs[i], cfg,
                 layout=self.layout, recognizer=self.recognizer, kind=kinds[i],
+                decoder=self.decoder,
             )
             ms.append((time.perf_counter() - t0) * 1000.0)
             out_text.append(res.extracted_text)

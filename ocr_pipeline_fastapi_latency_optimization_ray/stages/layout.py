@@ -43,6 +43,19 @@ class LayoutStub:
         self.conf = conf
 
     def predict(self, page: dict) -> Blocks:
+        if not page.get("blocks") and page.get("image") is not None:
+            # real-raster page (decoded by a registry engine,
+            # sources/decoders.py): no layout model ships here, so emit ONE
+            # full-page text block and let the recognizer chain OCR it —
+            # plain full-page OCR, the no-DLA degradation the reference
+            # supports when layout inference is unavailable
+            return Blocks(
+                xyxy=np.array([[0.0, 0.0, float(page["w"]),
+                                float(page["h"])]]),
+                confidence=np.array([1.0]),
+                class_name=np.array(["text"], dtype=object),
+                text=np.array([""], dtype=object),
+            )
         raw = [b for b in page.get("blocks", []) if b["score"] >= self.conf]
         # score-desc stable sort (reference DLA.py:515 list.sort is stable)
         raw.sort(key=lambda b: -b["score"])
