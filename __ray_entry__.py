@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4):
+        "extract_domain_stats": extract_checks.extract_domain_stats,
+        "url_normalize_dedup": extract_checks.url_normalize_dedup,
+        "corpus_gram_novelty": curation.corpus_gram_novelty,
         # oracle-backed:
         "events_path_transitions": streaming.events_path_transitions,
         "orders_rolling_revenue": relational.orders_rolling_revenue,
@@ -354,6 +358,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_shards": curation.CORPUS_SHUFFLE_SHARDS_SQL,
         "source_dedup_matrix": curation.SOURCE_DEDUP_MATRIX_SQL,
         "source_dedup_matrix_mirrored": curation.SOURCE_DEDUP_MATRIX_MIRRORED_SQL,
+        "extract_domain_stats": extract_checks.EXTRACT_DOMAIN_STATS_SQL,
+        "url_normalize_dedup": extract_checks.URL_NORMALIZE_DEDUP_SQL,
+        "corpus_gram_novelty": curation.CORPUS_GRAM_NOVELTY_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":

@@ -524,6 +524,80 @@ ORDER BY win.doc_id
 """
 
 
+def corpus_gram_novelty(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct k-token
+    grams that this document INTRODUCES to the corpus (its doc_id is the
+    global minimum over the gram's carriers) — the ingestion-order novelty
+    curve used to decide when a crawl stops adding information (the
+    complement of Lee et al.'s dedup statistic: coverage asks "seen
+    elsewhere?", novelty asks "seen FIRST here?").
+
+    Same two-exchange plan as :func:`cross_doc_gram_coverage` (gram hashes
+    bucketed; every carrier of a hash lands in one bucket, so the per-hash
+    min doc_id is exact in-bucket; rollup re-bucketed by doc). Hashed
+    grams equal string grams up to ~2^-64 collisions, mirrored by the
+    oracle's string grams. Docs shorter than k tokens have no grams and
+    are absent, like the oracle."""
+    pairs = _docs(sf_dir).map_batches(
+        lambda df: _window_pairs_batch(df, k), batch_format="pandas"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_id", "h"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        mn = g.groupby("h")["doc_id"].transform("min").to_numpy(np.int64)
+        doc = g["doc_id"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "doc_id": doc,
+            "n_grams": np.ones(len(g), np.int64),
+            "n_novel_grams": (doc == mn).astype(np.int64),
+        })
+        return out.groupby("doc_id", as_index=False).sum()
+
+    per_bucket = bucketed_combine(pairs, "h", partial, combine,
+                                  num_buckets=16, coalesce_blocks=4)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False).sum()
+        s["novelty_frac"] = round_away(
+            s.n_novel_grams.to_numpy(np.float64)
+            / s.n_grams.to_numpy(np.float64), 6)
+        return s
+
+    out = bucketed_combine(per_bucket, "doc_id", lambda df: df, final,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_grams": "int64",
+                           "n_novel_grams": "int64",
+                           "novelty_frac": "float64"},
+                     sort_by="doc_id")
+
+
+CORPUS_GRAM_NOVELTY_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), win AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS w
+  FROM tok
+  WHERE len(toks) >= 5
+), c AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM win GROUP BY w
+)
+SELECT win.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN win.doc_id = c.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel_grams,
+       ROUND(SUM(CASE WHEN win.doc_id = c.first_doc THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS novelty_frac
+FROM win JOIN c USING (w)
+GROUP BY win.doc_id
+ORDER BY win.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # duplicate clusters: distributed connected components (hash-to-min)
 # ---------------------------------------------------------------------------

@@ -311,3 +311,181 @@ FROM documents
 GROUP BY month
 ORDER BY month
 """
+
+
+def extract_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Pages per DOMAIN parsed from the ``url`` column — the per-host crawl
+    rollup every web pipeline reports (politeness budgeting, host-level
+    dedup candidates). The engine genuinely parses the url with a
+    vectorized Arrow regex (``pc.extract_regex``); the oracle reproduces
+    the generator's closed-form url (sources/synth.py:build_page_row:
+    ``https://site{rid % 97}.example/...``) with integer arithmetic, so a
+    parser regression breaks the hash match.
+
+    One bounded exchange: per-batch (domain, lang) partial counts ->
+    domain-bucketed combine -> <= 97 x n_langs rows; driver merge is
+    constant-size."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import bucketed_combine
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        dom = pc.extract_regex(t["url"], r"^https://(?P<d>[^/]+)/")
+        df = pd.DataFrame({
+            "domain": pc.struct_field(dom, "d").to_pandas().to_numpy(object),
+            "lang": t["lang"].to_pandas().to_numpy(object),
+        })
+        g = df.groupby(["domain", "lang"], as_index=False).size()
+        g["m"] = g.pop("size").astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["domain", "lang"], as_index=False).agg(m=("m", "sum"))
+        return c.groupby("domain", as_index=False).agg(
+            n_pages=("m", "sum"), n_langs=("lang", "nunique"))
+
+    out = bucketed_combine(pages.select_columns(["url", "lang"]),
+                           "domain", partial, combine,
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    from ..functions.frames import typed_out as _to
+
+    if out.empty:
+        return _to(out, {"domain": "object", "n_pages": "int64",
+                         "n_langs": "int64"})
+    out = out.groupby("domain", as_index=False).agg(
+        n_pages=("n_pages", "sum"), n_langs=("n_langs", "max"))
+    out["n_pages"] = out.n_pages.astype("int64")
+    out["n_langs"] = out.n_langs.astype("int64")
+    return _to(out, {"domain": "object", "n_pages": "int64",
+                     "n_langs": "int64"}, sort_by="domain")
+
+
+EXTRACT_DOMAIN_STATS_SQL = """
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY 1
+ORDER BY domain
+"""
+
+
+def url_normalize_dedup(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization + dedup rollup — the crawl-frontier dedup every
+    web pipeline runs before fetching (the same page reachable under
+    tracking query strings, fragments and case-variant hosts must count
+    once). Returns per-domain (n_raw_urls, n_canonical_urls).
+
+    The synthetic corpus has only clean unique urls, so variant urls are
+    PLANTED deterministically (mirroring source_dedup_matrix_mirrored's
+    non-vacuity pattern): ``?utm_source=mirror`` for doc_id%7==0,
+    ``#fragment`` for doc_id%13==0, a full-uppercase copy for
+    doc_id%11==0 — the oracle replicates the identical injection with
+    UNION ALLs over the generator's closed-form url. Canonicalization is
+    the engine's real vectorized Arrow kernel chain (strip query+fragment,
+    strip trailing slashes, lowercase) — aggressive full-url lowercase, the
+    policy documented for lowercase-path corpora like this one.
+
+    One canonical-keyed exchange: per-batch (domain, canonical) partials
+    bucket by canonical (each canonical lands in ONE bucket, so the
+    distinct count is exact in-bucket); the per-domain rollup is bounded
+    by the 97-domain space, so the driver merge is constant-size."""
+    import pyarrow.compute as pc
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+
+    def with_variants(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        # rid == doc_id at repeat=1: recover it from the url tail to key
+        # the planting (the engine never reads doc_id here — the url IS
+        # the input, as in a real frontier)
+        import numpy as np
+
+        rid = np.array([int(u.rsplit("/", 1)[1]) for u in url.to_pylist()],
+                       dtype=np.int64)
+        parts = [url]
+        for mod, suffix in ((7, "?utm_source=mirror"), (13, "#fragment")):
+            mask = pa.array(rid % mod == 0)
+            sub = url.filter(mask)
+            parts.append(pc.binary_join_element_wise(
+                sub, pa.array([suffix] * len(sub), pa.string()), ""))
+        up_mask = pa.array(rid % 11 == 0)
+        parts.append(pc.utf8_upper(url.filter(up_mask)))
+        return pa.table({"url": pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts])})
+
+    urls = pages.select_columns(["url"]).map_batches(
+        with_variants, batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c = pc.utf8_lower(pc.replace_substring_regex(
+            pc.replace_substring_regex(t["url"], r"[?#].*$", ""),
+            r"/+$", ""))
+        dom = pc.struct_field(
+            pc.extract_regex(c, r"^https://(?P<d>[^/]+)/"), "d")
+        df = pd.DataFrame({
+            "canonical": c.to_pandas().to_numpy(object),
+            "domain": dom.to_pandas().to_numpy(object),
+        })
+        g = df.groupby(["domain", "canonical"], as_index=False).size()
+        g["m"] = g.pop("size").astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["domain", "canonical"], as_index=False).agg(
+            m=("m", "sum"))
+        return c.groupby("domain", as_index=False).agg(
+            n_raw_urls=("m", "sum"), n_canonical_urls=("canonical", "size"))
+
+    out = bucketed_combine(urls, "canonical", partial, combine,
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    if out.empty:
+        return typed_out(out, {"domain": "object", "n_raw_urls": "int64",
+                               "n_canonical_urls": "int64"})
+    out = out.groupby("domain", as_index=False).agg(
+        n_raw_urls=("n_raw_urls", "sum"),
+        n_canonical_urls=("n_canonical_urls", "sum"))
+    out["n_raw_urls"] = out.n_raw_urls.astype("int64")
+    out["n_canonical_urls"] = out.n_canonical_urls.astype("int64")
+    return typed_out(out, {"domain": "object", "n_raw_urls": "int64",
+                           "n_canonical_urls": "int64"}, sort_by="domain")
+
+
+URL_NORMALIZE_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/'
+           || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), raw AS (
+  SELECT url FROM base
+  UNION ALL SELECT url || '?utm_source=mirror' FROM base WHERE doc_id % 7 = 0
+  UNION ALL SELECT url || '#fragment' FROM base WHERE doc_id % 13 = 0
+  UNION ALL SELECT upper(url) FROM base WHERE doc_id % 11 = 0
+), canon AS (
+  SELECT lower(regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                              '/+$', '')) AS c
+  FROM raw
+)
+SELECT regexp_extract(c, '^https://([^/]+)/', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_raw_urls,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_canonical_urls
+FROM canon
+GROUP BY 1
+ORDER BY domain
+"""

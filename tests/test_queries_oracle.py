@@ -100,6 +100,7 @@ SQL_CHECKED = [
     "doc_zipf_fit", "corpus_token_entropy", "events_user_anomalies",
     "token_coverage_curve", "corpus_shuffle_shards", "source_dedup_matrix",
     "source_dedup_matrix_mirrored",
+    "extract_domain_stats", "url_normalize_dedup", "corpus_gram_novelty",
     "events_path_transitions", "orders_rolling_revenue",
 ]
 
