@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_domain_stats": extract_checks.extract_domain_stats,
         "url_normalize_dedup": extract_checks.url_normalize_dedup,
         "corpus_gram_novelty": curation.corpus_gram_novelty,
+        "token_hapax_stats": text_analysis.token_hapax_stats,
+        "events_hourly_active_users": streaming.events_hourly_active_users,
+        "embedding_covariance": similarity.embedding_covariance,
+        # rows-only (zlib has no SQL analog; values pinned in pytest):
+        "doc_compression_ratio": text_analysis.doc_compression_ratio,
         # oracle-backed:
         "events_path_transitions": streaming.events_path_transitions,
         "orders_rolling_revenue": relational.orders_rolling_revenue,
@@ -361,6 +366,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_domain_stats": extract_checks.EXTRACT_DOMAIN_STATS_SQL,
         "url_normalize_dedup": extract_checks.URL_NORMALIZE_DEDUP_SQL,
         "corpus_gram_novelty": curation.CORPUS_GRAM_NOVELTY_SQL,
+        "token_hapax_stats": text_analysis.TOKEN_HAPAX_STATS_SQL,
+        "events_hourly_active_users": streaming.EVENTS_HOURLY_ACTIVE_SQL,
+        "embedding_covariance": similarity.EMBEDDING_COVARIANCE_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":

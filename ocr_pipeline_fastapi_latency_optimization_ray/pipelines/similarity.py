@@ -549,3 +549,70 @@ def embedding_kmeans(
     out["inertia"] = out["inertia"].round(6)
     return typed_out(out, {"cluster_id": "int64", "n_vecs": "int64",
                            "inertia": "float64"}, sort_by="cluster_id")
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Full dim x dim covariance matrix of the embedding column via
+    mergeable co-moment partials — the one-pass statistic behind PCA
+    whitening / anisotropy diagnostics of an embedding space. Each batch
+    contributes (n, sum-vector, sum-of-outer-products); the driver folds
+    the CONSTANT-SIZE (dim + dim^2 floats) partials and emits
+    (dim_i, dim_j, cov) rows for j >= i. No shuffle at all — the classic
+    algebraic-aggregate shape where the merge state is O(dim^2),
+    independent of N."""
+    import pyarrow as pa
+
+    from ..functions.frames import round_away, typed_out
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "state": pd.Series(dtype=object)})
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(n, -1)
+        s = mat.sum(axis=0)
+        ss = mat.T @ mat
+        return pd.DataFrame({
+            "n": np.array([n], np.int64),
+            "state": [np.concatenate([s, ss.ravel()]).tobytes()],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = {"dim_i": "int64", "dim_j": "int64", "cov": "float64"}
+    if parts.empty or parts["n"].sum() == 0:
+        return typed_out(pd.DataFrame(), empty)
+    states = [np.frombuffer(b, np.float64) for b in parts["state"]]
+    dim = int((-1 + np.sqrt(1 + 4 * len(states[0]))) / 2)
+    tot = np.sum(states, axis=0)
+    n = float(parts["n"].sum())
+    s, ss = tot[:dim], tot[dim:].reshape(dim, dim)
+    cov = ss / n - np.outer(s / n, s / n)  # population covariance
+    ii, jj = np.triu_indices(dim)
+    return typed_out(pd.DataFrame({
+        "dim_i": ii.astype(np.int64),
+        "dim_j": jj.astype(np.int64),
+        "cov": round_away(cov[ii, jj], 6),
+    }), empty, sort_by=["dim_i", "dim_j"])
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         UNNEST(range(len(embedding))) AS d
+  FROM embeddings
+)
+SELECT a.d AS dim_i, b.d AS dim_j,
+       ROUND(AVG(a.v * b.v) - AVG(a.v) * AVG(b.v), 6) AS cov
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.d >= a.d
+GROUP BY 1, 2
+ORDER BY dim_i, dim_j
+"""

@@ -876,3 +876,49 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_hourly_active_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct active users per clock hour — the windowed variant of
+    ``events_distinct_users`` (DAU/HAU dashboards; capacity planning). The
+    stream shrinks to unique (hour, user) pairs per batch, each pair lands
+    in exactly one user-hash bucket, so the per-bucket dedup+count is
+    exact and the driver sums bounded (hours x buckets) partials."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "window_h": (df["ts"].astype("int64")
+                         // 3_600_000_000).astype("int64"),
+            "user_id": df["user_id"].to_numpy(np.int64),
+        }).drop_duplicates()
+        return add_bucket_column(p, ["user_id"], 32)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["window_h", "user_id"])
+        return u.groupby("window_h", as_index=False).agg(
+            n_users=("user_id", "size"))
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: count_bucket(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return typed_out(out, {"window_h": "int64", "n_users": "int64"})
+    out = out.groupby("window_h", as_index=False).agg(
+        n_users=("n_users", "sum"))
+    out["n_users"] = out.n_users.astype("int64")
+    out["window_h"] = out.window_h.astype("int64")
+    return out.sort_values("window_h").reset_index(drop=True)
+
+
+EVENTS_HOURLY_ACTIVE_SQL = """
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window_h,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY window_h
+"""

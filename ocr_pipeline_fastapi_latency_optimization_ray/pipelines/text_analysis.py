@@ -1654,3 +1654,124 @@ SELECT CAST(ks.k AS BIGINT) AS top_k,
 FROM ks CROSS JOIN tot
 ORDER BY top_k
 """
+
+
+def token_hapax_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source hapax legomena profile: total token occurrences, distinct
+    vocabulary, and tokens occurring EXACTLY ONCE within the source —
+    hapax rate is the standard productivity/noise signal (OCR garbage and
+    boilerplate push it in opposite directions) used to calibrate
+    vocabulary truncation per source.
+
+    One token-bucketed exchange of (source, token, count) partials — all
+    occurrences of a token-within-source land in one bucket, so the
+    exactly-once test is exact in-bucket; the per-source rollup is bounded
+    by n_sources, so the driver merge is constant-size."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "source"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame({
+            "text": pc.coalesce(t.column("text"), "").to_pandas()
+                      .to_numpy(object),
+            "source": t.column("source").to_pandas().to_numpy(object),
+        })
+        toks = df["text"].str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex != ""]
+        g = (pd.DataFrame({"source": df["source"].reindex(ex.index)
+                           .to_numpy(object),
+                           "token": ex.to_numpy(object)})
+             .groupby(["source", "token"], as_index=False).size())
+        g["m"] = g.pop("size").astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "token"], as_index=False).agg(m=("m", "sum"))
+        m = c["m"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "source": c["source"].to_numpy(object),
+            "n_tokens": m,
+            "n_distinct": np.ones(len(c), np.int64),
+            "n_hapax": (m == 1).astype(np.int64),
+        })
+        return out.groupby("source", as_index=False).sum()
+
+    out = bucketed_combine(ds, "token", partial, combine,
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    empty = {"source": "object", "n_tokens": "int64", "n_distinct": "int64",
+             "n_hapax": "int64", "hapax_frac": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty)
+    out = out.groupby("source", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_distinct=("n_distinct", "sum"),
+        n_hapax=("n_hapax", "sum"))
+    out["hapax_frac"] = round_away(
+        out.n_hapax.to_numpy(np.float64)
+        / np.maximum(out.n_distinct.to_numpy(np.float64), 1.0), 6)
+    for c in ("n_tokens", "n_distinct", "n_hapax"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out, empty, sort_by="source")
+
+
+TOKEN_HAPAX_STATS_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), t AS (
+  SELECT source, w, COUNT(*) AS m FROM tok WHERE w <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(m) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1.0
+             / GREATEST(COUNT(*), 1), 6) AS hapax_frac
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document zlib compression ratio — the Gopher-style redundancy
+    signal (highly repetitive boilerplate compresses far below natural
+    text; random OCR noise barely compresses at all). No SQL analog
+    (DuckDB has no zlib scalar), so the driver records a rows-only check;
+    exact values are pinned against direct ``zlib.compress`` in
+    tests/test_text_metrics.py.
+
+    Pure streaming map — one batch in, fixed-width metrics out; the text
+    never leaves the batch."""
+    import zlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def ratio(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        texts = pc.coalesce(t.column("text"), "").to_pylist()
+        raw = np.array([len(x.encode("utf-8")) for x in texts], np.int64)
+        comp = np.array(
+            [len(zlib.compress(x.encode("utf-8"), 6)) for x in texts],
+            np.int64)
+        return pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)
+                       .astype(np.int64),
+            "raw_bytes": raw,
+            "compressed_bytes": comp,
+            "compression_ratio": round_away(
+                comp.astype(np.float64) / np.maximum(raw, 1), 6),
+        })
+
+    out = ds.map_batches(ratio, batch_format="pyarrow").to_pandas()
+    return typed_out(out, {"doc_id": "int64", "raw_bytes": "int64",
+                           "compressed_bytes": "int64",
+                           "compression_ratio": "float64"},
+                     sort_by="doc_id")

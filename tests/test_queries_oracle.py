@@ -101,6 +101,7 @@ SQL_CHECKED = [
     "token_coverage_curve", "corpus_shuffle_shards", "source_dedup_matrix",
     "source_dedup_matrix_mirrored",
     "extract_domain_stats", "url_normalize_dedup", "corpus_gram_novelty",
+    "token_hapax_stats", "events_hourly_active_users", "embedding_covariance",
     "events_path_transitions", "orders_rolling_revenue",
 ]
 
@@ -121,7 +122,7 @@ ROWS_ONLY = [
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
-    "doc_length_quantiles_sketch",
+    "doc_length_quantiles_sketch", "doc_compression_ratio",
 ]
 
 

@@ -198,3 +198,27 @@ def test_corpus_token_entropy_matches_oracle(ray_session, tmp_path):
     np.testing.assert_allclose(got.token_entropy.to_numpy(),
                                sql.token_entropy.to_numpy(),
                                rtol=0, atol=1e-9)
+
+
+def test_doc_compression_ratio_exact_zlib(ray_session):
+    """rows-only entry: values pinned against direct zlib.compress level 6."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (
+        text_analysis,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = text_analysis.doc_compression_ratio(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    raw = np.array([len((t or "").encode()) for t in docs.text], np.int64)
+    comp = np.array([len(zlib.compress((t or "").encode(), 6))
+                     for t in docs.text], np.int64)
+    assert (got.doc_id.to_numpy() == docs.doc_id.to_numpy()).all()
+    assert (got.raw_bytes.to_numpy() == raw).all()
+    assert (got.compressed_bytes.to_numpy() == comp).all()
