@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_hapax_stats": text_analysis.token_hapax_stats,
         "events_hourly_active_users": streaming.events_hourly_active_users,
         "embedding_covariance": similarity.embedding_covariance,
+        "corpus_curate_pack": packing.corpus_curate_pack,
+        "corpus_uniform_sample": curation.corpus_uniform_sample,
         # rows-only (zlib has no SQL analog; values pinned in pytest):
         "doc_compression_ratio": text_analysis.doc_compression_ratio,
         # oracle-backed:
@@ -369,6 +371,8 @@ def oracle_sql() -> dict[str, str]:
         "token_hapax_stats": text_analysis.TOKEN_HAPAX_STATS_SQL,
         "events_hourly_active_users": streaming.EVENTS_HOURLY_ACTIVE_SQL,
         "embedding_covariance": similarity.EMBEDDING_COVARIANCE_SQL,
+        "corpus_curate_pack": packing.CORPUS_CURATE_PACK_SQL,
+        "corpus_uniform_sample": curation.CORPUS_UNIFORM_SAMPLE_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":

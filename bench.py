@@ -120,8 +120,8 @@ def bench_headline() -> dict:
 def bench_queries() -> dict:
     """Secondary operator timings at the same scale dir."""
     from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (
-        curation, dedup, multimodal, relational, similarity, streaming,
-        text_analysis,
+        curation, dedup, extract_checks, multimodal, relational, similarity,
+        streaming, text_analysis,
     )
 
     out = {}
@@ -152,6 +152,13 @@ def bench_queries() -> dict:
         ("doc_char_entropy", text_analysis.doc_char_entropy),
         ("token_pmi_topk", text_analysis.token_pmi_topk),
         ("corpus_shuffle_shards", curation.corpus_shuffle_shards),
+        # round-4 additions: the url-canonicalization exchange, the
+        # two-exchange novelty rollup, and the tiled exact cosine (its
+        # wiring changed from driver-broadcast to object-store tiles —
+        # regression watch)
+        ("url_normalize_dedup", extract_checks.url_normalize_dedup),
+        ("corpus_gram_novelty", curation.corpus_gram_novelty),
+        ("embedding_cosine_pairs_exact", dedup.embedding_cosine_pairs_exact),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

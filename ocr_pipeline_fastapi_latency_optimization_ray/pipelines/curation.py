@@ -1214,3 +1214,48 @@ FROM k
 WHERE doc_id = keep
 ORDER BY doc_id
 """
+
+
+def corpus_uniform_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic uniform k-sample of the corpus WITHOUT a shuffle or a
+    driver-side reservoir: rank every document by a seeded multiplicative
+    hash of its id (the same Knuth hash ``corpus_shuffle_shards`` uses, so
+    the oracle is SQL-exact) and keep the k smallest — equivalent to a
+    reproducible random sample, resumable and verifiable, unlike
+    ``Dataset.random_sample`` whose output depends on partitioning.
+
+    Plan: per-batch local top-k by hash (each batch emits at most k
+    fixed-width rows), driver merges <= k x n_blocks rows and takes the
+    global k. No exchange at all — the classic distributed top-k shape."""
+    docs = _docs(sf_dir, columns=("doc_id", "source"))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        if len(ids) and ((ids < 0).any() or (ids >= (1 << 32)).any()):
+            raise ValueError(
+                "corpus_uniform_sample requires 0 <= doc_id < 2^32 for the "
+                "SQL-exact Knuth-hash contract")
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32)).astype(np.int64)
+        out = pd.DataFrame({"doc_id": ids, "source": df["source"].to_numpy(object),
+                            "h": h})
+        return out.nsmallest(k, ["h", "doc_id"])
+
+    out = docs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    empty = {"doc_id": "int64", "source": "object", "sample_rank": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty)
+    out = out.nsmallest(k, ["h", "doc_id"]).reset_index(drop=True)
+    out["sample_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return typed_out(out[["doc_id", "source", "sample_rank"]], empty)
+
+
+CORPUS_UNIFORM_SAMPLE_SQL = """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                  doc_id) AS BIGINT) AS sample_rank
+FROM documents
+ORDER BY sample_rank
+LIMIT 100
+"""

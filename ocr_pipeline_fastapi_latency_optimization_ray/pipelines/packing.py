@@ -200,3 +200,135 @@ SELECT COUNT(*)::BIGINT AS n_docs,
        COALESCE(SUM(n_tok), 0)::BIGINT AS total_tokens
 FROM scanned
 """
+
+
+def _pack_tok_ds(tok_ds, budget: int):
+    """The two-pass distributed scan over an already-tokenized Dataset of
+    (doc_id, n_tok, range_id) fixed-width rows — shared by
+    ``pack_sequences`` (raw corpus) and ``corpus_curate_pack`` (curated
+    survivor set). Returns the packed Dataset or None when empty."""
+    parts = tok_ds.map_batches(
+        lambda df: (df.groupby("range_id", sort=False)["n_tok"].sum()
+                    .reset_index().rename(columns={"n_tok": "tok_sum"})),
+        batch_format="pandas",
+    ).to_pandas()
+    if parts.empty:
+        return None
+    totals = parts.groupby("range_id", sort=True)["tok_sum"].sum().sort_index()
+    n_ranges = int(totals.index.max()) + 1
+    sums = np.zeros(n_ranges, np.int64)
+    sums[totals.index.to_numpy(np.int64)] = totals.to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    offsets_ref = ray.put(offsets)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        g = g.sort_values("doc_id", kind="stable")
+        excl = (
+            g.groupby("range_id", sort=False)["n_tok"].cumsum()
+            .to_numpy(np.int64) - g["n_tok"].to_numpy(np.int64)
+        )
+        prefix = off[g["range_id"].to_numpy(np.int64)] + excl
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tok": g["n_tok"].to_numpy(np.int64),
+            "seq_id": prefix // np.int64(budget),
+            "seq_off": prefix % np.int64(budget),
+        })
+
+    return bucketed_combine(tok_ds, "range_id", lambda df: df, combine,
+                            num_buckets=16, coalesce_blocks=4)
+
+
+def corpus_curate_pack(sf_dir: str, budget: int = PACK_BUDGET) -> pd.DataFrame:
+    """END-TO-END curation composed with packing — the full "snapshot ->
+    training sequences" pipeline a real data build runs: quality gates ->
+    normalize -> exact dedup on normalized text keeping min doc_id
+    (exactly ``corpus_build``'s semantics, pipelines/curation.py) -> then
+    deterministic sequence packing of the SURVIVORS in doc_id order.
+    Token counts are over the NORMALIZED text (the bytes a loader would
+    actually pack).
+
+    Plan: corpus_build's single dedup exchange emits fixed-width survivor
+    rows already carrying ``n_tok`` — the keeper Dataset is materialized
+    once (it feeds BOTH scan passes; without the materialize the range
+    totals pass and the co-partition pass would each replay the dedup
+    exchange), then the shared two-pass prefix-sum (:func:`_pack_tok_ds`)
+    assigns (seq_id, seq_off). Text never enters any exchange."""
+    from .curation import _FUNNEL_STOPWORDS, _normalize_texts
+    from ..functions.hashing import md5_hex_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len()
+        len_ok = (n_chars >= 100) & (n_chars <= 500)
+        alpha = text.str.count(r"[A-Za-z]")
+        alpha_ok = len_ok & (2 * alpha >= n_chars)
+        ex = text.str.split(" ").explode()
+        stop = ex.isin(_FUNNEL_STOPWORDS).groupby(ex.index).sum().reindex(
+            df.index, fill_value=0)
+        df = df[alpha_ok & (stop >= 1)]
+        norm = _normalize_texts(df["text"].fillna("").tolist())
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "norm_md5": md5_hex_batch(norm),
+            "n_tok": np.array([t.count(" ") + 1 for t in norm], np.int64),
+        })
+        return out.sort_values("doc_id", kind="stable").drop_duplicates(
+            "norm_md5", keep="first")
+
+    def keep_combine(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.sort_values("doc_id", kind="stable").drop_duplicates(
+            "norm_md5", keep="first")
+        ids = k["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_tok": k["n_tok"].to_numpy(np.int64),
+            "range_id": ids // np.int64(PACK_RANGE_SIZE),
+        })
+
+    keepers = bucketed_combine(ds, "norm_md5", partial, keep_combine,
+                               num_buckets=16, coalesce_blocks=4).materialize()
+    packed = _pack_tok_ds(keepers, budget)
+    out = pd.DataFrame() if packed is None else packed.to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_tok": "int64",
+                           "seq_id": "int64", "seq_off": "int64"},
+                     sort_by="doc_id")
+
+
+CORPUS_CURATE_PACK_SQL = rf"""
+WITH f AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                                   '\s+', ' ', 'g'))) AS norm
+  FROM documents
+  WHERE length(COALESCE(text, '')) BETWEEN 100 AND 500
+    AND 2 * length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+        >= length(COALESCE(text, ''))
+    AND len(list_filter(string_split(COALESCE(text, ''), ' '),
+        w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) >= 1
+), k AS (
+  SELECT doc_id, norm,
+         MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep
+  FROM f
+), s AS (
+  SELECT doc_id,
+         len(string_split(norm, ' '))::BIGINT AS n_tok
+  FROM k WHERE doc_id = keep
+)
+SELECT doc_id, n_tok,
+       (prefix // {PACK_BUDGET})::BIGINT AS seq_id,
+       (prefix % {PACK_BUDGET})::BIGINT AS seq_off
+FROM (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM s
+)
+ORDER BY doc_id
+"""

@@ -102,6 +102,7 @@ SQL_CHECKED = [
     "source_dedup_matrix_mirrored",
     "extract_domain_stats", "url_normalize_dedup", "corpus_gram_novelty",
     "token_hapax_stats", "events_hourly_active_users", "embedding_covariance",
+    "corpus_curate_pack", "corpus_uniform_sample",
     "events_path_transitions", "orders_rolling_revenue",
 ]
 
