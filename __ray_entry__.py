@@ -247,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": streaming.events_distinct_users,
         "orders_topk_by_priority": streaming.orders_topk_by_priority,
         "events_clicks_before_purchase": streaming.events_clicks_before_purchase,
+        # -------------------- ~50-entry window boundary --------------------
+        # (9 round-4 additions above pushed the tail of the round-2 fill
+        # below the line; everything below holds an r2 or r3 driver row
+        # and full pytest-oracle coverage, and rotates back in round 5)
         "docs_longest": text_analysis.docs_longest,
         "doc_langid": text_analysis.doc_langid,
         "token_topk": text_analysis.token_topk,
@@ -256,7 +260,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_by_source": text_analysis.doc_length_quantiles_by_source,
         "corpus_mix": text_analysis.corpus_mix,
         "token_topk_cms": text_analysis.token_topk_cms,
-        # -------------------- ~50-entry window boundary --------------------
         # r2-checked rows-only sketch entries with dedicated pytest accuracy
         # tests (HLL error bound, CMS heavy-hitter, KLL rank error):
         "doc_fingerprint": text_analysis.doc_fingerprint,
