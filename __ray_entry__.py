@@ -198,8 +198,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": similarity.embedding_covariance,
         "corpus_curate_pack": packing.corpus_curate_pack,
         "corpus_uniform_sample": curation.corpus_uniform_sample,
-        # rows-only (zlib has no SQL analog; values pinned in pytest):
+        "warc_snapshot_latest": extract_checks.warc_snapshot_latest,
+        "robots_disallow_filter": extract_checks.robots_disallow_filter,
+        # rows-only (zlib / eigendecomposition have no SQL analog; values
+        # pinned exactly in pytest):
         "doc_compression_ratio": text_analysis.doc_compression_ratio,
+        "embedding_pca_project": similarity.embedding_pca_project,
         # oracle-backed:
         "events_path_transitions": streaming.events_path_transitions,
         "orders_rolling_revenue": relational.orders_rolling_revenue,
@@ -376,6 +380,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance": similarity.EMBEDDING_COVARIANCE_SQL,
         "corpus_curate_pack": packing.CORPUS_CURATE_PACK_SQL,
         "corpus_uniform_sample": curation.CORPUS_UNIFORM_SAMPLE_SQL,
+        "warc_snapshot_latest": extract_checks.WARC_SNAPSHOT_LATEST_SQL,
+        "robots_disallow_filter": extract_checks.ROBOTS_DISALLOW_FILTER_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":

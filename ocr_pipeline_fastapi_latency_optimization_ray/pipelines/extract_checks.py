@@ -489,3 +489,212 @@ FROM canon
 GROUP BY 1
 ORDER BY domain
 """
+
+
+def warc_snapshot_latest(sf_dir: str) -> pd.DataFrame:
+    """Crawl-snapshot dedup: the same url captured at several ``warc_ts``
+    instants must collapse to its LATEST capture before extraction — the
+    first thing every Common-Crawl-style pipeline does with overlapping
+    snapshots. Returns per-domain (n_captures, n_urls, n_recrawled).
+
+    The synthetic corpus has one capture per url, so RE-CRAWLS are
+    planted deterministically (the mirrored-corpus pattern): docs with
+    doc_id % 5 == 0 get a second capture at ts + 30 days, doc_id % 15
+    == 0 a third at ts + 60 days; the oracle replicates the injection
+    with UNION ALLs over the generator's closed-form timestamp
+    (epoch-2024 + (rid * 1000003) mod 365d).
+
+    One url-keyed exchange of fixed-width (url, ts) rows — every capture
+    of a url lands in one bucket, so max-ts and capture counts are exact
+    in-bucket; the per-domain rollup is bounded by the 97-domain space."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+
+    DAY_US = 86_400 * 1_000_000
+
+    def with_recrawls(t: pa.Table) -> pd.DataFrame:
+        url = t["url"].to_pandas().to_numpy(object)
+        ts = t["warc_ts"].cast(pa.int64()).to_pandas().to_numpy(np.int64)
+        rid = np.array([int(u.rsplit("/", 1)[1]) for u in url], np.int64)
+        urls = [url]
+        tss = [ts]
+        for mod, days in ((5, 30), (15, 60)):
+            m = rid % mod == 0
+            urls.append(url[m])
+            tss.append(ts[m] + days * DAY_US)
+        return pd.DataFrame({"url": np.concatenate(urls),
+                             "ts": np.concatenate(tss)})
+
+    caps = pages.select_columns(["url", "warc_ts"]).map_batches(
+        with_recrawls, batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", as_index=False).agg(
+            n_caps=("ts", "size"), max_ts=("ts", "max"))
+        g["n_caps"] = g.n_caps.astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("url", as_index=False).agg(
+            n_caps=("n_caps", "sum"), max_ts=("max_ts", "max"))
+        dom = c["url"].str.extract(r"^https://([^/]+)/", expand=False)
+        out = pd.DataFrame({
+            "domain": dom.to_numpy(object),
+            "n_captures": c["n_caps"].to_numpy(np.int64),
+            "n_urls": np.ones(len(c), np.int64),
+            "n_recrawled": (c["n_caps"].to_numpy(np.int64) > 1)
+            .astype(np.int64),
+            # checksum of the KEEP decision: the sum of per-url latest
+            # capture timestamps — any wrong max-ts breaks the hash match
+            "sum_latest_ts": c["max_ts"].to_numpy(np.int64),
+        })
+        return out.groupby("domain", as_index=False).sum()
+
+    out = bucketed_combine(caps, "url", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    empty = {"domain": "object", "n_captures": "int64", "n_urls": "int64",
+             "n_recrawled": "int64", "sum_latest_ts": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty)
+    out = out.groupby("domain", as_index=False).agg(
+        n_captures=("n_captures", "sum"), n_urls=("n_urls", "sum"),
+        n_recrawled=("n_recrawled", "sum"),
+        sum_latest_ts=("sum_latest_ts", "sum"))
+    for c in ("n_captures", "n_urls", "n_recrawled", "sum_latest_ts"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out, empty, sort_by="domain")
+
+
+WARC_SNAPSHOT_LATEST_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/'
+           || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         (1704067200::BIGINT * 1000000 +
+          ((doc_id * 1000003) % (365 * 86400))::BIGINT * 1000000) AS ts
+  FROM documents
+), caps AS (
+  SELECT url, ts FROM base
+  UNION ALL SELECT url, ts + 30::BIGINT * 86400 * 1000000 FROM base
+    WHERE doc_id % 5 = 0
+  UNION ALL SELECT url, ts + 60::BIGINT * 86400 * 1000000 FROM base
+    WHERE doc_id % 15 = 0
+), u AS (
+  SELECT url, COUNT(*) AS n_caps, MAX(ts) AS max_ts FROM caps GROUP BY url
+)
+SELECT 'site' || regexp_extract(url, 'site([0-9]+)\\.example', 1)
+         || '.example' AS domain,
+       CAST(SUM(n_caps) AS BIGINT) AS n_captures,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN n_caps > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recrawled,
+       CAST(SUM(max_ts) AS BIGINT) AS sum_latest_ts
+FROM u
+GROUP BY 1
+ORDER BY domain
+"""
+
+
+def robots_disallow_filter(sf_dir: str) -> pd.DataFrame:
+    """Robots-style frontier filtering: a bounded per-domain Disallow rule
+    set is broadcast ONCE (``ray.put``) and every page url is checked
+    against its domain's prefixes with vectorized string kernels — the
+    crawl-politeness gate every web pipeline applies before fetching.
+    Returns per-domain (n_allowed, n_blocked).
+
+    The synthetic rule set is deterministic so the oracle can mirror it
+    in closed form: domains ``site{d}.example`` with d % 3 == 0 disallow
+    ``/de/``, d % 5 == 1 disallow ``/zh/`` (path prefixes after the
+    host). The ENGINE derives domain and path purely from the url string
+    (regex parse + prefix match) — a parser or matcher regression breaks
+    the hash, while the oracle recomputes membership from doc_id/lang
+    arithmetic.
+
+    Broadcast-small-side shape: rules ship once per node via the object
+    store; the page stream is filtered per batch with no exchange; the
+    per-domain rollup is a bounded (<= 97 rows) combine."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    # bounded rule table: domain -> tuple of disallowed path prefixes
+    rules = {}
+    for d in range(97):
+        pref = []
+        if d % 3 == 0:
+            pref.append("/de/")
+        if d % 5 == 1:
+            pref.append("/zh/")
+        if pref:
+            rules[f"site{d}.example"] = tuple(pref)
+    rules_ref = _ray.put(rules)
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        r = _ray.get(rules_ref)
+        m = pc.extract_regex(t["url"], r"^https://(?P<d>[^/]+)(?P<p>/.*)$")
+        dom = pc.struct_field(m, "d").to_pandas().to_numpy(object)
+        path = pc.struct_field(m, "p").to_pandas().to_numpy(object)
+        blocked = np.zeros(len(dom), bool)
+        # vectorized per-rule prefix check: the rule table is bounded, so
+        # this loops over RULES (constant), never over rows
+        pd_path = pd.Series(path, dtype=object)
+        for domain, prefixes in r.items():
+            in_dom = dom == domain
+            if not in_dom.any():
+                continue
+            for pref in prefixes:
+                blocked |= in_dom & pd_path.str.startswith(pref).to_numpy()
+        g = pd.DataFrame({"domain": dom, "blocked": blocked})
+        out = g.groupby("domain", as_index=False).agg(
+            n_allowed=("blocked", lambda x: int((~x).sum())),
+            n_blocked=("blocked", "sum"))
+        out["n_allowed"] = out.n_allowed.astype("int64")
+        out["n_blocked"] = out.n_blocked.astype("int64")
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("domain", as_index=False).agg(
+            n_allowed=("n_allowed", "sum"), n_blocked=("n_blocked", "sum"))
+
+    out = bucketed_combine(pages.select_columns(["url"]), "domain",
+                           partial, combine,
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    empty = {"domain": "object", "n_allowed": "int64", "n_blocked": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty)
+    out = out.groupby("domain", as_index=False).agg(
+        n_allowed=("n_allowed", "sum"), n_blocked=("n_blocked", "sum"))
+    out["n_allowed"] = out.n_allowed.astype("int64")
+    out["n_blocked"] = out.n_blocked.astype("int64")
+    return typed_out(out, empty, sort_by="domain")
+
+
+ROBOTS_DISALLOW_FILTER_SQL = """
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+       CAST(SUM(CASE WHEN ((doc_id % 97) % 3 = 0 AND lang = 'de')
+                       OR ((doc_id % 97) % 5 = 1 AND lang = 'zh')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed,
+       CAST(SUM(CASE WHEN ((doc_id % 97) % 3 = 0 AND lang = 'de')
+                       OR ((doc_id % 97) % 5 = 1 AND lang = 'zh')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM documents
+GROUP BY 1
+ORDER BY domain
+"""

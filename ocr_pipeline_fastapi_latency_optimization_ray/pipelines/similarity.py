@@ -551,18 +551,12 @@ def embedding_kmeans(
                            "inertia": "float64"}, sort_by="cluster_id")
 
 
-def embedding_covariance(sf_dir: str) -> pd.DataFrame:
-    """Full dim x dim covariance matrix of the embedding column via
-    mergeable co-moment partials — the one-pass statistic behind PCA
-    whitening / anisotropy diagnostics of an embedding space. Each batch
-    contributes (n, sum-vector, sum-of-outer-products); the driver folds
-    the CONSTANT-SIZE (dim + dim^2 floats) partials and emits
-    (dim_i, dim_j, cov) rows for j >= i. No shuffle at all — the classic
-    algebraic-aggregate shape where the merge state is O(dim^2),
-    independent of N."""
+def _cov_moments(sf_dir: str):
+    """Mergeable co-moment pass shared by ``embedding_covariance`` and
+    ``embedding_pca_project``: each batch contributes (n, sum-vector,
+    sum-of-outer-products); the driver folds the constant-size partials.
+    Returns (n, mean, population covariance) or None on an empty table."""
     import pyarrow as pa
-
-    from ..functions.frames import round_away, typed_out
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
@@ -586,15 +580,37 @@ def embedding_covariance(sf_dir: str) -> pd.DataFrame:
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    empty = {"dim_i": "int64", "dim_j": "int64", "cov": "float64"}
     if parts.empty or parts["n"].sum() == 0:
-        return typed_out(pd.DataFrame(), empty)
+        return None
     states = [np.frombuffer(b, np.float64) for b in parts["state"]]
     dim = int((-1 + np.sqrt(1 + 4 * len(states[0]))) / 2)
     tot = np.sum(states, axis=0)
     n = float(parts["n"].sum())
     s, ss = tot[:dim], tot[dim:].reshape(dim, dim)
-    cov = ss / n - np.outer(s / n, s / n)  # population covariance
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)  # population covariance
+    return n, mean, cov
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Full dim x dim covariance matrix of the embedding column via
+    mergeable co-moment partials — the one-pass statistic behind PCA
+    whitening / anisotropy diagnostics of an embedding space. Each batch
+    contributes (n, sum-vector, sum-of-outer-products); the driver folds
+    the CONSTANT-SIZE (dim + dim^2 floats) partials and emits
+    (dim_i, dim_j, cov) rows for j >= i. No shuffle at all — the classic
+    algebraic-aggregate shape where the merge state is O(dim^2),
+    independent of N."""
+    import pyarrow as pa
+
+    from ..functions.frames import round_away, typed_out
+
+    moments = _cov_moments(sf_dir)
+    empty = {"dim_i": "int64", "dim_j": "int64", "cov": "float64"}
+    if moments is None:
+        return typed_out(pd.DataFrame(), empty)
+    n, mean, cov = moments
+    dim = cov.shape[0]
     ii, jj = np.triu_indices(dim)
     return typed_out(pd.DataFrame({
         "dim_i": ii.astype(np.int64),
@@ -616,3 +632,70 @@ FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.d >= a.d
 GROUP BY 1, 2
 ORDER BY dim_i, dim_j
 """
+
+
+def embedding_pca_project(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Project every embedding onto the corpus's top-k principal
+    components — the whitening/visualization step of embedding-space QA
+    (anisotropy checks, cluster previews). Three-phase plan, each phase
+    the cheapest shape available:
+
+      1. co-moments: one streaming pass folds constant-size
+         (n, sum, outer-product) partials (:func:`_cov_moments`);
+      2. eigendecomposition of the dim x dim covariance on the DRIVER —
+         O(dim^3) on a 64-dim space is microseconds; eigenvectors are
+         sign-fixed deterministically (largest-|entry| made positive) so
+         output is stable across runs and BLAS builds with distinct
+         eigenvalues;
+      3. the (dim x k) projection matrix broadcasts ONCE via ``ray.put``
+         and a second streaming pass emits (vec_id, pc_1..pc_k).
+
+    No SQL analog (eigendecomposition), so the driver records rows-only;
+    exact values are pinned against a direct single-process numpy
+    computation in tests/test_dedup.py. Returns components rounded
+    half-away to 6 plus the explained-variance ratio per component in
+    the docframe attrs-free form: extra columns ``evr_i`` repeated per
+    row would bloat output, so EVR is exposed via the companion
+    ``embedding_covariance`` diagonal instead."""
+    from ..functions.frames import round_away, typed_out
+
+    moments = _cov_moments(sf_dir)
+    empty = {"vec_id": "int64",
+             **{f"pc_{i + 1}": "float64" for i in range(k)}}
+    if moments is None:
+        return typed_out(pd.DataFrame(), empty)
+    _n, mean, cov = moments
+    w, v = np.linalg.eigh(cov)            # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    W = v[:, order]                        # dim x k
+    # deterministic sign: largest-|entry| of each component positive
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    proj_ref = ray.put((mean, W))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def project(t) -> pd.DataFrame:
+        import pyarrow as pa
+
+        mu, Wk = ray.get(proj_ref)
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pd.DataFrame(columns=list(empty))
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(len(ids), -1)
+        comps = (mat - mu) @ Wk
+        out = {"vec_id": ids.astype(np.int64)}
+        for i in range(Wk.shape[1]):
+            out[f"pc_{i + 1}"] = round_away(comps[:, i], 6)
+        return pd.DataFrame(out)
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return typed_out(out, empty, sort_by="vec_id")

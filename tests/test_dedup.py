@@ -318,3 +318,36 @@ def test_embedding_cosine_exact_guard_raises(ray_session):
     with pytest.raises(ValueError, match="dedup_embedding_cosine"):
         dedup.embedding_cosine_pairs_exact("/root/testdata/sf0.001",
                                            max_vectors=10)
+
+
+def test_embedding_pca_project_matches_direct_numpy(ray_session):
+    """rows-only entry: distributed co-moments + driver eigen + broadcast
+    projection must equal the single-process numpy PCA bit-for-bit after
+    the 6-decimal rounding (same sign convention)."""
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.functions.frames import (
+        round_away,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.001"
+    got = similarity.embedding_pca_project(sf, k=2)
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mean = mat.sum(axis=0) / len(mat)
+    cov = (mat.T @ mat) / len(mat) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    W = v[:, order]
+    for j in range(2):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    ref = (mat - mean) @ W
+    assert (got.vec_id.to_numpy() == emb.vec_id.to_numpy()).all()
+    assert np.array_equal(got.pc_1.to_numpy(), round_away(ref[:, 0], 6))
+    assert np.array_equal(got.pc_2.to_numpy(), round_away(ref[:, 1], 6))
+    # components are centered and decorrelated (up to rounding)
+    assert abs(got.pc_1.mean()) < 1e-4 and abs(got.pc_2.mean()) < 1e-4

@@ -103,6 +103,7 @@ SQL_CHECKED = [
     "extract_domain_stats", "url_normalize_dedup", "corpus_gram_novelty",
     "token_hapax_stats", "events_hourly_active_users", "embedding_covariance",
     "corpus_curate_pack", "corpus_uniform_sample",
+    "warc_snapshot_latest", "robots_disallow_filter",
     "events_path_transitions", "orders_rolling_revenue",
 ]
 
@@ -124,6 +125,7 @@ ROWS_ONLY = [
     "events_distinct_users_hll", "dedup_streaming_stats",
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
     "doc_length_quantiles_sketch", "doc_compression_ratio",
+    "embedding_pca_project",
 ]
 
 
