@@ -248,13 +248,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_high_value_errors": streaming.events_high_value_errors,
         "events_sliding_hourly": streaming.events_sliding_hourly,
         "events_retention": streaming.events_retention,
+        # -------------------- ~50-entry window boundary --------------------
+        # (12 round-4 additions above pushed the tail of the round-2 fill
+        # below the line; everything below holds an r2 or r3 driver row
+        # and full pytest-oracle coverage, and rotates back in round 5)
         "events_distinct_users": streaming.events_distinct_users,
         "orders_topk_by_priority": streaming.orders_topk_by_priority,
         "events_clicks_before_purchase": streaming.events_clicks_before_purchase,
-        # -------------------- ~50-entry window boundary --------------------
-        # (9 round-4 additions above pushed the tail of the round-2 fill
-        # below the line; everything below holds an r2 or r3 driver row
-        # and full pytest-oracle coverage, and rotates back in round 5)
         "docs_longest": text_analysis.docs_longest,
         "doc_langid": text_analysis.doc_langid,
         "token_topk": text_analysis.token_topk,
