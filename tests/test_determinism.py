@@ -1,0 +1,52 @@
+"""Double-run determinism: the driver's correctness gate hashes VALUES, so
+an operator whose floats depend on block-arrival order would pass pytest
+once and still burn a driver round intermittently. Every float-carrying
+plan family runs twice here and must produce bit-identical frames —
+this is the regression net over _stable_order / round_away / fixed-order
+driver folds (BASELINE.md measurement notes; round-2 ADVICE on
+arrival-order float sums)."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# one representative per float-summing plan shape:
+#   bucketed-combine means/moments, two-exchange rollups, token-keyed
+#   joins with local top-k, driver-folded co-moments, windowed sums,
+#   decayed aggregates, tiled matmul, PCA projection
+DETERMINISM_QUERIES = [
+    "doc_length_moments",
+    "doc_unigram_logprob",
+    "token_pmi_topk",
+    "doc_char_entropy",
+    "corpus_token_entropy",
+    "doc_zipf_fit",
+    "lineitem_corr",
+    "events_decayed_value",
+    "events_user_anomalies",
+    "orders_rolling_revenue",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "embedding_cosine_pairs_exact",
+    "corpus_gram_novelty",
+    "tf_idf_top_terms",
+    "q1_pricing_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.mark.parametrize("name", DETERMINISM_QUERIES)
+def test_double_run_bit_identical(entry_mod, name):
+    from test_queries_oracle import to_df
+
+    fn = entry_mod.queries()[name]
+    a = to_df(fn(SF)).reset_index(drop=True)
+    b = to_df(fn(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
