@@ -179,6 +179,12 @@ class PipelineConfig:
     # failover surface (OCR.py:37-48, PageProcessor.py:19-26).
     recognizers: tuple[str, ...] = ("stub",)
 
+    # M1 layout-model chain by registry name (stages/layout.py
+    # LAYOUT_REGISTRY: 'stub' | 'paddle') — the reference's LayoutDetection
+    # surface (DLA.py:54-57). The real paddle engine is import-guarded and
+    # dropped when absent.
+    layouts: tuple[str, ...] = ("stub",)
+
     # S5/M3 payload-decoder chain by registry name (sources/decoders.py
     # DECODER_REGISTRY: 'stub' | 'fitz' | 'pil') — the PDF-rasterize /
     # image-load surface (reference FileIngestor.py:239-262, DLA.py:112-130).

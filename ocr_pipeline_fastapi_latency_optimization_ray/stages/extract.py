@@ -63,8 +63,9 @@ class DocumentExtractor:
         from ..stages.layout import build_recognizer
 
         from ..sources.decoders import build_decoder
+        from ..stages.layout import build_layout
 
-        self.layout = LayoutStub(self.cfg.conf)
+        self.layout = build_layout(self.cfg.layouts, self.cfg.conf)
         self.recognizer = build_recognizer(
             self.cfg.recognizers,
             max_attempts=self.cfg.recognizer_max_attempts,

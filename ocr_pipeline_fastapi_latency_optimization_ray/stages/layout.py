@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import CANONICAL_CLASSES, IND_MAP, PipelineConfig
+from ..config import CANONICAL_CLASSES, IND_MAP, MAP_LABELS, PipelineConfig
 from ..functions.geometry import pad_boxes
 from ..functions.merge import Blocks, filter_duplicates
 
@@ -71,6 +71,86 @@ class LayoutStub:
         return Blocks(
             xyxy=xyxy.astype(float), confidence=conf, class_name=cls, text=texts
         )
+
+
+class LayoutUnavailable(Exception):
+    """Raised at CONSTRUCTION when an optional layout model's dependencies
+    are absent — ``build_layout`` drops the engine and falls back."""
+
+
+class PaddleLayoutDetector:
+    """Optional REAL layout model behind the registry — the reference's
+    PaddleOCR ``LayoutDetection`` engine (DLA.py:54-57 loads
+    ``PP-DocLayout_plus-L``; DLA.py:146-148 runs ``predict(img,
+    layout_nms=False, threshold=conf)``). Import-guarded: paddleocr does
+    not ship in this container, so construction raises
+    :class:`LayoutUnavailable` and ``build_layout`` falls back to the
+    deterministic stub — same absence-failover contract as the recognizer
+    and decoder registries.
+
+    When present, it predicts on pages carrying a real raster under
+    ``page["image"]`` and emits the same Blocks table shape the stub does
+    (score filter + score-desc stable sort + label map + box padding),
+    so everything downstream is engine-agnostic."""
+
+    def __init__(self, conf: float = 0.38,
+                 model_name: str = "PP-DocLayout_plus-L"):
+        try:
+            from paddleocr import LayoutDetection  # noqa: F401
+        except ImportError as e:  # pragma: no cover - dep absent here
+            raise LayoutUnavailable(f"paddleocr unavailable: {e}")
+        self.conf = conf
+        self._model = LayoutDetection(model_name=model_name)
+
+    def predict(self, page: dict) -> Blocks:  # pragma: no cover - needs paddleocr
+        import io
+
+        raw = page.get("image")
+        if raw is None:
+            # fake page: defer to the stub's embedded ground truth
+            return LayoutStub(self.conf).predict(page)
+        from PIL import Image
+
+        img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+        out = self._model.predict(img, layout_nms=False,
+                                  threshold=self.conf)[0]
+        boxes = out.get("boxes", [])
+        if not boxes:
+            return Blocks.empty()
+        boxes = sorted(boxes, key=lambda b: -float(b["score"]))
+        xyxy = np.array([b["coordinate"] for b in boxes], float).astype(int)
+        conf = np.array([float(b["score"]) for b in boxes])
+        cls = np.array(
+            [CANONICAL_CLASSES[MAP_LABELS.get(b["label"], "text")]
+             for b in boxes], dtype=object)
+        xyxy = pad_boxes(xyxy, cls, height=page["h"], width=page["w"])
+        texts = np.array([""] * len(boxes), dtype=object)
+        return Blocks(xyxy=xyxy.astype(float), confidence=conf,
+                      class_name=cls, text=texts)
+
+
+LAYOUT_REGISTRY = {
+    "stub": LayoutStub,
+    "paddle": PaddleLayoutDetector,
+}
+
+
+def build_layout(names, conf: float = 0.38):
+    """Layout engine from registry names, mirroring ``build_recognizer`` /
+    ``build_decoder``: the first constructible engine wins; engines whose
+    optional dependencies are absent are dropped with a warning; an
+    all-absent selection falls back to the deterministic stub."""
+    import logging
+
+    for n in names:
+        try:
+            return LAYOUT_REGISTRY[n](conf)
+        except LayoutUnavailable as e:
+            logging.getLogger(__name__).warning(
+                "layout engine %r unavailable (%s) — dropped", n, e)
+    logging.getLogger(__name__).warning(
+        "no selected layout engine available — falling back to 'stub'")
+    return LayoutStub(conf)
 
 
 def render_mode_for_label(label: str) -> str:

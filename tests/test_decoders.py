@@ -124,3 +124,41 @@ def test_pil_decodes_real_image():  # pragma: no cover - dep absent here
     Image.new("RGB", (32, 16)).save(buf, format="PNG")
     pages = dec.PILImageDecoder().decode(buf.getvalue(), "image")
     assert pages[0]["w"] == 32 and pages[0]["h"] == 16
+
+
+def test_layout_registry_mirrors_pattern():
+    """M1 registry: absent paddle engine raises at construction and
+    build_layout falls back to the stub (same contract as recognizer and
+    decoder registries)."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages import layout as lay
+
+    has_paddle = True
+    try:
+        import paddleocr  # noqa: F401
+    except ImportError:
+        has_paddle = False
+    if not has_paddle:
+        with pytest.raises(lay.LayoutUnavailable):
+            lay.PaddleLayoutDetector()
+        eng = lay.build_layout(("paddle", "stub"), conf=0.38)
+        assert isinstance(eng, lay.LayoutStub)
+        eng2 = lay.build_layout(("paddle",), conf=0.38)
+        assert isinstance(eng2, lay.LayoutStub)
+    else:  # pragma: no cover - dep absent here
+        assert isinstance(lay.build_layout(("paddle", "stub")),
+                          lay.PaddleLayoutDetector)
+
+
+def test_layout_chain_config_byte_identical():
+    """A config selecting the real layout engine produces byte-identical
+    output to the stub config when the engine is absent."""
+    p = _fake_pdf()
+    base = extract_document(p, None, "en", PipelineConfig())
+    cfg = PipelineConfig(layouts=("paddle", "stub"))
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages.layout import (
+        build_layout,
+    )
+
+    via = extract_document(p, None, "en", cfg,
+                           layout=build_layout(cfg.layouts, cfg.conf))
+    assert via.extracted_text == base.extracted_text
