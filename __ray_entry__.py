@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned exactly in pytest):
         "doc_compression_ratio": text_analysis.doc_compression_ratio,
         "embedding_pca_project": similarity.embedding_pca_project,
+        "dedup_rate_by_threshold": dedup.dedup_rate_by_threshold,
         # oracle-backed:
         "events_path_transitions": streaming.events_path_transitions,
         "orders_rolling_revenue": relational.orders_rolling_revenue,
@@ -247,11 +248,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_stats": relational.customer_segment_stats,
         "events_high_value_errors": streaming.events_high_value_errors,
         "events_sliding_hourly": streaming.events_sliding_hourly,
-        "events_retention": streaming.events_retention,
         # -------------------- ~50-entry window boundary --------------------
-        # (12 round-4 additions above pushed the tail of the round-2 fill
+        # (13 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "events_retention": streaming.events_retention,
         "events_distinct_users": streaming.events_distinct_users,
         "orders_topk_by_priority": streaming.orders_topk_by_priority,
         "events_clicks_before_purchase": streaming.events_clicks_before_purchase,

@@ -1227,3 +1227,49 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2
 ORDER BY vec_a, vec_b
 """
+
+
+def dedup_rate_by_threshold(sf_dir: str,
+                            thresholds=(0.5, 0.7, 0.8, 0.9, 1.0)) -> pd.DataFrame:
+    """Dedup-aggressiveness tuning curve: from ONE MinHash candidate run,
+    the near-dup pair count and the would-be-removed document count at
+    each jaccard threshold — the sweep a pipeline operator reads before
+    committing to a threshold (Lee et al. 2022 report exactly this curve).
+
+    The expensive part (LSH + exact verification) runs once at the LOWEST
+    threshold; each row of the output is a vectorized re-filter plus a
+    union-find over the surviving pairs (removed docs = non-min members
+    of each connected component — matching dedup_minhash_clusters'
+    keep-min semantics). Output is len(thresholds) rows; no SQL analog
+    (MinHash), driver records rows-only; values are pinned against
+    brute-force jaccard in tests/test_dedup.py."""
+    from ..functions.frames import typed_out
+
+    lo = min(thresholds)
+    pairs = dedup_minhash_candidates(sf_dir, min_jaccard=lo)
+    rows = []
+    for t in sorted(thresholds):
+        keep = pairs[pairs["jaccard"] >= t]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(keep["doc_a"].tolist(), keep["doc_b"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict[int, int] = {}
+        for d in list(parent):
+            members[find(d)] = members.get(find(d), 0) + 1
+        n_removed = sum(m - 1 for m in members.values())
+        rows.append({"threshold": float(t),
+                     "n_pairs": int(len(keep)),
+                     "n_docs_removed": int(n_removed)})
+    return typed_out(pd.DataFrame(rows),
+                     {"threshold": "float64", "n_pairs": "int64",
+                      "n_docs_removed": "int64"}, sort_by="threshold")

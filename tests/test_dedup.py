@@ -351,3 +351,52 @@ def test_embedding_pca_project_matches_direct_numpy(ray_session):
     assert np.array_equal(got.pc_2.to_numpy(), round_away(ref[:, 1], 6))
     # components are centered and decorrelated (up to rounding)
     assert abs(got.pc_1.mean()) < 1e-4 and abs(got.pc_2.mean()) < 1e-4
+
+
+def test_dedup_rate_by_threshold_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(17)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    base = [vocab[rng.randint(len(vocab))] for _ in range(40)]
+    texts = {}
+    for i in range(6):              # exact-dup class of 6
+        texts[i] = " ".join(base)
+    for j in range(4):              # graded near-dups
+        w = list(base)
+        for x in range(j + 1):
+            w[3 + 5 * x] = f"edit{j}_{x}"
+        texts[6 + j] = " ".join(w)
+    for i in range(20):             # unrelated
+        texts[10 + i] = " ".join(
+            vocab[rng.randint(len(vocab))] for _ in range(40))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+
+    from test_dup_heavy import _brute_jaccard_pairs
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import dedup
+
+    out = dedup.dedup_rate_by_threshold(str(tmp_path))
+    brute = _brute_jaccard_pairs(texts, 3, 0.5)
+    by_t = out.set_index("threshold")
+    # banding recall is ~certain for high-jaccard pairs (P = 1-(1-j^4)^16
+    # is ~1.0 at j >= 0.8) but probabilistic near j = 0.5 — exact equality
+    # asserted only where the banding guarantee is tight
+    for t in (0.9, 1.0):
+        expect_pairs = {k for k, v in brute.items() if v >= t}
+        assert by_t.loc[t, "n_pairs"] == len(expect_pairs), t
+    lo_expect = {k for k, v in brute.items() if v >= 0.5}
+    assert by_t.loc[0.5, "n_pairs"] <= len(lo_expect)  # precision exact
+    assert by_t.loc[0.5, "n_pairs"] >= 0.9 * len(lo_expect)  # recall bound
+    # the 6-doc exact class loses 5 docs at every threshold; near-dups
+    # join below 1.0
+    assert by_t.loc[1.0, "n_docs_removed"] == 5
+    assert by_t.loc[0.5, "n_docs_removed"] >= 5
+    # monotone: higher threshold never removes more
+    assert (out.sort_values("threshold").n_docs_removed.diff().dropna()
+            <= 0).all()
