@@ -200,6 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_uniform_sample": curation.corpus_uniform_sample,
         "warc_snapshot_latest": extract_checks.warc_snapshot_latest,
         "robots_disallow_filter": extract_checks.robots_disallow_filter,
+        "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
+        "corpus_dedup_survivorship_by_source":
+            curation.corpus_dedup_survivorship_by_source,
+        "doc_bigram_logprob": text_analysis.doc_bigram_logprob,
         # rows-only (zlib / eigendecomposition have no SQL analog; values
         # pinned exactly in pytest):
         "doc_compression_ratio": text_analysis.doc_compression_ratio,
@@ -245,13 +249,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": relational.lineitem_corr,
         "events_decayed_value": streaming.events_decayed_value,
         "orders_monthly_volume": relational.orders_monthly_volume,
+        # -------------------- ~50-entry window boundary --------------------
+        # (16 round-4 additions above pushed the tail of the round-2 fill
+        # below the line; everything below holds an r2 or r3 driver row
+        # and full pytest-oracle coverage, and rotates back in round 5)
         "customer_segment_stats": relational.customer_segment_stats,
         "events_high_value_errors": streaming.events_high_value_errors,
         "events_sliding_hourly": streaming.events_sliding_hourly,
-        # -------------------- ~50-entry window boundary --------------------
-        # (13 round-4 additions above pushed the tail of the round-2 fill
-        # below the line; everything below holds an r2 or r3 driver row
-        # and full pytest-oracle coverage, and rotates back in round 5)
         "events_retention": streaming.events_retention,
         "events_distinct_users": streaming.events_distinct_users,
         "orders_topk_by_priority": streaming.orders_topk_by_priority,
@@ -383,6 +387,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_uniform_sample": curation.CORPUS_UNIFORM_SAMPLE_SQL,
         "warc_snapshot_latest": extract_checks.WARC_SNAPSHOT_LATEST_SQL,
         "robots_disallow_filter": extract_checks.ROBOTS_DISALLOW_FILTER_SQL,
+        "events_inter_arrival_stats": streaming.EVENTS_INTER_ARRIVAL_SQL,
+        "corpus_dedup_survivorship_by_source":
+            curation.CORPUS_DEDUP_SURVIVORSHIP_SQL,
+        "doc_bigram_logprob": text_analysis.DOC_BIGRAM_LOGPROB_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":

@@ -1259,3 +1259,117 @@ FROM documents
 ORDER BY sample_rank
 LIMIT 100
 """
+
+
+def corpus_dedup_survivorship_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source retention through the full curation chain: how many of a
+    source's documents enter, pass the quality gates, and survive
+    normalized exact-dedup (``corpus_build`` semantics) — the
+    accountability report every corpus build publishes (which feeds lose
+    how much, and to WHICH stage: gates vs duplication).
+
+    Plan: one streaming pass emits bounded per-batch (source, n_docs,
+    n_pass) counters; the survivor side reuses corpus_build's single
+    dedup exchange with a per-source keeper rollup inside each bucket.
+    Both artifacts are bounded by n_sources, so the driver join is
+    constant-size."""
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def gate_counts(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len()
+        len_ok = (n_chars >= 100) & (n_chars <= 500)
+        alpha = text.str.count(r"[A-Za-z]")
+        alpha_ok = len_ok & (2 * alpha >= n_chars)
+        ex = text.str.split(" ").explode()
+        stop = ex.isin(_FUNNEL_STOPWORDS).groupby(ex.index).sum().reindex(
+            df.index, fill_value=0)
+        keep = (alpha_ok & (stop >= 1)).to_numpy()
+        g = pd.DataFrame({"source": df["source"].to_numpy(object),
+                          "n_docs": np.ones(len(df), np.int64),
+                          "n_pass": keep.astype(np.int64)})
+        return g.groupby("source", as_index=False).sum()
+
+    totals = (ds.map_batches(gate_counts, batch_format="pandas")
+              .to_pandas())
+    empty = {"source": "object", "n_docs": "int64", "n_pass_gates": "int64",
+             "n_kept": "int64", "survival_rate": "float64"}
+    if totals.empty:
+        return typed_out(pd.DataFrame(), empty)
+    totals = totals.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_pass_gates=("n_pass", "sum"))
+
+    def keep_partial(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len()
+        len_ok = (n_chars >= 100) & (n_chars <= 500)
+        alpha = text.str.count(r"[A-Za-z]")
+        alpha_ok = len_ok & (2 * alpha >= n_chars)
+        ex = text.str.split(" ").explode()
+        stop = ex.isin(_FUNNEL_STOPWORDS).groupby(ex.index).sum().reindex(
+            df.index, fill_value=0)
+        df = df[alpha_ok & (stop >= 1)]
+        norm = _normalize_texts(df["text"].fillna("").tolist())
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"].to_numpy(object),
+            "norm_md5": md5_hex_batch(norm),
+        })
+        return out.sort_values("doc_id", kind="stable").drop_duplicates(
+            "norm_md5", keep="first")
+
+    def keep_combine(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.sort_values("doc_id", kind="stable").drop_duplicates(
+            "norm_md5", keep="first")
+        out = pd.DataFrame({"source": k["source"].to_numpy(object),
+                            "n_kept": np.ones(len(k), np.int64)})
+        return out.groupby("source", as_index=False).sum()
+
+    kept = bucketed_combine(ds, "norm_md5", keep_partial, keep_combine,
+                            num_buckets=16, coalesce_blocks=4).to_pandas()
+    if not kept.empty:
+        kept = kept.groupby("source", as_index=False).agg(
+            n_kept=("n_kept", "sum"))
+    out = totals.merge(kept, on="source", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+    out["survival_rate"] = round_away(
+        out.n_kept.to_numpy(np.float64)
+        / np.maximum(out.n_docs.to_numpy(np.float64), 1.0), 6)
+    for c in ("n_docs", "n_pass_gates"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out, empty, sort_by="source")
+
+
+CORPUS_DEDUP_SURVIVORSHIP_SQL = r"""
+WITH f AS (
+  SELECT doc_id, source,
+         lower(trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                                   '\s+', ' ', 'g'))) AS norm,
+         (length(COALESCE(text, '')) BETWEEN 100 AND 500
+          AND 2 * length(regexp_replace(COALESCE(text, ''),
+                                        '[^A-Za-z]', '', 'g'))
+              >= length(COALESCE(text, ''))
+          AND len(list_filter(string_split(COALESCE(text, ''), ' '),
+              w -> w IN ('the','a','of','and','to','in','is','that','it','for')))
+              >= 1) AS pass_gates
+  FROM documents
+), k AS (
+  SELECT doc_id, source,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(norm)) AS is_keeper
+  FROM f WHERE pass_gates
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.pass_gates THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_gates,
+       CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(COALESCE(kk.n_kept, 0) * 1.0 / GREATEST(COUNT(*), 1), 6)
+           AS survival_rate
+FROM f
+LEFT JOIN (
+  SELECT source, SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS n_kept
+  FROM k GROUP BY source
+) kk USING (source)
+GROUP BY f.source, kk.n_kept
+ORDER BY source
+"""

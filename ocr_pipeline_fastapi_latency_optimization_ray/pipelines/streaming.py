@@ -922,3 +922,77 @@ FROM events
 GROUP BY 1
 ORDER BY window_h
 """
+
+
+def events_inter_arrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-arrival profile: number of gaps, mean and max gap in
+    seconds between consecutive events — the burstiness signal behind bot
+    detection and session-gap calibration (events_user_sessions' 30-min
+    threshold is normally derived from exactly this distribution).
+
+    Same plan shape as ``events_path_transitions``: one user-bucketed
+    exchange co-locates each user's stream; the bucket sorts once
+    (ts, event_id — the oracle's window order) and gap statistics come
+    from one vectorized diff per bucket. Output is one row per user with
+    >= 2 events, exactly like the oracle's HAVING."""
+    from ..functions.frames import round_away
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "n_gaps": pd.Series(dtype="int64"),
+                              "mean_gap_s": pd.Series(dtype="float64"),
+                              "max_gap_s": pd.Series(dtype="float64")})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()  # microseconds
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        gaps = (ts[1:] - ts[:-1])[same] / 1_000_000.0
+        d = pd.DataFrame({"user_id": u[1:][same], "gap": gaps})
+        out = d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap=("gap", "sum"),
+            max_gap_s=("gap", "max"))
+        out["mean_gap_s"] = round_away(
+            out.pop("sum_gap").to_numpy() / out["n_gaps"].to_numpy(), 4)
+        out["max_gap_s"] = round_away(out["max_gap_s"], 4)
+        out["n_gaps"] = out.n_gaps.astype("int64")
+        return out[["user_id", "n_gaps", "mean_gap_s", "max_gap_s"]]
+
+    out = bucketed_combine(ds, "user_id", lambda df: df, combine,
+                           num_buckets=16, coalesce_blocks=8).to_pandas()
+    schema = {"user_id": "int64", "n_gaps": "int64",
+              "mean_gap_s": "float64", "max_gap_s": "float64"}
+    if out.empty:
+        return typed_out(out, schema)
+    return typed_out(out, schema, sort_by="user_id")
+
+
+EVENTS_INTER_ARRIVAL_SQL = """
+WITH g AS (
+  -- exact integer microsecond difference, THEN one float division: the
+  -- engine computes (ts_us[i] - ts_us[i-1]) / 1e6, and EPOCH()'s double
+  -- seconds (~1.7e9, resolution ~2e-7 s) would diverge at ROUND(,4)
+  -- boundaries
+  SELECT user_id,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       ROUND(SUM(gap) / COUNT(gap), 4) AS mean_gap_s,
+       ROUND(MAX(gap), 4) AS max_gap_s
+FROM g
+WHERE gap IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""

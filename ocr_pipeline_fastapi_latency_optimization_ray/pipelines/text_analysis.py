@@ -1775,3 +1775,146 @@ def doc_compression_ratio(sf_dir: str) -> pd.DataFrame:
                            "compressed_bytes": "int64",
                            "compression_ratio": "float64"},
                      sort_by="doc_id")
+
+
+def doc_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Mean conditional log-probability of each document's token BIGRAMS
+    under the corpus's own bigram LM — one step up the LM-proxy ladder
+    from ``doc_unigram_logprob`` (CCNet-style quality filtering: word
+    salad scores low here even when its unigrams are common):
+
+        logprob(d) = mean over bigram instances (v,w) of
+                     ln f2(v,w) - ln f1(v)
+
+    where f2 is the global bigram count and f1(v) the global count of v
+    as a bigram PREFIX (so P(w|v) sums to 1 and no smoothing is needed —
+    the corpus is scored under itself, every observed bigram has
+    f2 >= 1).
+
+    Plan (the unigram plan one key wider; text never shuffles): per-doc
+    (doc, a, b, cnt) partials materialize once and feed three consumers —
+    a bigram-bucketed combine (exact f2), an a-bucketed combine (exact
+    f1), and the scoring joins (bigram-keyed then prefix-keyed) which
+    pre-aggregate per doc inside each bucket before the final doc-keyed
+    rollup. All exchanges are hash-bucketed over _stable_order'ed
+    buckets; 1e-6 rounding absorbs summation-order ulps."""
+    from ..functions.frames import round_away as _ra
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    empty_schema = {"doc_id": "int64", "n_bigrams": "int64",
+                    "logprob": "float64"}
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        doc = ex.index.to_numpy()
+        tok = ex.to_numpy(object)
+        if len(tok) < 2:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64")})
+        same = doc[1:] == doc[:-1]
+        g = (pd.DataFrame({"doc_id": doc[:-1][same],
+                           "a": tok[:-1][same], "b": tok[1:][same]})
+             .groupby(["doc_id", "a", "b"], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        g["cnt"] = g.cnt.astype("int64")
+        return g
+
+    tf = ds.map_batches(big_partial, batch_format="pandas").materialize()
+
+    def f2_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False).agg(f2=("cnt", "sum"))
+        g["bigram"] = g.a.astype(object) + " " + g.b.astype(object)
+        return g
+
+    def f2_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["bigram", "a", "b"], as_index=False).agg(
+            f2=("f2", "sum"))
+
+    f2 = bucketed_combine(tf, "bigram", f2_partial, f2_combine).materialize()
+
+    def f1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("a", as_index=False).agg(f1=("cnt", "sum"))
+
+    def f1_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("a", as_index=False).agg(f1=("f1", "sum"))
+
+    f1 = bucketed_combine(tf, "a", f1_partial, f1_combine).materialize()
+
+    def key_tf(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bigram"] = df.a.astype(object) + " " + df.b.astype(object)
+        return df
+
+    tf_keyed = tf.map_batches(key_tf, batch_format="pandas")
+
+    def attach_f2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right[["bigram", "f2"]], on="bigram")
+        return m[["doc_id", "a", "cnt", "f2"]]
+
+    with_f2 = bucketed_join(
+        tf_keyed, f2, "bigram", "bigram", attach_f2,
+        left_dtypes={"doc_id": "int64", "a": "object", "b": "object",
+                     "cnt": "int64", "bigram": "object"},
+        coalesce_blocks=8,
+    )
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="a")
+        if m.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        cnt = m.cnt.to_numpy(np.float64)
+        term = cnt * (np.log(m.f2.to_numpy(np.float64))
+                      - np.log(m.f1.to_numpy(np.float64)))
+        d = pd.DataFrame({"doc_id": m.doc_id.to_numpy(np.int64),
+                          "s": term, "n": cnt.astype(np.int64)})
+        return d.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+
+    scored = bucketed_join(
+        with_f2, f1, "a", "a", score,
+        left_dtypes={"doc_id": "int64", "a": "object", "cnt": "int64",
+                     "f2": "int64"},
+        coalesce_blocks=8,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False).agg(s=("s", "sum"),
+                                                    n=("n", "sum"))
+        s["logprob"] = _ra(s.s.to_numpy() / s.n.to_numpy(np.float64), 6)
+        s["n_bigrams"] = s.n.astype("int64")
+        return s[["doc_id", "n_bigrams", "logprob"]]
+
+    out = bucketed_combine(scored, "doc_id", lambda df: df, final,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty_schema)
+    return typed_out(out, empty_schema, sort_by="doc_id")
+
+
+DOC_BIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ts
+  FROM documents
+), big AS (
+  SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+  FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+), f2 AS (
+  SELECT a, b, COUNT(*) AS f2 FROM big GROUP BY 1, 2
+), f1 AS (
+  SELECT a, COUNT(*) AS f1 FROM big GROUP BY 1
+)
+SELECT big.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(f2.f2) - ln(f1.f1)), 6) AS logprob
+FROM big JOIN f2 USING (a, b) JOIN f1 USING (a)
+GROUP BY big.doc_id
+ORDER BY doc_id
+"""

@@ -104,6 +104,8 @@ SQL_CHECKED = [
     "token_hapax_stats", "events_hourly_active_users", "embedding_covariance",
     "corpus_curate_pack", "corpus_uniform_sample",
     "warc_snapshot_latest", "robots_disallow_filter",
+    "events_inter_arrival_stats", "corpus_dedup_survivorship_by_source",
+    "doc_bigram_logprob",
     "events_path_transitions", "orders_rolling_revenue",
 ]
 
