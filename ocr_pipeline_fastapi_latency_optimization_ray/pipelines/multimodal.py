@@ -13,6 +13,7 @@ tests/test_multimodal.py instead).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow.compute as pc
 import ray.data
@@ -136,3 +137,86 @@ def video_frame_hashes(sf_dir: str) -> pd.DataFrame:
     return typed_out(out, {"media_id": "object", "frame_idx": "int64",
                            "ahash": "object", "error": "object"},
                      sort_by=["media_id", "frame_idx"])
+
+
+def video_scene_cuts(sf_dir: str, max_hamming: int = 12,
+                     stride: int = 4) -> pd.DataFrame:
+    """Scene-cut detection per video: a cut is a sampled-frame boundary
+    whose consecutive perceptual hashes differ by MORE than
+    ``max_hamming`` bits — the shot-segmentation primitive behind
+    frame-dedup and clip extraction in video curation.
+
+    Plan: the frame-sampling actor pool explodes videos into
+    (media_id, frame_idx, ahash) rows (stub decode, real plumbing —
+    stages/multimodal.py); one media-bucketed exchange co-locates each
+    video's frames, sorts once by (media_id, frame_idx) and compares
+    consecutive hashes with a vectorized XOR+popcount. Output per video:
+    frames sampled, cuts detected, mean consecutive hamming (rounded 4).
+    Rows-only (stub decode has no SQL analog); determinism and a planted
+    cut are pinned in tests/test_multimodal.py."""
+    from .dedup import _popcount64
+    from ..functions.frames import round_away, typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    frames = (
+        _kind(media_dataset(sf_dir), "video")
+        .map_batches(
+            VideoFrameSampler,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_null(t["error"])).select(
+                ["media_id", "frame_idx", "ahash"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"media_id": pd.Series(dtype="int64"),
+                              "n_frames": pd.Series(dtype="int64"),
+                              "n_cuts": pd.Series(dtype="int64"),
+                              "mean_hamming": pd.Series(dtype="float64")})
+        if g.empty:
+            return empty
+        g = g.sort_values(["media_id", "frame_idx"], kind="stable")
+        mid = g["media_id"].to_numpy(np.int64)
+        h = g["ahash"].to_numpy(np.int64).astype(np.uint64)
+        if len(g) < 2:
+            same = np.zeros(0, bool)
+        else:
+            same = mid[1:] == mid[:-1]
+        ham = _popcount64(h[1:] ^ h[:-1])[same] if same.size else \
+            np.empty(0, np.int64)
+        d = pd.DataFrame({"media_id": mid[1:][same] if same.size else
+                          np.empty(0, np.int64),
+                          "ham": ham})
+        counts = (pd.DataFrame({"media_id": mid})
+                  .groupby("media_id", as_index=False).size()
+                  .rename(columns={"size": "n_frames"}))
+        if d.empty:
+            out = counts
+            out["n_cuts"] = np.int64(0)
+            out["mean_hamming"] = 0.0
+        else:
+            stats = d.groupby("media_id", as_index=False).agg(
+                n_cmp=("ham", "size"), s=("ham", "sum"),
+                n_cuts=("ham", lambda x: int((x > max_hamming).sum())))
+            out = counts.merge(stats, on="media_id", how="left")
+            out["n_cuts"] = out["n_cuts"].fillna(0).astype("int64")
+            out["mean_hamming"] = round_away(
+                (out["s"].fillna(0).to_numpy(np.float64)
+                 / np.maximum(out["n_cmp"].fillna(0).to_numpy(np.float64),
+                              1.0)), 4)
+            out = out[["media_id", "n_frames", "n_cuts", "mean_hamming"]]
+        out["n_frames"] = out.n_frames.astype("int64")
+        return out
+
+    out = bucketed_combine(frames, "media_id", lambda df: df, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"media_id": "int64", "n_frames": "int64", "n_cuts": "int64",
+              "mean_hamming": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    return typed_out(out, schema, sort_by="media_id")

@@ -169,3 +169,38 @@ def test_image_ahash_dedup_runs_and_deterministic(ray_session):
     assert out1.equals(out2)
     if len(out1):
         assert (out1.hamming <= 6).all() and (out1.media_a < out1.media_b).all()
+
+
+def test_video_scene_cuts_boundaries_and_counts(ray_session):
+    """Stub frames are independent random rasters (hamming ~32 between any
+    two), so the cut threshold is pinned at its extremes: max_hamming=64
+    can never fire (popcount <= 64), max_hamming=0 fires at EVERY
+    consecutive boundary; frame counts follow the header's closed form
+    (ceil(frames / stride))."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import multimodal
+    from ocr_pipeline_fastapi_latency_optimization_ray.sources.media import (
+        decode_header,
+    )
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.multimodal import (
+        _kind, media_dataset,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    none = multimodal.video_scene_cuts(sf, max_hamming=64)
+    assert len(none) > 0
+    assert (none.n_cuts == 0).all()
+    every = multimodal.video_scene_cuts(sf, max_hamming=0)
+    # random 64-bit hashes collide with probability ~2^-64: every
+    # consecutive pair differs, so every boundary is a cut
+    assert (every.n_cuts == every.n_frames - 1).all()
+    # frame counts match the payload headers (stride 4)
+    vids = _kind(media_dataset(sf), "video").to_pandas()
+    expect = {int(r.media_id): -(-decode_header(r.payload)["frames"] // 4)
+              for r in vids.itertuples()}
+    got = dict(zip(every.media_id.astype(int), every.n_frames.astype(int)))
+    assert got == expect
+    # mean hamming of independent rasters concentrates near 32 bits
+    assert 24 < every.mean_hamming.mean() < 40

@@ -127,7 +127,7 @@ ROWS_ONLY = [
     "events_distinct_users_hll", "dedup_streaming_stats",
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
     "doc_length_quantiles_sketch", "doc_compression_ratio",
-    "embedding_pca_project", "dedup_rate_by_threshold",
+    "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
 ]
 
 
