@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_project": similarity.embedding_pca_project,
         "dedup_rate_by_threshold": dedup.dedup_rate_by_threshold,
         "video_scene_cuts": multimodal.video_scene_cuts,
+        "doc_dup_pagerank": curation.doc_dup_pagerank,
         # oracle-backed:
         "events_path_transitions": streaming.events_path_transitions,
         "orders_rolling_revenue": relational.orders_rolling_revenue,
@@ -248,11 +249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": relational.lineitem_rollup,
         "orders_march_activity": relational.orders_march_activity,
         "lineitem_corr": relational.lineitem_corr,
-        "events_decayed_value": streaming.events_decayed_value,
         # -------------------- ~50-entry window boundary --------------------
-        # (18 round-4 additions above pushed the tail of the round-2 fill
+        # (19 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "events_decayed_value": streaming.events_decayed_value,
         "orders_monthly_volume": relational.orders_monthly_volume,
         "customer_segment_stats": relational.customer_segment_stats,
         "events_high_value_errors": streaming.events_high_value_errors,

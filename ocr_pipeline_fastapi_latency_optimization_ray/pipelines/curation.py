@@ -1373,3 +1373,44 @@ LEFT JOIN (
 GROUP BY f.source, kk.n_kept
 ORDER BY source
 """
+
+
+def doc_dup_pagerank(sf_dir: str, k: int = 5, n_iters: int = 20,
+                     damping: float = 0.85) -> pd.DataFrame:
+    """PageRank centrality over the chunk-sharing duplication graph — the
+    "how TEMPLATED is this document" score: a page whose chunks recur
+    across many otherwise-unrelated documents (boilerplate hubs,
+    navigation shells) ranks far above a page sharing chunks with one
+    mirror. Complements ``dup_clusters`` (membership) with a graded
+    centrality the curation policy can threshold.
+
+    Plan: the same linear star-edge construction as ``dup_clusters``
+    (min-doc per chunk hash -> members; no cliques) feeds
+    :mod:`state.pagerank_bsp` — resident edge shards, fixed-order
+    deterministic float folds, ``n_iters`` power iterations. Output is
+    (doc_id, rank round 10) over documents with at least one duplicate
+    chunk; rank sums to 1 over that graph. Rows-only (iterative
+    algorithm, no SQL analog); the BSP machinery is pinned against a
+    single-process numpy power iteration in tests/test_curation.py."""
+    from ..state.pagerank_bsp import pagerank_bsp
+
+    pairs = _chunk_pairs(sf_dir, k)
+
+    def edges_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "h"])
+        m = g.groupby("h")["doc_id"].transform("min")
+        mask = (g["doc_id"] != m).to_numpy()
+        return pd.DataFrame({
+            "a": m.to_numpy(np.int64)[mask],
+            "b": g["doc_id"].to_numpy(np.int64)[mask],
+        }).drop_duplicates()
+
+    edges = bucketed_combine(
+        pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
+        edges_combine, num_buckets=16, coalesce_blocks=4,
+    )
+    out = pagerank_bsp(edges, n_buckets=8, n_iters=n_iters, damping=damping)
+    out = out.rename(columns={"node": "doc_id"})
+    out["rank"] = round_away(out["rank"], 10)
+    return typed_out(out, {"doc_id": "int64", "rank": "float64"},
+                     sort_by="doc_id")

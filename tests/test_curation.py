@@ -285,3 +285,77 @@ def test_events_funnel_sequence_matters(ray_session, tmp_path):
     assert out["stage1_view"] == 3       # u1, u2, u3
     assert out["stage2_click"] == 2      # u1, u3 (u2's click precedes its view)
     assert out["stage3_purchase"] == 1   # u1 only
+
+
+def test_pagerank_bsp_matches_numpy_power_iteration(ray_session):
+    """The BSP machinery (resident edge shards, per-destination pre-summed
+    messages, fixed-order folds) must reproduce a single-process numpy
+    power iteration of the same formula to float precision, and be
+    bit-identical across runs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.state.pagerank_bsp import (
+        pagerank_bsp,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 60
+    a = rng.randint(0, n, 300)
+    b = rng.randint(0, n, 300)
+    keep = a != b
+    edges = pd.DataFrame({"a": a[keep].astype(np.int64),
+                          "b": b[keep].astype(np.int64)}).drop_duplicates()
+
+    got = pagerank_bsp(ray.data.from_pandas(edges), n_buckets=4, n_iters=20)
+    got2 = pagerank_bsp(ray.data.from_pandas(edges), n_buckets=4, n_iters=20)
+    pd.testing.assert_frame_equal(got, got2)  # deterministic
+
+    # numpy reference: same symmetrization, degrees, damping, iterations
+    sym = np.unique(np.concatenate(
+        [edges.to_numpy(), edges.to_numpy()[:, ::-1]]), axis=0)
+    nodes = np.unique(sym)
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    for s, _d in sym:
+        deg[idx[s]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(20):
+        acc = np.zeros(N)
+        for s, d in sym:
+            acc[idx[d]] += r[idx[s]] / deg[idx[s]]
+        r = 0.15 / N + 0.85 * acc
+    ref = pd.DataFrame({"node": nodes, "rank": r})
+    m = got.merge(ref, on="node", suffixes=("", "_ref"))
+    assert len(m) == N
+    assert np.allclose(m["rank"], m["rank_ref"], rtol=0, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_doc_dup_pagerank_on_dup_corpus(ray_session, tmp_path):
+    """On a corpus where one boilerplate chunk recurs in many docs, the
+    chunk's min-doc hub out-ranks every spoke, and ranks sum to 1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import curation
+
+    boiler = "alpha beta gamma delta epsilon"   # one 5-token chunk
+    texts = {i: boiler + f" unique{i} filler{i} pad{i} x{i} y{i}"
+             for i in range(12)}
+    for i in range(12, 20):                      # unrelated docs
+        texts[i] = f"only{i} words{i} here{i} none{i} shared{i}"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())}),
+        tmp_path / "documents.parquet")
+    out = curation.doc_dup_pagerank(str(tmp_path))
+    # only the 12 boilerplate docs are in the graph
+    assert set(out.doc_id) == set(range(12))
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+    hub = out.set_index("doc_id")["rank"]
+    assert hub[0] == hub.max()  # star center (min doc of the chunk)
+    assert (hub[0] > hub.drop(0) * 2).all()

@@ -128,6 +128,7 @@ ROWS_ONLY = [
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
     "doc_length_quantiles_sketch", "doc_compression_ratio",
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
+    "doc_dup_pagerank",
 ]
 
 
