@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_survivorship_by_source":
             curation.corpus_dedup_survivorship_by_source,
         "doc_bigram_logprob": text_analysis.doc_bigram_logprob,
+        "q18_large_orders": relational.q18_large_orders,
         # rows-only (zlib / eigendecomposition have no SQL analog; values
         # pinned exactly in pytest):
         "doc_compression_ratio": text_analysis.doc_compression_ratio,
@@ -248,11 +249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_inactive_year": relational.customers_inactive_year,
         "lineitem_rollup": relational.lineitem_rollup,
         "orders_march_activity": relational.orders_march_activity,
-        "lineitem_corr": relational.lineitem_corr,
         # -------------------- ~50-entry window boundary --------------------
-        # (19 round-4 additions above pushed the tail of the round-2 fill
+        # (20 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "lineitem_corr": relational.lineitem_corr,
         "events_decayed_value": streaming.events_decayed_value,
         "orders_monthly_volume": relational.orders_monthly_volume,
         "customer_segment_stats": relational.customer_segment_stats,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dedup_survivorship_by_source":
             curation.CORPUS_DEDUP_SURVIVORSHIP_SQL,
         "doc_bigram_logprob": text_analysis.DOC_BIGRAM_LOGPROB_SQL,
+        "q18_large_orders": relational.Q18_SQL,
         "events_path_transitions": streaming.EVENTS_PATH_TRANSITIONS_SQL,
         "orders_rolling_revenue": relational.ORDERS_ROLLING_REVENUE_SQL,
         "embedding_cosine_pairs_exact":

@@ -1147,3 +1147,99 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def q18_large_orders(sf_dir: str, qty_threshold: float = 200.0,
+                     k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 analog — large-volume orders: customers whose orders
+    total more than ``qty_threshold`` units, top-k by order value. The
+    HAVING-filtered aggregation-then-join shape: the lineitem rollup must
+    complete BEFORE the predicate can drop a single order, so the filter
+    sits inside the exchange, not at the scan.
+
+    Shape (all sides grow with data; nothing broadcast):
+      1. lineitem partial-aggregates quantity per l_orderkey in
+         map_batches; the orderkey-bucketed combine applies the HAVING
+         exactly (all partials of a key land in one bucket) — the stream
+         shrinks to qualifying orders right inside the exchange;
+      2. bucketed join against orders on orderkey attaches customer key,
+         date, price;
+      3. bucketed join against customer on custkey attaches the name;
+         each bucket emits its local top-k, driver merges buckets x k."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"))
+
+    def qty_combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"))
+        return t[t.sum_qty > qty_threshold]
+
+    big = bucketed_combine(line, "l_orderkey", qty_partial, qty_combine,
+                           coalesce_blocks=16)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def attach_order(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        return m[["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+                  "sum_qty"]]
+
+    with_orders = bucketed_join(
+        big, orders, "l_orderkey", "o_orderkey", attach_order,
+        left_dtypes={"l_orderkey": "int64", "sum_qty": "float64"},
+        coalesce_blocks=16,
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_custkey", right_on="c_custkey")
+        if m.empty:
+            return pd.DataFrame({
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype=object),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_totalprice": pd.Series(dtype="float64"),
+                "sum_qty": pd.Series(dtype="float64")})
+        m = m.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(k)
+        return m[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                  "o_totalprice", "sum_qty"]]
+
+    out = bucketed_join(
+        with_orders, cust, "o_custkey", "c_custkey", topk,
+        left_dtypes={"o_orderkey": "int64", "o_custkey": "int64",
+                     "o_orderdate": "datetime64[us]",
+                     "o_totalprice": "float64", "sum_qty": "float64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    schema = {"c_custkey": "int64", "c_name": "object",
+              "o_orderkey": "int64", "o_orderdate": "datetime64[us]",
+              "o_totalprice": "float64", "sum_qty": "float64"}
+    if out.empty:
+        return typed_out(out, schema)
+    out = out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(k)
+    out["sum_qty"] = round_away(out.sum_qty, 2)
+    return typed_out(out.reset_index(drop=True), schema)
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > 200
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""

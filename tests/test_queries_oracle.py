@@ -105,7 +105,7 @@ SQL_CHECKED = [
     "corpus_curate_pack", "corpus_uniform_sample",
     "warc_snapshot_latest", "robots_disallow_filter",
     "events_inter_arrival_stats", "corpus_dedup_survivorship_by_source",
-    "doc_bigram_logprob",
+    "doc_bigram_logprob", "q18_large_orders",
     "events_path_transitions", "orders_rolling_revenue",
 ]
 
