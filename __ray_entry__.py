@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_threshold": dedup.dedup_rate_by_threshold,
         "video_scene_cuts": multimodal.video_scene_cuts,
         "doc_dup_pagerank": curation.doc_dup_pagerank,
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         # oracle-backed:
         "events_path_transitions": streaming.events_path_transitions,
         "orders_rolling_revenue": relational.orders_rolling_revenue,
@@ -248,11 +249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": relational.q14_promo_revenue,
         "customers_inactive_year": relational.customers_inactive_year,
         "lineitem_rollup": relational.lineitem_rollup,
-        "orders_march_activity": relational.orders_march_activity,
         # -------------------- ~50-entry window boundary --------------------
-        # (20 round-4 additions above pushed the tail of the round-2 fill
+        # (21 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "orders_march_activity": relational.orders_march_activity,
         "lineitem_corr": relational.lineitem_corr,
         "events_decayed_value": streaming.events_decayed_value,
         "orders_monthly_volume": relational.orders_monthly_volume,

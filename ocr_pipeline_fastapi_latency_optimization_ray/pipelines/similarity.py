@@ -699,3 +699,91 @@ def embedding_pca_project(sf_dir: str, k: int = 2) -> pd.DataFrame:
 
     out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
     return typed_out(out, empty, sort_by="vec_id")
+
+
+def ann_ivfpq_topk(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    n_lists: int = 16, n_probe: int = 8,
+    m_sub: int = 8, ks: int = 16, cand_per_batch: int = 80,
+) -> pd.DataFrame:
+    """IVF-PQ combined ANN — the billion-vector index architecture
+    (Jegou et al. 2011; what FAISS deploys at corpus scale): the coarse
+    IVF quantizer PRUNES COMPUTE (only ``n_probe`` of ``n_lists`` lists
+    are scanned) while PQ codes PRUNE MEMORY (m_sub bytes per vector on
+    the scan path); an exact-cosine re-rank over the per-batch candidate
+    pool keeps returned scores true, so only recall is approximate —
+    pinned vs brute force like IVF/LSH/PQ alone.
+
+    This variant codes the normalized vectors directly (IVF-Flat-PQ);
+    the production refinement — coding RESIDUALS against the assigned
+    centroid for finer quantization — changes only the encode/LUT pair.
+    Both index artifacts (centroid table + codebook) train on the same
+    bounded hash sample and broadcast once; the scan is one streaming
+    read, nothing shuffles."""
+    import pyarrow.parquet as pq
+
+    from ..functions.frames import typed_out
+
+    empty = {"vec_id": "int64", "cosine": "float64"}
+    qvec = _query_vector(sf_dir, query_vec_id)
+    if qvec is None:
+        return typed_out(pd.DataFrame(), empty)
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    rate = max(1, n_rows // 512)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
+        return df.loc[keep, ["embedding"]]
+
+    sample_df = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    if sample_df.empty:
+        return typed_out(pd.DataFrame(), empty)
+    sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
+    index = IvfIndex(sample, n_lists=n_lists)
+    book = PqCodebook(sample, m_sub=m_sub, ks=ks)
+    probe_lists = np.sort(
+        np.argsort(-(index.centroids @ qvec))[:n_probe].astype(np.int64))
+    refs = ray.put((index, book, book.adc_table(qvec), probe_lists, qvec))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def probe_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ivf, bk, lut, probes, qv = ray.get(refs)
+        mat = np.stack(df["embedding"].values).astype(np.float64)
+        lists = ivf.assign(mat)
+        mask = np.isin(lists, probes)
+        mask &= (df["vec_id"] != query_vec_id).to_numpy()
+        if not mask.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        sub = mat[mask]
+        codes = bk.encode(sub)  # the compressed scan representation
+        approx = lut[np.arange(bk.m_sub)[None, :], codes].sum(axis=1)
+        n_cand = min(cand_per_batch, len(sub))
+        cand = np.argpartition(-approx, n_cand - 1)[:n_cand]
+        cos = _l2norm(sub[cand]) @ qv  # exact re-rank, candidates only
+        out = pd.DataFrame({
+            "vec_id": df["vec_id"].values[mask][cand],
+            "cosine": cos,
+        })
+        return out.nlargest(k, "cosine")
+
+    out = ds.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty)
+    from ..functions.frames import round_away
+
+    out = out.sort_values(["cosine", "vec_id"],
+                          ascending=[False, True]).head(k)
+    out["cosine"] = round_away(out.cosine, 6)
+    return typed_out(out.reset_index(drop=True), empty)

@@ -128,7 +128,7 @@ ROWS_ONLY = [
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
     "doc_length_quantiles_sketch", "doc_compression_ratio",
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
-    "doc_dup_pagerank",
+    "doc_dup_pagerank", "ann_ivfpq_topk",
 ]
 
 
@@ -341,3 +341,17 @@ def test_cms_topk_matches_exact(entry_mod, ray_session):
     for t, n in zip(approx.token, approx.n_est):
         if t in truth:
             assert n >= truth[t]  # CMS never underestimates
+
+
+def test_ivfpq_recall_vs_bruteforce(entry_mod, ray_session):
+    """IVF-PQ combined: coarse prune + compressed scan + exact re-rank.
+    Approximate in recall only — require recall@10 >= 0.6 vs brute force
+    and every returned cosine to be a TRUE value (exact re-rank)."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import similarity
+
+    exact = similarity.ann_cosine_topk(SF_DIR, k=10)
+    approx = similarity.ann_ivfpq_topk(SF_DIR, k=10)
+    hits = len(set(approx.vec_id) & set(exact.vec_id))
+    assert hits >= 6, f"ivfpq recall@10 = {hits}/10"
+    m = approx.merge(exact, on="vec_id", suffixes=("", "_exact"))
+    assert (m.cosine == m.cosine_exact).all()
