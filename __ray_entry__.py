@@ -189,6 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, late block):
+        "part_brand_supplier_counts": relational.part_brand_supplier_counts,
+        "customer_ltv_deciles": relational.customer_ltv_deciles,
+        "embedding_outlier_topk": similarity.embedding_outlier_topk,
         # oracle-backed (new in round 4):
         "extract_domain_stats": extract_checks.extract_domain_stats,
         "url_normalize_dedup": extract_checks.url_normalize_dedup,
@@ -246,13 +250,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        # -------------------- ~50-entry window boundary --------------------
+        # (24 round-4 additions above pushed the tail of the round-2 fill
+        # below the line; everything below holds an r2 or r3 driver row
+        # and full pytest-oracle coverage, and rotates back in round 5)
         "q14_promo_revenue": relational.q14_promo_revenue,
         "customers_inactive_year": relational.customers_inactive_year,
         "lineitem_rollup": relational.lineitem_rollup,
-        # -------------------- ~50-entry window boundary --------------------
-        # (21 round-4 additions above pushed the tail of the round-2 fill
-        # below the line; everything below holds an r2 or r3 driver row
-        # and full pytest-oracle coverage, and rotates back in round 5)
         "orders_march_activity": relational.orders_march_activity,
         "lineitem_corr": relational.lineitem_corr,
         "events_decayed_value": streaming.events_decayed_value,
@@ -335,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "part_brand_supplier_counts":
+            relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
+        "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,
+        "embedding_outlier_topk": similarity.EMBEDDING_OUTLIER_TOPK_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

@@ -1243,3 +1243,197 @@ HAVING SUM(l_quantity) > 200
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
 """
+
+
+def part_brand_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 analog — per-brand distinct-supplier / distinct-part
+    counts from the order stream: COUNT(DISTINCT) per group over a join,
+    the assortment-breadth rollup every catalog pipeline runs.
+
+    Distributed shape (no partsupp table here; lineitem IS the link):
+      1. lineitem projects (l_partkey, l_suppkey) and pre-dedups per
+         batch — the stream entering the exchange is per-batch-distinct
+         pairs, not raw line items;
+      2. a partkey-bucketed join attaches p_brand (both sides grow with
+         data; nothing broadcast);
+      3. distinct-count = dedup exchange: all copies of a (brand, key)
+         pair hash to ONE bucket, so a bucket-local drop_duplicates +
+         per-brand count is exact, and the driver folds only
+         (n_buckets x n_brands) partial counts. Two such exchanges (one
+         keyed on suppkey, one on partkey); brand cardinality is
+         schema-bounded (~25) so the final fold is O(1)."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    line = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pre_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = line.map_batches(pre_dedup, batch_format="pandas")
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def attach_brand(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        return m[["p_brand", "l_partkey", "l_suppkey"]].drop_duplicates()
+
+    branded = bucketed_join(
+        pairs, part, "l_partkey", "p_partkey", attach_brand,
+        left_dtypes={"l_partkey": "int64", "l_suppkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    def _distinct_count(ds, key: str, out_col: str) -> pd.DataFrame:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["p_brand", key]].drop_duplicates()
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.drop_duplicates()
+            return d.groupby("p_brand", as_index=False).agg(
+                **{out_col: (key, "size")})
+
+        parts = bucketed_combine(ds, ["p_brand", key], partial, combine,
+                                 num_buckets=16).to_pandas()
+        if parts.empty:
+            return pd.DataFrame({"p_brand": pd.Series(dtype=object),
+                                 out_col: pd.Series(dtype="int64")})
+        return parts.groupby("p_brand", as_index=False).agg(
+            **{out_col: (out_col, "sum")})
+
+    supp = _distinct_count(branded, "l_suppkey", "supplier_cnt")
+    prt = _distinct_count(branded, "l_partkey", "part_cnt")
+    out = supp.merge(prt, on="p_brand", how="outer")
+    schema = {"p_brand": "object", "supplier_cnt": "int64",
+              "part_cnt": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out[["supplier_cnt", "part_cnt"]] = (
+        out[["supplier_cnt", "part_cnt"]].fillna(0))
+    return typed_out(out, schema, sort_by="p_brand")
+
+
+PART_BRAND_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+       COUNT(DISTINCT l_partkey) AS part_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def customer_ltv_deciles(sf_dir: str, n_tiles: int = 10) -> pd.DataFrame:
+    """Customer-lifetime-value decile profile — exact NTILE(10) semantics
+    over per-customer total order value (the marketing-analytics ranking
+    rollup), with the deterministic tiebreak ORDER BY ltv DESC, custkey.
+
+    NTILE needs every row's GLOBAL rank, which Ray Data has no operator
+    for; the distributed plan is the same two-phase scan as
+    pipelines/packing.py:
+
+      1. per-customer ltv via a custkey-bucketed combine (partials move,
+         not orders rows), rounded half-away to 2 BEFORE ranking so the
+         sort key matches the oracle's;
+      2. ``Dataset.sort`` on (ltv DESC, custkey) — Ray's distributed
+         range sort;
+      3. per-block row counts (a len() task per block ref, O(n_blocks)
+         driver state) -> exclusive prefix -> each block knows its global
+         offset and computes its rows' NTILE ids locally, emitting ONLY
+         per-(block, tile) partial aggregates;
+      4. driver folds n_blocks x n_tiles partials in block order (fixed
+         fold order keeps the float sums bit-stable across runs).
+
+    Ties after 2-decimal rounding are broken by custkey on both sides, so
+    tile membership is byte-identical to the SQL NTILE."""
+    from ..functions.shuffle import bucketed_combine
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def ltv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            ltv=("o_totalprice", "sum"))
+
+    def ltv_combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("o_custkey", as_index=False).agg(ltv=("ltv", "sum"))
+        t["ltv"] = round_away(t["ltv"], 2)
+        return t
+
+    ltv = bucketed_combine(orders, "o_custkey", ltv_partial, ltv_combine,
+                           coalesce_blocks=8)
+
+    schema = {"decile": "int64", "n_customers": "int64",
+              "avg_ltv": "float64", "min_ltv": "float64",
+              "max_ltv": "float64"}
+
+    # sort needs a numeric ascending proxy for DESC float + ASC int tiebreak
+    ltv_sorted = ltv.sort(["ltv", "o_custkey"], descending=[True, False])
+    refs = ltv_sorted.to_arrow_refs()
+    if not refs:
+        return typed_out(pd.DataFrame(), schema)
+
+    @ray.remote(num_cpus=0.5)
+    def _nrows(tbl) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.5)
+    def _tile_partial(tbl, offset: int, n_total: int, k: int) -> pd.DataFrame:
+        vals = tbl.column("ltv").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if len(vals) == 0:
+            return pd.DataFrame({"decile": pd.Series(dtype="int64"),
+                                 "n_customers": pd.Series(dtype="int64"),
+                                 "sum_ltv": pd.Series(dtype="float64"),
+                                 "min_ltv": pd.Series(dtype="float64"),
+                                 "max_ltv": pd.Series(dtype="float64")})
+        i = offset + np.arange(len(vals), dtype=np.int64)
+        base, rem = divmod(n_total, k)
+        split = rem * (base + 1)
+        # SQL NTILE: the first (n % k) tiles hold base+1 rows
+        tile = np.where(
+            i < split,
+            i // max(base + 1, 1) + 1,
+            rem + np.where(base > 0, (i - split) // max(base, 1), 0) + 1,
+        ).astype(np.int64)
+        f = pd.DataFrame({"decile": tile, "ltv": vals})
+        return f.groupby("decile", as_index=False).agg(
+            n_customers=("ltv", "size"), sum_ltv=("ltv", "sum"),
+            min_ltv=("ltv", "min"), max_ltv=("ltv", "max"))
+
+    parts = ray.get([
+        _tile_partial.remote(r, int(off), n, n_tiles)
+        for r, off in zip(refs, offsets)
+    ])
+    allp = pd.concat(parts, ignore_index=True)  # block order = fold order
+    out = allp.groupby("decile", as_index=False).agg(
+        n_customers=("n_customers", "sum"), sum_ltv=("sum_ltv", "sum"),
+        min_ltv=("min_ltv", "min"), max_ltv=("max_ltv", "max"))
+    out["avg_ltv"] = round_away(
+        out["sum_ltv"].to_numpy() / out["n_customers"].to_numpy(), 2)
+    out = out.drop(columns=["sum_ltv"])
+    return typed_out(out, schema, sort_by="decile")
+
+
+CUSTOMER_LTV_DECILES_SQL = """
+WITH ltv AS (
+  SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS ltv
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT custkey, ltv,
+         NTILE(10) OVER (ORDER BY ltv DESC, custkey) AS decile
+  FROM ltv
+)
+SELECT decile, COUNT(*) AS n_customers,
+       ROUND(AVG(ltv), 2) AS avg_ltv,
+       ROUND(MIN(ltv), 2) AS min_ltv,
+       ROUND(MAX(ltv), 2) AS max_ltv
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+"""

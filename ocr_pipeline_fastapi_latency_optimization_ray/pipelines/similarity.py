@@ -787,3 +787,90 @@ def ann_ivfpq_topk(
                           ascending=[False, True]).head(k)
     out["cosine"] = round_away(out.cosine, 6)
     return typed_out(out.reset_index(drop=True), empty)
+
+
+def embedding_outlier_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Top-k embedding-space outliers by Euclidean distance from the
+    corpus centroid — the standard embedding-QA sweep (mislabeled /
+    corrupted / off-distribution vectors surface first).
+
+    Two streaming passes, zero shuffles:
+      1. centroid: constant-size (n, sum-vector) partials folded on the
+         driver in block order (same mergeable-moment shape as
+         ``embedding_covariance``, without the dim^2 term);
+      2. the mean broadcasts ONCE via ``ray.put``; each batch computes
+         ||x - mu||_2 vectorized and keeps only its LOCAL top-k, so the
+         driver merge is O(n_blocks x k), never O(N).
+
+    Distances are rounded half-away to 6 BEFORE the top-k selection so the
+    k-boundary matches the oracle's ORDER BY ROUND(dist, 6) DESC, vec_id
+    exactly (the token_pmi_topk lesson)."""
+    import pyarrow as pa
+
+    from ..functions.frames import typed_out
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def mean_partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "state": pd.Series(dtype=object)})
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        s = flat.reshape(n, -1).sum(axis=0)
+        return pd.DataFrame({"n": np.array([n], np.int64),
+                             "state": [s.tobytes()]})
+
+    empty = {"vec_id": "int64", "dist": "float64"}
+    parts = ds.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or parts["n"].sum() == 0:
+        return typed_out(pd.DataFrame(), empty)
+    states = [np.frombuffer(b, np.float64) for b in parts["state"]]
+    mu = np.sum(states, axis=0) / float(parts["n"].sum())
+    mu_ref = ray.put(mu)
+
+    def local_topk(t: pa.Table) -> pd.DataFrame:
+        m = ray.get(mu_ref)
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(ids) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="float64")})
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        diff = flat.reshape(len(ids), -1) - m
+        d = round_away(np.sqrt(np.einsum("ij,ij->i", diff, diff)), 6)
+        f = pd.DataFrame({"vec_id": ids, "dist": d})
+        return f.sort_values(["dist", "vec_id"],
+                             ascending=[False, True]).head(k)
+
+    out = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty)
+    out = out.sort_values(["dist", "vec_id"],
+                          ascending=[False, True]).head(k)
+    return typed_out(out.reset_index(drop=True), empty)
+
+
+EMBEDDING_OUTLIER_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         UNNEST(range(len(embedding))) AS d
+  FROM embeddings
+), mu AS (
+  SELECT d, AVG(v) AS m FROM e GROUP BY d
+)
+SELECT e.vec_id, ROUND(SQRT(SUM((e.v - mu.m) * (e.v - mu.m))), 6) AS dist
+FROM e JOIN mu USING (d)
+GROUP BY e.vec_id
+ORDER BY dist DESC, vec_id
+LIMIT 50
+"""

@@ -107,6 +107,8 @@ SQL_CHECKED = [
     "events_inter_arrival_stats", "corpus_dedup_survivorship_by_source",
     "doc_bigram_logprob", "q18_large_orders",
     "events_path_transitions", "orders_rolling_revenue",
+    "part_brand_supplier_counts", "customer_ltv_deciles",
+    "embedding_outlier_topk",
 ]
 
 
