@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,
+        "corpus_lang_source_contingency":
+            curation.corpus_lang_source_contingency,
+        # rows-only (stub decode, no SQL analog; pinned in pytest):
+        "image_phash_dedup": multimodal.image_phash_dedup,
         # oracle-backed (new in round 4):
         "extract_domain_stats": extract_checks.extract_domain_stats,
         "url_normalize_dedup": extract_checks.url_normalize_dedup,
@@ -247,13 +252,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_job_lineage": _extract_job_lineage,
         "events_tumbling_hourly": relational.events_tumbling_hourly,
         "events_top_users": relational.events_top_users,
+        # -------------------- ~50-entry window boundary --------------------
+        # (27 round-4 additions above pushed the tail of the round-2 fill
+        # below the line; everything below holds an r2 or r3 driver row
+        # and full pytest-oracle coverage, and rotates back in round 5)
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
-        # -------------------- ~50-entry window boundary --------------------
-        # (24 round-4 additions above pushed the tail of the round-2 fill
-        # below the line; everything below holds an r2 or r3 driver row
-        # and full pytest-oracle coverage, and rotates back in round 5)
         "q14_promo_revenue": relational.q14_promo_revenue,
         "customers_inactive_year": relational.customers_inactive_year,
         "lineitem_rollup": relational.lineitem_rollup,
@@ -343,6 +348,9 @@ def oracle_sql() -> dict[str, str]:
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,
         "embedding_outlier_topk": similarity.EMBEDDING_OUTLIER_TOPK_SQL,
+        "ngram_containment_pairs": dedup.NGRAM_CONTAINMENT_PAIRS_SQL,
+        "corpus_lang_source_contingency":
+            curation.CORPUS_LANG_SOURCE_CONTINGENCY_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

@@ -1414,3 +1414,64 @@ def doc_dup_pagerank(sf_dir: str, k: int = 5, n_iters: int = 20,
     out["rank"] = round_away(out["rank"], 10)
     return typed_out(out, {"doc_id": "int64", "rank": "float64"},
                      sort_by="doc_id")
+
+
+def corpus_lang_source_contingency(sf_dir: str) -> pd.DataFrame:
+    """Language x source contingency table with chi-square independence
+    terms — the corpus-composition diagnostic that catches a crawl source
+    silently skewing the language mix (each cell's ``chi2_term`` is its
+    contribution to the independence statistic; big terms = cells driving
+    the skew).
+
+    Counting is one streaming ``map_batches`` of per-batch crosstab
+    partials; the merged state is (n_langs x n_sources) cells —
+    schema-bounded, NOT data-bounded — so the driver fold is O(1) and
+    there is no shuffle at any corpus size. Expected counts and chi-square
+    terms are single-flop-per-cell expressions computed identically by
+    the oracle (integer marginals in, same literal formula), so the float
+    surface is deterministic without ordering concerns."""
+    ds = _docs(sf_dir, columns=("lang", "source"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "source"], as_index=False).agg(
+            n=("lang", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"lang": "object", "source": "object", "n": "int64",
+              "expected": "float64", "chi2_term": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    cells = parts.groupby(["lang", "source"], as_index=False).agg(
+        n=("n", "sum"))
+    total = float(cells["n"].sum())
+    row_m = cells.groupby("lang")["n"].sum()
+    col_m = cells.groupby("source")["n"].sum()
+    rn = row_m.loc[cells["lang"]].to_numpy(np.float64)
+    sn = col_m.loc[cells["source"]].to_numpy(np.float64)
+    exp = rn * sn / total
+    obs = cells["n"].to_numpy(np.float64)
+    cells["expected"] = round_away(exp, 6)
+    cells["chi2_term"] = round_away((obs - exp) * (obs - exp) / exp, 6)
+    return typed_out(cells, schema, sort_by=["lang", "source"])
+
+
+CORPUS_LANG_SOURCE_CONTINGENCY_SQL = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c
+), r AS (
+  SELECT lang, CAST(SUM(n) AS DOUBLE) AS rn FROM c GROUP BY 1
+), s AS (
+  SELECT source, CAST(SUM(n) AS DOUBLE) AS sn FROM c GROUP BY 1
+)
+SELECT c.lang, c.source, c.n,
+       ROUND(r.rn * s.sn / tot.t, 6) AS expected,
+       ROUND((c.n - r.rn * s.sn / tot.t) * (c.n - r.rn * s.sn / tot.t)
+             / (r.rn * s.sn / tot.t), 6) AS chi2_term
+FROM c
+JOIN r USING (lang)
+JOIN s USING (source)
+CROSS JOIN tot
+ORDER BY lang, source
+"""

@@ -806,32 +806,31 @@ def ngram_jaccard_pairs(sf_dir: str, k_shingle: int = 2) -> pd.DataFrame:
 # exact n-gram Jaccard via a distributed inverted index (SQL-oracle-checked)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_exact(
-    sf_dir: str, min_jaccard: float = 0.4, df_cap: int | None = None
-) -> pd.DataFrame:
-    """ALL pairs with word-bigram Jaccard >= threshold — exact, no LSH — via
-    the classic inverted-index self-join:
+def _ngram_pair_streams(sf_dir: str, df_cap: int | None = None):
+    """Shared inverted-index machinery for the exact n-gram pair family
+    (:func:`ngram_jaccard_exact`, :func:`ngram_containment_pairs`):
 
       1. per doc: distinct bigram hashes + set size (one map_batches);
       2. explode to (shingle, doc_id), bucket by shingle hash: inside each
          bucket every doc list of a shingle expands to partial pair counts
          (a shingle's full posting list is bucket-local by construction);
       3. re-bucket partial counts by doc_a and sum -> exact intersection
-         sizes; two ``bucketed_join``s attach |A| and |B| and the Jaccard
-         filter runs vectorized in the last bucket stage.
+         sizes.
 
-    Tokenization is single-space split (exactly ``string_split(text, ' ')``)
-    so the DuckDB oracle reproduces it; bigrams are hashed to uint64
-    (counts agree with string bigrams up to a ~2^-64 collision chance).
+    Returns two lazy Datasets: ``pairs_inter`` (doc_a, doc_b, inter) and
+    ``sizes`` (doc_id, n_sh). Tokenization is single-space split (exactly
+    ``string_split(text, ' ')``) so the DuckDB oracles reproduce it;
+    bigrams are hashed to uint64 (counts agree with string bigrams up to a
+    ~2^-64 collision chance).
 
     Scale note: frequent shingles blow up step 2 quadratically (a shingle in
     d docs yields d(d-1)/2 partial pairs). ``df_cap`` drops shingles whose
     document frequency exceeds the cap — the standard stop-shingle /
     prefix-filter mitigation; it is bucket-local-exact because a shingle's
     entire posting list shares one bucket. Default None = exact semantics
-    (matches the oracle).
+    (matches the oracles).
     """
-    from ..functions.shuffle import add_bucket_column, bucketed_combine, bucketed_join
+    from ..functions.shuffle import add_bucket_column, bucketed_combine
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -910,6 +909,20 @@ def ngram_jaccard_exact(
         return df.groupby("doc_id", as_index=False).agg(n_sh=("sh", "size"))
 
     sizes = shingle_rows.map_batches(doc_sizes, batch_format="pandas")
+    return pairs_inter, sizes
+
+
+def ngram_jaccard_exact(
+    sf_dir: str, min_jaccard: float = 0.4, df_cap: int | None = None
+) -> pd.DataFrame:
+    """ALL pairs with word-bigram Jaccard >= threshold — exact, no LSH —
+    via the distributed inverted-index self-join (see
+    :func:`_ngram_pair_streams` for the exchange plan); two
+    ``bucketed_join``s attach |A| and |B| and the Jaccard filter runs
+    vectorized in the last bucket stage."""
+    from ..functions.shuffle import bucketed_join
+
+    pairs_inter, sizes = _ngram_pair_streams(sf_dir, df_cap)
 
     def attach_a(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         r = right.rename(columns={"doc_id": "doc_a", "n_sh": "n_a"})
@@ -974,6 +987,95 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.4
 ORDER BY doc_a, doc_b
 """
+
+
+def ngram_containment_pairs(
+    sf_dir: str, min_containment: float = 0.6, df_cap: int | None = None
+) -> pd.DataFrame:
+    """ALL pairs where either doc's bigram set is >= ``min_containment``
+    contained in the other — the ASYMMETRIC cousin of
+    :func:`ngram_jaccard_exact` (Broder's containment C(A,B) =
+    |A ∩ B| / |A|). Jaccard misses subset duplication (a paragraph quoted
+    inside a much longer page scores low); containment is the statistic
+    quote-extraction / boilerplate-envelope dedup actually filters on.
+
+    Same distributed inverted-index plan (:func:`_ngram_pair_streams`);
+    only the final bucket stage differs: both directed containments are
+    computed vectorized and a pair survives when max(C(A,B), C(B,A))
+    clears the threshold on the UNROUNDED value (the oracle's WHERE uses
+    GREATEST on unrounded ratios); reported values round half-away to 6."""
+    from ..functions.shuffle import bucketed_join
+
+    pairs_inter, sizes = _ngram_pair_streams(sf_dir, df_cap)
+
+    def attach_a(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        r = right.rename(columns={"doc_id": "doc_a", "n_sh": "n_a"})
+        return left.merge(r, on="doc_a")
+
+    with_a = bucketed_join(
+        pairs_inter, sizes, "doc_a", "doc_id", attach_a,
+        left_dtypes={"doc_a": "int64", "doc_b": "int64", "inter": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    def finish(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        r = right.rename(columns={"doc_id": "doc_b", "n_sh": "n_b"})
+        m = left.merge(r, on="doc_b")
+        if not len(m):
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "cont_a_in_b": pd.Series(dtype="float64"),
+                                 "cont_b_in_a": pd.Series(dtype="float64")})
+        inter = m["inter"].to_numpy(np.float64)
+        c_ab = inter / m["n_a"].to_numpy(np.int64)
+        c_ba = inter / m["n_b"].to_numpy(np.int64)
+        out = pd.DataFrame({"doc_a": m["doc_a"].to_numpy(np.int64),
+                            "doc_b": m["doc_b"].to_numpy(np.int64),
+                            "cont_a_in_b": round_away(c_ab, 6),
+                            "cont_b_in_a": round_away(c_ba, 6)})
+        return out[np.maximum(c_ab, c_ba) >= min_containment]
+
+    out = bucketed_join(
+        with_a, sizes, "doc_b", "doc_id", finish,
+        left_dtypes={"doc_a": "int64", "doc_b": "int64", "inter": "int64",
+                     "n_a": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "cont_a_in_b": pd.Series(dtype="float64"),
+                             "cont_b_in_a": pd.Series(dtype="float64")})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+NGRAM_CONTAINMENT_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS ng
+  FROM t
+  WHERE len(toks) >= 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(ni AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
+       ROUND(CAST(ni AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST(CAST(ni AS DOUBLE) / sa.n,
+               CAST(ni AS DOUBLE) / sb.n) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,46 @@ def image_ahash_dedup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
                      sort_by=["media_a", "media_b"])
 
 
+def image_phash_dedup(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
+    """Near-duplicate image pairs by DCT perceptual-hash (pHash) distance
+    — the robust tier above :func:`image_ahash_dedup`: aHash thresholds
+    raw pixels against their mean, so brightness/contrast edits flip many
+    bits; pHash thresholds low-frequency DCT coefficients against their
+    median, surviving re-encode / resize / tone shifts. Same actor-pool
+    decode (DCT basis built once per actor in ``__init__``) and the same
+    ``banded_hamming_candidates`` exchange (4x16-bit bands, bounded
+    buckets, hot-bucket value collapse) — only the signature kernel
+    differs. Full recall for hamming <= 3 (pigeonhole), approximate up to
+    ``max_hamming``. Rows-only (stub decode, no SQL analog); hash
+    determinism + planted-duplicate recall pinned in
+    tests/test_multimodal.py."""
+    from ..stages.multimodal import ImagePhasher
+    from .dedup import banded_hamming_candidates
+
+    feats = (
+        _kind(media_dataset(sf_dir), "image")
+        .map_batches(
+            ImagePhasher,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_null(t["error"])).select(
+                ["media_id", "phash"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = banded_hamming_candidates(feats, max_hamming,
+                                    id_col="media_id", sig_col="phash")
+    out = out.rename(columns={"doc_a": "media_a", "doc_b": "media_b"})
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"media_a": "int64", "media_b": "int64",
+                           "hamming": "int64"},
+                     sort_by=["media_a", "media_b"])
+
+
 def audio_features(sf_dir: str) -> pd.DataFrame:
     out = (
         _kind(media_dataset(sf_dir), "audio")

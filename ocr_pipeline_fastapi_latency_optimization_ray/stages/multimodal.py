@@ -38,6 +38,30 @@ def _ahash64(gray: np.ndarray) -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the JPEG transform), built once per
+    actor — C @ g @ C.T is the 2-D DCT of grayscale block ``g``."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    c[0] = np.sqrt(1.0 / n)
+    return c
+
+
+def _phash64(gray: np.ndarray, dct_c: np.ndarray) -> int:
+    """64-bit perceptual hash (pHash): 2-D DCT of the 32x32 grayscale,
+    keep the top-left 8x8 low-frequency block, threshold each AC
+    coefficient against the block median (DC excluded from both the bits
+    and the median — it only encodes brightness). Robust to resize /
+    re-encode noise in a way aHash (plain mean threshold) is not."""
+    d = dct_c @ gray @ dct_c.T
+    block = d[:8, :8].flatten()
+    ac = block[1:]
+    med = np.median(ac)
+    bits = np.concatenate([[False], ac > med])
+    return int(np.packbits(bits).view(">u8")[0])
+
+
 def _resize_nearest(img: np.ndarray, th: int, tw: int) -> np.ndarray:
     """Vectorized nearest-neighbor resize (index-gather, no Python loop)."""
     h, w = img.shape[:2]
@@ -81,6 +105,37 @@ class ImageFeaturizer:
                 for k in ("mean_r", "mean_g", "mean_b", "std_gray"):
                     out[k].append(0.0)
                 out["ahash"].append(np.int64(0))
+                out["error"].append(str(e))
+        return pa.Table.from_pydict(out)
+
+
+class ImagePhasher:
+    """(media_id, payload) -> 64-bit DCT perceptual hash per image.
+
+    Output: media_id, phash, error. The DCT basis matrix is built ONCE in
+    ``__init__`` (the per-actor "model load"); each image is one
+    decode -> 32x32 grayscale -> two 32x32 matmuls.
+    """
+
+    def __init__(self, side: int = 32):
+        self.side = side
+        self.dct_c = _dct_matrix(side)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out = {"media_id": [], "phash": [], "error": []}
+        for mid, p in zip(ids, payloads):
+            out["media_id"].append(mid)
+            try:
+                img = decode_image(p)
+                gray = _resize_nearest(img, self.side, self.side).astype(
+                    np.float64).mean(axis=2)
+                out["phash"].append(
+                    np.int64(np.uint64(_phash64(gray, self.dct_c))))
+                out["error"].append(None)
+            except ValueError as e:
+                out["phash"].append(np.int64(0))
                 out["error"].append(str(e))
         return pa.Table.from_pydict(out)
 

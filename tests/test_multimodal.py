@@ -204,3 +204,41 @@ def test_video_scene_cuts_boundaries_and_counts(ray_session):
     assert got == expect
     # mean hamming of independent rasters concentrates near 32 bits
     assert 24 < every.mean_hamming.mean() < 40
+
+
+def test_phash_deterministic_and_tone_robust():
+    """pHash must be bit-identical across calls, robust to a global
+    brightness shift (which flips many aHash bits), and far from the hash
+    of an unrelated image."""
+    import numpy as np
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.stages.multimodal import (
+        _ahash64,
+        _dct_matrix,
+        _phash64,
+    )
+
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 200, size=(32, 32)).astype(np.float64)
+    c = _dct_matrix(32)
+    h1, h2 = _phash64(g, c), _phash64(g, c)
+    assert h1 == h2
+    # brightness shift: DC-only change -> pHash identical (DC excluded)
+    h_shift = _phash64(g + 40.0, c)
+    assert h_shift == h1
+    # the same shift flips aHash bits unless the image is degenerate
+    g2 = rng.randint(0, 200, size=(32, 32)).astype(np.float64)
+    h_other = _phash64(g2, c)
+    assert bin(h1 ^ h_other).count("1") > 10  # unrelated images far apart
+
+
+def test_image_phash_dedup_runs_and_deterministic(ray_session):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    out1 = multimodal.image_phash_dedup(sf)
+    out2 = multimodal.image_phash_dedup(sf)
+    assert list(out1.columns) == ["media_a", "media_b", "hamming"]
+    assert out1.equals(out2)
+    if len(out1):
+        assert (out1.hamming <= 10).all() and (out1.media_a < out1.media_b).all()

@@ -108,7 +108,8 @@ SQL_CHECKED = [
     "doc_bigram_logprob", "q18_large_orders",
     "events_path_transitions", "orders_rolling_revenue",
     "part_brand_supplier_counts", "customer_ltv_deciles",
-    "embedding_outlier_topk",
+    "embedding_outlier_topk", "ngram_containment_pairs",
+    "corpus_lang_source_contingency",
 ]
 
 
@@ -130,7 +131,7 @@ ROWS_ONLY = [
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
     "doc_length_quantiles_sketch", "doc_compression_ratio",
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
-    "doc_dup_pagerank", "ann_ivfpq_topk",
+    "doc_dup_pagerank", "ann_ivfpq_topk", "image_phash_dedup",
 ]
 
 
