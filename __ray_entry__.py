@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 129 entries, 99 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 131 entries, 101 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "corpus_lang_source_contingency":
             curation.corpus_lang_source_contingency,
+        "events_seasonality_profile": streaming.events_seasonality_profile,
+        "customer_repeat_rate_by_segment":
+            relational.customer_repeat_rate_by_segment,
         # rows-only (stub decode, no SQL analog; pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
         # oracle-backed (new in round 4):
@@ -250,12 +253,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages_visual": _extract_pages_visual,
         "extract_metrics": _extract_metrics,
         "extract_job_lineage": _extract_job_lineage,
-        "events_tumbling_hourly": relational.events_tumbling_hourly,
-        "events_top_users": relational.events_top_users,
         # -------------------- ~50-entry window boundary --------------------
-        # (27 round-4 additions above pushed the tail of the round-2 fill
+        "events_tumbling_hourly": relational.events_tumbling_hourly,
+        # (29 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "events_top_users": relational.events_top_users,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
@@ -351,6 +354,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment_pairs": dedup.NGRAM_CONTAINMENT_PAIRS_SQL,
         "corpus_lang_source_contingency":
             curation.CORPUS_LANG_SOURCE_CONTINGENCY_SQL,
+        "events_seasonality_profile":
+            streaming.EVENTS_SEASONALITY_PROFILE_SQL,
+        "customer_repeat_rate_by_segment":
+            relational.CUSTOMER_REPEAT_RATE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

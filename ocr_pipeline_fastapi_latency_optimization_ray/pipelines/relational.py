@@ -1437,3 +1437,75 @@ FROM tiled
 GROUP BY decile
 ORDER BY decile
 """
+
+
+def customer_repeat_rate_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Per-segment repeat-purchase rate — share of customers with >= 2
+    orders (the retention KPI next to ``customers_inactive_year``'s churn
+    count). The left-OUTER grouped-count shape: customers with ZERO
+    orders must still enter the denominator.
+
+    Scale shape: orders collapses to per-batch (custkey, n) partials at
+    the scan; the custkey-bucketed join attaches exact order counts to
+    customers bucket-locally (outer side fills 0 vectorized); each bucket
+    emits one (segment, n_customers, n_repeat) partial and the driver
+    folds segments x buckets rows — bounded by the segment enum."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_custkey", "size"))
+
+    def cnt_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"))
+
+    counts = bucketed_combine(orders, "o_custkey", cnt_partial, cnt_combine,
+                              coalesce_blocks=8)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def seg_partial(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="c_custkey", right_on="o_custkey",
+                       how="left")
+        n = m["n_orders"].fillna(0).to_numpy(np.int64)
+        f = pd.DataFrame({"segment": m["c_mktsegment"],
+                          "n_customers": np.int64(1),
+                          "n_repeat": (n >= 2).astype(np.int64)})
+        return f.groupby("segment", as_index=False).agg(
+            n_customers=("n_customers", "sum"), n_repeat=("n_repeat", "sum"))
+
+    parts = bucketed_join(
+        cust, counts, "c_custkey", "o_custkey", seg_partial,
+        left_dtypes={"c_custkey": "int64", "c_mktsegment": "object"},
+        right_dtypes={"o_custkey": "int64", "n_orders": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    schema = {"segment": "object", "n_customers": "int64",
+              "n_repeat": "int64", "repeat_rate": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby("segment", as_index=False).agg(
+        n_customers=("n_customers", "sum"), n_repeat=("n_repeat", "sum"))
+    out["repeat_rate"] = round_away(
+        out["n_repeat"].to_numpy(np.float64)
+        / out["n_customers"].to_numpy(np.float64), 6)
+    return typed_out(out, schema, sort_by="segment")
+
+
+CUSTOMER_REPEAT_RATE_SQL = """
+WITH per_cust AS (
+  SELECT c_mktsegment AS segment, c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, COUNT(*) AS n_customers,
+       SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS n_repeat,
+       ROUND(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS repeat_rate
+FROM per_cust
+GROUP BY segment
+ORDER BY segment
+"""

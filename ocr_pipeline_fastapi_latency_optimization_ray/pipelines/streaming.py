@@ -996,3 +996,49 @@ WHERE gap IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_seasonality_profile(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week x hour-of-day activity profile — the calendar
+    seasonality matrix behind traffic forecasting / crawl-rate shaping
+    (load follows a weekly clock; this is its empirical shape).
+
+    One streaming ``map_batches`` of per-batch (dow, hour) partials; the
+    merged state is at most 7 x 24 cells — schema-bounded, NOT
+    data-bounded — so the driver fold is O(1) and nothing shuffles at any
+    scale (the same shape as ``corpus_lang_source_contingency``).
+
+    dow follows the SQL convention (EXTRACT(dow): Sunday = 0), mapped
+    from pandas' Monday=0 ``dayofweek`` vectorized."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"]
+        return pd.DataFrame({
+            "dow": ((ts.dt.dayofweek.to_numpy(np.int64) + 1) % 7),
+            "hour": ts.dt.hour.to_numpy(np.int64),
+            "n_events": np.int64(1),
+            "sum_value": df["value"].to_numpy(np.float64),
+        }).groupby(["dow", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"dow": "int64", "hour": "int64", "n_events": "int64",
+              "sum_value": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby(["dow", "hour"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    out["sum_value"] = round_away(out["sum_value"], 2)
+    return typed_out(out, schema, sort_by=["dow", "hour"])
+
+
+EVENTS_SEASONALITY_PROFILE_SQL = """
+SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""

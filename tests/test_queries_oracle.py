@@ -109,7 +109,8 @@ SQL_CHECKED = [
     "events_path_transitions", "orders_rolling_revenue",
     "part_brand_supplier_counts", "customer_ltv_deciles",
     "embedding_outlier_topk", "ngram_containment_pairs",
-    "corpus_lang_source_contingency",
+    "corpus_lang_source_contingency", "events_seasonality_profile",
+    "customer_repeat_rate_by_segment",
 ]
 
 
