@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 131 entries, 101 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 132 entries, 101 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -199,8 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality_profile": streaming.events_seasonality_profile,
         "customer_repeat_rate_by_segment":
             relational.customer_repeat_rate_by_segment,
-        # rows-only (stub decode, no SQL analog; pinned in pytest):
+        # rows-only (stub decode / seeded index structures, no SQL analog;
+        # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
+        "ann_recall_report": similarity.ann_recall_report,
         # oracle-backed (new in round 4):
         "extract_domain_stats": extract_checks.extract_domain_stats,
         "url_normalize_dedup": extract_checks.url_normalize_dedup,
@@ -252,12 +254,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _extract_pages,
         "extract_pages_visual": _extract_pages_visual,
         "extract_metrics": _extract_metrics,
-        "extract_job_lineage": _extract_job_lineage,
         # -------------------- ~50-entry window boundary --------------------
-        "events_tumbling_hourly": relational.events_tumbling_hourly,
-        # (29 round-4 additions above pushed the tail of the round-2 fill
+        # (30 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "extract_job_lineage": _extract_job_lineage,
+        "events_tumbling_hourly": relational.events_tumbling_hourly,
         "events_top_users": relational.events_top_users,
         "part_type_stats": relational.part_type_stats,
         "order_priority_revenue": relational.order_priority_revenue,

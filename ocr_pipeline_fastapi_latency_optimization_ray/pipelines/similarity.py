@@ -874,3 +874,47 @@ GROUP BY e.vec_id
 ORDER BY dist DESC, vec_id
 LIMIT 50
 """
+
+
+def ann_recall_report(sf_dir: str, k: int = 10,
+                      query_vec_ids: tuple = (0, 7, 42)) -> pd.DataFrame:
+    """Measured recall@k of every approximate index tier against the
+    brute-force ground truth, over a fixed panel of query vectors — the
+    index-selection report an embedding-platform team actually reads
+    ("which tier clears the recall bar for this corpus?"). Each cell runs
+    the REAL distributed pipeline of that tier (nothing is re-implemented
+    here), so the report doubles as an end-to-end regression surface for
+    all four index families at once.
+
+    Output: (method, query_vec_id, recall_at_k, n_hits) per tier x query
+    — bounded by methods x panel size, so the driver holds O(1) rows.
+    Rows-only (recall of seeded LSH/IVF/PQ structures has no SQL analog);
+    per-tier recall floors are pinned in tests/test_dedup.py and the
+    per-tier tests."""
+    from ..functions.frames import round_away, typed_out
+
+    methods = {
+        "brute": lambda q: ann_cosine_topk(sf_dir, q, k),
+        "ivf": lambda q: ann_ivf_topk(sf_dir, q, k),
+        "lsh": lambda q: ann_lsh_topk(sf_dir, q, k),
+        "pq": lambda q: ann_pq_topk(sf_dir, q, k),
+        "ivfpq": lambda q: ann_ivfpq_topk(sf_dir, q, k),
+    }
+    rows = []
+    for q in query_vec_ids:
+        truth = set(methods["brute"](q)["vec_id"].tolist())
+        if not truth:
+            continue  # missing query id / empty corpus: no panel row
+        for name, fn in methods.items():
+            if name == "brute":
+                continue
+            got = set(fn(q)["vec_id"].tolist())
+            hits = len(got & truth)
+            rows.append({"method": name, "query_vec_id": int(q),
+                         "recall_at_k": float(round_away(
+                             np.float64(hits) / len(truth), 6)),
+                         "n_hits": hits})
+    schema = {"method": "object", "query_vec_id": "int64",
+              "recall_at_k": "float64", "n_hits": "int64"}
+    return typed_out(pd.DataFrame(rows), schema,
+                     sort_by=["method", "query_vec_id"])

@@ -400,3 +400,21 @@ def test_dedup_rate_by_threshold_matches_bruteforce(ray_session, tmp_path):
     # monotone: higher threshold never removes more
     assert (out.sort_values("threshold").n_docs_removed.diff().dropna()
             <= 0).all()
+
+
+def test_ann_recall_report_floors_and_determinism(ray_session):
+    """Every tier's measured recall@10 must clear the 0.5 floor on the
+    sf0.01 panel (matching the per-tier recall pins), and the report must
+    be bit-identical across runs (seeded structures, fixed panel)."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.similarity import (
+        ann_recall_report,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    r1 = ann_recall_report(sf)
+    r2 = ann_recall_report(sf)
+    assert r1.equals(r2)
+    assert set(r1["method"]) == {"ivf", "lsh", "pq", "ivfpq"}
+    assert len(r1) == 12  # 4 methods x 3 panel queries
+    assert (r1["recall_at_k"] >= 0.5).all()
+    assert (r1["n_hits"] <= 10).all()
