@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality_profile": streaming.events_seasonality_profile,
         "customer_repeat_rate_by_segment":
             relational.customer_repeat_rate_by_segment,
+        "doc_dup_span_stats": curation.doc_dup_span_stats,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -253,11 +254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         "extract_pages": _extract_pages,
         "extract_pages_visual": _extract_pages_visual,
-        "extract_metrics": _extract_metrics,
         # -------------------- ~50-entry window boundary --------------------
-        # (30 round-4 additions above pushed the tail of the round-2 fill
+        # (31 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "extract_metrics": _extract_metrics,
         "extract_job_lineage": _extract_job_lineage,
         "events_tumbling_hourly": relational.events_tumbling_hourly,
         "events_top_users": relational.events_top_users,
@@ -360,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
             streaming.EVENTS_SEASONALITY_PROFILE_SQL,
         "customer_repeat_rate_by_segment":
             relational.CUSTOMER_REPEAT_RATE_SQL,
+        "doc_dup_span_stats": curation.DOC_DUP_SPAN_STATS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

@@ -1475,3 +1475,173 @@ JOIN s USING (source)
 CROSS JOIN tot
 ORDER BY lang, source
 """
+
+
+def _window_pos_batch(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """(doc_id, pos, window_hash) per sliding k-token window — the
+    position-carrying sibling of ``_window_pairs_batch`` (pos is the
+    1-based token index of the window start, matching the oracle's
+    ``range(1, len(toks)-k+2)``). Same vectorized rolling hash."""
+    toks = df["text"].fillna("").str.split(" ")
+    ex = toks.explode()
+    n = len(ex)
+    empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                          "pos": np.empty(0, np.int64),
+                          "h": np.empty(0, np.int64)})
+    if n < k:
+        return empty
+    h = fast_token_hash(ex.to_numpy())
+    row = ex.index.to_numpy()  # positional: RangeIndex per batch
+    # 0-based token position within its row (explode preserves order)
+    starts = np.r_[0, np.flatnonzero(row[1:] != row[:-1]) + 1]
+    counts = np.diff(np.r_[starts, n])
+    pos_in_row = np.arange(n, dtype=np.int64) - np.repeat(
+        starts.astype(np.int64), counts)
+    m = n - k + 1
+    powers = np.power(_BASE, np.arange(k - 1, -1, -1, dtype=np.uint64))
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc += h[j:j + m] * powers[j]
+    valid = row[:m] == row[k - 1:]
+    if not valid.any():
+        return empty
+    doc = df["doc_id"].to_numpy(np.int64)[row[:m][valid]]
+    return pd.DataFrame({"doc_id": doc,
+                         "pos": pos_in_row[:m][valid] + 1,
+                         "h": acc[valid].astype(np.int64)})
+
+
+def doc_dup_span_stats(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Per-document LONGEST duplicated token span — the statistic behind
+    exact-substring dedup cut points (Lee et al. 2022 remove repeated
+    ~50-token spans; a doc's exposure is its longest such span, not just
+    the window count ``window_dedup_stats`` reports). A run of r
+    consecutive duplicated k-windows certifies a duplicated span of
+    r + k - 1 tokens — the gaps-and-islands reduction.
+
+    Plan (three bounded exchanges, text never moves):
+      1. (doc_id, pos, hash) sliding windows per batch (vectorized
+         rolling hash); hash-bucketed combine keeps the positions whose
+         window occurs >= 2 times corpus-wide (a window's full occurrence
+         list is bucket-local, so the threshold is exact);
+      2. doc-bucketed combine sorts each doc's duplicated positions and
+         reduces islands of consecutive positions to (n_dup_windows,
+         max_run) — runs are found vectorized from position jumps;
+      3. window totals per doc join the island stats bucket-locally
+         (LEFT: docs with zero duplicated windows report 0/0/0).
+
+    Positions ride the exchange (vs window_dedup_stats shipping
+    aggregated (doc,hash,m) rows) — same asymptotic volume, the price of
+    span geometry. Documents shorter than k tokens have no windows and
+    are absent, exactly like the oracle."""
+    import ray.data
+
+    wpos = _docs(sf_dir).map_batches(
+        lambda df: _window_pos_batch(df, k), batch_format="pandas"
+    )
+
+    # -- exchange 1: mark duplicated (doc, pos) by global window count --
+    def mark_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df  # positions cannot pre-aggregate; rows are fixed-width
+
+    def mark_combine(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h")["h"].transform("size")
+        keep = g[(tot >= 2).to_numpy()]
+        return keep[["doc_id", "pos"]]
+
+    dup_pos = bucketed_combine(wpos, "h", mark_partial, mark_combine,
+                               num_buckets=16, coalesce_blocks=4)
+
+    # -- exchange 2: per-doc islands of consecutive positions --
+    def island_combine(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "n_dup_windows": np.empty(0, np.int64),
+                                 "max_dup_run": np.empty(0, np.int64)})
+        s = g.sort_values(["doc_id", "pos"])
+        doc = s["doc_id"].to_numpy(np.int64)
+        pos = s["pos"].to_numpy(np.int64)
+        new_run = np.r_[True, (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1] + 1)]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[starts, len(pos)])
+        f = pd.DataFrame({"doc_id": doc[starts], "run_len": run_len})
+        return f.groupby("doc_id", as_index=False).agg(
+            n_dup_windows=("run_len", "sum"), max_dup_run=("run_len", "max"))
+
+    islands = bucketed_combine(dup_pos, "doc_id", lambda df: df,
+                               island_combine, num_buckets=16,
+                               coalesce_blocks=4)
+
+    # -- window totals per doc (pre-aggregated at the scan) --
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).agg(
+            n_windows=("pos", "size"))
+
+    def size_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).agg(
+            n_windows=("n_windows", "sum"))
+
+    sizes = bucketed_combine(wpos, "doc_id", size_partial, size_combine,
+                             num_buckets=16, coalesce_blocks=4)
+
+    # -- exchange 3: LEFT join (zero-dup docs report 0/0/0) --
+    def attach(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="doc_id", how="left")
+        run = m["max_dup_run"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "n_windows": m["n_windows"].to_numpy(np.int64),
+            "n_dup_windows": m["n_dup_windows"].fillna(0).to_numpy(np.int64),
+            "max_dup_run": run,
+            "max_dup_span_tokens": np.where(run > 0, run + k - 1, 0),
+        })
+
+    out = bucketed_join(
+        sizes, islands, "doc_id", "doc_id", attach,
+        left_dtypes={"doc_id": "int64", "n_windows": "int64"},
+        right_dtypes={"doc_id": "int64", "n_dup_windows": "int64",
+                      "max_dup_run": "int64"},
+        num_buckets=16, coalesce_blocks=4,
+    ).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_windows": "int64",
+                           "n_dup_windows": "int64", "max_dup_run": "int64",
+                           "max_dup_span_tokens": "int64"},
+                     sort_by="doc_id")
+
+
+DOC_DUP_SPAN_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), win AS (
+  SELECT doc_id,
+         UNNEST(range(1, len(toks) - 6)) AS pos,
+         UNNEST(list_transform(range(1, len(toks) - 6),
+                               i -> array_to_string(toks[i:i+7], ' '))) AS w
+  FROM tok
+  WHERE len(toks) >= 8
+), c AS (
+  SELECT w FROM win GROUP BY w HAVING COUNT(*) >= 2
+), d AS (
+  SELECT win.doc_id, win.pos FROM win JOIN c USING (w)
+), isl AS (
+  SELECT doc_id,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM d
+), runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len FROM isl GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id, SUM(run_len) AS n_dup_windows, MAX(run_len) AS max_dup_run
+  FROM runs GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_windows,
+       CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(a.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+       CAST(CASE WHEN a.max_dup_run IS NULL THEN 0
+                 ELSE a.max_dup_run + 7 END AS BIGINT) AS max_dup_span_tokens
+FROM sizes s LEFT JOIN agg a USING (doc_id)
+ORDER BY s.doc_id
+"""

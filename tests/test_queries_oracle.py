@@ -110,7 +110,7 @@ SQL_CHECKED = [
     "part_brand_supplier_counts", "customer_ltv_deciles",
     "embedding_outlier_topk", "ngram_containment_pairs",
     "corpus_lang_source_contingency", "events_seasonality_profile",
-    "customer_repeat_rate_by_segment",
+    "customer_repeat_rate_by_segment", "doc_dup_span_stats",
 ]
 
 
