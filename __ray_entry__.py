@@ -200,6 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_repeat_rate_by_segment":
             relational.customer_repeat_rate_by_segment,
         "doc_dup_span_stats": curation.doc_dup_span_stats,
+        "customer_order_count_distribution":
+            relational.customer_order_count_distribution,
+        "part_cheapest_supplier": relational.part_cheapest_supplier,
+        "order_basket_pairs": relational.order_basket_pairs,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -251,13 +255,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_region": relational.orders_per_region,
         "doc_length_moments": text_analysis.doc_length_moments,
         "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
+        # -------------------- ~50-entry window boundary --------------------
+        # (34 round-4 additions above pushed the tail of the round-2 fill
+        # below the line; everything below holds an r2 or r3 driver row
+        # and full pytest-oracle coverage, and rotates back in round 5)
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         "extract_pages": _extract_pages,
         "extract_pages_visual": _extract_pages_visual,
-        # -------------------- ~50-entry window boundary --------------------
-        # (31 round-4 additions above pushed the tail of the round-2 fill
-        # below the line; everything below holds an r2 or r3 driver row
-        # and full pytest-oracle coverage, and rotates back in round 5)
         "extract_metrics": _extract_metrics,
         "extract_job_lineage": _extract_job_lineage,
         "events_tumbling_hourly": relational.events_tumbling_hourly,
@@ -362,6 +366,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_repeat_rate_by_segment":
             relational.CUSTOMER_REPEAT_RATE_SQL,
         "doc_dup_span_stats": curation.DOC_DUP_SPAN_STATS_SQL,
+        "customer_order_count_distribution":
+            relational.CUSTOMER_ORDER_COUNT_DIST_SQL,
+        "part_cheapest_supplier": relational.PART_CHEAPEST_SUPPLIER_SQL,
+        "order_basket_pairs": relational.ORDER_BASKET_PAIRS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

@@ -1509,3 +1509,220 @@ FROM per_cust
 GROUP BY segment
 ORDER BY segment
 """
+
+
+def customer_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """Distribution of per-customer order counts (TPC-H Q13 analog) — the
+    two-level "distribution of a distribution" shape: an outer grouped
+    count per customer (zero-order customers included via the left-OUTER
+    side), then a histogram over the counts themselves.
+
+    Scale shape: level 1 reuses ``customer_repeat_rate_by_segment``'s plan
+    (per-batch (custkey, n) partials, custkey-bucketed outer join against
+    customer so the zero fill is exact); level 2 never shuffles — each
+    bucket emits a (c_count, n_customers) partial histogram whose key space
+    is bounded by max orders-per-customer, and the driver folds
+    buckets x counts rows."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_custkey", "size"))
+
+    def cnt_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"))
+
+    counts = bucketed_combine(orders, "o_custkey", cnt_partial, cnt_combine,
+                              coalesce_blocks=8)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def hist_partial(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="c_custkey", right_on="o_custkey",
+                       how="left")
+        c = m["n_orders"].fillna(0).to_numpy(np.int64)
+        f = pd.DataFrame({"c_count": c})
+        return f.groupby("c_count", as_index=False).agg(
+            n_customers=("c_count", "size"))
+
+    parts = bucketed_join(
+        cust, counts, "c_custkey", "o_custkey", hist_partial,
+        left_dtypes={"c_custkey": "int64"},
+        right_dtypes={"o_custkey": "int64", "n_orders": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    schema = {"c_count": "int64", "n_customers": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby("c_count", as_index=False).agg(
+        n_customers=("n_customers", "sum"))
+    out = out.sort_values(["n_customers", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    return typed_out(out, schema)
+
+
+CUSTOMER_ORDER_COUNT_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY c_count
+ORDER BY n_customers DESC, c_count DESC
+"""
+
+
+def _champ_reduce(f: pd.DataFrame) -> pd.DataFrame:
+    """Keep the (unit, suppkey)-lexicographic champion per partkey — the
+    mergeable argmin reduction shared by the batch partial and the
+    bucket combine of ``part_cheapest_supplier``."""
+    f = f.sort_values(["l_partkey", "unit", "l_suppkey"])
+    return f.drop_duplicates("l_partkey", keep="first")
+
+
+def part_cheapest_supplier(sf_dir: str) -> pd.DataFrame:
+    """Per part, the supplier offering the lowest observed unit price
+    (l_extendedprice / l_quantity) — the groupwise-ARGMIN join (TPC-H Q2's
+    correlated min-subquery shape): the winning row's OTHER columns
+    (suppkey) must ride along with the min, which a plain groupby-min
+    cannot express.
+
+    Scale shape: the argmin partial is mergeable — each batch keeps one
+    (unit, suppkey) champion per partkey, ties broken (unit, suppkey)
+    lexicographically exactly like the oracle's ORDER BY, so the
+    partkey-bucketed combine folds champions associatively; supplier
+    (a growing dim) then attaches through a suppkey-bucketed join, never
+    broadcast. Unit price is an IEEE double division identical on both
+    sides; rounding happens only on the OUTPUT column, after selection."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_quantity"])
+
+    def champ_partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "unit": df["l_extendedprice"].to_numpy(np.float64)
+                    / df["l_quantity"].to_numpy(np.float64),
+        })
+        return _champ_reduce(f)
+
+    best = bucketed_combine(li, "l_partkey", champ_partial, _champ_reduce,
+                            coalesce_blocks=8)
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def attach(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_suppkey", right_on="s_suppkey")
+        return pd.DataFrame({
+            "p_partkey": m["l_partkey"].to_numpy(np.int64),
+            "s_suppkey": m["l_suppkey"].to_numpy(np.int64),
+            "s_name": m["s_name"].to_numpy(object),
+            "min_unit_price": round_away(m["unit"], 4),
+        })
+
+    out = bucketed_join(
+        best, sup, "l_suppkey", "s_suppkey", attach,
+        left_dtypes={"l_partkey": "int64", "l_suppkey": "int64",
+                     "unit": "float64"},
+        right_dtypes={"s_suppkey": "int64", "s_name": "object"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    return typed_out(out, {"p_partkey": "int64", "s_suppkey": "int64",
+                           "s_name": "object", "min_unit_price": "float64"},
+                     sort_by="p_partkey")
+
+
+PART_CHEAPEST_SUPPLIER_SQL = """
+WITH ranked AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         l_extendedprice / l_quantity AS unit,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_extendedprice / l_quantity, l_suppkey
+         ) AS rn
+  FROM lineitem
+)
+SELECT p_partkey, s_suppkey, s_name,
+       ROUND(unit, 4) AS min_unit_price
+FROM ranked JOIN supplier USING (s_suppkey)
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
+def order_basket_pairs(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Top-k co-purchased part PAIRS across orders (market-basket /
+    frequent-itemset support counting) — the within-group self-join whose
+    output explodes quadratically per basket but stays bounded per order.
+
+    Scale shape: pair expansion requires a whole order in one place, so
+    exchange 1 buckets the distinct (orderkey, partkey) stream on orderkey
+    (per-batch dedup first; each order contributes <= lines rows) and
+    expands pairs with a bucket-local self-merge — sum(m_i^2) work where
+    m_i is basket size, bounded by the order-lines cap, never by the
+    corpus. Exchange 2 buckets on the PAIR key so per-pair support counts
+    are exact in-bucket, keeps a bucket-local top-k, and the driver merges
+    k x buckets fixed-width rows."""
+    from ..functions.shuffle import bucketed_combine
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        f = pd.DataFrame({"pk1": m["l_partkey_x"].to_numpy(np.int64),
+                          "pk2": m["l_partkey_y"].to_numpy(np.int64)})
+        return f.groupby(["pk1", "pk2"], as_index=False).agg(
+            n_orders=("pk1", "size"))
+
+    pairs = bucketed_combine(li, "l_orderkey", dedup_partial, expand_pairs,
+                             coalesce_blocks=8)
+
+    def topk_combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["pk1", "pk2"], as_index=False).agg(
+            n_orders=("n_orders", "sum"))
+        return t.sort_values(["n_orders", "pk1", "pk2"],
+                             ascending=[False, True, True]).head(k)
+
+    out = bucketed_combine(pairs, ["pk1", "pk2"], lambda df: df,
+                           topk_combine, coalesce_blocks=8).to_pandas()
+    schema = {"pk1": "int64", "pk2": "int64", "n_orders": "int64",
+              "rank": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["n_orders", "pk1", "pk2"],
+                          ascending=[False, True, True]).head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return typed_out(out, schema)
+
+
+ORDER_BASKET_PAIRS_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS pk1, b.l_partkey AS pk2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), cnt AS (
+  SELECT pk1, pk2, COUNT(*) AS n_orders FROM pairs GROUP BY pk1, pk2
+)
+SELECT pk1, pk2, n_orders,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, pk1, pk2) AS BIGINT)
+         AS rank
+FROM cnt
+ORDER BY n_orders DESC, pk1, pk2
+LIMIT 100
+"""

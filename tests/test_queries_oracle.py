@@ -111,6 +111,8 @@ SQL_CHECKED = [
     "embedding_outlier_topk", "ngram_containment_pairs",
     "corpus_lang_source_contingency", "events_seasonality_profile",
     "customer_repeat_rate_by_segment", "doc_dup_span_stats",
+    "customer_order_count_distribution", "part_cheapest_supplier",
+    "order_basket_pairs",
 ]
 
 
