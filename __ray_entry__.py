@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.customer_order_count_distribution,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
         "order_basket_pairs": relational.order_basket_pairs,
+        "corpus_weighted_sample": curation.corpus_weighted_sample,
+        "doc_length_median_by_lang": text_analysis.doc_length_median_by_lang,
+        "part_price_size_skyline": relational.part_price_size_skyline,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -252,13 +255,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "events_user_sessions": streaming.events_user_sessions,
         "doc_token_stats": text_analysis.doc_token_stats,
+        # -------------------- ~50-entry window boundary --------------------
+        # (37 round-4 additions above pushed the tail of the round-2 fill
+        # below the line; everything below holds an r2 or r3 driver row
+        # and full pytest-oracle coverage, and rotates back in round 5)
         "orders_per_region": relational.orders_per_region,
         "doc_length_moments": text_analysis.doc_length_moments,
         "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
-        # -------------------- ~50-entry window boundary --------------------
-        # (34 round-4 additions above pushed the tail of the round-2 fill
-        # below the line; everything below holds an r2 or r3 driver row
-        # and full pytest-oracle coverage, and rotates back in round 5)
         "corpus_temperature_mix": text_analysis.corpus_temperature_mix,
         "extract_pages": _extract_pages,
         "extract_pages_visual": _extract_pages_visual,
@@ -370,6 +373,10 @@ def oracle_sql() -> dict[str, str]:
             relational.CUSTOMER_ORDER_COUNT_DIST_SQL,
         "part_cheapest_supplier": relational.PART_CHEAPEST_SUPPLIER_SQL,
         "order_basket_pairs": relational.ORDER_BASKET_PAIRS_SQL,
+        "corpus_weighted_sample": curation.CORPUS_WEIGHTED_SAMPLE_SQL,
+        "doc_length_median_by_lang":
+            text_analysis.DOC_LENGTH_MEDIAN_BY_LANG_SQL,
+        "part_price_size_skyline": relational.PART_PRICE_SIZE_SKYLINE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

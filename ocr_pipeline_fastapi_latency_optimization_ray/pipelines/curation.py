@@ -1645,3 +1645,58 @@ SELECT s.doc_id, s.n_windows,
 FROM sizes s LEFT JOIN agg a USING (doc_id)
 ORDER BY s.doc_id
 """
+
+
+def corpus_weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic WEIGHTED k-sample: rank documents by the priority
+    ``u / w`` where u is the seeded Knuth hash of doc_id (the
+    ``corpus_uniform_sample`` key) and w the document's weight (n_chars,
+    floored to 1), and keep the k smallest — heavier documents draw
+    proportionally smaller priorities, the A-Res/Efraimidis–Spirakis
+    scheme with the exponent map replaced by an integer-exact ratio so
+    BOTH sides compute one correctly-rounded IEEE division and the oracle
+    is bit-identical (ln/pow differ across libm implementations; a ratio
+    of two exact integers cannot).
+
+    Plan: identical to the uniform sampler — per-batch local top-k (at
+    most k fixed-width rows leave each batch), driver merges k x n_blocks
+    rows. Zero exchange."""
+    docs = _docs(sf_dir, columns=("doc_id", "source", "n_chars"))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        if len(ids) and ((ids < 0).any() or (ids >= (1 << 32)).any()):
+            raise ValueError(
+                "corpus_weighted_sample requires 0 <= doc_id < 2^32 for "
+                "the SQL-exact Knuth-hash contract")
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32)).astype(np.float64)
+        w = np.maximum(df["n_chars"].to_numpy(np.int64), 1).astype(np.float64)
+        out = pd.DataFrame({"doc_id": ids,
+                            "source": df["source"].to_numpy(object),
+                            "n_chars": df["n_chars"].to_numpy(np.int64),
+                            "key": h / w})
+        return out.nsmallest(k, ["key", "doc_id"])
+
+    out = docs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    empty = {"doc_id": "int64", "source": "object", "n_chars": "int64",
+             "sample_rank": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty)
+    out = out.nsmallest(k, ["key", "doc_id"]).reset_index(drop=True)
+    out["sample_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return typed_out(out[["doc_id", "source", "n_chars", "sample_rank"]],
+                     empty)
+
+
+CORPUS_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                       AS DOUBLE)
+                  / CAST(GREATEST(n_chars, 1) AS DOUBLE),
+                  doc_id) AS BIGINT) AS sample_rank
+FROM documents
+ORDER BY sample_rank
+LIMIT 100
+"""

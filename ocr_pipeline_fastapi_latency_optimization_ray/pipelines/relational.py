@@ -1726,3 +1726,56 @@ FROM cnt
 ORDER BY n_orders DESC, pk1, pk2
 LIMIT 100
 """
+
+
+def _skyline_2d(f: pd.DataFrame) -> pd.DataFrame:
+    """2-D pareto frontier (minimize p_retailprice, maximize p_size) of one
+    frame, vectorized: sort by (price asc, size desc); a row survives iff
+    its size equals its price-group's max AND that max strictly beats the
+    running max over all cheaper prices. Equal (price, size) duplicates
+    never dominate each other, so all survive — matching the oracle's
+    strict-dominance NOT EXISTS."""
+    if f.empty:
+        return f
+    s = f.sort_values(["p_retailprice", "p_size"], ascending=[True, False])
+    price = s["p_retailprice"].to_numpy(np.float64)
+    size = s["p_size"].to_numpy(np.int64)
+    new_g = np.r_[True, price[1:] != price[:-1]]
+    gstart = np.flatnonzero(new_g)
+    gmax = size[gstart]  # sorted size-desc within group: max is first
+    prev = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(gmax)[:-1]]
+    gid = np.cumsum(new_g) - 1
+    keep = (gmax > prev)[gid] & (size == gmax[gid])
+    return s[keep]
+
+
+def part_price_size_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier of parts on (retail price MIN, size MAX) — the
+    skyline operator (Borzsony et al. 2001): rows no other row strictly
+    dominates. The distributed form exploits skyline's closure under
+    union: a globally non-dominated row is non-dominated in its own
+    block, so each block emits its LOCAL skyline (O(frontier) rows —
+    ~log n for random 2-D data) and the driver skylines the bounded
+    union of frontiers. Zero exchange; the data never moves."""
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+    out = ds.map_batches(_skyline_2d, batch_format="pandas").to_pandas()
+    schema = {"p_partkey": "int64", "p_retailprice": "float64",
+              "p_size": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = _skyline_2d(out)
+    out = out.sort_values(["p_retailprice", "p_size", "p_partkey"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    return typed_out(out[["p_partkey", "p_retailprice", "p_size"]], schema)
+
+
+PART_PRICE_SIZE_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part q
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p
+  WHERE p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
+    AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))
+ORDER BY p_retailprice, p_size DESC, p_partkey
+"""

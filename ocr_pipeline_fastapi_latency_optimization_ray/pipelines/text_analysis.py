@@ -1918,3 +1918,76 @@ FROM big JOIN f2 USING (a, b) JOIN f1 USING (a)
 GROUP BY big.doc_id
 ORDER BY doc_id
 """
+
+
+def _hist_quantile_cont(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
+    """Exact continuous quantile (DuckDB ``quantile_cont`` semantics:
+    pos = q*(n-1), linear interpolation between the straddling order
+    statistics) computed from a VALUE HISTOGRAM instead of the sorted
+    expansion — the trick that makes exact medians distributable: the
+    exchange carries one row per distinct value, never per document."""
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    pos = q * (n - 1)
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    cum = np.cumsum(cnts)
+    v_lo = float(vals[np.searchsorted(cum, lo + 1)])
+    v_hi = float(vals[np.searchsorted(cum, hi + 1)])
+    return v_lo + (v_hi - v_lo) * (pos - lo)
+
+
+def doc_length_median_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language EXACT median and MAD (median absolute deviation) of
+    document length — the robust-statistics profile (mean/stddev are in
+    ``doc_length_moments``; medians resist the heavy tail a web corpus
+    always has). Exact medians normally need a per-group sort of every
+    value; here the value domain is bounded (a length in chars), so a
+    VALUE-HISTOGRAM exchange is exact: per-batch (lang, n_chars, cnt)
+    partials, a lang-bucketed combine folds them and walks the cumulative
+    histogram for the median, then builds the |x - median| DEVIATION
+    histogram (distinct-value-sized again) and walks it for the MAD.
+    Interpolation mirrors DuckDB quantile_cont bit-for-bit (values and
+    half-grid deviations are small integers scaled by 0.5 — exact
+    doubles)."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], as_index=False).agg(
+            cnt=("n_chars", "size"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["lang", "n_chars"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        rows = []
+        for lang, f in g.groupby("lang"):
+            vals = f["n_chars"].to_numpy(np.float64)
+            cnts = f["cnt"].to_numpy(np.int64)
+            med = _hist_quantile_cont(vals, cnts, 0.5)
+            dev = np.abs(vals - med)
+            dd = pd.DataFrame({"d": dev, "cnt": cnts}).groupby(
+                "d", as_index=False).agg(cnt=("cnt", "sum"))
+            mad = _hist_quantile_cont(dd["d"].to_numpy(np.float64),
+                                      dd["cnt"].to_numpy(np.int64), 0.5)
+            rows.append((lang, int(cnts.sum()), med, mad))
+        return pd.DataFrame(rows, columns=["lang", "n_docs",
+                                           "median_n_chars", "mad_n_chars"])
+
+    out = bucketed_combine(ds, "lang", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"lang": "object", "n_docs": "int64",
+                           "median_n_chars": "float64",
+                           "mad_n_chars": "float64"}, sort_by="lang")
+
+
+DOC_LENGTH_MEDIAN_BY_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       median(n_chars) AS median_n_chars,
+       mad(n_chars) AS mad_n_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

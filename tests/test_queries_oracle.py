@@ -112,7 +112,8 @@ SQL_CHECKED = [
     "corpus_lang_source_contingency", "events_seasonality_profile",
     "customer_repeat_rate_by_segment", "doc_dup_span_stats",
     "customer_order_count_distribution", "part_cheapest_supplier",
-    "order_basket_pairs",
+    "order_basket_pairs", "corpus_weighted_sample",
+    "doc_length_median_by_lang", "part_price_size_skyline",
 ]
 
 
