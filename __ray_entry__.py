@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_weighted_sample": curation.corpus_weighted_sample,
         "doc_length_median_by_lang": text_analysis.doc_length_median_by_lang,
         "part_price_size_skyline": relational.part_price_size_skyline,
+        "heldout_bigram_logprob": text_analysis.heldout_bigram_logprob,
+        "doc_quality_classifier": text_analysis.doc_quality_classifier,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -253,12 +255,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
         "doc_quality": text_analysis.doc_quality,
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "events_user_sessions": streaming.events_user_sessions,
-        "doc_token_stats": text_analysis.doc_token_stats,
         # -------------------- ~50-entry window boundary --------------------
-        # (37 round-4 additions above pushed the tail of the round-2 fill
+        # (39 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "events_user_sessions": streaming.events_user_sessions,
+        "doc_token_stats": text_analysis.doc_token_stats,
         "orders_per_region": relational.orders_per_region,
         "doc_length_moments": text_analysis.doc_length_moments,
         "tf_idf_top_terms": text_analysis.tf_idf_top_terms,
@@ -377,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_median_by_lang":
             text_analysis.DOC_LENGTH_MEDIAN_BY_LANG_SQL,
         "part_price_size_skyline": relational.PART_PRICE_SIZE_SKYLINE_SQL,
+        "heldout_bigram_logprob": text_analysis.HELDOUT_BIGRAM_LOGPROB_SQL,
+        "doc_quality_classifier": text_analysis.DOC_QUALITY_CLASSIFIER_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

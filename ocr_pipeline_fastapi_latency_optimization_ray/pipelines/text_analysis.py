@@ -1991,3 +1991,266 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def heldout_bigram_logprob(sf_dir: str, eval_pct: int = 10) -> pd.DataFrame:
+    """Held-out LM evaluation — score EVAL-split documents under a bigram
+    LM fitted on the TRAIN split only (the ``doc_sample_split`` hash
+    split), Laplace-smoothed so unseen eval bigrams stay finite:
+
+        term(v,w) = ln( (f2_train(v,w) + 1) / (f1_train(v) + V_train) )
+
+    with V_train the train prefix vocabulary. This is the train/apply
+    SHAPE every data-pipeline model pass has (fit on one partition of the
+    stream, apply to another) — unlike ``doc_bigram_logprob`` which
+    scores the corpus under itself, the scoring joins here are LEFT:
+    eval bigrams the model never saw must survive with count 0.
+
+    Plan: one bigram-counting pass tags each doc's split from doc_id
+    (zero extra I/O); train-side f2/f1/V come from split-filtered
+    bucketed combines (V folds one distinct-count per bucket); eval rows
+    flow through bigram-keyed then prefix-keyed LEFT joins with
+    bucket-local per-doc pre-aggregation. 1e-6 rounding absorbs
+    summation-order ulps; perplexity is exp of the ROUNDED mean so both
+    sides exponentiate identical doubles."""
+    from ..functions.frames import round_away as _ra
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    empty_schema = {"doc_id": "int64", "n_bigrams": "int64",
+                    "logprob": "float64", "ppl": "float64"}
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        doc = ex.index.to_numpy()
+        tok = ex.to_numpy(object)
+        base = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "a": pd.Series(dtype=object),
+                             "b": pd.Series(dtype=object),
+                             "cnt": pd.Series(dtype="int64"),
+                             "is_eval": pd.Series(dtype="bool")})
+        if len(tok) < 2:
+            return base
+        same = doc[1:] == doc[:-1]
+        g = (pd.DataFrame({"doc_id": doc[:-1][same],
+                           "a": tok[:-1][same], "b": tok[1:][same]})
+             .groupby(["doc_id", "a", "b"], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        g["cnt"] = g.cnt.astype("int64")
+        ids = g["doc_id"].to_numpy(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) \
+            % np.uint64(100)
+        g["is_eval"] = bucket < eval_pct
+        return g
+
+    tf = ds.map_batches(big_partial, batch_format="pandas").materialize()
+
+    def f2_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[~df["is_eval"]]
+        g = t.groupby(["a", "b"], as_index=False).agg(f2=("cnt", "sum"))
+        g["bigram"] = g.a.astype(object) + " " + g.b.astype(object)
+        return g
+
+    def f2_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["bigram"], as_index=False).agg(f2=("f2", "sum"))
+
+    f2 = bucketed_combine(tf, "bigram", f2_partial, f2_combine).materialize()
+
+    def f1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[~df["is_eval"]]
+        return t.groupby("a", as_index=False).agg(f1=("cnt", "sum"))
+
+    def f1_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("a", as_index=False).agg(f1=("f1", "sum"))
+
+    f1 = bucketed_combine(tf, "a", f1_partial, f1_combine).materialize()
+
+    def v_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[~df["is_eval"]]
+        return pd.DataFrame({"a": pd.unique(t["a"].to_numpy(object))})
+
+    def v_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": ["_"], "nv": [g["a"].nunique()]})
+
+    v_rows = bucketed_combine(tf, "a", v_partial, v_combine,
+                              coalesce_blocks=8).to_pandas()
+    v_train = float(v_rows["nv"].sum()) if len(v_rows) else 0.0
+
+    def key_eval(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["is_eval"]].copy()
+        df["bigram"] = df.a.astype(object) + " " + df.b.astype(object)
+        return df[["doc_id", "a", "bigram", "cnt"]]
+
+    ev = tf.map_batches(key_eval, batch_format="pandas")
+
+    def attach_f2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right[["bigram", "f2"]], on="bigram", how="left")
+        m["f2"] = m["f2"].fillna(0).astype("int64")
+        return m[["doc_id", "a", "cnt", "f2"]]
+
+    with_f2 = bucketed_join(
+        ev, f2, "bigram", "bigram", attach_f2,
+        left_dtypes={"doc_id": "int64", "a": "object", "bigram": "object",
+                     "cnt": "int64"},
+        right_dtypes={"bigram": "object", "f2": "int64"},
+        coalesce_blocks=8,
+    )
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="a", how="left")
+        if m.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        cnt = m.cnt.to_numpy(np.float64)
+        f2v = m.f2.to_numpy(np.float64)
+        f1v = m.f1.fillna(0).to_numpy(np.float64)
+        term = cnt * np.log((f2v + 1.0) / (f1v + v_train))
+        d = pd.DataFrame({"doc_id": m.doc_id.to_numpy(np.int64),
+                          "s": term, "n": cnt.astype(np.int64)})
+        return d.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+
+    scored = bucketed_join(
+        with_f2, f1, "a", "a", score,
+        left_dtypes={"doc_id": "int64", "a": "object", "cnt": "int64",
+                     "f2": "int64"},
+        right_dtypes={"a": "object", "f1": "int64"},
+        coalesce_blocks=8,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False).agg(s=("s", "sum"),
+                                                    n=("n", "sum"))
+        lp = _ra(s.s.to_numpy() / s.n.to_numpy(np.float64), 6)
+        s["logprob"] = lp
+        s["ppl"] = _ra(np.exp(-lp), 4)
+        s["n_bigrams"] = s.n.astype("int64")
+        return s[["doc_id", "n_bigrams", "logprob", "ppl"]]
+
+    out = bucketed_combine(scored, "doc_id", lambda df: df, final,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), empty_schema)
+    return typed_out(out, empty_schema, sort_by="doc_id")
+
+
+HELDOUT_BIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ts,
+         ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 10)
+           AS is_eval
+  FROM documents
+), big AS (
+  SELECT doc_id, is_eval, ts[i] AS a, ts[i + 1] AS b
+  FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+), f2 AS (
+  SELECT a, b, COUNT(*) AS f2 FROM big WHERE NOT is_eval GROUP BY 1, 2
+), f1 AS (
+  SELECT a, COUNT(*) AS f1 FROM big WHERE NOT is_eval GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT a) AS DOUBLE) AS nv FROM big WHERE NOT is_eval
+), per_doc AS (
+  SELECT big.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(AVG(ln((CAST(COALESCE(f2.f2, 0) AS DOUBLE) + 1.0)
+                      / (CAST(COALESCE(f1.f1, 0) AS DOUBLE) + v.nv))), 6)
+           AS logprob
+  FROM big
+  LEFT JOIN f2 ON big.a = f2.a AND big.b = f2.b
+  LEFT JOIN f1 ON big.a = f1.a
+  CROSS JOIN v
+  WHERE big.is_eval
+  GROUP BY big.doc_id
+)
+SELECT doc_id, n_bigrams, logprob, ROUND(exp(-logprob), 4) AS ppl
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+class QualityClassifier:
+    """Linear quality filter held warm per actor — the fasttext/logreg
+    model-inference shape (CCNet's quality LM, Llama's quality
+    classifiers): weights load ONCE in ``__init__`` (here fixed
+    constants standing in for trained parameters — swap in a real
+    coefficient file at deploy time), ``__call__`` scores a batch
+    vectorized. Features are the ``doc_quality`` signals; the sigmoid is
+    written as the exact double expression the oracle SQL uses."""
+
+    STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that",
+                 "it", "for")
+    W0, W_LNTOK, W_STOP, W_ALPHA, W_MTL = -3.0, 0.45, 6.0, 1.5, 0.05
+
+    def __init__(self):
+        self.stop = frozenset(self.STOPWORDS)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        toks = txt.str.split(" ")
+        ex = toks.explode()
+        n_tok = toks.str.len().to_numpy(np.float64)
+        n_stop = (ex.isin(self.stop).groupby(ex.index).sum()
+                  .reindex(df.index, fill_value=0).to_numpy(np.float64))
+        n_chars = txt.str.len().to_numpy(np.float64)
+        n_alpha = txt.str.count("[A-Za-z]").to_numpy(np.float64)
+        z = (self.W0
+             + self.W_LNTOK * np.log(n_tok + 1.0)
+             + self.W_STOP * (n_stop / n_tok)
+             + self.W_ALPHA * (n_alpha / (n_chars + 1.0))
+             + self.W_MTL * (n_chars / n_tok))
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "quality_score": round_away(score, 6),
+            "label": np.where(score >= 0.5, "keep", "drop"),
+        })
+
+
+def doc_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Model-scoring pass over the documents table through an ACTOR POOL
+    (``map_batches`` with a callable class + ``concurrency``): per-actor
+    one-time setup in ``__init__``, vectorized batched inference in
+    ``__call__`` — the plumbing every learned quality/toxicity filter
+    runs on at 100 TB. Zero shuffles; one streaming pass."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(QualityClassifier, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "quality_score": "float64",
+                           "label": "object"}, sort_by="doc_id")
+
+
+DOC_QUALITY_CLASSIFIER_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, w -> w IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+             AS DOUBLE) AS n_stop,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM t
+), z AS (
+  SELECT doc_id,
+         -3.0 + 0.45 * ln(n_tok + 1.0) + 6.0 * (n_stop / n_tok)
+         + 1.5 * (n_alpha / (n_chars + 1.0)) + 0.05 * (n_chars / n_tok)
+           AS z
+  FROM f
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+       CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 'keep' ELSE 'drop' END
+         AS label
+FROM z
+ORDER BY doc_id
+"""

@@ -114,6 +114,7 @@ SQL_CHECKED = [
     "customer_order_count_distribution", "part_cheapest_supplier",
     "order_basket_pairs", "corpus_weighted_sample",
     "doc_length_median_by_lang", "part_price_size_skyline",
+    "heldout_bigram_logprob", "doc_quality_classifier",
 ]
 
 
