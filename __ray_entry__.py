@@ -37,6 +37,7 @@ from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E
     similarity,
     streaming,
     text_analysis,
+    tokenizer,
 )
 from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.extract import (  # noqa: E402
     build_extraction_pipeline,
@@ -213,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
         "ann_recall_report": similarity.ann_recall_report,
+        "bpe_train_merges": tokenizer.bpe_train_merges,
+        "bpe_encode_stats": tokenizer.bpe_encode_stats,
         # oracle-backed (new in round 4):
         "extract_domain_stats": extract_checks.extract_domain_stats,
         "url_normalize_dedup": extract_checks.url_normalize_dedup,
@@ -253,12 +256,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q3_top_orders": relational.q3_top_orders,
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
-        "doc_quality": text_analysis.doc_quality,
-        "q1_pricing_summary": relational.q1_pricing_summary,
         # -------------------- ~50-entry window boundary --------------------
-        # (39 round-4 additions above pushed the tail of the round-2 fill
+        # (41 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "doc_quality": text_analysis.doc_quality,
+        "q1_pricing_summary": relational.q1_pricing_summary,
         "events_user_sessions": streaming.events_user_sessions,
         "doc_token_stats": text_analysis.doc_token_stats,
         "orders_per_region": relational.orders_per_region,

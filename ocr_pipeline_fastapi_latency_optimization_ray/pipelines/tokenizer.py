@@ -1,0 +1,172 @@
+"""Distributed BPE tokenizer training + application.
+
+The classic byte-pair-encoding trainer (Sennrich et al. 2016) never
+iterates over the corpus: it iterates over the WORD-FREQUENCY TABLE,
+which is vocabulary-sized. That makes the 100 TB decomposition natural:
+
+  1. the corpus-sized pass — word counting — is the engine's bread and
+     butter (token-bucketed exact counts, per-bucket top-V, bounded
+     driver merge: the ``token_topk`` plan with a larger V);
+  2. the merge LOOP runs on the bounded word table on the driver,
+     exactly like every production BPE trainer (which cap training to
+     the top ~1M words for the same reason — the frequency floor is
+     part of the algorithm, not a shortcut);
+  3. APPLYING the learned merges is a broadcast-model inference pass:
+     the merge ranks ship once per actor, each batch re-tokenizes
+     vectorized.
+
+No SQL oracle exists for an iterative merge loop; correctness is pinned
+in tests against an independent brute-force reference implementation
+run on DuckDB-derived word counts (tests/test_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..functions.frames import typed_out
+
+END = "</w>"
+
+
+def _word_freq_table(sf_dir: str, vocab_cap: int) -> pd.DataFrame:
+    """Exact (word, n) counts for the top-``vocab_cap`` words by
+    (n desc, word) — the bounded training table. Token-bucketed combine:
+    all occurrences of a word land in one bucket, so counts are exact
+    and each bucket's local top-V bounds what the driver merges."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        c = ex[ex != ""].value_counts()
+        return pd.DataFrame({"word": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("word", as_index=False).agg(n=("n", "sum"))
+        return t.sort_values(["n", "word"],
+                             ascending=[False, True]).head(vocab_cap)
+
+    out = bucketed_combine(ds, "word", partial, combine).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"word": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    return (out.sort_values(["n", "word"], ascending=[False, True])
+            .head(vocab_cap).reset_index(drop=True))
+
+
+def train_bpe(words: pd.DataFrame, n_merges: int) -> list[tuple]:
+    """Classic BPE merge loop over a (word, n) table: symbols start as
+    characters plus an end-of-word marker; each round merges the
+    adjacent pair with the highest weighted count (ties broken by the
+    lexicographically smallest pair, so the result is deterministic
+    under any table order). Returns [(rank, left, right, count)]."""
+    seqs = [tuple(w) + (END,) for w in words["word"].to_numpy(object)]
+    freqs = words["n"].to_numpy(np.int64)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for syms, f in zip(seqs, freqs):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + int(f)
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merged = a + b
+        new_seqs = []
+        for syms in seqs:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        seqs = new_seqs
+        merges.append((rank, a, b, c))
+    return merges
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 20,
+                     vocab_cap: int = 2000) -> pd.DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus (distributed word
+    counting, driver merge loop over the bounded table). Output is the
+    merge table every tokenizer ships: (merge_rank, left, right,
+    pair_count)."""
+    words = _word_freq_table(sf_dir, vocab_cap)
+    merges = train_bpe(words, n_merges)
+    out = pd.DataFrame(merges or None,
+                       columns=["merge_rank", "left", "right", "pair_count"])
+    return typed_out(out, {"merge_rank": "int64", "left": "object",
+                           "right": "object", "pair_count": "int64"},
+                     sort_by="merge_rank")
+
+
+def encode_word(word: str, rank_of: dict) -> list[str]:
+    """Apply learned merges to one word greedily by merge rank — the
+    standard BPE encode (lowest-rank applicable merge first)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = rank_of.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BpeEncoder:
+    """Broadcast-apply stage: the merge table ships ONCE per actor via
+    ``__init__`` (the broadcast-small-side pattern — never re-shipped
+    per batch); ``__call__`` encodes a batch with a per-batch word-level
+    memo (each distinct word in the batch is encoded once, then counts
+    fan back out vectorized)."""
+
+    def __init__(self, merges: list[tuple]):
+        self.rank_of = {(a, b): r for r, a, b, _ in merges}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        ex = toks.explode()
+        ex = ex[ex != ""]
+        uniq, inv = np.unique(ex.to_numpy(object), return_inverse=True)
+        lens = np.array([len(encode_word(w, self.rank_of)) for w in uniq],
+                        dtype=np.int64)
+        per_tok = lens[inv]
+        n_sub = (pd.Series(per_tok, index=ex.index).groupby(level=0).sum()
+                 .reindex(df.index, fill_value=0).to_numpy(np.int64))
+        n_words = (ex.groupby(level=0).size()
+                   .reindex(df.index, fill_value=0).to_numpy(np.int64))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_words": n_words,
+                             "n_subwords": n_sub})
+
+
+def bpe_encode_stats(sf_dir: str, n_merges: int = 20,
+                     vocab_cap: int = 2000) -> pd.DataFrame:
+    """End-to-end tokenizer pass: train merges (bounded), then encode
+    the whole corpus through an actor pool holding the merge table —
+    per-doc word and subword counts (the sequence-length planning input
+    for packing). fn_constructor_args ships the model once per actor."""
+    words = _word_freq_table(sf_dir, vocab_cap)
+    merges = train_bpe(words, n_merges)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(BpeEncoder, fn_constructor_args=(merges,),
+                         batch_format="pandas", concurrency=2).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_words": "int64",
+                           "n_subwords": "int64"}, sort_by="doc_id")

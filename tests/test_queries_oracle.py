@@ -137,7 +137,7 @@ ROWS_ONLY = [
     "doc_length_quantiles_sketch", "doc_compression_ratio",
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
     "doc_dup_pagerank", "ann_ivfpq_topk", "image_phash_dedup",
-    "ann_recall_report",
+    "ann_recall_report", "bpe_train_merges", "bpe_encode_stats",
 ]
 
 
