@@ -127,7 +127,7 @@ def ann_ivf_topk(
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
-        return df.loc[keep, ["embedding"]]
+        return df.loc[keep, ["vec_id", "embedding"]]
 
     sample_df = (
         ray.data.read_parquet(
@@ -136,6 +136,10 @@ def ann_ivf_topk(
         .map_batches(pick, batch_format="pandas")
         .to_pandas()
     )
+    if not sample_df.empty:
+        # block arrival order is not deterministic (preserve_order is off);
+        # the index-training sample must not inherit it
+        sample_df = sample_df.sort_values("vec_id").reset_index(drop=True)
     from ..functions.frames import typed_out
 
     qvec = _query_vector(sf_dir, query_vec_id)
@@ -256,7 +260,7 @@ def ann_pq_topk(
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
-        return df.loc[keep, ["embedding"]]
+        return df.loc[keep, ["vec_id", "embedding"]]
 
     sample_df = (
         ray.data.read_parquet(
@@ -265,6 +269,10 @@ def ann_pq_topk(
         .map_batches(pick, batch_format="pandas")
         .to_pandas()
     )
+    if not sample_df.empty:
+        # block arrival order is not deterministic (preserve_order is off);
+        # the index-training sample must not inherit it
+        sample_df = sample_df.sort_values("vec_id").reset_index(drop=True)
     if sample_df.empty:
         return typed_out(pd.DataFrame(), {"vec_id": "int64",
                                           "cosine": "float64"})
@@ -735,7 +743,7 @@ def ann_ivfpq_topk(
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
-        return df.loc[keep, ["embedding"]]
+        return df.loc[keep, ["vec_id", "embedding"]]
 
     sample_df = (
         ray.data.read_parquet(
@@ -744,6 +752,10 @@ def ann_ivfpq_topk(
         .map_batches(pick, batch_format="pandas")
         .to_pandas()
     )
+    if not sample_df.empty:
+        # block arrival order is not deterministic (preserve_order is off);
+        # the index-training sample must not inherit it
+        sample_df = sample_df.sort_values("vec_id").reset_index(drop=True)
     if sample_df.empty:
         return typed_out(pd.DataFrame(), empty)
     sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
