@@ -590,6 +590,9 @@ def _cov_moments(sf_dir: str):
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty or parts["n"].sum() == 0:
         return None
+    # block arrival order is not deterministic; sort partials before the
+    # float fold so the sum is bit-stable run to run
+    parts = parts.sort_values(["n", "state"]).reset_index(drop=True)
     states = [np.frombuffer(b, np.float64) for b in parts["state"]]
     dim = int((-1 + np.sqrt(1 + 4 * len(states[0]))) / 2)
     tot = np.sum(states, axis=0)
@@ -842,6 +845,7 @@ def embedding_outlier_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
     parts = ds.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
     if parts.empty or parts["n"].sum() == 0:
         return typed_out(pd.DataFrame(), empty)
+    parts = parts.sort_values(["n", "state"]).reset_index(drop=True)
     states = [np.frombuffer(b, np.float64) for b in parts["state"]]
     mu = np.sum(states, axis=0) / float(parts["n"].sum())
     mu_ref = ray.put(mu)
