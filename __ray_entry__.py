@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 132 entries, 101 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 144 entries, 111 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_size_skyline": relational.part_price_size_skyline,
         "heldout_bigram_logprob": text_analysis.heldout_bigram_logprob,
         "doc_quality_classifier": text_analysis.doc_quality_classifier,
+        "dup_graph_triangles": curation.dup_graph_triangles,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -255,11 +256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": streaming.events_funnel,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q3_top_orders": relational.q3_top_orders,
-        "events_asof_purchase_click": streaming.events_asof_purchase_click,
         # -------------------- ~50-entry window boundary --------------------
-        # (41 round-4 additions above pushed the tail of the round-2 fill
+        # (42 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "events_asof_purchase_click": streaming.events_asof_purchase_click,
         "doc_quality": text_analysis.doc_quality,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "events_user_sessions": streaming.events_user_sessions,
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "part_price_size_skyline": relational.PART_PRICE_SIZE_SKYLINE_SQL,
         "heldout_bigram_logprob": text_analysis.HELDOUT_BIGRAM_LOGPROB_SQL,
         "doc_quality_classifier": text_analysis.DOC_QUALITY_CLASSIFIER_SQL,
+        "dup_graph_triangles": curation.DUP_GRAPH_TRIANGLES_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

@@ -1700,3 +1700,172 @@ FROM documents
 ORDER BY sample_rank
 LIMIT 100
 """
+
+
+def dup_graph_triangles(sf_dir: str, k: int = 5,
+                        max_clique: int = 256) -> pd.DataFrame:
+    """Triangle count of the duplicate graph (docs linked iff they share a
+    k-token chunk) — the graph-MOTIF statistic next to dup_clusters'
+    connectivity and doc_dup_pagerank's centrality: triangles distinguish
+    tight mirror families (cliques) from chains of pairwise near-dups,
+    and triangle density is the standard input to a clustering-coefficient
+    health check of a dedup candidate graph.
+
+    Distributed node-iterator plan (the 2-round MapReduce classic,
+    Suri & Vassilvitskii 2011):
+      1. per-hash member lists are bucket-local -> emit distinct (a<b)
+         edges (clique expansion bounded by ``max_clique``; the guard
+         RAISES rather than silently truncating, keeping the SQL oracle
+         exact — beyond it you want the LSH tiers, not exact motifs);
+      2. edge-keyed exchange dedupes edges globally; node-keyed exchange
+         computes degrees;
+      3. edges orient low-(deg,node) -> high so every triangle has
+         exactly ONE wedge node; per-src out-neighbor pairs (out-degree
+         is O(sqrt(m)) after orientation — the textbook bound) emit
+         wedge keys;
+      4. wedges join the undirected edge set on (lo, hi); matches are
+         triangles. One (n_nodes, n_edges, n_triangles) row comes back.
+
+    Empty corpus: one all-zeros row (scalar-aggregate parity with the
+    oracle)."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    pairs = _chunk_pairs(sf_dir, k)
+
+    def edge_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "h"]).sort_values(["h", "doc_id"])
+        sizes = g.groupby("h")["doc_id"].transform("size").to_numpy()
+        if len(sizes) and sizes.max() > max_clique:
+            raise ValueError(
+                f"chunk hash shared by {int(sizes.max())} > {max_clique} "
+                "docs: exact clique expansion refused; use the LSH dedup "
+                "tiers for hot templates")
+        out = []
+        for h, f in g.groupby("h"):
+            d = f["doc_id"].to_numpy(np.int64)
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            out.append(pd.DataFrame({"a": d[i], "b": d[j]}))
+        if not out:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        return pd.concat(out).drop_duplicates()
+
+    raw_edges = bucketed_combine(
+        pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
+        edge_combine, num_buckets=16, coalesce_blocks=4)
+
+    edges = bucketed_combine(
+        raw_edges, ["a", "b"], lambda df: df,
+        lambda g: g.drop_duplicates(["a", "b"]),
+        num_buckets=16, coalesce_blocks=4).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["a"], df["b"]]).to_numpy(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False).agg(deg=("deg", "sum"))
+
+    degrees = bucketed_combine(edges, "node", deg_partial, deg_combine,
+                               num_buckets=16, coalesce_blocks=4)
+
+    def attach_da(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="a", right_on="node")
+        return m[["a", "b", "deg"]].rename(columns={"deg": "deg_a"})
+
+    e1 = bucketed_join(
+        edges, degrees, "a", "node", attach_da,
+        left_dtypes={"a": "int64", "b": "int64"},
+        right_dtypes={"node": "int64", "deg": "int64"},
+        num_buckets=16, coalesce_blocks=4)
+
+    def attach_db(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="b", right_on="node")
+        a = m["a"].to_numpy(np.int64)
+        b = m["b"].to_numpy(np.int64)
+        da = m["deg_a"].to_numpy(np.int64)
+        db = m["deg"].to_numpy(np.int64)
+        # orient low (deg, node) -> high: src owns the wedge
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pd.DataFrame({"src": np.where(a_first, a, b),
+                             "dst": np.where(a_first, b, a)})
+
+    oriented = bucketed_join(
+        e1, degrees, "b", "node", attach_db,
+        left_dtypes={"a": "int64", "b": "int64", "deg_a": "int64"},
+        right_dtypes={"node": "int64", "deg": "int64"},
+        num_buckets=16, coalesce_blocks=4)
+
+    def wedge_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s, f in g.groupby("src"):
+            d = np.sort(f["dst"].to_numpy(np.int64))
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            out.append(pd.DataFrame({"lo": d[i], "hi": d[j]}))
+        if not out:
+            return pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64)})
+        return pd.concat(out)
+
+    wedges = bucketed_combine(oriented, "src", lambda df: df, wedge_combine,
+                              num_buckets=16, coalesce_blocks=4)
+
+    # tag both streams and close wedges against the undirected edge set
+    def close_count(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on=["lo", "hi"], right_on=["a", "b"])
+        return pd.DataFrame({"t": np.array([len(m)], np.int64)})
+
+    tri_parts = bucketed_join(
+        wedges.map_batches(
+            lambda df: df.assign(_wk=df["lo"] * np.int64(1_000_003) + df["hi"]),
+            batch_format="pandas"),
+        edges.map_batches(
+            lambda df: df.assign(_ek=df["a"] * np.int64(1_000_003) + df["b"]),
+            batch_format="pandas"),
+        "_wk", "_ek", close_count,
+        left_dtypes={"lo": "int64", "hi": "int64", "_wk": "int64"},
+        right_dtypes={"a": "int64", "b": "int64", "_ek": "int64"},
+        num_buckets=16, coalesce_blocks=4).to_pandas()
+
+    # counts stay distributed: edges is materialized, count() streams it;
+    # n_nodes is the degree-table cardinality (one row per node)
+    n_edges = int(edges.count())
+    n_nodes = int(degrees.count()) if n_edges else 0
+    n_tri = int(tri_parts["t"].sum()) if len(tri_parts) else 0
+    return typed_out(pd.DataFrame({"n_nodes": [n_nodes],
+                                   "n_edges": [n_edges],
+                                   "n_triangles": [n_tri]}),
+                     {"n_nodes": "int64", "n_edges": "int64",
+                      "n_triangles": "int64"})
+
+
+DUP_GRAPH_TRIANGLES_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks)+1, 5),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS chunk
+  FROM tok
+), pe AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+), tri AS (
+  SELECT COUNT(*) AS t FROM pe e1
+  JOIN pe e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN pe e3 ON e3.a = e1.b AND e3.b = e2.b
+), nodes AS (
+  SELECT COUNT(DISTINCT x) AS n
+  FROM (SELECT a AS x FROM pe UNION ALL SELECT b FROM pe)
+)
+SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM pe) AS BIGINT) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM nodes, tri
+"""
