@@ -1042,3 +1042,57 @@ FROM events
 GROUP BY 1, 2
 ORDER BY dow, hour
 """
+
+
+def events_user_cumulative_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user RUNNING TOTAL of event value in event-time order — the
+    ordered-window cumulative (SUM OVER PARTITION BY ... ORDER BY ...),
+    the one window shape the family still lacked (tumbling/sliding/
+    session/rolling/rank/asof/decayed all exist).
+
+    Determinism note: DuckDB evaluates window SUM with a segment tree, so
+    its float running totals differ from a sequential fold by ~1e-12 —
+    enough to flip a 6dp rounding boundary once per ~10^6 rows. The
+    statistic is therefore computed in integer CENTS (value rounded
+    half-away to 2dp, scaled): integer cumulative sums are associative,
+    so ANY aggregation tree gives the bit-identical answer on both sides.
+
+    Plan: rows project to fixed-width (user, ts, event_id, cents) at the
+    scan; the user-bucketed exchange sorts each bucket once by
+    (user, ts, event_id) and cumsums per user vectorized — a key's whole
+    history co-locates, the holistic-window requirement."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "ts": df["ts"],
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "cents": round_away(df["value"].to_numpy(np.float64) * 100.0,
+                                0).astype(np.int64),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": s["event_id"].to_numpy(np.int64),
+            "user_id": s["user_id"].to_numpy(np.int64),
+            "cum_value_cents": s.groupby("user_id")["cents"].cumsum()
+                                .to_numpy(np.int64),
+        })
+
+    out = bucketed_combine(ds, "user_id", partial, combine,
+                           num_buckets=32, coalesce_blocks=8).to_pandas()
+    return typed_out(out, {"event_id": "int64", "user_id": "int64",
+                           "cum_value_cents": "int64"}, sort_by="event_id")
+
+
+EVENTS_USER_CUMULATIVE_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_value_cents
+FROM events
+ORDER BY event_id
+"""
