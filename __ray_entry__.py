@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 145 entries, 112 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 146 entries, 113 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -39,6 +39,7 @@ from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import (  # noqa: E
     text_analysis,
     tokenizer,
 )
+from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import profiling  # noqa: E402
 from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.extract import (  # noqa: E402
     build_extraction_pipeline,
 )
@@ -213,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_triangles": curation.dup_graph_triangles,
         "events_user_cumulative_value":
             streaming.events_user_cumulative_value,
+        "events_profile": profiling.events_profile,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -256,11 +258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,
-        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         # -------------------- ~50-entry window boundary --------------------
-        # (43 round-4 additions above pushed the tail of the round-2 fill
+        # (44 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q3_top_orders": relational.q3_top_orders,
         "events_asof_purchase_click": streaming.events_asof_purchase_click,
         "doc_quality": text_analysis.doc_quality,
@@ -390,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_triangles": curation.DUP_GRAPH_TRIANGLES_SQL,
         "events_user_cumulative_value":
             streaming.EVENTS_USER_CUMULATIVE_SQL,
+        "events_profile": profiling.EVENTS_PROFILE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,
