@@ -136,16 +136,28 @@ class BpeEncoder:
     memo (each distinct word in the batch is encoded once, then counts
     fan back out vectorized)."""
 
+    MAX_CACHE = 1_000_000  # ~tens of MB of word->len entries per actor
+
     def __init__(self, merges: list[tuple]):
         self.rank_of = {(a, b): r for r, a, b, _ in merges}
+        # actor-LIFETIME memo (Zipf's law: the same words recur in every
+        # batch); bounded so a pathological vocabulary can't OOM the actor
+        self.len_of: dict = {}
+
+    def _enc_len(self, w: str) -> int:
+        n = self.len_of.get(w)
+        if n is None:
+            n = len(encode_word(w, self.rank_of))
+            if len(self.len_of) < self.MAX_CACHE:
+                self.len_of[w] = n
+        return n
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.split(" ")
         ex = toks.explode()
         ex = ex[ex != ""]
         uniq, inv = np.unique(ex.to_numpy(object), return_inverse=True)
-        lens = np.array([len(encode_word(w, self.rank_of)) for w in uniq],
-                        dtype=np.int64)
+        lens = np.array([self._enc_len(w) for w in uniq], dtype=np.int64)
         per_tok = lens[inv]
         n_sub = (pd.Series(per_tok, index=ex.index).groupby(level=0).sum()
                  .reindex(df.index, fill_value=0).to_numpy(np.int64))
