@@ -116,3 +116,97 @@ SELECT * FROM (
 )
 ORDER BY "column"
 """
+
+
+def _orphan_counts(child_ds, parent_ds, child_key: str, parent_key: str,
+                   relation: str) -> pd.DataFrame:
+    """One FK relation's integrity row via a co-partitioned anti-join:
+    child batches pre-aggregate to (key, n_rows) partials, parent batches
+    to distinct keys; the key-bucketed join marks child keys with no
+    parent bucket-locally (every occurrence of a key is in one bucket, so
+    the NOT-IN is exact). Bounded output: one counter row per bucket."""
+    from ..functions.shuffle import bucketed_join
+
+    def child_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(child_key, as_index=False).agg(
+            n_rows=(child_key, "size"))
+
+    def parent_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(parent_key)
+
+    child = child_ds.map_batches(child_partial, batch_format="pandas")
+    parent = parent_ds.map_batches(parent_partial, batch_format="pandas")
+
+    def mark(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        g = left.groupby(child_key, as_index=False).agg(
+            n_rows=("n_rows", "sum"))
+        pk = right[parent_key].unique()
+        orphan = ~g[child_key].isin(pk).to_numpy()
+        return pd.DataFrame({
+            "n_child_rows": [int(g["n_rows"].sum())],
+            "n_child_keys": [len(g)],
+            "n_orphan_keys": [int(orphan.sum())],
+            "n_orphan_rows": [int(g.loc[orphan, "n_rows"].sum())],
+        })
+
+    parts = bucketed_join(
+        child, parent, child_key, parent_key, mark,
+        left_dtypes={child_key: "int64", "n_rows": "int64"},
+        right_dtypes={parent_key: "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    tot = parts.sum() if len(parts) else None
+    return pd.DataFrame({
+        "relation": [relation],
+        "n_child_rows": [int(tot["n_child_rows"]) if tot is not None else 0],
+        "n_child_keys": [int(tot["n_child_keys"]) if tot is not None else 0],
+        "n_orphan_keys": [int(tot["n_orphan_keys"]) if tot is not None else 0],
+        "n_orphan_rows": [int(tot["n_orphan_rows"]) if tot is not None else 0],
+    })
+
+
+def fk_integrity_check(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity report over the schema's FK relations — the
+    second data-quality staple next to ``table_profile`` (orphaned facts
+    are the classic symptom of a partial load / bad shard at 100 TB).
+    Each relation is one co-partitioned anti-join; totals are real row
+    counts, so the report is non-degenerate even on a consistent corpus
+    (the planted-orphan case is pinned in tests/test_profiling.py)."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey"])
+    od2 = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+    cu = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    out = pd.concat([
+        _orphan_counts(li, od, "l_orderkey", "o_orderkey",
+                       "lineitem.l_orderkey->orders.o_orderkey"),
+        _orphan_counts(od2, cu, "o_custkey", "c_custkey",
+                       "orders.o_custkey->customer.c_custkey"),
+    ], ignore_index=True)
+    return typed_out(out, {"relation": "object", "n_child_rows": "int64",
+                           "n_child_keys": "int64", "n_orphan_keys": "int64",
+                           "n_orphan_rows": "int64"}, sort_by="relation")
+
+
+FK_INTEGRITY_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+         CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_child_keys,
+         CAST(COUNT(DISTINCT l_orderkey)
+              FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_orphan_keys,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+           AS n_orphan_rows
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer.c_custkey',
+         COUNT(*), COUNT(DISTINCT o_custkey),
+         COUNT(DISTINCT o_custkey) FILTER (WHERE c_custkey IS NULL),
+         COUNT(*) FILTER (WHERE c_custkey IS NULL)
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+)
+ORDER BY relation
+"""
