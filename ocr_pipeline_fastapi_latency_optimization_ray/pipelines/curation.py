@@ -1138,6 +1138,34 @@ FROM t
 # corpus build: the end-to-end curated-corpus composition
 # ---------------------------------------------------------------------------
 
+def _gate_normalize_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """corpus_build's per-batch kernel: quality gates (length ->
+    alphabetic-mass -> stopword) then normalization + md5 — shared by the
+    one-shot build and the incremental build so both speak the exact
+    CORPUS_BUILD_SQL semantics."""
+    text = df["text"].fillna("")
+    n_chars = text.str.len()
+    len_ok = (n_chars >= 100) & (n_chars <= 500)
+    alpha = text.str.count(r"[A-Za-z]")
+    alpha_ok = len_ok & (2 * alpha >= n_chars)
+    ex = text.str.split(" ").explode()
+    stop = ex.isin(_FUNNEL_STOPWORDS).groupby(ex.index).sum().reindex(
+        df.index, fill_value=0)
+    keep = alpha_ok & (stop >= 1)
+    df = df[keep]
+    # The shared normalization kernel (RE2 \s+, ASCII-only) — NOT
+    # str.split(), which also collapses NBSP/U+3000/U+2028 and would
+    # diverge from CORPUS_BUILD_SQL on non-ASCII whitespace.
+    norm = _normalize_texts(df["text"].fillna("").tolist())
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(np.int64),
+        "lang": df["lang"].to_numpy(),
+        "source": df["source"].to_numpy(),
+        "norm_md5": md5_hex_batch(norm),
+        "n_chars_norm": np.array([len(t) for t in norm], np.int64),
+    })
+
+
 def corpus_build(sf_dir: str) -> pd.DataFrame:
     """The full curation chain composed as ONE pipeline — what a real
     training-data build runs per snapshot: quality gates (the funnel's
@@ -1156,27 +1184,7 @@ def corpus_build(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        n_chars = text.str.len()
-        len_ok = (n_chars >= 100) & (n_chars <= 500)
-        alpha = text.str.count(r"[A-Za-z]")
-        alpha_ok = len_ok & (2 * alpha >= n_chars)
-        ex = text.str.split(" ").explode()
-        stop = ex.isin(_FUNNEL_STOPWORDS).groupby(ex.index).sum().reindex(
-            df.index, fill_value=0)
-        keep = alpha_ok & (stop >= 1)
-        df = df[keep]
-        # The shared normalization kernel (RE2 \s+, ASCII-only) — NOT
-        # str.split(), which also collapses NBSP/U+3000/U+2028 and would
-        # diverge from CORPUS_BUILD_SQL on non-ASCII whitespace.
-        norm = _normalize_texts(df["text"].fillna("").tolist())
-        out = pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(np.int64),
-            "lang": df["lang"].to_numpy(),
-            "source": df["source"].to_numpy(),
-            "norm_md5": md5_hex_batch(norm),
-            "n_chars_norm": np.array([len(t) for t in norm], np.int64),
-        })
+        out = _gate_normalize_batch(df)
         # pre-shrink: min-doc_id row per hash within the batch
         return out.sort_values("doc_id", kind="stable").drop_duplicates(
             "norm_md5", keep="first")
@@ -1868,4 +1876,118 @@ SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
        CAST((SELECT COUNT(*) FROM pe) AS BIGINT) AS n_edges,
        CAST(tri.t AS BIGINT) AS n_triangles
 FROM nodes, tri
+"""
+
+
+def corpus_build_incremental(sf_dir: str, split_pct: int = 50,
+                             n_shards: int = 8) -> pd.DataFrame:
+    """The curation chain run INCREMENTALLY: the corpus arrives as two
+    snapshots (a deterministic hash split standing in for crawl waves),
+    snapshot A builds first, and snapshot B is deduplicated AGAINST A's
+    persisted keeper state — the first-seen-wins contract every streaming
+    corpus build has (you never re-open shipped training shards), vs
+    ``corpus_build``'s global min-doc_id. At 100 TB this is the rerun
+    story: a new crawl only pays for its own bytes.
+
+    The cross-snapshot state is the sharded ``StreamingDedupIndex``
+    (state/dedup_index.py): A's keeper hashes load into the actors (one
+    idempotent pass, replay-protected per batch), then B's candidates —
+    already reduced to one row per hash by their own exchange — query it
+    once each. Both snapshots use the exact ``_gate_normalize_batch``
+    kernel, so the SQL oracle expresses the whole two-wave run."""
+    from ..state.dedup_index import StreamingDedupIndex
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+
+    def _snapshot_a_mask(ids: np.ndarray) -> np.ndarray:
+        b = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32)) % np.uint64(100)
+        return b < split_pct
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="stable").drop_duplicates(
+            "norm_md5", keep="first")
+
+    def partial_a(df: pd.DataFrame) -> pd.DataFrame:
+        c = _gate_normalize_batch(df)
+        c = c[_snapshot_a_mask(c["doc_id"].to_numpy(np.int64))]
+        return keep_min(c)
+
+    keepers_a = bucketed_combine(ds, "norm_md5", partial_a, keep_min,
+                                 num_buckets=16, coalesce_blocks=4)
+
+    idx = StreamingDedupIndex(n_shards)
+
+    def _h64(md5s) -> np.ndarray:
+        return np.array([int(x[:16], 16) for x in md5s], dtype=np.uint64)
+
+    def load_a(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].to_numpy(np.int64).tobytes()
+        idx.first_seen_mask(_h64(df["norm_md5"].to_numpy(object)),
+                            batch_key=key)
+        return df
+
+    # materialize() is the barrier: A's state must be fully loaded before
+    # any B batch queries the index
+    keepers_a = keepers_a.map_batches(
+        load_a, batch_format="pandas").materialize()
+
+    def partial_b(df: pd.DataFrame) -> pd.DataFrame:
+        c = _gate_normalize_batch(df)
+        c = c[~_snapshot_a_mask(c["doc_id"].to_numpy(np.int64))]
+        return keep_min(c)
+
+    cand_b = bucketed_combine(ds, "norm_md5", partial_b, keep_min,
+                              num_buckets=16, coalesce_blocks=4)
+
+    def filter_new(df: pd.DataFrame) -> pd.DataFrame:
+        key = b"b|" + df["doc_id"].to_numpy(np.int64).tobytes()
+        new = idx.first_seen_mask(_h64(df["norm_md5"].to_numpy(object)),
+                                  batch_key=key)
+        return df[new]
+
+    keepers_b = cand_b.map_batches(filter_new, batch_format="pandas")
+
+    a_df = keepers_a.to_pandas().assign(snapshot="a")
+    b_df = keepers_b.to_pandas().assign(snapshot="b")
+    out = pd.concat([a_df, b_df], ignore_index=True)
+    return typed_out(out, {"doc_id": "int64", "lang": "object",
+                           "source": "object", "norm_md5": "object",
+                           "n_chars_norm": "int64", "snapshot": "object"},
+                     sort_by="doc_id")
+
+
+CORPUS_BUILD_INCREMENTAL_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         lower(trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                                   '\s+', ' ', 'g'))) AS norm,
+         ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 50)
+           AS in_a
+  FROM documents
+  WHERE length(COALESCE(text, '')) BETWEEN 100 AND 500
+    AND 2 * length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+        >= length(COALESCE(text, ''))
+    AND len(list_filter(string_split(COALESCE(text, ''), ' '),
+        w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) >= 1
+), ka AS (
+  SELECT doc_id, lang, source, norm FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep
+    FROM f WHERE in_a)
+  WHERE doc_id = keep
+), kb AS (
+  SELECT doc_id, lang, source, norm FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep
+    FROM f WHERE NOT in_a
+      AND md5(norm) NOT IN (SELECT md5(norm) FROM ka))
+  WHERE doc_id = keep
+)
+SELECT doc_id, lang, source, md5(norm) AS norm_md5,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm, snapshot
+FROM (
+  SELECT *, 'a' AS snapshot FROM ka
+  UNION ALL
+  SELECT *, 'b' FROM kb
+)
+ORDER BY doc_id
 """

@@ -83,3 +83,24 @@ def test_table_profile_with_nulls(ray_session, tmp_path):
     assert out.loc["a", "n_rows"] == 4 and out.loc["a", "n_nulls"] == 1
     assert out.loc["a", "n_distinct"] == 2
     assert out.loc["b", "n_nulls"] == 2 and out.loc["b", "n_distinct"] == 1
+
+
+def test_incremental_build_covers_same_hash_set(ray_session):
+    """Incremental first-seen-wins keeps a possibly different KEEPER per
+    duplicate group than the one-shot global-min build, but the surviving
+    HASH SET must be identical — dedup coverage is order-independent."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.curation import (
+        corpus_build,
+        corpus_build_incremental,
+    )
+
+    full = corpus_build(SRC)
+    inc = corpus_build_incremental(SRC)
+    assert set(full["norm_md5"]) == set(inc["norm_md5"])
+    assert len(inc) == len(full)
+    assert inc["norm_md5"].is_unique
+    assert set(inc["snapshot"]) <= {"a", "b"}
+    # every A-snapshot keeper must actually hash-split into A
+    ids = inc.loc[inc["snapshot"] == "a", "doc_id"].to_numpy("uint64")
+    b = (ids * 2654435761) % (1 << 32) % 100
+    assert (b < 50).all()

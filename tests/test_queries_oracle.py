@@ -116,7 +116,7 @@ SQL_CHECKED = [
     "doc_length_median_by_lang", "part_price_size_skyline",
     "heldout_bigram_logprob", "doc_quality_classifier",
     "dup_graph_triangles", "events_user_cumulative_value",
-    "events_profile", "fk_integrity_check",
+    "events_profile", "fk_integrity_check", "corpus_build_incremental",
 ]
 
 
