@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 148 entries, 115 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 149 entries, 116 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": profiling.events_profile,
         "fk_integrity_check": profiling.fk_integrity_check,
         "corpus_build_incremental": curation.corpus_build_incremental,
+        "dup_graph_degree_histogram":
+            curation.dup_graph_degree_histogram,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
         "image_phash_dedup": multimodal.image_phash_dedup,
@@ -257,11 +259,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boundary was last driver-checked in ROUND 2 (rounds 1-3 covered
         # all of queries(); the r3-checked block now sits below the window
         # so freshness rotates) --
-        "extract_kind_counts": extract_checks.extract_kind_counts,
         # -------------------- ~50-entry window boundary --------------------
-        # (46 round-4 additions above pushed the tail of the round-2 fill
+        # (47 round-4 additions above pushed the tail of the round-2 fill
         # below the line; everything below holds an r2 or r3 driver row
         # and full pytest-oracle coverage, and rotates back in round 5)
+        "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
@@ -398,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_integrity_check": profiling.FK_INTEGRITY_SQL,
         "corpus_build_incremental":
             curation.CORPUS_BUILD_INCREMENTAL_SQL,
+        "dup_graph_degree_histogram":
+            curation.DUP_GRAPH_DEGREE_HIST_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "orders_per_region": relational.ORDERS_PER_REGION_SQL,

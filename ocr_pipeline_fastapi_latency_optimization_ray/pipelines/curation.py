@@ -1991,3 +1991,84 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+def dup_graph_degree_histogram(sf_dir: str, k: int = 5,
+                               max_clique: int = 256) -> pd.DataFrame:
+    """Degree distribution of the duplicate graph — the first thing to
+    look at before running CC/PageRank/triangles on a candidate graph
+    (a power-law head means hot templates; a spike at degree d means
+    d+1-document mirror families). Reuses the triangle pipeline's edge
+    derivation; degrees come from a node-bucketed count exchange and the
+    histogram is a bounded second rollup (key space = distinct degrees,
+    not nodes)."""
+    from ..functions.shuffle import bucketed_combine
+
+    pairs = _chunk_pairs(sf_dir, k)
+
+    def edge_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "h"]).sort_values(["h", "doc_id"])
+        sizes = g.groupby("h")["doc_id"].transform("size").to_numpy()
+        if len(sizes) and sizes.max() > max_clique:
+            raise ValueError(
+                f"chunk hash shared by {int(sizes.max())} > {max_clique} "
+                "docs: exact clique expansion refused")
+        out = []
+        for h, f in g.groupby("h"):
+            d = f["doc_id"].to_numpy(np.int64)
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            out.append(pd.DataFrame({"a": d[i], "b": d[j]}))
+        if not out:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        return pd.concat(out).drop_duplicates()
+
+    raw_edges = bucketed_combine(
+        pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
+        edge_combine, num_buckets=16, coalesce_blocks=4)
+
+    edges = bucketed_combine(
+        raw_edges, ["a", "b"], lambda df: df,
+        lambda g: g.drop_duplicates(["a", "b"]),
+        num_buckets=16, coalesce_blocks=4)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["a"], df["b"]]).to_numpy(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    def deg_hist(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("node", as_index=False).agg(deg=("deg", "sum"))
+        return d.groupby("deg", as_index=False).agg(n_nodes=("deg", "size"))
+
+    parts = bucketed_combine(edges, "node", deg_partial, deg_hist,
+                             num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"degree": "int64", "n_nodes": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby("deg", as_index=False).agg(n_nodes=("n_nodes", "sum"))
+    out = out.rename(columns={"deg": "degree"})
+    return typed_out(out, schema, sort_by="degree")
+
+
+DUP_GRAPH_DEGREE_HIST_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks)+1, 5),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS chunk
+  FROM tok
+), pe AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+), deg AS (
+  SELECT x AS node, COUNT(*) AS degree FROM (
+    SELECT a AS x FROM pe UNION ALL SELECT b FROM pe) GROUP BY x
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""

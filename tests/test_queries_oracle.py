@@ -117,6 +117,7 @@ SQL_CHECKED = [
     "heldout_bigram_logprob", "doc_quality_classifier",
     "dup_graph_triangles", "events_user_cumulative_value",
     "events_profile", "fk_integrity_check", "corpus_build_incremental",
+    "dup_graph_degree_histogram",
 ]
 
 
