@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 149 entries, 116 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 158 entries, 125 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -191,6 +191,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, final block):
+        "q4_late_shipment_priority": relational.q4_late_shipment_priority,
+        "q10_returned_items": relational.q10_returned_items,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q22_idle_balance_by_nation": relational.q22_idle_balance_by_nation,
+        "events_new_users_by_hour": streaming.events_new_users_by_hour,
+        "doc_word_length_histogram": text_analysis.doc_word_length_histogram,
+        "doc_ttr_by_lang": text_analysis.doc_ttr_by_lang,
         # oracle-backed (new in round 4, late block):
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
@@ -241,28 +251,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.corpus_dedup_survivorship_by_source,
         "doc_bigram_logprob": text_analysis.doc_bigram_logprob,
         "q18_large_orders": relational.q18_large_orders,
-        # rows-only (zlib / eigendecomposition have no SQL analog; values
-        # pinned exactly in pytest):
+        # rows-only (zlib has no SQL analog; values pinned exactly in
+        # pytest):
         "doc_compression_ratio": text_analysis.doc_compression_ratio,
+        # -------------------- ~50-entry window boundary --------------------
+        # (round-4 additions above filled the window with never-checked
+        # entries exactly to position 50; the NINE never-checked entries
+        # directly below spilled past the line and rotate FIRST in round 5,
+        # ahead of the r2/r3-checked blocks. Every entry below holds full
+        # pytest-oracle coverage regardless of driver-window position.)
+        # never-checked spillover (rows-only unless noted):
         "embedding_pca_project": similarity.embedding_pca_project,
         "dedup_rate_by_threshold": dedup.dedup_rate_by_threshold,
         "video_scene_cuts": multimodal.video_scene_cuts,
         "doc_dup_pagerank": curation.doc_dup_pagerank,
         "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
-        # oracle-backed:
+        # oracle-backed spillover:
         "events_path_transitions": streaming.events_path_transitions,
         "orders_rolling_revenue": relational.orders_rolling_revenue,
         "source_dedup_matrix_mirrored": curation.source_dedup_matrix_mirrored,
-        # rows-only (banded-LSH machinery; pytest pins vs brute force):
+        # rows-only spillover (banded-LSH machinery; pytest pins vs brute
+        # force):
         "image_ahash_dedup": multimodal.image_ahash_dedup,
-        # -- oldest driver rows next: everything below through the window
-        # boundary was last driver-checked in ROUND 2 (rounds 1-3 covered
-        # all of queries(); the r3-checked block now sits below the window
-        # so freshness rotates) --
-        # -------------------- ~50-entry window boundary --------------------
-        # (47 round-4 additions above pushed the tail of the round-2 fill
-        # below the line; everything below holds an r2 or r3 driver row
-        # and full pytest-oracle coverage, and rotates back in round 5)
+        # -- oldest driver rows next: everything below was last
+        # driver-checked in ROUND 2 or ROUND 3 (rounds 1-3 covered all of
+        # the then-existing queries()) and rotates back in round 5 --
         "extract_kind_counts": extract_checks.extract_kind_counts,
         "extract_ts_histogram": extract_checks.extract_ts_histogram,
         "events_funnel": streaming.events_funnel,
@@ -371,6 +384,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q4_late_shipment_priority": relational.Q4_SQL,
+        "q10_returned_items": relational.Q10_SQL,
+        "q15_top_supplier": relational.Q15_SQL,
+        "q17_small_quantity_revenue": relational.Q17_SQL,
+        "q19_discounted_revenue": relational.Q19_SQL,
+        "q22_idle_balance_by_nation": relational.Q22_SQL,
+        "events_new_users_by_hour": streaming.EVENTS_NEW_USERS_BY_HOUR_SQL,
+        "doc_word_length_histogram":
+            text_analysis.DOC_WORD_LENGTH_HISTOGRAM_SQL,
+        "doc_ttr_by_lang": text_analysis.DOC_TTR_BY_LANG_SQL,
         "part_brand_supplier_counts":
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,

@@ -214,6 +214,15 @@ LIMIT 10
 # orders per region (chained broadcast lookups, no shuffle join)
 # ---------------------------------------------------------------------------
 
+def _nation_lut(sf_dir: str) -> np.ndarray:
+    """Bounded dim lookup: nationkey -> nation name as a dense numpy array
+    (25 entries, schema-bounded — safe to broadcast)."""
+    nation = pa.parquet.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    lut = np.empty(int(nation.n_nationkey.max()) + 1, dtype=object)
+    lut[nation.n_nationkey.to_numpy()] = nation.n_name.to_numpy()
+    return lut
+
+
 def _nation_to_region_names(sf_dir: str) -> np.ndarray:
     """Bounded dim lookup: nationkey -> region name as a dense numpy array
     (25 entries — region and nation are the ONLY tables small enough to
@@ -1778,4 +1787,562 @@ WHERE NOT EXISTS (
   WHERE p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
     AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))
 ORDER BY p_retailprice, p_size DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q4 analog: late-shipment order-priority check (EXISTS semi-join)
+# ---------------------------------------------------------------------------
+
+
+def q4_late_shipment_priority(sf_dir: str, year: int = 1996,
+                              grace_days: int = 90) -> pd.DataFrame:
+    """TPC-H Q4 analog — order-priority checking: count Q1-``year`` orders
+    per priority that had at least one lineitem shipped more than
+    ``grace_days`` after the order date (the testdata carries no
+    commit/receipt dates, so "late" is shipdate vs orderdate + grace).
+
+    The EXISTS is a SEMI-join, and the distributed shape exploits that:
+    the lineitem side never ships rows across the exchange — each batch
+    pre-reduces to MAX(l_shipdate) per orderkey (any lineitem later than
+    the threshold ⇔ the max is), so the orderkey-bucketed join moves one
+    row per (orderkey, batch) instead of one per lineitem. The per-bucket
+    priority counts are a bounded (5-priority) driver merge."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year}-04-01", "us")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.greater_equal(t.column("o_orderdate"),
+                                         pa.scalar(lo)),
+                pa.compute.less(t.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def max_ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            max_shipdate=("l_shipdate", "max"))
+
+    def max_ship_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False).agg(
+            max_shipdate=("max_shipdate", "max"))
+
+    ship = bucketed_combine(line, "l_orderkey", max_ship_partial,
+                            max_ship_combine, coalesce_blocks=16)
+
+    def count_late(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_orderkey", right_on="l_orderkey")
+        late = m[m.max_shipdate
+                 > m.o_orderdate + pd.Timedelta(days=grace_days)]
+        out = late.groupby("o_orderpriority", as_index=False).size()
+        out["order_count"] = out.pop("size").astype("int64")
+        return out
+
+    out = bucketed_join(
+        orders, ship, "o_orderkey", "l_orderkey", count_late,
+        left_dtypes={"o_orderkey": "int64",
+                     "o_orderdate": "datetime64[us]",
+                     "o_orderpriority": "object"},
+        right_dtypes={"l_orderkey": "int64",
+                      "max_shipdate": "datetime64[us]"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    schema = {"o_orderpriority": "object", "order_count": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("o_orderpriority", as_index=False).agg(
+        order_count=("order_count", "sum"))
+    out["order_count"] = out.order_count.astype("int64")
+    return typed_out(out, schema, sort_by="o_orderpriority")
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 analog: returned-item reporting (top-20 customers by return revenue)
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 analog — returned-item reporting: the top-``k`` customers
+    by revenue lost to returns (``l_returnflag = 'R'``) on Q1-1996 orders.
+
+    Shape: returns-filtered lineitem pre-aggregates revenue per orderkey in
+    map_batches; the orderkey-bucketed combine finishes the per-order sum;
+    an orderkey-bucketed join against the window-filtered orders attaches
+    the customer key; a custkey-bucketed combine rolls up per customer;
+    the final custkey-bucketed join attaches name/balance and emits each
+    bucket's local top-k (driver merges buckets × k rows). Nation names are
+    a broadcast LUT (schema-bounded, 25 rows) — the only non-bucketed side."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_returnflag"])
+
+    def rev_partial(t) -> pd.DataFrame:
+        flt = t.filter(pa.compute.equal(t.column("l_returnflag"), "R"))
+        df = pd.DataFrame({
+            "l_orderkey": flt.column("l_orderkey").to_numpy(),
+            "rev": (flt.column("l_extendedprice").to_numpy()
+                    * (1.0 - flt.column("l_discount").to_numpy())),
+        })
+        return df.groupby("l_orderkey", as_index=False).agg(
+            rev=("rev", "sum"))
+
+    def rev_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+
+    per_order = bucketed_combine(line, "l_orderkey", rev_partial, rev_combine,
+                                 coalesce_blocks=16,
+                                 partial_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                              "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.greater_equal(t.column("o_orderdate"),
+                                         pa.scalar(lo)),
+                pa.compute.less(t.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def attach_cust(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        return m.groupby("o_custkey", as_index=False).agg(rev=("rev", "sum"))
+
+    per_cust_partial = bucketed_join(
+        per_order, orders, "l_orderkey", "o_orderkey", attach_cust,
+        left_dtypes={"l_orderkey": "int64", "rev": "float64"},
+        right_dtypes={"o_orderkey": "int64", "o_custkey": "int64"},
+        coalesce_blocks=16,
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    def cust_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False).agg(rev=("rev", "sum"))
+
+    per_cust = bucketed_combine(per_cust_partial, "o_custkey", cust_partial,
+                                cust_combine, coalesce_blocks=16)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nation_names = _nation_lut(sf_dir)
+
+    def topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_custkey", right_on="c_custkey")
+        if m.empty:
+            return pd.DataFrame({
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype=object),
+                "revenue": pd.Series(dtype="float64"),
+                "c_acctbal": pd.Series(dtype="float64"),
+                "n_name": pd.Series(dtype=object)})
+        m["revenue"] = round_away(m.rev, 2)
+        m["n_name"] = nation_names[m.c_nationkey.to_numpy(np.int64)]
+        m = m.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True]).head(k)
+        return m[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+    out = bucketed_join(
+        per_cust, cust, "o_custkey", "c_custkey", topk,
+        left_dtypes={"o_custkey": "int64", "rev": "float64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    schema = {"c_custkey": "int64", "c_name": "object", "revenue": "float64",
+              "c_acctbal": "float64", "n_name": "object"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True]).head(k)
+    return typed_out(out.reset_index(drop=True), schema)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 analog: top supplier by quarterly revenue (argmax-with-ties, two-pass)
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 analog — top supplier: the supplier(s) whose Q1-1996
+    shipment revenue equals the global maximum.
+
+    Argmax-with-ties over a distributed aggregate without collecting it:
+    each suppkey-bucket finishes its per-supplier revenue rollup and emits
+    only ITS OWN maximal rows, so the driver sees ≤ num_buckets × ties rows
+    and takes the global max from those. Revenue is rounded to cents BEFORE
+    the max/equality so the tie set matches the oracle's exactly. The
+    winner set (≈1 row) is then broadcast into a filter over the supplier
+    scan to attach names — the growing supplier table is never joined or
+    collected."""
+    from ..functions.shuffle import bucketed_combine
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_suppkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"])
+
+    def rev_partial(t) -> pd.DataFrame:
+        sd = t.column("l_shipdate")
+        flt = t.filter(pa.compute.and_(
+            pa.compute.greater_equal(sd, pa.scalar(lo)),
+            pa.compute.less(sd, pa.scalar(hi))))
+        df = pd.DataFrame({
+            "l_suppkey": flt.column("l_suppkey").to_numpy(),
+            "rev": (flt.column("l_extendedprice").to_numpy()
+                    * (1.0 - flt.column("l_discount").to_numpy())),
+        })
+        return df.groupby("l_suppkey", as_index=False).agg(rev=("rev", "sum"))
+
+    def local_max(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("l_suppkey", as_index=False).agg(rev=("rev", "sum"))
+        c["total_revenue"] = round_away(c.pop("rev"), 2)
+        return c[c.total_revenue == c.total_revenue.max()]
+
+    cand = bucketed_combine(line, "l_suppkey", rev_partial, local_max,
+                            coalesce_blocks=16,
+                            partial_format="pyarrow").to_pandas()
+    schema = {"s_suppkey": "int64", "s_name": "object",
+              "total_revenue": "float64"}
+    if cand.empty:
+        return typed_out(pd.DataFrame(), schema)
+    winners = cand[cand.total_revenue == cand.total_revenue.max()]
+    win_rev = float(winners.total_revenue.iloc[0])
+    win_keys = set(winners.l_suppkey.tolist())
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    names = supp.map_batches(
+        lambda df: df[df.s_suppkey.isin(win_keys)],
+        batch_format="pandas",
+    ).to_pandas()
+    out = names.assign(total_revenue=win_rev)
+    return typed_out(out, schema, sort_by="s_suppkey")
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 analog: small-quantity-order revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+
+def q17_small_quantity_revenue(sf_dir: str,
+                               brand: str = "Brand#4") -> pd.DataFrame:
+    """TPC-H Q17 analog — small-quantity-order revenue: average yearly
+    revenue lost if orders below 20% of a part's average quantity were not
+    taken, for one brand.
+
+    The correlated subquery (per-part AVG over the SAME lineitems being
+    filtered) needs every lineitem of a part in one place — exactly what
+    the partkey-bucketed join guarantees. The brand-filtered part side and
+    the lineitem side co-partition on partkey; inside each bucket the merge
+    computes the per-part mean and the sub-threshold revenue sum in one
+    vectorized pass, emitting one partial row per part. The driver folds
+    the per-part partials in stable key order (floats: arrival order must
+    not reach the sum)."""
+    from ..functions.shuffle import bucketed_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    part = part.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("p_brand"), brand))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def per_part_rev(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        if m.empty:
+            return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="float64")})
+        m = m.sort_values(["p_partkey", "l_quantity", "l_extendedprice"],
+                          kind="stable")
+        thr = 0.2 * m.groupby("p_partkey").l_quantity.transform("mean")
+        small = m[m.l_quantity < thr]
+        return small.groupby("p_partkey", as_index=False).agg(
+            rev=("l_extendedprice", "sum"))
+
+    parts = bucketed_join(
+        line, part, "l_partkey", "p_partkey", per_part_rev,
+        right_dtypes={"p_partkey": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    if parts.empty:
+        return typed_out(pd.DataFrame({"avg_yearly": [np.nan]}),
+                         {"avg_yearly": "float64"})
+    parts = parts.sort_values("p_partkey", kind="stable")
+    total = float(parts.rev.to_numpy(np.float64).sum())
+    return typed_out(pd.DataFrame({"avg_yearly": [round_away(total / 7.0, 2)]}),
+                     {"avg_yearly": "float64"})
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 analog: discounted revenue under disjunctive predicates
+# ---------------------------------------------------------------------------
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 analog — discounted revenue: total revenue of lineitems
+    matching any of three (brand, size-range, quantity-range) bundles.
+
+    The disjunction spans both tables, so neither side can pre-filter to
+    one bundle; instead each side prunes to the UNION of its bundle ranges
+    at the scan (partkey side: the three brands; lineitem side: the qty
+    hull 1..30) and the exact predicate evaluates vectorized inside the
+    partkey-bucketed join. Per-bucket revenue partials fold at the driver
+    in bucket-key order."""
+    from ..functions.shuffle import bucketed_join
+
+    bundles = [("Brand#12", 1, 15, 1.0, 11.0),
+               ("Brand#23", 1, 25, 10.0, 20.0),
+               ("Brand#34", 1, 35, 20.0, 30.0)]
+    brands = [b[0] for b in bundles]
+    qlo = min(b[3] for b in bundles)
+    qhi = max(b[4] for b in bundles)
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    part = part.map_batches(
+        lambda t: t.filter(pa.compute.is_in(
+            t.column("p_brand"), value_set=pa.array(brands))),
+        batch_format="pyarrow",
+    )
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice",
+                          "l_discount"])
+    line = line.map_batches(
+        lambda t: t.filter(pa.compute.and_(
+            pa.compute.greater_equal(t.column("l_quantity"), pa.scalar(qlo)),
+            pa.compute.less_equal(t.column("l_quantity"), pa.scalar(qhi)))),
+        batch_format="pyarrow",
+    )
+
+    def bucket_rev(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        if m.empty:
+            return pd.DataFrame({"_b": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="float64")})
+        keep = np.zeros(len(m), dtype=bool)
+        for brand, slo, shi, lo, hi in bundles:
+            keep |= ((m.p_brand == brand).to_numpy()
+                     & (m.p_size >= slo).to_numpy()
+                     & (m.p_size <= shi).to_numpy()
+                     & (m.l_quantity >= lo).to_numpy()
+                     & (m.l_quantity <= hi).to_numpy())
+        k = m[keep].sort_values(
+            ["p_partkey", "l_quantity", "l_extendedprice"], kind="stable")
+        rev = (k.l_extendedprice.to_numpy(np.float64)
+               * (1.0 - k.l_discount.to_numpy(np.float64))).sum()
+        b = int(k.p_partkey.min()) if len(k) else -1
+        return pd.DataFrame({"_b": [b], "rev": [float(rev)]})
+
+    parts = bucketed_join(
+        line, part, "l_partkey", "p_partkey", bucket_rev,
+        left_dtypes={"l_partkey": "int64", "l_quantity": "float64",
+                     "l_extendedprice": "float64", "l_discount": "float64"},
+        right_dtypes={"p_partkey": "int64", "p_brand": "object",
+                      "p_size": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    if parts.empty:
+        return typed_out(pd.DataFrame({"revenue": [np.nan]}),
+                         {"revenue": "float64"})
+    parts = parts[parts._b >= 0].sort_values("_b", kind="stable")
+    if parts.empty:
+        return typed_out(pd.DataFrame({"revenue": [np.nan]}),
+                         {"revenue": "float64"})
+    total = float(parts.rev.to_numpy(np.float64).sum())
+    return typed_out(pd.DataFrame({"revenue": [round_away(total, 2)]}),
+                     {"revenue": "float64"})
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 analog: idle high-balance customers by nation (anti-join + broadcast
+# scalar threshold)
+# ---------------------------------------------------------------------------
+
+
+def q22_idle_balance_by_nation(sf_dir: str,
+                               cutoff: str = "1998-01-01") -> pd.DataFrame:
+    """TPC-H Q22 analog — global sales opportunity: customers whose balance
+    exceeds the average POSITIVE balance but who placed no order on/after
+    ``cutoff``, counted and summed per nation (the testdata has no phone
+    column, so the country-code grouping becomes the nation dim).
+
+    Two broadcast-vs-bucketed decisions, each the cheap direction:
+      1. the threshold is ONE scalar — computed from (sum, count) partials
+        folded at the driver in stable order and closed over by the filter
+        stage (never a join);
+      2. the "no recent order" test is an ANTI-join between two growing
+        sides — custkey-bucketed, with the orders side pre-reduced per
+        batch to distinct custkeys so the exchange moves keys, not orders.
+    Nation names are the bounded broadcast LUT; per-bucket (nation, count,
+    sum) partials make the driver merge 25-row bounded."""
+    from ..functions.shuffle import bucketed_join
+
+    cut = np.datetime64(cutoff, "us")
+
+    cust_bal = _read(sf_dir, "customer", columns=["c_acctbal"])
+
+    def bal_partial(t) -> pd.DataFrame:
+        bal = t.column("c_acctbal").to_numpy()
+        pos = bal[bal > 0.0]
+        return pd.DataFrame({"s": [float(np.sort(pos).sum())],
+                             "n": [int(len(pos))]})
+
+    partials = cust_bal.map_batches(
+        bal_partial, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(["s", "n"], kind="stable")
+    n_pos = int(partials.n.sum())
+    schema = {"n_name": "object", "numcust": "int64",
+              "totacctbal": "float64"}
+    if n_pos == 0:
+        return typed_out(pd.DataFrame(), schema)
+    threshold = float(partials.s.to_numpy(np.float64).sum()) / n_pos
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("c_acctbal"),
+                                              pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )
+
+    recent = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    recent = recent.map_batches(
+        lambda df: df[df.o_orderdate >= cut][["o_custkey"]]
+                   .drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    nation_names = _nation_lut(sf_dir)
+
+    def anti_rollup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        idle = left[~left.c_custkey.isin(set(right.o_custkey))]
+        if idle.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                                 "numcust": pd.Series(dtype="int64"),
+                                 "totacctbal": pd.Series(dtype="float64")})
+        idle = idle.sort_values(["c_custkey"], kind="stable")
+        g = (idle.assign(n_name=nation_names[idle.c_nationkey
+                                             .to_numpy(np.int64)])
+             .groupby("n_name", as_index=False)
+             .agg(numcust=("c_custkey", "size"),
+                  totacctbal=("c_acctbal", "sum")))
+        g["numcust"] = g.numcust.astype("int64")
+        return g
+
+    out = bucketed_join(
+        cust, recent, "c_custkey", "o_custkey", anti_rollup,
+        left_dtypes={"c_custkey": "int64", "c_nationkey": "int64",
+                     "c_acctbal": "float64"},
+        right_dtypes={"o_custkey": "int64"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["n_name", "totacctbal"], kind="stable")
+    out = out.groupby("n_name", as_index=False).agg(
+        numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum"))
+    out["numcust"] = out.numcust.astype("int64")
+    out["totacctbal"] = round_away(out.totacctbal, 2)
+    return typed_out(out, schema, sort_by="n_name")
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1998-01-01')
+GROUP BY n_name
+ORDER BY n_name
 """

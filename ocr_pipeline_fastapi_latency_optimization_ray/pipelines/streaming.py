@@ -1096,3 +1096,53 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """
+
+
+def events_new_users_by_hour(sf_dir: str) -> pd.DataFrame:
+    """Acquisition cohorts: how many users saw their FIRST-ever event in
+    each clock hour — the new-user curve every growth dashboard plots next
+    to events_hourly_active_users' HAU.
+
+    First-seen is MIN(ts) per user, a textbook two-level min: each batch
+    pre-reduces to one (user, min_ts) row, a user-hash bucket finishes the
+    exact min (all of a user's partials co-locate), and the same bucket
+    immediately collapses its users to a per-hour count — the driver merge
+    is bounded by hours x buckets, never by users."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def first_seen_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            first_ts=("ts", "min"))
+
+    def hour_counts(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", as_index=False).agg(
+            first_ts=("first_ts", "min"))
+        h = (f["first_ts"].astype("int64")
+             // 3_600_000_000).astype("int64")
+        out = pd.DataFrame({"window_h": h}).groupby(
+            "window_h", as_index=False).size()
+        out["new_users"] = out.pop("size").astype("int64")
+        return out
+
+    out = bucketed_combine(ds, "user_id", first_seen_partial, hour_counts,
+                           num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"window_h": "int64", "new_users": "int64"}
+    if out.empty:
+        return typed_out(out, schema)
+    out = out.groupby("window_h", as_index=False).agg(
+        new_users=("new_users", "sum"))
+    out["new_users"] = out.new_users.astype("int64")
+    out["window_h"] = out.window_h.astype("int64")
+    return typed_out(out, schema, sort_by="window_h")
+
+
+EVENTS_NEW_USERS_BY_HOUR_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(FLOOR(EPOCH(first_ts) / 3600) AS BIGINT) AS window_h,
+       CAST(COUNT(*) AS BIGINT) AS new_users
+FROM f
+GROUP BY 1
+ORDER BY window_h
+"""

@@ -2254,3 +2254,117 @@ SELECT doc_id,
 FROM z
 ORDER BY doc_id
 """
+
+
+def doc_word_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide token-length distribution — the first plot of any
+    tokenizer-budget study (length spikes reveal concatenation bugs and
+    OCR garbage; the tail sets the BPE pre-token length cap).
+
+    No exchange at all: token length is a BOUNDED key (a handful of
+    distinct values), so each batch reduces to its own (length, count)
+    rows — vectorized str.len on the exploded token column — and the
+    driver folds the bounded partials. Integer sums are order-exact."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        txt = pc.coalesce(t.column("text"), "").to_pandas()
+        toks = txt.str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        lens = toks.str.len().astype("int64")
+        out = pd.DataFrame({"word_len": lens}).groupby(
+            "word_len", as_index=False).size()
+        out["n"] = out.pop("size").astype("int64")
+        return out
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    schema = {"word_len": "int64", "n": "int64"}
+    if out.empty:
+        return typed_out(out, schema)
+    out = out.groupby("word_len", as_index=False).agg(n=("n", "sum"))
+    out["word_len"] = out.word_len.astype("int64")
+    out["n"] = out.n.astype("int64")
+    return typed_out(out, schema, sort_by="word_len")
+
+
+DOC_WORD_LENGTH_HISTOGRAM_SQL = """
+WITH tok AS (
+  SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS w FROM documents
+)
+SELECT CAST(LENGTH(w) AS BIGINT) AS word_len, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok WHERE w <> ''
+GROUP BY 1
+ORDER BY word_len
+"""
+
+
+def doc_ttr_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Lexical diversity per language: documents, token occurrences,
+    per-doc distinct types summed, and the aggregate type/token ratio —
+    the diversity gate that separates template spam (TTR→0) from natural
+    prose when tuning per-language quality thresholds.
+
+    The per-doc reduction (distinct-within-doc) is ROW-LOCAL — a doc's
+    tokens never cross a batch boundary, so no exchange happens at all:
+    each batch emits bounded (lang, n_docs, sum_types, sum_tokens)
+    partials and the driver folds integers (order-exact; the only float,
+    the final ratio, is computed once from exact integer sums)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        txt = pc.coalesce(t.column("text"), "").to_pandas()
+        lang = t.column("lang").to_pandas().to_numpy(object)
+        toks = txt.str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        per = pd.DataFrame({
+            "lang": pd.Series(lang).reindex(toks.index).to_numpy(object),
+            "doc": toks.index.to_numpy(),
+            "token": toks.to_numpy(object),
+        })
+        g = per.groupby(["lang", "doc"]).agg(
+            n_types=("token", "nunique"), n_toks=("token", "size"))
+        out = g.reset_index().groupby("lang", as_index=False).agg(
+            n_docs=("doc", "size"), sum_types=("n_types", "sum"),
+            sum_tokens=("n_toks", "sum"))
+        return out
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    schema = {"lang": "object", "n_docs": "int64", "sum_types": "int64",
+              "sum_tokens": "int64", "ttr": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_types=("sum_types", "sum"),
+        sum_tokens=("sum_tokens", "sum"))
+    for c in ("n_docs", "sum_types", "sum_tokens"):
+        out[c] = out[c].astype("int64")
+    out["ttr"] = round_away(
+        out.sum_types.to_numpy(np.float64)
+        / np.maximum(out.sum_tokens.to_numpy(np.float64), 1.0), 6)
+    return typed_out(out, schema, sort_by="lang")
+
+
+DOC_TTR_BY_LANG_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), per AS (
+  SELECT doc_id, lang, COUNT(DISTINCT w) AS n_types, COUNT(*) AS n_toks
+  FROM tok WHERE w <> '' GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_types) AS BIGINT) AS sum_types,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(n_types) * 1.0 / GREATEST(SUM(n_toks), 1), 6) AS ttr
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""

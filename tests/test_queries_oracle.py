@@ -118,6 +118,10 @@ SQL_CHECKED = [
     "dup_graph_triangles", "events_user_cumulative_value",
     "events_profile", "fk_integrity_check", "corpus_build_incremental",
     "dup_graph_degree_histogram",
+    "q4_late_shipment_priority", "q10_returned_items", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q22_idle_balance_by_nation", "events_new_users_by_hour",
+    "doc_word_length_histogram", "doc_ttr_by_lang",
 ]
 
 
