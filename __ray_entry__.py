@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 158 entries, 125 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 164 entries, 131 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -192,6 +192,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, final block):
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "orders_ship_latency_histogram":
+            relational.orders_ship_latency_histogram,
+        "supplier_sole_late_orders": relational.supplier_sole_late_orders,
+        "events_props_k_stats": streaming.events_props_k_stats,
+        "embedding_dup_clusters": dedup.embedding_dup_clusters,
         "q4_late_shipment_priority": relational.q4_late_shipment_priority,
         "q10_returned_items": relational.q10_returned_items,
         "q15_top_supplier": relational.q15_top_supplier,
@@ -245,21 +252,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate_pack": packing.corpus_curate_pack,
         "corpus_uniform_sample": curation.corpus_uniform_sample,
         "warc_snapshot_latest": extract_checks.warc_snapshot_latest,
+        # -------------------- ~50-entry window boundary --------------------
+        # (round-4 additions above filled the window with never-checked
+        # entries exactly to position 50; the FIFTEEN never-checked entries
+        # directly below spilled past the line and rotate FIRST in round 5,
+        # ahead of the r2/r3-checked blocks. Every entry below holds full
+        # pytest-oracle coverage regardless of driver-window position.)
+        # oracle-backed spillover:
         "robots_disallow_filter": extract_checks.robots_disallow_filter,
         "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
         "corpus_dedup_survivorship_by_source":
             curation.corpus_dedup_survivorship_by_source,
         "doc_bigram_logprob": text_analysis.doc_bigram_logprob,
         "q18_large_orders": relational.q18_large_orders,
-        # rows-only (zlib has no SQL analog; values pinned exactly in
-        # pytest):
+        # rows-only spillover (zlib has no SQL analog; values pinned exactly
+        # in pytest):
         "doc_compression_ratio": text_analysis.doc_compression_ratio,
-        # -------------------- ~50-entry window boundary --------------------
-        # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the NINE never-checked entries
-        # directly below spilled past the line and rotate FIRST in round 5,
-        # ahead of the r2/r3-checked blocks. Every entry below holds full
-        # pytest-oracle coverage regardless of driver-window position.)
         # never-checked spillover (rows-only unless noted):
         "embedding_pca_project": similarity.embedding_pca_project,
         "dedup_rate_by_threshold": dedup.dedup_rate_by_threshold,
@@ -384,6 +392,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q7_volume_shipping": relational.Q7_SQL,
+        "q8_market_share": relational.Q8_SQL,
+        "orders_ship_latency_histogram": relational.ORDERS_SHIP_LATENCY_SQL,
+        "supplier_sole_late_orders": relational.SUPPLIER_SOLE_LATE_SQL,
+        "events_props_k_stats": streaming.EVENTS_PROPS_K_STATS_SQL,
+        "embedding_dup_clusters": dedup.EMBEDDING_DUP_CLUSTERS_SQL,
         "q4_late_shipment_priority": relational.Q4_SQL,
         "q10_returned_items": relational.Q10_SQL,
         "q15_top_supplier": relational.Q15_SQL,

@@ -1375,3 +1375,83 @@ def dedup_rate_by_threshold(sf_dir: str,
     return typed_out(pd.DataFrame(rows),
                      {"threshold": "float64", "n_pairs": "int64",
                       "n_docs_removed": "int64"}, sort_by="threshold")
+
+
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4,
+                           max_iters: int = 30) -> pd.DataFrame:
+    """Connected-component cluster id per VECTOR under cosine-similarity
+    edges — the semantic twin of ``dup_clusters`` (chunk-hash edges):
+    embedding dedup keeps one representative per cosine component, and
+    this entry materializes that assignment (cluster id = component's min
+    vec_id, singletons keep their own id).
+
+    Composition of two existing scale paths: the TILED exact pair scorer
+    (``embedding_cosine_pairs_exact`` — block refs stay in the object
+    store, driver holds only the threshold-bounded pair list; same
+    ``max_vectors`` guard, same per-shard contract) feeds the BSP
+    min-label propagation over sharded edge actors (state/cc_bsp.py —
+    static edges resident across supersteps, only labels move). The
+    singleton fill is a vec-bucketed left join, never a driver-side map."""
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_join
+    from ..state.cc_bsp import connected_components_bsp
+
+    pairs = embedding_cosine_pairs_exact(sf_dir, threshold=threshold)
+    schema = {"vec_id": "int64", "cluster_id": "int64"}
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id"])
+    if pairs.empty:
+        out = vecs.to_pandas()
+        if out.empty:
+            return typed_out(pd.DataFrame(), schema)
+        out["cluster_id"] = out.vec_id.to_numpy(np.int64)
+        return typed_out(out, schema, sort_by="vec_id")
+
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "a": pairs.vec_a.to_numpy(np.int64),
+        "b": pairs.vec_b.to_numpy(np.int64)}))
+    labels = connected_components_bsp(edges, n_buckets=8,
+                                      max_iters=max_iters)
+
+    def attach(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="vec_id", right_on="node", how="left")
+        lab = m["label"].to_numpy()
+        vid = m["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "vec_id": vid,
+            "cluster_id": np.where(pd.isna(lab), vid,
+                                   np.nan_to_num(lab.astype("float64"))
+                                   ).astype(np.int64),
+        })
+
+    out = bucketed_join(
+        vecs, labels, "vec_id", "node", attach,
+        left_dtypes={"vec_id": "int64"},
+        right_dtypes={"node": "int64", "label": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    return typed_out(out, schema, sort_by="vec_id")
+
+
+EMBEDDING_DUP_CLUSTERS_SQL = """
+-- cosine edges (f64 cast: see EMBEDDING_COSINE_PAIRS_EXACT_SQL) +
+-- recursive min-label closure, cluster id = component min vec_id
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+), sym AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach(s, t) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.s, y.b FROM reach r JOIN sym y ON y.a = r.t
+)
+SELECT s AS vec_id, MIN(t) AS cluster_id FROM reach GROUP BY s ORDER BY s
+"""

@@ -2346,3 +2346,442 @@ WHERE c_acctbal > a
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# q7 analog: volume shipping between two nations (bi-directional pair filter
+# over a three-chain join)
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2") -> pd.DataFrame:
+    """TPC-H Q7 analog — volume shipping: yearly revenue flowing between two
+    nations in either direction (supplier in one, ordering customer in the
+    other).
+
+    Same three-chain shape as q5 (suppkey -> orderkey -> custkey) with the
+    pair predicate split across the chain so volume shrinks as early as
+    possible: the supplier join keeps only the two nations' suppliers and
+    the customer join only the two nations' customers BEFORE the expensive
+    lineitem-orders exchange; the cross-pair (a,b)/(b,a) test is then a
+    cheap in-bucket filter. Nation names via the bounded LUT; year rides
+    the revenue partial so the final rollup is (2 x years)-bounded."""
+    from ..functions.shuffle import bucketed_join
+
+    nation_names = _nation_lut(sf_dir)
+    pair_keys = {int(k) for k in np.flatnonzero(
+        np.isin(nation_names, [nation_a, nation_b]))}
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount", "l_shipdate"])
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df.l_orderkey.to_numpy(np.int64),
+            "l_suppkey": df.l_suppkey.to_numpy(np.int64),
+            "l_year": df.l_shipdate.dt.year.to_numpy(np.int64),
+            "volume": (df.l_extendedprice.to_numpy(np.float64)
+                       * (1.0 - df.l_discount.to_numpy(np.float64))),
+        }).groupby(["l_orderkey", "l_suppkey", "l_year"],
+                   as_index=False).agg(volume=("volume", "sum"))
+
+    line_p = line.map_batches(line_partial, batch_format="pandas")
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda df: df[df.s_nationkey.isin(pair_keys)],
+        batch_format="pandas",
+    )
+
+    def j_supp(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_suppkey", right_on="s_suppkey")
+        return m[["l_orderkey", "l_year", "volume", "s_nationkey"]]
+
+    line_s = bucketed_join(
+        line_p, supp, "l_suppkey", "s_suppkey", j_supp,
+        left_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                     "l_year": "int64", "volume": "float64"},
+        right_dtypes={"s_suppkey": "int64", "s_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda df: df[df.c_nationkey.isin(pair_keys)],
+        batch_format="pandas",
+    )
+
+    def j_ordcust(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_custkey", right_on="c_custkey")
+        return m[["o_orderkey", "c_nationkey"]]
+
+    ordcust = bucketed_join(
+        orders, cust, "o_custkey", "c_custkey", j_ordcust,
+        left_dtypes={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_dtypes={"c_custkey": "int64", "c_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    def j_final(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        m = m[m.s_nationkey != m.c_nationkey]
+        if m.empty:
+            return pd.DataFrame({
+                "supp_nation": pd.Series(dtype=object),
+                "cust_nation": pd.Series(dtype=object),
+                "l_year": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64")})
+        m = m.sort_values(["l_orderkey", "l_year", "volume"], kind="stable")
+        m = m.assign(
+            supp_nation=nation_names[m.s_nationkey.to_numpy(np.int64)],
+            cust_nation=nation_names[m.c_nationkey.to_numpy(np.int64)])
+        return m.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False).agg(revenue=("volume", "sum"))
+
+    out = bucketed_join(
+        line_s, ordcust, "l_orderkey", "o_orderkey", j_final,
+        left_dtypes={"l_orderkey": "int64", "l_year": "int64",
+                     "volume": "float64", "s_nationkey": "int64"},
+        right_dtypes={"o_orderkey": "int64", "c_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    schema = {"supp_nation": "object", "cust_nation": "object",
+              "l_year": "int64", "revenue": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year", "revenue"],
+                          kind="stable")
+    out = out.groupby(["supp_nation", "cust_nation", "l_year"],
+                      as_index=False).agg(revenue=("revenue", "sum"))
+    out["l_year"] = out.l_year.astype("int64")
+    out["revenue"] = round_away(out.revenue, 2)
+    return typed_out(out, schema,
+                     sort_by=["supp_nation", "cust_nation", "l_year"])
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q8 analog: national market share within a region (case-ratio aggregate
+# over a four-chain join)
+# ---------------------------------------------------------------------------
+
+
+def q8_market_share(sf_dir: str, nation_name: str = "NATION_1",
+                    p_type: str = "ECONOMY") -> pd.DataFrame:
+    """TPC-H Q8 analog — national market share: the fraction of 1996-1997
+    revenue for one part type, sold into the subject nation's region, that
+    was supplied by the subject nation.
+
+    The longest join chain in the repo (part -> orders -> customer ->
+    supplier) with each predicate pushed to its earliest stage: the part
+    side prunes to the type at the scan, orders prune to the window, the
+    customer join keeps only the region's buyers, and the supplier join
+    only LABELS rows (numerator membership) — the share is a case-ratio of
+    two sums over the same bounded (year) groups, folded once at the
+    driver in stable order."""
+    from ..functions.shuffle import bucketed_join
+
+    nation_names = _nation_lut(sf_dir)
+    n2r = _nation_to_region_names(sf_dir)
+    subject_keys = {int(k) for k in np.flatnonzero(
+        nation_names == nation_name)}
+    region_name = n2r[next(iter(subject_keys))]
+    region_cust_keys = {int(k) for k in np.flatnonzero(n2r == region_name)}
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    part = part.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("p_type"), p_type))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_orderkey", "l_suppkey",
+                          "l_extendedprice", "l_discount"])
+
+    def j_part(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        m = m.assign(volume=m.l_extendedprice * (1.0 - m.l_discount))
+        return m[["l_orderkey", "l_suppkey", "volume"]]
+
+    line_t = bucketed_join(
+        line, part, "l_partkey", "p_partkey", j_part,
+        right_dtypes={"p_partkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pa.compute.and_(
+            pa.compute.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+            pa.compute.less(t.column("o_orderdate"), pa.scalar(hi)))),
+        batch_format="pyarrow",
+    )
+
+    def j_ord(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        m = m.assign(o_year=m.o_orderdate.dt.year.astype("int64"))
+        return m[["l_suppkey", "o_custkey", "o_year", "volume"]]
+
+    line_o = bucketed_join(
+        line_t, orders, "l_orderkey", "o_orderkey", j_ord,
+        left_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                     "volume": "float64"},
+        right_dtypes={"o_orderkey": "int64", "o_custkey": "int64",
+                      "o_orderdate": "datetime64[us]"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda df: df[df.c_nationkey.isin(region_cust_keys)]
+                   [["c_custkey"]],
+        batch_format="pandas",
+    )
+
+    def j_cust(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_custkey", right_on="c_custkey")
+        return m[["l_suppkey", "o_year", "volume"]]
+
+    line_c = bucketed_join(
+        line_o, cust, "o_custkey", "c_custkey", j_cust,
+        left_dtypes={"l_suppkey": "int64", "o_custkey": "int64",
+                     "o_year": "int64", "volume": "float64"},
+        right_dtypes={"c_custkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def j_supp(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_suppkey", right_on="s_suppkey")
+        if m.empty:
+            return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                                 "num": pd.Series(dtype="float64"),
+                                 "den": pd.Series(dtype="float64")})
+        m = m.sort_values(["l_suppkey", "o_year", "volume"], kind="stable")
+        m = m.assign(num=np.where(m.s_nationkey.isin(subject_keys),
+                                  m.volume.to_numpy(np.float64), 0.0))
+        return m.groupby("o_year", as_index=False).agg(
+            num=("num", "sum"), den=("volume", "sum"))
+
+    out = bucketed_join(
+        line_c, supp, "l_suppkey", "s_suppkey", j_supp,
+        left_dtypes={"l_suppkey": "int64", "o_year": "int64",
+                     "volume": "float64"},
+        right_dtypes={"s_suppkey": "int64", "s_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    schema = {"o_year": "int64", "mkt_share": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["o_year", "num", "den"], kind="stable")
+    out = out.groupby("o_year", as_index=False).agg(
+        num=("num", "sum"), den=("den", "sum"))
+    out["mkt_share"] = round_away(
+        out.num.to_numpy(np.float64) / out.den.to_numpy(np.float64), 6)
+    out["o_year"] = out.o_year.astype("int64")
+    return typed_out(out[["o_year", "mkt_share"]], schema, sort_by="o_year")
+
+
+Q8_SQL = """
+WITH all_rows AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = (
+      SELECT r_name FROM region JOIN nation ON n_regionkey = r_regionkey
+      WHERE n_name = 'NATION_1')
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+)
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM all_rows
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# order fulfillment latency histogram (two-level MIN + bounded-day rollup)
+# ---------------------------------------------------------------------------
+
+
+def orders_ship_latency_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distribution of days from order placement to FIRST shipment — the
+    fulfillment-latency curve (the crawl-world analog: request-to-fetch
+    latency per page, same two-level-min shape as warc re-crawl delay).
+
+    Plan: lineitem pre-reduces MIN(l_shipdate) per orderkey per batch, the
+    orderkey-bucketed join against orders closes the exact min and maps
+    straight to whole-day latencies — the exchange output is a bounded
+    (days x buckets) histogram, and the driver folds integers."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def min_ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            first_ship=("l_shipdate", "min"))
+
+    def min_ship_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False).agg(
+            first_ship=("first_ship", "min"))
+
+    first = bucketed_combine(line, "l_orderkey", min_ship_partial,
+                             min_ship_combine, coalesce_blocks=16)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def latency_hist(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_orderkey", right_on="l_orderkey")
+        if m.empty:
+            return pd.DataFrame({"latency_days": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        days = ((m.first_ship.astype("int64")
+                 - m.o_orderdate.astype("int64"))
+                // 86_400_000_000).astype("int64")
+        out = pd.DataFrame({"latency_days": days}).groupby(
+            "latency_days", as_index=False).size()
+        out["n"] = out.pop("size").astype("int64")
+        return out
+
+    out = bucketed_join(
+        orders, first, "o_orderkey", "l_orderkey", latency_hist,
+        right_dtypes={"l_orderkey": "int64",
+                      "first_ship": "datetime64[us]"},
+        coalesce_blocks=16,
+    ).to_pandas()
+    schema = {"latency_days": "int64", "n": "int64"}
+    if out.empty:
+        return typed_out(out, schema)
+    out = out.groupby("latency_days", as_index=False).agg(n=("n", "sum"))
+    out["latency_days"] = out.latency_days.astype("int64")
+    out["n"] = out.n.astype("int64")
+    return typed_out(out, schema, sort_by="latency_days")
+
+
+ORDERS_SHIP_LATENCY_SQL = """
+WITH f AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(date_diff('day', o_orderdate, first_ship) AS BIGINT)
+         AS latency_days,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN f ON o_orderkey = l_orderkey
+GROUP BY 1
+ORDER BY latency_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 analog: suppliers who alone shipped last on multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+def supplier_sole_late_orders(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """TPC-H Q21 analog — suppliers who kept orders waiting: on orders with
+    >= 2 distinct suppliers, the supplier who ALONE shipped last (exactly
+    one supplier attains the order's max shipdate), counted per supplier
+    (the testdata has no receipt/commit dates, so "late" is the strict
+    argmax of shipdate).
+
+    The whole EXISTS / NOT-EXISTS pair of the original collapses into one
+    orderkey-bucketed exchange: all lineitems of an order co-locate, so
+    distinct-supplier count, max shipdate, and the sole-argmax test are
+    one vectorized in-bucket pass; each bucket emits bounded (suppkey,
+    count) partials, the driver folds integers and takes the global
+    top-k (count desc, suppkey asc — exact under integer ties)."""
+    from ..functions.shuffle import bucketed_combine
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey",
+                                              "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-(order, supplier) max shipdate: preserves distinct-supplier
+        # structure and the order max while shrinking the exchange volume
+        return df.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            max_ship=("l_shipdate", "max"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            max_ship=("max_ship", "max"))
+        stats = g.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), omax=("max_ship", "max"))
+        g = g.join(stats, on="l_orderkey")
+        at_max = g[g.max_ship == g.omax]
+        n_at_max = at_max.groupby("l_orderkey")["l_suppkey"].transform("size")
+        sole = at_max[(n_at_max.to_numpy() == 1)
+                      & (at_max.n_supp.to_numpy() >= 2)]
+        out = sole.groupby("l_suppkey", as_index=False).size()
+        out["numwait"] = out.pop("size").astype("int64")
+        return out.rename(columns={"l_suppkey": "s_suppkey"})
+
+    out = bucketed_combine(line, "l_orderkey", partial, combine,
+                           coalesce_blocks=16).to_pandas()
+    schema = {"s_suppkey": "int64", "numwait": "int64"}
+    if out.empty:
+        return typed_out(out, schema)
+    out = out.groupby("s_suppkey", as_index=False).agg(
+        numwait=("numwait", "sum"))
+    out = out.sort_values(["numwait", "s_suppkey"],
+                          ascending=[False, True]).head(k)
+    out["numwait"] = out.numwait.astype("int64")
+    out["s_suppkey"] = out.s_suppkey.astype("int64")
+    return typed_out(out.reset_index(drop=True), schema)
+
+
+SUPPLIER_SOLE_LATE_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, MAX(max_ship) AS omax
+  FROM per GROUP BY l_orderkey
+), sole AS (
+  SELECT per.l_orderkey, MIN(per.l_suppkey) AS s_suppkey
+  FROM per JOIN o USING (l_orderkey)
+  WHERE per.max_ship = o.omax AND o.n_supp >= 2
+  GROUP BY per.l_orderkey
+  HAVING COUNT(*) = 1
+)
+SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM sole
+GROUP BY s_suppkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT 25
+"""

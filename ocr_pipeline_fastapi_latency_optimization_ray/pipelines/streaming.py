@@ -1146,3 +1146,96 @@ FROM f
 GROUP BY 1
 ORDER BY window_h
 """
+
+
+def events_props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured property extraction: parse the integer ``k`` field
+    out of the JSON ``props`` column and profile it per event type — the
+    log-enrichment staple (every clickstream warehouse starts by lifting
+    typed fields out of a JSON blob).
+
+    The parse is a vectorized Arrow regex (``pc.extract_regex`` over the
+    UTF-8 buffer — no json.loads per row, no Python loop); rows whose
+    props lack a parsable k are counted, not dropped. Per-type (n, n_k,
+    sum_k, min_k, max_k) partials are schema-bounded (5 event types), so
+    the driver fold is constant-size and integer-exact."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        et = t.column("event_type").to_pandas().to_numpy(object)
+        props = pc.coalesce(t.column("props"), "")
+        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        has = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        kvals = np.zeros(len(t), dtype=np.int64)
+        if has.any():
+            kints = pc.fill_null(
+                pc.struct_field(ext, 0).cast(pa.int64()), 0)
+            kvals = kints.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "has": has, "k": kvals})
+        g = df.groupby("event_type")
+        out = pd.DataFrame({
+            "event_type": np.array(list(g.groups), dtype=object),
+            "n": g.size().to_numpy(np.int64),
+            "n_k": g["has"].sum().to_numpy(np.int64),
+        })
+        kk = df[df.has]
+        if kk.empty:
+            out["sum_k"] = np.int64(0)
+            out["min_k"] = np.int64(np.iinfo(np.int64).max)
+            out["max_k"] = np.int64(np.iinfo(np.int64).min)
+        else:
+            kg = kk.groupby("event_type")["k"]
+            out = out.merge(
+                pd.DataFrame({"event_type": np.array(list(kg.groups),
+                                                     dtype=object),
+                              "sum_k": kg.sum().to_numpy(np.int64),
+                              "min_k": kg.min().to_numpy(np.int64),
+                              "max_k": kg.max().to_numpy(np.int64)}),
+                on="event_type", how="left")
+            out["sum_k"] = out.sum_k.fillna(0).astype("int64")
+            out["min_k"] = out.min_k.fillna(np.iinfo(np.int64).max
+                                            ).astype("int64")
+            out["max_k"] = out.max_k.fillna(np.iinfo(np.int64).min
+                                            ).astype("int64")
+        return out
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    schema = {"event_type": "object", "n": "int64", "n_k": "int64",
+              "sum_k": "int64", "min_k": "int64", "max_k": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), n_k=("n_k", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max"))
+    # types with zero parsable k keep NULL min/max like the oracle
+    none_k = out.n_k.to_numpy() == 0
+    out["min_k"] = out.min_k.astype("float64")
+    out["max_k"] = out.max_k.astype("float64")
+    out.loc[none_k, ["min_k", "max_k"]] = np.nan
+    for c in ("n", "n_k", "sum_k"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out, {**schema, "min_k": "float64",
+                           "max_k": "float64"}, sort_by="event_type")
+
+
+EVENTS_PROPS_K_STATS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(COALESCE(props, ''), '$.k')
+                  AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS DOUBLE) AS min_k,
+       CAST(MAX(k) AS DOUBLE) AS max_k
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""

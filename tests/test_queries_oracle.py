@@ -122,6 +122,9 @@ SQL_CHECKED = [
     "q17_small_quantity_revenue", "q19_discounted_revenue",
     "q22_idle_balance_by_nation", "events_new_users_by_hour",
     "doc_word_length_histogram", "doc_ttr_by_lang",
+    "q7_volume_shipping", "q8_market_share",
+    "orders_ship_latency_histogram", "supplier_sole_late_orders",
+    "events_props_k_stats", "embedding_dup_clusters",
 ]
 
 
