@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 164 entries, 131 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 166 entries, 133 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, final block):
+        "crawl_snapshot_diff": extract_checks.crawl_snapshot_diff,
+        "quality_classifier_pr_curve":
+            text_analysis.quality_classifier_pr_curve,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "orders_ship_latency_histogram":
@@ -250,15 +253,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_active_users": streaming.events_hourly_active_users,
         "embedding_covariance": similarity.embedding_covariance,
         "corpus_curate_pack": packing.corpus_curate_pack,
-        "corpus_uniform_sample": curation.corpus_uniform_sample,
-        "warc_snapshot_latest": extract_checks.warc_snapshot_latest,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the FIFTEEN never-checked entries
-        # directly below spilled past the line and rotate FIRST in round 5,
-        # ahead of the r2/r3-checked blocks. Every entry below holds full
-        # pytest-oracle coverage regardless of driver-window position.)
+        # entries exactly to position 50; the SEVENTEEN never-checked
+        # entries directly below spilled past the line and rotate FIRST in
+        # round 5, ahead of the r2/r3-checked blocks. Every entry below
+        # holds full pytest-oracle coverage regardless of driver-window
+        # position.)
         # oracle-backed spillover:
+        "corpus_uniform_sample": curation.corpus_uniform_sample,
+        "warc_snapshot_latest": extract_checks.warc_snapshot_latest,
         "robots_disallow_filter": extract_checks.robots_disallow_filter,
         "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
         "corpus_dedup_survivorship_by_source":
@@ -392,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_snapshot_diff": extract_checks.CRAWL_SNAPSHOT_DIFF_SQL,
+        "quality_classifier_pr_curve":
+            text_analysis.QUALITY_CLASSIFIER_PR_CURVE_SQL,
         "q7_volume_shipping": relational.Q7_SQL,
         "q8_market_share": relational.Q8_SQL,
         "orders_ship_latency_histogram": relational.ORDERS_SHIP_LATENCY_SQL,

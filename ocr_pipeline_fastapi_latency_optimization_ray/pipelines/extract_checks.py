@@ -698,3 +698,106 @@ FROM documents
 GROUP BY 1
 ORDER BY domain
 """
+
+
+def crawl_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Diff two crawl snapshots — per language, how many documents were
+    added, removed, changed, or unchanged between wave A and wave B (the
+    re-crawl budgeting report: "changed" drives refresh frequency,
+    "added/removed" drives frontier growth).
+
+    Waves are carved DETERMINISTICALLY from the documents table (wave A =
+    doc_id % 3 != 0, wave B = doc_id % 5 != 0, with every doc_id % 7 == 0
+    page revised in B), so the oracle reproduces them closed-form. The
+    diff itself is the one join shape the catalog still lacked: a
+    FULL-OUTER join — doc-keyed co-partitioning puts both waves' copy of
+    a page in one bucket, the outer merge classifies all four statuses
+    locally, and only (lang, status) counter partials leave the bucket."""
+    import numpy as np
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_join
+
+    docs = f"{sf_dir}/documents.parquet"
+
+    wave_a = ray.data.read_parquet(docs, columns=["doc_id", "lang", "text"])
+
+    def mk_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.doc_id % 3 != 0]
+        return pd.DataFrame({"doc_id": df.doc_id.to_numpy("int64"),
+                             "lang": df.lang.to_numpy(object),
+                             "text": df.text.fillna("").to_numpy(object)})
+
+    wave_a = wave_a.map_batches(mk_a, batch_format="pandas")
+
+    wave_b = ray.data.read_parquet(docs, columns=["doc_id", "lang", "text"])
+
+    def mk_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.doc_id % 5 != 0]
+        txt = df.text.fillna("").to_numpy(object)
+        rev = (df.doc_id % 7 == 0).to_numpy()
+        txt = np.where(rev, txt + " rev2", txt)
+        return pd.DataFrame({"b_doc_id": df.doc_id.to_numpy("int64"),
+                             "b_lang": df.lang.to_numpy(object),
+                             "b_text": txt})
+
+    wave_b = wave_b.map_batches(mk_b, batch_format="pandas")
+
+    def diff(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="doc_id", right_on="b_doc_id",
+                       how="outer")
+        if m.empty:
+            return pd.DataFrame({"lang": pd.Series(dtype=object),
+                                 "status": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        in_a = m.doc_id.notna().to_numpy()
+        in_b = m.b_doc_id.notna().to_numpy()
+        status = np.where(
+            ~in_a, "added",
+            np.where(~in_b, "removed",
+                     np.where(m.text.to_numpy(object)
+                              != m.b_text.to_numpy(object),
+                              "changed", "unchanged")))
+        lang = np.where(in_a, m.lang.to_numpy(object),
+                        m.b_lang.to_numpy(object))
+        out = pd.DataFrame({"lang": lang, "status": status}).groupby(
+            ["lang", "status"], as_index=False).size()
+        out["n"] = out.pop("size").astype("int64")
+        return out
+
+    out = bucketed_join(
+        wave_a, wave_b, "doc_id", "b_doc_id", diff,
+        left_dtypes={"doc_id": "int64", "lang": "object",
+                     "text": "object"},
+        right_dtypes={"b_doc_id": "int64", "b_lang": "object",
+                      "b_text": "object"},
+        num_buckets=32, coalesce_blocks=16,
+    ).to_pandas()
+    schema = {"lang": "object", "status": "object", "n": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby(["lang", "status"], as_index=False).agg(n=("n", "sum"))
+    out["n"] = out.n.astype("int64")
+    return typed_out(out, schema, sort_by=["lang", "status"])
+
+
+CRAWL_SNAPSHOT_DIFF_SQL = """
+WITH a AS (
+  SELECT doc_id, lang, COALESCE(text, '') AS text
+  FROM documents WHERE doc_id % 3 != 0
+), b AS (
+  SELECT doc_id, lang,
+         COALESCE(text, '')
+           || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END AS text
+  FROM documents WHERE doc_id % 5 != 0
+)
+SELECT COALESCE(a.lang, b.lang) AS lang,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.text != b.text THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1, 2
+ORDER BY lang, status
+"""

@@ -2368,3 +2368,101 @@ FROM per
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def quality_classifier_pr_curve(sf_dir: str) -> pd.DataFrame:
+    """Precision/recall curve of the quality classifier against a
+    deterministic reference label — the threshold-calibration report every
+    learned filter ships with (pick the operating point, then gate the
+    corpus at it).
+
+    The reference label is closed-form (doc_id % 10 < 7 → positive) so
+    the oracle reproduces it; the predicted score is the SAME rounded
+    sigmoid the classifier emits (scored through the same actor-pool
+    class — weights once per actor). Each batch reduces to 9 x (tp, fp,
+    fn) integer partials (one per threshold in 0.1..0.9), so the driver
+    fold is bounded and order-exact; the two ratios per threshold are
+    computed once from exact integer counts."""
+    thresholds = np.round(np.arange(1, 10) * 0.1, 1)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class _PrPartial(QualityClassifier):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            scored = super().__call__(df)
+            score = scored.quality_score.to_numpy(np.float64)
+            truth = (scored.doc_id.to_numpy(np.int64) % 10 < 7)
+            rows = []
+            for t in thresholds:
+                pred = score >= t
+                rows.append((float(t),
+                             int(np.sum(pred & truth)),
+                             int(np.sum(pred & ~truth)),
+                             int(np.sum(~pred & truth))))
+            return pd.DataFrame(rows, columns=["threshold", "tp", "fp",
+                                               "fn"])
+
+    out = ds.map_batches(_PrPartial, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    schema = {"threshold": "float64", "tp": "int64", "fp": "int64",
+              "fn": "int64", "precision": "float64", "recall": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("threshold", as_index=False).agg(
+        tp=("tp", "sum"), fp=("fp", "sum"), fn=("fn", "sum"))
+    tp = out.tp.to_numpy(np.float64)
+    out["precision"] = round_away(
+        tp / np.maximum(tp + out.fp.to_numpy(np.float64), 1.0), 6)
+    out["recall"] = round_away(
+        tp / np.maximum(tp + out.fn.to_numpy(np.float64), 1.0), 6)
+    for c in ("tp", "fp", "fn"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out, schema, sort_by="threshold")
+
+
+QUALITY_CLASSIFIER_PR_CURVE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, w -> w IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+             AS DOUBLE) AS n_stop,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM t
+), s AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.45 * ln(n_tok + 1.0)
+               + 6.0 * (n_stop / n_tok)
+               + 1.5 * (n_alpha / (n_chars + 1.0))
+               + 0.05 * (n_chars / n_tok)))), 6) AS score,
+         (doc_id % 10 < 7) AS truth
+  FROM f
+), th AS (
+  SELECT ROUND(g * 0.1, 1) AS threshold FROM generate_series(1, 9) AS t(g)
+), c AS (
+  SELECT threshold,
+         SUM(CASE WHEN score >= threshold AND truth THEN 1 ELSE 0 END)
+           AS tp,
+         SUM(CASE WHEN score >= threshold AND NOT truth THEN 1 ELSE 0 END)
+           AS fp,
+         SUM(CASE WHEN score < threshold AND truth THEN 1 ELSE 0 END)
+           AS fn
+  FROM th CROSS JOIN s
+  GROUP BY threshold
+)
+SELECT threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(tp * 1.0 / GREATEST(tp + fp, 1), 6) AS precision,
+       ROUND(tp * 1.0 / GREATEST(tp + fn, 1), 6) AS recall
+FROM c
+ORDER BY threshold
+"""

@@ -125,6 +125,7 @@ SQL_CHECKED = [
     "q7_volume_shipping", "q8_market_share",
     "orders_ship_latency_histogram", "supplier_sole_late_orders",
     "events_props_k_stats", "embedding_dup_clusters",
+    "crawl_snapshot_diff", "quality_classifier_pr_curve",
 ]
 
 
