@@ -260,3 +260,92 @@ def video_scene_cuts(sf_dir: str, max_hamming: int = 12,
     if out.empty:
         return typed_out(pd.DataFrame(), schema)
     return typed_out(out, schema, sort_by="media_id")
+
+
+class _VadSegmenter:
+    """Energy-threshold voice-activity detection per audio file — the
+    speech-curation primitive that decides which clip spans enter an ASR
+    training set. Framing mirrors ``AudioFeaturizer`` (stride-trick view,
+    zero-copy); the gate is RELATIVE (frame RMS >= ``rel`` x file mean
+    RMS), so the 4-sinusoid stub signal's beating pattern yields real
+    on/off runs, and a real decoder drops in behind the same registry
+    without touching this stage. Segments are gaps-and-islands over the
+    boolean gate — one vectorized diff, no Python loop over frames."""
+
+    def __init__(self, frame: int = 1024, hop: int = 512,
+                 rel: float = 1.0):
+        self.frame = frame
+        self.hop = hop
+        self.rel = rel
+
+    def __call__(self, batch) -> pd.DataFrame:
+        import pyarrow as pa
+
+        from ..sources.media import decode_audio
+
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = {k: [] for k in
+                ("media_id", "n_frames", "n_active", "n_segments",
+                 "longest_segment", "active_ratio", "error")}
+        for mid, p in zip(ids, payloads):
+            rows["media_id"].append(mid)
+            try:
+                pcm, sr = decode_audio(p)
+                x = pcm.astype(np.float64) / 32768.0
+                n = len(x)
+                nf = max(0, 1 + (n - self.frame) // self.hop)
+                frames = np.lib.stride_tricks.as_strided(
+                    x, shape=(nf, self.frame),
+                    strides=(x.strides[0] * self.hop, x.strides[0]))
+                rms = (np.sqrt((frames ** 2).mean(axis=1)) if nf
+                       else np.zeros(0))
+                active = rms >= (self.rel * rms.mean() if nf else 0.0)
+                # gaps-and-islands: segment starts where active rises
+                starts = np.flatnonzero(np.diff(
+                    np.concatenate(([0], active.view(np.int8)))) == 1)
+                ends = np.flatnonzero(np.diff(
+                    np.concatenate((active.view(np.int8), [0]))) == -1)
+                seg_lens = (ends - starts + 1) if len(starts) else \
+                    np.zeros(0, dtype=np.int64)
+                rows["n_frames"].append(int(nf))
+                rows["n_active"].append(int(active.sum()))
+                rows["n_segments"].append(int(len(starts)))
+                rows["longest_segment"].append(
+                    int(seg_lens.max()) if len(seg_lens) else 0)
+                rows["active_ratio"].append(
+                    round(float(active.sum()) / nf, 6) if nf else 0.0)
+                rows["error"].append(None)
+            except ValueError as e:
+                for k in ("n_frames", "n_active", "n_segments",
+                          "longest_segment"):
+                    rows[k].append(0)
+                rows["active_ratio"].append(0.0)
+                rows["error"].append(str(e))
+        return pd.DataFrame(rows)
+
+
+def audio_vad_segments(sf_dir: str) -> pd.DataFrame:
+    """VAD segment profile per audio file through the warm actor pool —
+    rows-only (stub decode has no SQL analog); determinism and the
+    non-degenerate segment structure are pinned in
+    tests/test_multimodal.py."""
+    from ..functions.frames import typed_out
+
+    out = (
+        _kind(media_dataset(sf_dir), "audio")
+        .map_batches(
+            _VadSegmenter,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .to_pandas()
+    )
+    schema = {"media_id": "object", "n_frames": "int64",
+              "n_active": "int64", "n_segments": "int64",
+              "longest_segment": "int64", "active_ratio": "float64",
+              "error": "object"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    return typed_out(out, schema, sort_by="media_id")

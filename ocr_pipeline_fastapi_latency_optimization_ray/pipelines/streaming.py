@@ -1239,3 +1239,121 @@ FROM x
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_late_arrivals(sf_dir: str,
+                         lateness_us: int = 300_000_000) -> pd.DataFrame:
+    """Watermark / late-data profile: how many events arrive AFTER the
+    running event-time watermark has already passed them by more than the
+    allowed lateness — the number that sizes every streaming job's state
+    retention. Arrival order is a closed-form hash permutation of
+    event_id (odd-multiplier bijection mod 2^32 — the committed corpus is
+    ts-sorted by event_id, so a simulated shuffled delivery is what makes
+    the statistic non-degenerate; the oracle reproduces the same order).
+
+    This is the catalog's GLOBAL ORDERED PREFIX-SCAN: a running max over
+    one total order, distributed as the textbook two-pass scan — pass 1
+    folds a per-arrival-range max(ts) partial (bounded: ranges x blocks
+    rows), the driver takes the EXCLUSIVE prefix max over the 32 ranges,
+    and pass 2 is one range-bucketed exchange where each bucket sorts its
+    own slice, seeds the in-range exclusive running max with its prefix,
+    and emits bounded per-type counters. No global sort of the data."""
+    MULT = np.uint64(2654435761)
+    MASK = np.uint64(0xFFFFFFFF)
+    N_RANGES = 32
+    SHIFT = np.uint64(27)  # 2^32 / 32 ranges
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        arr = ((df.event_id.to_numpy(np.int64).astype(np.uint64) * MULT)
+               & MASK)
+        return pd.DataFrame({
+            "arr": arr.astype(np.int64),
+            "rid": (arr >> SHIFT).astype(np.int64),
+            "event_type": df.event_type.to_numpy(object),
+            "ts_us": df.ts.astype("int64").to_numpy(),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    # pass 1: per-range max event time (bounded partials, integer max)
+    p1 = tagged.map_batches(
+        lambda df: df.groupby("rid", as_index=False).agg(
+            mx=("ts_us", "max")),
+        batch_format="pandas",
+    ).to_pandas()
+    schema = {"event_type": "object", "n": "int64", "n_late": "int64",
+              "max_lateness_us": "int64"}
+    if p1.empty:
+        return typed_out(pd.DataFrame(), schema)
+    range_max = np.full(N_RANGES, np.iinfo(np.int64).min, dtype=np.int64)
+    g = p1.groupby("rid").mx.max()
+    range_max[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+    # exclusive prefix max: watermark entering each range
+    prefix = np.full(N_RANGES, np.iinfo(np.int64).min, dtype=np.int64)
+    prefix[1:] = np.maximum.accumulate(range_max)[:-1]
+    prefix_list = prefix.tolist()  # broadcast via closure (32 ints)
+
+    def scan_range(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values("arr", kind="stable")
+        ts = grp.ts_us.to_numpy(np.int64)
+        seed = prefix_list[int(grp.rid.iloc[0])]
+        run = np.maximum.accumulate(ts)
+        wm = np.empty_like(run)  # exclusive running max, seeded
+        wm[0] = seed
+        wm[1:] = np.maximum(run[:-1], seed)
+        has_wm = wm != np.iinfo(np.int64).min
+        late = wm - ts
+        out = pd.DataFrame({
+            "event_type": grp.event_type.to_numpy(object),
+            "n": np.int64(1),
+            "is_late": (has_wm & (late > lateness_us)).astype(np.int64),
+            "lateness": np.where(has_wm, late, np.iinfo(np.int64).min),
+        })
+        return out.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_late=("is_late", "sum"),
+            max_lateness_us=("lateness", "max"))
+
+    out = (
+        tagged.groupby("rid")
+        .map_groups(scan_range, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), n_late=("n_late", "sum"),
+        max_lateness_us=("max_lateness_us", "max"))
+    none = out.max_lateness_us.to_numpy() == np.iinfo(np.int64).min
+    out.loc[none, "max_lateness_us"] = 0
+    for c in ("n", "n_late", "max_lateness_us"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out, schema, sort_by="event_type")
+
+
+EVENTS_LATE_ARRIVALS_SQL = """
+WITH a AS (
+  SELECT event_type, ts,
+         (event_id * 2654435761) % 4294967296 AS arr
+  FROM events
+), w AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY arr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM a
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (wm IS NOT NULL
+            AND epoch_us(wm) - epoch_us(ts) > 300000000) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN wm IS NOT NULL
+                          THEN epoch_us(wm) - epoch_us(ts) END), 0)
+            AS BIGINT) AS max_lateness_us
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -126,6 +126,7 @@ SQL_CHECKED = [
     "orders_ship_latency_histogram", "supplier_sole_late_orders",
     "events_props_k_stats", "embedding_dup_clusters",
     "crawl_snapshot_diff", "quality_classifier_pr_curve",
+    "events_late_arrivals",
 ]
 
 
@@ -149,6 +150,7 @@ ROWS_ONLY = [
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
     "doc_dup_pagerank", "ann_ivfpq_topk", "image_phash_dedup",
     "ann_recall_report", "bpe_train_merges", "bpe_encode_stats",
+    "audio_vad_segments",
 ]
 
 
