@@ -159,6 +159,11 @@ def bench_queries() -> dict:
         ("url_normalize_dedup", extract_checks.url_normalize_dedup),
         ("corpus_gram_novelty", curation.corpus_gram_novelty),
         ("embedding_cosine_pairs_exact", dedup.embedding_cosine_pairs_exact),
+        # round-4 continuation additions: the longest join chain in the
+        # repo (4 bucketed joins) and the full-outer snapshot diff — the
+        # two new join shapes, timed at scale
+        ("q8_market_share", relational.q8_market_share),
+        ("crawl_snapshot_diff", extract_checks.crawl_snapshot_diff),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
