@@ -32,6 +32,15 @@ DETERMINISM_QUERIES = [
     "corpus_gram_novelty",
     "tf_idf_top_terms",
     "q1_pricing_summary",
+    # round-4 continuation shapes: 4-chain case-ratio join, chained
+    # combine+join revenue rollup, correlated per-part scalar, global
+    # prefix-scan, full-outer diff, cosine-edge CC labels
+    "q8_market_share",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "events_late_arrivals",
+    "crawl_snapshot_diff",
+    "embedding_dup_clusters",
 ]
 
 
