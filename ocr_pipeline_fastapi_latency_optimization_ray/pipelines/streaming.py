@@ -1357,3 +1357,111 @@ FROM w
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_sliding_distinct_users(sf_dir: str,
+                                  window_hours: int = 24) -> pd.DataFrame:
+    """EXACT distinct users per 24-hour window sliding by one hour — the
+    rolling-reach metric whose naive plan (re-deduplicate 24 panes per
+    anchor) does 24x the work and whose sketch plan (HLL per pane) gives
+    up exactness. This is the scalable EXACT formulation: each user's
+    contribution to ALL windows is an interval union, and the rollup is a
+    difference array — no per-window work at all.
+
+    Plan: (1) tiny pass folds the global max active hour; (2) the stream
+    shrinks to distinct (user, hour) pairs per batch, one user-bucketed
+    exchange co-locates each user's hours, and the bucket merges each
+    user's [h, h+23] spans (consecutive actives with gaps <= 23 coalesce)
+    into +1/-1 boundary deltas — ONE vectorized run-id pass over the
+    sorted bucket, never a loop per window; (3) the driver folds the
+    bounded (boundary, delta) stream (bounded by the crawl's hour range,
+    not by events or users) and one prefix-sum yields every anchor's
+    exact count. Integers end to end."""
+    look = window_hours - 1
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def hours_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": (df["ts"].astype("int64") // 3_600_000_000),
+            "user_id": df["user_id"].to_numpy(np.int64),
+        }).drop_duplicates()
+
+    tagged = ds.map_batches(hours_partial, batch_format="pandas")
+
+    # pass 1: global max active hour (bounded partials)
+    mx = tagged.map_batches(
+        lambda df: pd.DataFrame({"mx": [df.h.max()]})
+        if len(df) else pd.DataFrame({"mx": pd.Series(dtype="int64")}),
+        batch_format="pandas",
+    ).to_pandas()
+    schema = {"window_h": "int64", "n_users": "int64"}
+    if mx.empty or mx.mx.isna().all():
+        return typed_out(pd.DataFrame(), schema)
+    max_h = int(mx.mx.max())
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "h"]).sort_values(
+            ["user_id", "h"], kind="stable")
+        u = g.user_id.to_numpy(np.int64)
+        h = g.h.to_numpy(np.int64)
+        new_run = np.ones(len(g), dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (h[1:] - h[:-1] > look)
+        run_id = np.cumsum(new_run) - 1
+        starts = h[new_run]
+        # run end = last h of the run + look, capped at the global max
+        last_idx = np.flatnonzero(
+            np.concatenate((new_run[1:], [True])))
+        ends = np.minimum(h[last_idx] + look, max_h)
+        pos = np.concatenate((starts, ends + 1))
+        dlt = np.concatenate((np.ones(len(starts), dtype=np.int64),
+                              -np.ones(len(ends), dtype=np.int64)))
+        out = pd.DataFrame({"pos": pos, "delta": dlt}).groupby(
+            "pos", as_index=False).agg(delta=("delta", "sum"))
+        return out
+
+    out = (
+        tagged.map_batches(
+            lambda df: add_bucket_column(df, ["user_id"], 32),
+            batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: deltas(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("pos", as_index=False).agg(delta=("delta", "sum"))
+    out = out.sort_values("pos", kind="stable")
+    pos = out.pos.to_numpy(np.int64)
+    counts = np.cumsum(out.delta.to_numpy(np.int64))
+    # expand segments [pos_i, pos_{i+1}) with count > 0 into hourly rows
+    seg_ends = np.concatenate((pos[1:], [max_h + 1]))
+    keep = counts > 0
+    ws, ns = [], []
+    for s, e, c in zip(pos[keep], seg_ends[keep], counts[keep]):
+        e = min(int(e), max_h + 1)
+        if e > s:
+            ws.append(np.arange(s, e, dtype=np.int64))
+            ns.append(np.full(e - s, c, dtype=np.int64))
+    if not ws:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame({"window_h": np.concatenate(ws),
+                        "n_users": np.concatenate(ns)})
+    return typed_out(res, schema, sort_by="window_h")
+
+
+EVENTS_SLIDING_DISTINCT_SQL = """
+WITH hours AS (
+  SELECT DISTINCT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h, user_id
+  FROM events
+), anchors AS (
+  SELECT DISTINCT a.h + g.g AS w0
+  FROM hours a, generate_series(0, 23) g(g)
+  WHERE a.h + g.g <= (SELECT MAX(h) FROM hours)
+)
+SELECT w0 AS window_h, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM anchors JOIN hours ON h BETWEEN w0 - 23 AND w0
+GROUP BY w0
+ORDER BY window_h
+"""

@@ -126,7 +126,7 @@ SQL_CHECKED = [
     "orders_ship_latency_histogram", "supplier_sole_late_orders",
     "events_props_k_stats", "embedding_dup_clusters",
     "crawl_snapshot_diff", "quality_classifier_pr_curve",
-    "events_late_arrivals",
+    "events_late_arrivals", "events_sliding_distinct_users",
 ]
 
 
