@@ -2785,3 +2785,112 @@ GROUP BY s_suppkey
 ORDER BY numwait DESC, s_suppkey
 LIMIT 25
 """
+
+
+# ---------------------------------------------------------------------------
+# q9 analog: product-type profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+def q9_product_profit(sf_dir: str, name_like: str = "red") -> pd.DataFrame:
+    """TPC-H Q9 analog — product profit: per supplier-nation yearly profit
+    on parts whose name contains ``name_like`` (no partsupp table in this
+    schema, so unit cost is proxied as 10% of p_retailprice — the join
+    topology, which is what Q9 exercises, is unchanged).
+
+    Completes the repo's TPC-H sweep at 18 of 22 (Q11/Q12/Q20 need
+    partsupp/shipmode/receipt columns the testdata schema lacks; Q2's
+    analog is part_cheapest_supplier). Chain: part (name-filtered at the
+    scan) joins lineitem on partkey carrying BOTH revenue terms, supplier
+    attaches the nation key, orders attaches the year; the (nation x
+    year)-bounded profit rollup folds at the driver in stable order."""
+    from ..functions.shuffle import bucketed_join
+
+    nation_names = _nation_lut(sf_dir)
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name",
+                                          "p_retailprice"])
+    part = part.map_batches(
+        lambda t: t.filter(pa.compute.match_substring(
+            t.column("p_name"), name_like)).select(
+            ["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow",
+    )
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_orderkey", "l_suppkey",
+                          "l_quantity", "l_extendedprice", "l_discount"])
+
+    def j_part(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        m = m.assign(amount=(m.l_extendedprice * (1.0 - m.l_discount)
+                             - m.p_retailprice * m.l_quantity * 0.1))
+        return m[["l_orderkey", "l_suppkey", "amount"]]
+
+    line_p = bucketed_join(
+        line, part, "l_partkey", "p_partkey", j_part,
+        right_dtypes={"p_partkey": "int64", "p_retailprice": "float64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def j_supp(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_suppkey", right_on="s_suppkey")
+        return m[["l_orderkey", "s_nationkey", "amount"]]
+
+    line_s = bucketed_join(
+        line_p, supp, "l_suppkey", "s_suppkey", j_supp,
+        left_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                     "amount": "float64"},
+        right_dtypes={"s_suppkey": "int64", "s_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def j_ord(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return pd.DataFrame({"nation": pd.Series(dtype=object),
+                                 "o_year": pd.Series(dtype="int64"),
+                                 "sum_profit": pd.Series(dtype="float64")})
+        m = m.sort_values(["l_orderkey", "amount"], kind="stable")
+        m = m.assign(
+            nation=nation_names[m.s_nationkey.to_numpy(np.int64)],
+            o_year=m.o_orderdate.dt.year.astype("int64"))
+        return m.groupby(["nation", "o_year"], as_index=False).agg(
+            sum_profit=("amount", "sum"))
+
+    out = bucketed_join(
+        line_s, orders, "l_orderkey", "o_orderkey", j_ord,
+        left_dtypes={"l_orderkey": "int64", "s_nationkey": "int64",
+                     "amount": "float64"},
+        right_dtypes={"o_orderkey": "int64",
+                      "o_orderdate": "datetime64[us]"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    schema = {"nation": "object", "o_year": "int64", "sum_profit": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["nation", "o_year", "sum_profit"], kind="stable")
+    out = out.groupby(["nation", "o_year"], as_index=False).agg(
+        sum_profit=("sum_profit", "sum"))
+    out["o_year"] = out.o_year.astype("int64")
+    out["sum_profit"] = round_away(out.sum_profit, 2)
+    return typed_out(out, schema, sort_by=["nation", "o_year"])
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year
+"""
