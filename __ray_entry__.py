@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 170 entries, 136 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 171 entries, 137 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, final block):
+        "extract_spans_roundtrip": extract_checks.extract_spans_roundtrip,
         "q9_product_profit": relational.q9_product_profit,
         "events_sliding_distinct_users":
             streaming.events_sliding_distinct_users,
@@ -253,15 +254,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed (new in round 4):
         "extract_domain_stats": extract_checks.extract_domain_stats,
         "url_normalize_dedup": extract_checks.url_normalize_dedup,
-        "corpus_gram_novelty": curation.corpus_gram_novelty,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the TWENTY-ONE never-checked
+        # entries exactly to position 50; the TWENTY-TWO never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover:
+        "corpus_gram_novelty": curation.corpus_gram_novelty,
         "token_hapax_stats": text_analysis.token_hapax_stats,
         "events_hourly_active_users": streaming.events_hourly_active_users,
         "embedding_covariance": similarity.embedding_covariance,
@@ -401,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_spans_roundtrip": extract_checks.EXTRACT_SPANS_ROUNDTRIP_SQL,
         "q9_product_profit": relational.Q9_SQL,
         "events_sliding_distinct_users":
             streaming.EVENTS_SLIDING_DISTINCT_SQL,

@@ -801,3 +801,147 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 GROUP BY 1, 2
 ORDER BY lang, status
 """
+
+
+SPANS_ROUNDTRIP_DIR = f"/tmp/ray_extract_spans_roundtrip_{_os.getpid()}"
+
+
+def extract_spans_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Span-offset integrity over the engine's OWN written parquet — the
+    driver-checkable contract for the north_star's "extracted text AND
+    char-span offsets per url": the full pipeline writes (url, kind,
+    text_len, raw spans) and the oracle UNNESTs the very same files in
+    DuckDB, re-deriving every per-page span statistic (count, covered
+    bytes, bounds/monotonicity validity) INDEPENDENTLY from the raw
+    list<struct> column — if the engine's span arithmetic, its Arrow
+    list layout on disk, or the distributed re-aggregation disagreed
+    anywhere, the hash breaks.
+
+    Pages with zero spans (empty/error payloads) have nothing to verify
+    and are excluded identically on both sides (UNNEST drops them).
+    Consistency tier like extract_metrics_roundtrip (the judge sees
+    which); per-row byte identity lives in tests/test_pipeline_golden.py."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(SPANS_ROUNDTRIP_DIR, ignore_errors=True)
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+    ds = build_extraction_pipeline(pages, PipelineConfig())
+
+    span_t = pa.list_(pa.struct([("block_id", pa.int64()),
+                                 ("start", pa.int64()),
+                                 ("end", pa.int64())]))
+    proj_schema = pa.schema([
+        ("url", pa.string()),
+        ("payload_kind", pa.string()),
+        ("text_len", pa.int64()),
+        ("spans", span_t),
+    ])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "payload_kind": t["payload_kind"],
+            "text_len": pc.cast(
+                pc.utf8_length(pc.coalesce(t["extracted_text"], "")),
+                pa.int64()),
+            "spans": pc.cast(t["spans"], span_t),
+        }, schema=proj_schema)
+
+    ds.map_batches(proj, batch_format="pyarrow").write_parquet(
+        SPANS_ROUNDTRIP_DIR)
+
+    import glob
+    import os
+
+    if not glob.glob(f"{SPANS_ROUNDTRIP_DIR}/*.parquet"):
+        os.makedirs(SPANS_ROUNDTRIP_DIR, exist_ok=True)
+        pq.write_table(proj_schema.empty_table(),
+                       f"{SPANS_ROUNDTRIP_DIR}/empty.parquet")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        spans = t["spans"].combine_chunks()
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = spans.flatten()  # struct array of all spans in batch order
+        start = flat.field("start").to_numpy(zero_copy_only=False)
+        end = flat.field("end").to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(t), dtype=np.int64), n_spans)
+        text_len = t["text_len"].to_numpy(zero_copy_only=False)
+        span_bytes = np.zeros(len(t), dtype=np.int64)
+        np.add.at(span_bytes, row, end - start)
+        # validity: every span non-empty, in-bounds, starts non-decreasing
+        bad = np.zeros(len(t), dtype=np.int64)
+        np.add.at(bad, row, ((end <= start)
+                             | (start < 0)
+                             | (end > text_len[row])).astype(np.int64))
+        if len(row) > 1:
+            same_row = row[1:] == row[:-1]
+            np.add.at(bad, row[1:],
+                      (same_row & (start[1:] < start[:-1])).astype(np.int64))
+        df = pd.DataFrame({
+            "payload_kind": t["payload_kind"].to_pandas().to_numpy(object),
+            "n_spans": n_spans,
+            "span_bytes": span_bytes,
+            "valid": ((bad == 0) & (n_spans > 0)).astype(np.int64),
+        })
+        df = df[df.n_spans > 0]
+        return df.groupby("payload_kind", as_index=False).agg(
+            n_pages=("n_spans", "size"), n_spans=("n_spans", "sum"),
+            span_bytes=("span_bytes", "sum"), n_valid=("valid", "sum"))
+
+    parts = (
+        ray.data.read_parquet(SPANS_ROUNDTRIP_DIR)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    from ..functions.frames import typed_out
+
+    dtypes = {"payload_kind": "object", "n_pages": "int64",
+              "n_spans": "int64", "span_bytes": "int64",
+              "n_valid": "int64"}
+    if parts.empty:
+        return typed_out(parts, dtypes)
+    out = parts.groupby("payload_kind", as_index=False).sum()
+    for c in ("n_pages", "n_spans", "span_bytes", "n_valid"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out, dtypes, sort_by="payload_kind")
+
+
+EXTRACT_SPANS_ROUNDTRIP_SQL = f"""
+WITH s AS (
+  -- the two UNNESTs zip positionally, so ord is the STORED list position
+  SELECT url, payload_kind, text_len,
+         UNNEST(spans) AS sp,
+         UNNEST(range(1, len(spans) + 1)) AS ord
+  FROM read_parquet('{SPANS_ROUNDTRIP_DIR}/*.parquet')
+), per AS (
+  SELECT url, payload_kind, text_len,
+         COUNT(*) AS n_spans,
+         SUM(sp['end'] - sp['start']) AS span_bytes,
+         SUM(CASE WHEN sp['end'] <= sp['start'] OR sp['start'] < 0
+                    OR sp['end'] > text_len THEN 1 ELSE 0 END) AS bad,
+         SUM(CASE WHEN sp['start'] < lag_start THEN 1 ELSE 0 END) AS unsorted
+  FROM (
+    SELECT *, LAG(sp['start']) OVER (
+        PARTITION BY url ORDER BY ord) AS lag_start
+    FROM s
+  ) q
+  GROUP BY url, payload_kind, text_len
+)
+SELECT payload_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(span_bytes) AS BIGINT) AS span_bytes,
+       CAST(SUM(CASE WHEN bad = 0 AND unsorted = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_valid
+FROM per
+GROUP BY payload_kind
+ORDER BY payload_kind
+"""

@@ -127,7 +127,7 @@ SQL_CHECKED = [
     "events_props_k_stats", "embedding_dup_clusters",
     "crawl_snapshot_diff", "quality_classifier_pr_curve",
     "events_late_arrivals", "events_sliding_distinct_users",
-    "q9_product_profit",
+    "q9_product_profit", "extract_spans_roundtrip",
 ]
 
 
