@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 171 entries, 137 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 173 entries, 139 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, final block):
+        "corpus_split_leakage": curation.corpus_split_leakage,
+        "embedding_label_separation":
+            similarity.embedding_label_separation,
         "extract_spans_roundtrip": extract_checks.extract_spans_roundtrip,
         "q9_product_profit": relational.q9_product_profit,
         "events_sliding_distinct_users":
@@ -252,16 +255,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": tokenizer.bpe_train_merges,
         "bpe_encode_stats": tokenizer.bpe_encode_stats,
         # oracle-backed (new in round 4):
-        "extract_domain_stats": extract_checks.extract_domain_stats,
-        "url_normalize_dedup": extract_checks.url_normalize_dedup,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the TWENTY-TWO never-checked
+        # entries exactly to position 50; the TWENTY-FOUR never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover:
+        "extract_domain_stats": extract_checks.extract_domain_stats,
+        "url_normalize_dedup": extract_checks.url_normalize_dedup,
         "corpus_gram_novelty": curation.corpus_gram_novelty,
         "token_hapax_stats": text_analysis.token_hapax_stats,
         "events_hourly_active_users": streaming.events_hourly_active_users,
@@ -402,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "corpus_split_leakage": curation.CORPUS_SPLIT_LEAKAGE_SQL,
+        "embedding_label_separation":
+            similarity.EMBEDDING_LABEL_SEPARATION_SQL,
         "extract_spans_roundtrip": extract_checks.EXTRACT_SPANS_ROUNDTRIP_SQL,
         "q9_product_profit": relational.Q9_SQL,
         "events_sliding_distinct_users":

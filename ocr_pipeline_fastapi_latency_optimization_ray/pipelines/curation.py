@@ -2072,3 +2072,102 @@ WITH tok AS (
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY degree ORDER BY degree
 """
+
+
+def corpus_split_leakage(sf_dir: str, eval_pct: int = 10,
+                         mirror_mod: int = 13) -> pd.DataFrame:
+    """Train/eval SPLIT-LEAKAGE audit: how many distinct texts appear on
+    BOTH sides of the held-out split, and how many eval documents are
+    thereby contaminated — the check every eval pipeline must run before
+    trusting a loss number (doc-id-hash splits leak whenever the corpus
+    carries exact duplicates under different ids).
+
+    The committed corpus is exact-dup-free, so deterministic ``mirror``
+    re-crawls are planted closed-form (every ``doc_id % mirror_mod == 0``
+    re-enters under ``doc_id + 10_000_000`` — same UNION-ALL injection
+    the oracle applies, same pattern as source_dedup_matrix_mirrored).
+    Split = the Knuth multiplicative hash of doc_sample_split. One
+    text-hash-bucketed exchange co-locates equal texts (md5 — the
+    dedup_exact equality surface), so the per-text (n_train, n_eval)
+    pair is exact in-bucket; the driver folds one bounded counter row
+    per bucket. Integers end to end except the final rate."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def expand_and_tag(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        txt = df["text"].fillna("").to_numpy(object)
+        m = ids % mirror_mod == 0
+        all_ids = np.concatenate((ids, ids[m] + 10_000_000))
+        all_txt = np.concatenate((txt, txt[m]))
+        bucket = ((all_ids.astype(np.uint64) * np.uint64(2654435761))
+                  % np.uint64(2**32)) % np.uint64(100)
+        is_eval = bucket < eval_pct
+        h = md5_hex_batch(all_txt)
+        g = pd.DataFrame({"h": h,
+                          "n_train": (~is_eval).astype(np.int64),
+                          "n_eval": is_eval.astype(np.int64)})
+        return g.groupby("h", as_index=False).agg(
+            n_train=("n_train", "sum"), n_eval=("n_eval", "sum"))
+
+    def leak_counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h", as_index=False).agg(
+            n_train=("n_train", "sum"), n_eval=("n_eval", "sum"))
+        leaked = (c.n_train > 0) & (c.n_eval > 0)
+        return pd.DataFrame({
+            "leaked_texts": [int(leaked.sum())],
+            "leaked_eval_docs": [int(c.n_eval[leaked].sum())],
+            "n_eval_docs": [int(c.n_eval.sum())],
+        })
+
+    out = bucketed_combine(ds.map_batches(expand_and_tag,
+                                          batch_format="pandas"),
+                           "h",
+                           lambda df: df,
+                           leak_counts,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"leaked_texts": "int64", "leaked_eval_docs": "int64",
+              "n_eval_docs": "int64", "leak_rate": "float64"}
+    if out.empty:
+        z = pd.DataFrame({"leaked_texts": [0], "leaked_eval_docs": [0],
+                          "n_eval_docs": [0], "leak_rate": [0.0]})
+        return typed_out(z, schema)
+    tot = out.sum()
+    n_eval = int(tot.n_eval_docs)
+    res = pd.DataFrame({
+        "leaked_texts": [int(tot.leaked_texts)],
+        "leaked_eval_docs": [int(tot.leaked_eval_docs)],
+        "n_eval_docs": [n_eval],
+        "leak_rate": [round_away(
+            float(tot.leaked_eval_docs) / max(n_eval, 1), 6)],
+    })
+    return typed_out(res, schema)
+
+
+CORPUS_SPLIT_LEAKAGE_SQL = """
+WITH corpus AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, COALESCE(text, '') AS text
+  FROM documents WHERE doc_id % 13 = 0
+), s AS (
+  SELECT text,
+         CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                   % 4294967296 % 100 < 10
+              THEN 1 ELSE 0 END AS is_eval
+  FROM corpus
+), g AS (
+  SELECT text,
+         SUM(1 - is_eval) AS n_train,
+         SUM(is_eval) AS n_eval
+  FROM s GROUP BY text
+)
+SELECT CAST(COUNT(*) FILTER (n_train > 0 AND n_eval > 0) AS BIGINT)
+         AS leaked_texts,
+       CAST(COALESCE(SUM(n_eval) FILTER (n_train > 0 AND n_eval > 0), 0)
+            AS BIGINT) AS leaked_eval_docs,
+       CAST(COALESCE(SUM(n_eval), 0) AS BIGINT) AS n_eval_docs,
+       ROUND(COALESCE(SUM(n_eval) FILTER (n_train > 0 AND n_eval > 0), 0)
+             * 1.0 / GREATEST(COALESCE(SUM(n_eval), 0), 1), 6) AS leak_rate
+FROM g
+"""

@@ -934,3 +934,106 @@ def ann_recall_report(sf_dir: str, k: int = 10,
               "recall_at_k": "float64", "n_hits": "int64"}
     return typed_out(pd.DataFrame(rows), schema,
                      sort_by=["method", "query_vec_id"])
+
+
+def embedding_label_separation(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding-cluster cohesion: each label's centroid and the
+    mean cosine of its members to that centroid — the class-separation
+    sanity check run on every labeled embedding dump before training a
+    classifier head on it (collapsed or entangled labels show up here
+    first).
+
+    Two bounded passes, the canonical VECTOR-CENTROID aggregation:
+    pass 1 folds per-(label, dim) sum/count partials (labels x dim is
+    schema-bounded — the vectors themselves never leave the workers);
+    the centroids broadcast via closure into pass 2, which scores each
+    vector against ITS OWN label's centroid and folds per-label
+    (sum_cos, n) partials in stable order."""
+    from ..functions.frames import typed_out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def cent_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"label": pd.Series(dtype=object),
+                                 "d": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out = []
+        for lab, idx in df.groupby("label").groups.items():
+            sub = mat[df.index.get_indexer(idx)]
+            out.append(pd.DataFrame({
+                "label": lab, "d": np.arange(mat.shape[1], dtype=np.int64),
+                "s": sub.sum(axis=0), "n": np.int64(len(sub))}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(cent_partial, batch_format="pandas").to_pandas()
+    schema = {"label": "object", "n": "int64",
+              "mean_cos_to_centroid": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(["label", "d", "s", "n"], kind="stable")
+    cent = parts.groupby(["label", "d"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    centroids = {
+        lab: (g.sort_values("d").s.to_numpy(np.float64)
+              / g.sort_values("d").n.to_numpy(np.float64))
+        for lab, g in cent.groupby("label")
+    }
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"label": pd.Series(dtype=object),
+                                 "sum_cos": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out = []
+        for lab, idx in df.groupby("label").groups.items():
+            sub = mat[df.index.get_indexer(idx)]
+            c = centroids[lab]
+            dots = sub @ c
+            cos = dots / (np.linalg.norm(sub, axis=1)
+                          * np.linalg.norm(c) + 0.0)
+            cos = np.sort(cos)
+            out.append(pd.DataFrame({"label": [lab],
+                                     "sum_cos": [float(cos.sum())],
+                                     "n": [int(len(sub))]}))
+        return pd.concat(out, ignore_index=True)
+
+    sc = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    if sc.empty:
+        return typed_out(pd.DataFrame(), schema)
+    sc = sc.sort_values(["label", "sum_cos", "n"], kind="stable")
+    agg = sc.groupby("label", as_index=False).agg(
+        sum_cos=("sum_cos", "sum"), n=("n", "sum"))
+    agg["mean_cos_to_centroid"] = round_away(
+        agg.sum_cos.to_numpy(np.float64) / agg.n.to_numpy(np.float64), 6)
+    agg["n"] = agg.n.astype("int64")
+    return typed_out(agg[["label", "n", "mean_cos_to_centroid"]],
+                     schema, sort_by="label")
+
+
+EMBEDDING_LABEL_SEPARATION_SQL = """
+WITH e AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), x AS (
+  SELECT label, UNNEST(emb) AS v,
+         UNNEST(range(1, len(emb) + 1)) AS d
+  FROM e
+), cent AS (
+  SELECT label, d, AVG(v) AS c FROM x GROUP BY label, d
+), centl AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM cent GROUP BY label
+)
+SELECT e.label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(list_cosine_similarity(e.emb, centl.cvec)), 6)
+         AS mean_cos_to_centroid
+FROM e JOIN centl USING (label)
+GROUP BY e.label
+ORDER BY e.label
+"""

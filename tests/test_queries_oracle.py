@@ -128,6 +128,7 @@ SQL_CHECKED = [
     "crawl_snapshot_diff", "quality_classifier_pr_curve",
     "events_late_arrivals", "events_sliding_distinct_users",
     "q9_product_profit", "extract_spans_roundtrip",
+    "corpus_split_leakage", "embedding_label_separation",
 ]
 
 
