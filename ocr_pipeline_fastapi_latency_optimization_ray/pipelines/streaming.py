@@ -1465,3 +1465,80 @@ FROM anchors JOIN hours ON h BETWEEN w0 - 23 AND w0
 GROUP BY w0
 ORDER BY window_h
 """
+
+
+def events_user_burst_detection(sf_dir: str, k: int = 3,
+                                window_s: int = 3600) -> pd.DataFrame:
+    """Burst / rate-gate detection: users who emitted ``k`` events inside
+    any ``window_s`` span, with how many such burst windows and the
+    tightest one — the abuse/bot gate every event pipeline runs before
+    sessionization (a crawler that fetches 3 pages in an hour is a user;
+    3,000 is a bot).
+
+    The sliding COUNT-within-time-window primitive, made exact with no
+    window re-scans: one user-bucketed exchange co-locates each user's
+    stream, the bucket sorts once by the oracle's (ts, event_id) order
+    and a single k-shifted vectorized compare finds every burst start
+    (ts[i+k-1] - ts[i] <= window). Microsecond integers end to end."""
+    span_cap = np.int64(window_s) * np.int64(1_000_000)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64),
+            "ts_us": df.ts.astype("int64").to_numpy(),
+            "event_id": df.event_id.to_numpy(np.int64),
+        })
+
+    def bursts(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "n_bursts": pd.Series(dtype="int64"),
+                              "min_span_us": pd.Series(dtype="int64")})
+        if len(g) < k:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g.user_id.to_numpy(np.int64)
+        ts = g.ts_us.to_numpy(np.int64)
+        same = u[k - 1:] == u[:len(u) - k + 1]
+        span = ts[k - 1:] - ts[:len(ts) - k + 1]
+        hit = same & (span <= span_cap)
+        if not hit.any():
+            return empty
+        out = pd.DataFrame({"user_id": u[:len(u) - k + 1][hit],
+                            "span_us": span[hit]})
+        res = out.groupby("user_id", as_index=False).agg(
+            n_bursts=("span_us", "size"), min_span_us=("span_us", "min"))
+        res["n_bursts"] = res.n_bursts.astype("int64")
+        return res
+
+    out = bucketed_combine(ds.map_batches(partial, batch_format="pandas"),
+                           "user_id", lambda df: df, bursts,
+                           num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"user_id": "int64", "n_bursts": "int64",
+              "min_span_us": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    return typed_out(out, schema, sort_by="user_id")
+
+
+EVENTS_USER_BURST_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         LEAD(ts, 2) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS te
+  FROM events
+), b AS (
+  SELECT user_id, epoch_us(te) - epoch_us(ts) AS span_us
+  FROM o
+  WHERE te IS NOT NULL
+    AND epoch_us(te) - epoch_us(ts) <= CAST(3600 AS BIGINT) * 1000000
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bursts,
+       CAST(MIN(span_us) AS BIGINT) AS min_span_us
+FROM b
+GROUP BY user_id
+ORDER BY user_id
+"""
