@@ -1037,3 +1037,129 @@ FROM e JOIN centl USING (label)
 GROUP BY e.label
 ORDER BY e.label
 """
+
+
+def _pack_labeled_block(tbl) -> tuple:
+    """(ids, labels, L2-normalized f64 matrix) from one Arrow block —
+    sibling of dedup._pack_embedding_block with the label column kept."""
+    import pyarrow as pa
+
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = tbl.column("label").to_pandas().to_numpy(object)
+    col = tbl.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(ids) == 0:
+        return ids, labels, np.empty((0, 0), np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(ids), -1)
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                        1e-12, None)
+    return ids, labels, mat
+
+
+def _knn_tile_best(block_a, block_b, same: bool) -> pd.DataFrame:
+    """Per-row nearest neighbour of tile (rows=block_a, cols=block_b):
+    emits one (vec_id, best_cos, best_id, best_label) row per a-row.
+    Exact-equality ties break to the SMALLEST candidate id (the oracle's
+    ORDER BY c DESC, ib)."""
+    ia, la, ma = block_a
+    ib, lb, mb = block_b
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "best_cos": pd.Series(dtype="float64"),
+                          "best_id": pd.Series(dtype="int64"),
+                          "best_label": pd.Series(dtype=object),
+                          "label": pd.Series(dtype=object)})
+    if ma.size == 0 or mb.size == 0:
+        return empty
+    cos = ma @ mb.T
+    if same:
+        np.fill_diagonal(cos, -np.inf)
+    maxv = cos.max(axis=1)
+    # among exact-equal maxima pick the smallest candidate id
+    big = np.where(cos == maxv[:, None], ib[None, :], np.iinfo(np.int64).max)
+    best_idx_id = big.min(axis=1)
+    order = np.argsort(ib, kind="stable")
+    best_col = order[np.searchsorted(ib[order], best_idx_id)]
+    return pd.DataFrame({
+        "vec_id": ia, "best_cos": maxv, "best_id": ib[best_col],
+        "best_label": lb[best_col], "label": la,
+    })
+
+
+def embedding_loo_knn_accuracy(sf_dir: str, tile_rows: int = 65536,
+                               max_vectors: int = 500_000) -> pd.DataFrame:
+    """Leave-one-out 1-NN label consistency per label — the standard
+    no-training embedding-quality metric (if a vector's nearest OTHER
+    vector usually shares its label, the space separates the classes;
+    a label whose accuracy craters is entangled).
+
+    Same tiled verification-tier plan as embedding_cosine_pairs_exact:
+    block refs stay in the object store, every (i, j) tile task emits one
+    best-candidate row per tile row, and the driver reduces O(N x blocks)
+    candidate rows with the oracle's exact (cos DESC, id ASC) rule —
+    vectors themselves never reach the driver. ``max_vectors`` guards the
+    O(N^2) contract (run per shard / per ANN candidate pool above it)."""
+    from ..functions.frames import typed_out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label", "embedding"])
+    n = ds.count()
+    schema = {"label": "object", "n": "int64",
+              "loo_knn_accuracy": "float64"}
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    if n > max_vectors:
+        raise ValueError(
+            f"embedding_loo_knn_accuracy is the O(N^2) verification tier "
+            f"(N={n} > max_vectors={max_vectors}); run it per shard or "
+            f"over an ANN candidate pool")
+    n_blocks = max(1, -(-n // tile_rows))
+    refs = ds.repartition(n_blocks).to_arrow_refs()
+    pack = ray.remote(num_returns=1)(_pack_labeled_block)
+    tile = ray.remote(num_returns=1)(_knn_tile_best)
+    packed = [pack.remote(r) for r in refs]
+    futs = [tile.remote(packed[i], packed[j], i == j)
+            for i in range(len(packed)) for j in range(len(packed))]
+    cand = pd.concat(ray.get(futs), ignore_index=True)
+    if cand.empty:
+        return typed_out(pd.DataFrame(), schema)
+    # global reduce with the oracle's rule: max cos, then smallest id
+    cand = cand.sort_values(["vec_id", "best_cos", "best_id"],
+                            ascending=[True, False, True], kind="stable")
+    best = cand.groupby("vec_id", as_index=False).first()
+    hit = (best.label.to_numpy(object)
+           == best.best_label.to_numpy(object)).astype(np.int64)
+    agg = (pd.DataFrame({"label": best.label.to_numpy(object), "hit": hit})
+           .groupby("label", as_index=False)
+           .agg(n=("hit", "size"), hits=("hit", "sum")))
+    agg["loo_knn_accuracy"] = round_away(
+        agg.hits.to_numpy(np.float64) / agg.n.to_numpy(np.float64), 6)
+    agg["n"] = agg.n.astype("int64")
+    return typed_out(agg[["label", "n", "loo_knn_accuracy"]], schema,
+                     sort_by="label")
+
+
+EMBEDDING_LOO_KNN_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+         list_cosine_similarity(a.emb, b.emb) AS c
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+), best AS (
+  SELECT ia, la, lb,
+         ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
+  FROM p
+)
+SELECT la AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END), 6)
+         AS loo_knn_accuracy
+FROM best
+WHERE rn = 1
+GROUP BY la
+ORDER BY la
+"""

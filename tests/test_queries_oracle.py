@@ -129,7 +129,7 @@ SQL_CHECKED = [
     "events_late_arrivals", "events_sliding_distinct_users",
     "q9_product_profit", "extract_spans_roundtrip",
     "corpus_split_leakage", "embedding_label_separation",
-    "events_user_burst_detection",
+    "events_user_burst_detection", "embedding_loo_knn_accuracy",
 ]
 
 
