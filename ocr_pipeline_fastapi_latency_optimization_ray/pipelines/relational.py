@@ -2894,3 +2894,97 @@ WHERE p_name LIKE '%red%'
 GROUP BY 1, 2
 ORDER BY nation, o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration: exact Gini coefficient via global-rank weighted sum
+# ---------------------------------------------------------------------------
+
+
+def customer_revenue_gini(sf_dir: str) -> pd.DataFrame:
+    """Revenue-concentration report: the EXACT Gini coefficient of
+    per-customer lifetime value — the inequality number behind every
+    "top X% of customers drive Y% of revenue" slide (and, in corpus
+    terms, the skew diagnostic for any per-key workload).
+
+    Gini needs every row's GLOBAL rank (G = 2*Σ i·x_(i) / (n·Σx) −
+    (n+1)/n over values sorted ascending), so the plan is the
+    rank-weighted variant of customer_ltv_deciles' two-phase scan:
+    custkey-bucketed LTV combine → ``Dataset.sort`` (ltv ASC, custkey —
+    the oracle's ROW_NUMBER order, so ties contribute identically) →
+    per-block row counts give each block its global rank offset → each
+    block emits ONE (Σ i·x, Σ x, n) partial → the driver folds n_blocks
+    triples in block order. No per-row data ever reaches the driver."""
+    from ..functions.shuffle import bucketed_combine
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def ltv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            ltv=("o_totalprice", "sum"))
+
+    def ltv_combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("o_custkey", as_index=False).agg(ltv=("ltv", "sum"))
+        t["ltv"] = round_away(t["ltv"], 2)
+        return t
+
+    ltv = bucketed_combine(orders, "o_custkey", ltv_partial, ltv_combine,
+                           coalesce_blocks=8)
+    schema = {"n_customers": "int64", "total_revenue": "float64",
+              "gini": "float64"}
+
+    ltv_sorted = ltv.sort(["ltv", "o_custkey"])
+    refs = ltv_sorted.to_arrow_refs()
+    if not refs:
+        return typed_out(pd.DataFrame(
+            {"n_customers": [0], "total_revenue": [np.nan],
+             "gini": [np.nan]}), schema)
+
+    @ray.remote(num_cpus=0.5)
+    def _nrows(tbl) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    if n == 0:
+        return typed_out(pd.DataFrame(
+            {"n_customers": [0], "total_revenue": [np.nan],
+             "gini": [np.nan]}), schema)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.5)
+    def _gini_partial(tbl, offset: int) -> tuple:
+        vals = tbl.column("ltv").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if len(vals) == 0:
+            return 0.0, 0.0, 0
+        i = offset + 1 + np.arange(len(vals), dtype=np.int64)  # 1-based rank
+        return float((i * vals).sum()), float(vals.sum()), int(len(vals))
+
+    parts = ray.get([_gini_partial.remote(r, int(off))
+                     for r, off in zip(refs, offsets)])
+    # fixed block-order fold keeps the float sums bit-stable across runs
+    s_ix = float(np.sum([p[0] for p in parts]))
+    s_x = float(np.sum([p[1] for p in parts]))
+    gini = 2.0 * s_ix / (n * s_x) - (n + 1.0) / n if s_x != 0 else np.nan
+    out = pd.DataFrame({"n_customers": [n],
+                        "total_revenue": [round_away(s_x, 2)],
+                        "gini": [round_away(gini, 6)]})
+    return typed_out(out, schema)
+
+
+CUSTOMER_REVENUE_GINI_SQL = """
+WITH ltv AS (
+  SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS ltv
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT ltv,
+         ROW_NUMBER() OVER (ORDER BY ltv, custkey) AS i
+  FROM ltv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(ltv), 2) AS total_revenue,
+       ROUND(2.0 * SUM(i * ltv) / (COUNT(*) * SUM(ltv))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r
+"""
