@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 176 entries, 142 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 177 entries, 142 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -254,16 +254,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.dup_graph_degree_histogram,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
+        "dup_graph_kcore": curation.dup_graph_kcore,
         "audio_vad_segments": multimodal.audio_vad_segments,
-        "image_phash_dedup": multimodal.image_phash_dedup,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the TWENTY-SEVEN never-checked
+        # entries exactly to position 50; the TWENTY-EIGHT never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # rows-only spillover:
+        "image_phash_dedup": multimodal.image_phash_dedup,
         "ann_recall_report": similarity.ann_recall_report,
         "bpe_train_merges": tokenizer.bpe_train_merges,
         "bpe_encode_stats": tokenizer.bpe_encode_stats,

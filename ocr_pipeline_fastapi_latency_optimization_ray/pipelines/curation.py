@@ -2171,3 +2171,89 @@ SELECT CAST(COUNT(*) FILTER (n_train > 0 AND n_eval > 0) AS BIGINT)
              * 1.0 / GREATEST(COALESCE(SUM(n_eval), 0), 1), 6) AS leak_rate
 FROM g
 """
+
+
+def dup_graph_kcore(sf_dir: str, k: int = 5, core_k: int = 2,
+                    max_clique: int = 256,
+                    max_iters: int = 100) -> pd.DataFrame:
+    """k-core of the duplicate graph (docs linked iff they share a k-token
+    chunk): iteratively peel nodes with degree < ``core_k`` until a
+    fixpoint — the densest-region extractor that separates REAL mirror
+    families (which survive peeling) from incidental pairwise overlaps
+    (which don't). The 2-core is the standard pre-filter before spending
+    verification budget on a dup cluster.
+
+    The graph-motif family's ITERATIVE-REMOVAL member (next to
+    dup_clusters' label propagation, doc_dup_pagerank's power iteration,
+    dup_graph_triangles' wedge join): edges build once through the same
+    two bounded exchanges as the triangle count and MATERIALIZE; each
+    peel round recomputes degrees through one node-bucketed exchange over
+    the surviving edges (the removed set broadcasts via closure — it is
+    bounded by the dup-graph node count, which LSH thresholds keep a tiny
+    fraction of the corpus) and collects only the sub-``core_k`` node
+    ids. Rows-only (iterative fixpoints have no single-SQL form);
+    pinned against an independent Python peeler in tests/test_dup_heavy.py.
+    Returns (doc_id, core_degree) for every surviving node."""
+    pairs = _chunk_pairs(sf_dir, k)
+
+    def edge_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "h"]).sort_values(["h", "doc_id"])
+        sizes = g.groupby("h")["doc_id"].transform("size").to_numpy()
+        if len(sizes) and sizes.max() > max_clique:
+            raise ValueError(
+                f"chunk hash shared by {int(sizes.max())} > {max_clique} "
+                "docs: exact clique expansion refused; use the LSH dedup "
+                "tiers for hot templates")
+        out = []
+        for h, f in g.groupby("h"):
+            d = f["doc_id"].to_numpy(np.int64)
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            out.append(pd.DataFrame({"a": d[i], "b": d[j]}))
+        if not out:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        return pd.concat(out).drop_duplicates()
+
+    raw_edges = bucketed_combine(
+        pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
+        edge_combine, num_buckets=16, coalesce_blocks=4)
+    edges = bucketed_combine(
+        raw_edges, ["a", "b"], lambda df: df,
+        lambda g: g.drop_duplicates(["a", "b"]),
+        num_buckets=16, coalesce_blocks=4).materialize()
+
+    schema = {"doc_id": "int64", "core_degree": "int64"}
+    removed: set = set()
+
+    for _ in range(max_iters):
+        gone = set(removed)  # rebind: the closure must capture a FROZEN copy
+
+        def deg_partial(df: pd.DataFrame, _gone=gone) -> pd.DataFrame:
+            keep = (~df.a.isin(_gone)) & (~df.b.isin(_gone))
+            f = df[keep]
+            n = pd.concat([f["a"], f["b"]]).to_numpy(np.int64)
+            out = pd.DataFrame({"node": n}).groupby(
+                "node", as_index=False).size()
+            out["deg"] = out.pop("size").astype("int64")
+            return out
+
+        def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False).agg(deg=("deg", "sum"))
+
+        degs = bucketed_combine(edges, "node", deg_partial, deg_combine,
+                                num_buckets=16,
+                                coalesce_blocks=4).to_pandas()
+        if degs.empty:
+            return typed_out(pd.DataFrame(), schema)
+        weak = degs[degs.deg < core_k]
+        if weak.empty:
+            out = degs.rename(columns={"node": "doc_id",
+                                       "deg": "core_degree"})
+            out["doc_id"] = out.doc_id.astype("int64")
+            out["core_degree"] = out.core_degree.astype("int64")
+            return typed_out(out, schema, sort_by="doc_id")
+        removed.update(int(x) for x in weak.node)
+    raise RuntimeError(
+        f"dup_graph_kcore did not converge in {max_iters} peel rounds")

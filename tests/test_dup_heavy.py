@@ -264,3 +264,61 @@ def test_source_dedup_matrix_non_vacuous(entry_mod, dup_ddb, dup_sf):
         entry_mod.oracle_sql()["source_dedup_matrix"]).df()
     assert len(sql_df) > 0
     compare(ray_df, sql_df, "source_dedup_matrix[non-vacuous]")
+
+
+def test_dup_graph_kcore_vs_reference_peeler(ray_session, entry_mod):
+    """The engine's distributed peel loop must agree node-for-node and
+    degree-for-degree with an independent in-memory peeler over the same
+    edge set (edge construction itself is pinned by the triangle count's
+    SQL oracle)."""
+    import pandas as pd
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.curation import (
+        _chunk_pairs_batch, dup_graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dup_graph_kcore(sf, core_k=2)
+    assert list(out.columns) == ["doc_id", "core_degree"]
+    assert len(out) > 0, "2-core must be non-empty (triangles exist)"
+    assert (out.core_degree >= 2).all()
+
+    # independent reference: same chunking, python peel loop
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    pairs = _chunk_pairs_batch(docs.reset_index(drop=True), 5)
+    pairs = pairs.drop_duplicates()
+    adj: dict = {}
+    for _, grp in pairs.groupby("h"):
+        d = sorted(set(grp.doc_id.tolist()))
+        for i in range(len(d)):
+            for j in range(i + 1, len(d)):
+                adj.setdefault(d[i], set()).add(d[j])
+                adj.setdefault(d[j], set()).add(d[i])
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj[node]) < 2:
+                for nb in adj.pop(node):
+                    adj[nb].discard(node)
+                changed = True
+    ref = pd.DataFrame(
+        {"doc_id": sorted(adj),
+         "core_degree": [len(adj[n]) for n in sorted(adj)]})
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    ref = ref.astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_dup_graph_kcore_double_run_identical(ray_session, entry_mod):
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.curation import (
+        dup_graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = dup_graph_kcore(sf)
+    b = dup_graph_kcore(sf)
+    assert a.equals(b)

@@ -154,7 +154,7 @@ ROWS_ONLY = [
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
     "doc_dup_pagerank", "ann_ivfpq_topk", "image_phash_dedup",
     "ann_recall_report", "bpe_train_merges", "bpe_encode_stats",
-    "audio_vad_segments",
+    "audio_vad_segments", "dup_graph_kcore",
 ]
 
 
