@@ -2466,3 +2466,70 @@ SELECT threshold,
 FROM c
 ORDER BY threshold
 """
+
+
+def doc_langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Confusion matrix of the stopword language-ID model against the
+    corpus's labeled ``lang`` column — the eval report that tells you
+    WHERE a classifier fails, not just how often (which true language
+    leaks into which prediction, and how much lands in 'und').
+
+    Per-batch bounded (lang x pred_lang) count partials ride out of the
+    same actor-pool inference pass (model in ``__init__``, vectorized
+    scoring per batch); the driver folds a constant-size matrix. The
+    oracle re-derives the prediction with doc_langid's exact SQL model."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    class _ConfusionPartial(LangIdModel):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pred = super().__call__(df[["doc_id", "text"]])
+            out = pd.DataFrame({
+                "lang": df.lang.to_numpy(object),
+                "pred_lang": pred.pred_lang.to_numpy(object),
+            }).groupby(["lang", "pred_lang"], as_index=False).size()
+            out["n"] = out.pop("size").astype("int64")
+            return out
+
+    out = ds.map_batches(_ConfusionPartial, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    schema = {"lang": "object", "pred_lang": "object", "n": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby(["lang", "pred_lang"], as_index=False).agg(
+        n=("n", "sum"))
+    out["n"] = out.n.astype("int64")
+    return typed_out(out, schema, sort_by=["lang", "pred_lang"])
+
+
+def _langid_confusion_sql() -> str:
+    langs = sorted(STOPWORDS)
+    counts = ",\n       ".join(
+        "len(list_filter(toks, w -> w IN ({}))) AS {}".format(
+            ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lg])), lg
+        )
+        for lg in langs
+    )
+    greatest = "GREATEST({})".format(", ".join(langs))
+    case = "CASE WHEN {g} = 0 THEN 'und' ".format(g=greatest)
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lg} >= {other}" for other in langs[i + 1:])
+        case += f"WHEN {conds} THEN '{lg}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH t AS (
+  SELECT lang, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT lang,
+       {counts}
+  FROM t
+)
+SELECT lang, {case} AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM s
+GROUP BY 1, 2
+ORDER BY lang, pred_lang
+"""
+
+
+DOC_LANGID_CONFUSION_SQL = _langid_confusion_sql()

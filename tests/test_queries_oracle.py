@@ -130,7 +130,7 @@ SQL_CHECKED = [
     "q9_product_profit", "extract_spans_roundtrip",
     "corpus_split_leakage", "embedding_label_separation",
     "events_user_burst_detection", "embedding_loo_knn_accuracy",
-    "customer_revenue_gini",
+    "customer_revenue_gini", "doc_langid_confusion",
 ]
 
 
