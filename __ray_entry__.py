@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 178 entries, 143 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 179 entries, 144 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, final block):
+        "ngram_jaccard_prefix_filter": dedup.ngram_jaccard_prefix_filter,
         "doc_langid_confusion": text_analysis.doc_langid_confusion,
         "customer_revenue_gini": relational.customer_revenue_gini,
         "embedding_loo_knn_accuracy":
@@ -255,15 +256,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.dup_graph_degree_histogram,
         # rows-only (stub decode / seeded index structures, no SQL analog;
         # pinned in pytest):
-        "dup_graph_kcore": curation.dup_graph_kcore,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the TWENTY-NINE never-checked
+        # entries exactly to position 50; the THIRTY never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # rows-only spillover:
+        "dup_graph_kcore": curation.dup_graph_kcore,
         "audio_vad_segments": multimodal.audio_vad_segments,
         "image_phash_dedup": multimodal.image_phash_dedup,
         "ann_recall_report": similarity.ann_recall_report,
@@ -412,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # prefix-filtered plan, identical result contract to the exact plan
+        "ngram_jaccard_prefix_filter": dedup.NGRAM_JACCARD_EXACT_SQL,
         "doc_langid_confusion": text_analysis.DOC_LANGID_CONFUSION_SQL,
         "customer_revenue_gini": relational.CUSTOMER_REVENUE_GINI_SQL,
         "embedding_loo_knn_accuracy": similarity.EMBEDDING_LOO_KNN_SQL,

@@ -1455,3 +1455,212 @@ WITH RECURSIVE e AS (
 )
 SELECT s AS vec_id, MIN(t) AS cluster_id FROM reach GROUP BY s ORDER BY s
 """
+
+
+def ngram_jaccard_prefix_filter(
+    sf_dir: str, min_jaccard: float = 0.4
+) -> pd.DataFrame:
+    """Same result contract as :func:`ngram_jaccard_exact` (identical SQL
+    oracle, pinned bit-for-bit in tests) through the PREFIX-FILTERING
+    set-similarity join (Chaudhuri et al. 2006 / Xiao et al.'s PPJoin
+    family) — the principled scale path where ``df_cap`` is the blunt one:
+
+    order every doc's shingles by GLOBAL RARITY (df asc, hash asc); two
+    sets with Jaccard >= t sharing |A∩B| >= ceil(t·|A|) elements MUST
+    intersect within their first |X| − ceil(t·|X|) + 1 elements under any
+    shared total order, so the pair-expansion index is built over PREFIX
+    tokens only — the hot high-df shingles (the quadratic blowup in the
+    exact plan) land at the END of every prefix order and never expand.
+    Candidates are then verified EXACTLY against the full shingle sets,
+    so the output is identical, not approximate.
+
+    Exchanges: df count (shingle-bucketed) -> df attach (shingle-bucketed
+    join) -> per-doc prefix cut (doc-bucketed) -> prefix pair expansion
+    (shingle-bucketed) -> two doc-keyed verification joins that ship each
+    candidate doc's full (sorted) shingle array once per pair side —
+    bounded by the candidate count, which the prefix bound keeps near the
+    true result size. The ceil is computed conservatively downward
+    (ceil(t·n − 1e-9)): float error can only LENGTHEN a prefix, never
+    drop a qualifying pair, and verification is exact regardless."""
+    import math
+
+    from ..functions.shuffle import add_bucket_column, bucketed_combine, \
+        bucketed_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        ids, parts = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = (t or "").lower().split(" ")
+            if len(toks) < 2:
+                continue
+            grams = [toks[i] + " " + toks[i + 1]
+                     for i in range(len(toks) - 1)]
+            u = np.unique(fast_token_hash(grams))
+            ids.append(np.full(len(u), did, dtype=np.int64))
+            parts.append(u)
+        if not ids:
+            return pd.DataFrame({"sh": pd.Series(dtype="uint64"),
+                                 "doc_id": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"sh": np.concatenate(parts), "doc_id": np.concatenate(ids)}
+        )
+
+    shingle_rows = docs.map_batches(explode_shingles,
+                                    batch_format="pandas").materialize()
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+
+    # 1. global document frequency per shingle (shingle-bucketed count)
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sh", as_index=False).size()
+        g["df"] = g.pop("size").astype("int64")
+        return g
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("sh", as_index=False).agg(df=("df", "sum"))
+
+    dfs = bucketed_combine(shingle_rows, "sh", df_partial, df_combine,
+                           num_buckets=32, coalesce_blocks=8)
+
+    # 2. attach df to every (doc, shingle) row
+    def attach_df(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return left.merge(right, on="sh")
+
+    rows_df = bucketed_join(
+        shingle_rows, dfs, "sh", "sh", attach_df,
+        left_dtypes={"sh": "uint64", "doc_id": "int64"},
+        right_dtypes={"sh": "uint64", "df": "int64"},
+        num_buckets=32, coalesce_blocks=16,
+    )
+
+    # 3. per-doc prefix cut under the (df asc, sh asc) global order, plus
+    #    the per-doc full sorted shingle array for verification
+    def prefix_cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "sh"], kind="stable")
+        out_pref, out_docs = [], []
+        for did, f in g.groupby("doc_id", sort=False):
+            n = len(f)
+            alpha = int(math.ceil(min_jaccard * n - 1e-9))
+            plen = max(1, n - alpha + 1)
+            out_pref.append(pd.DataFrame({
+                "sh": f.sh.to_numpy(np.uint64)[:plen],
+                "doc_id": np.full(plen, did, dtype=np.int64)}))
+            # bytes, not ndarray: a mixed ndarray/None object column trips
+            # Ray's tensor-extension concat; uint64 bytes round-trip exactly
+            out_docs.append(
+                (did, np.sort(f.sh.to_numpy(np.uint64)).tobytes(), n))
+        pref = (pd.concat(out_pref, ignore_index=True) if out_pref
+                else pd.DataFrame({"sh": pd.Series(dtype="uint64"),
+                                   "doc_id": pd.Series(dtype="int64")}))
+        pref["kind"] = "p"
+        sets = pd.DataFrame({
+            "doc_id": [d for d, _, _ in out_docs],
+            "sh": np.zeros(len(out_docs), dtype=np.uint64),
+            "kind": "s",
+            "shset": [a for _, a, _ in out_docs],
+            "n_sh": [n for _, _, n in out_docs],
+        }) if out_docs else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "sh": pd.Series(dtype="uint64"),
+             "kind": pd.Series(dtype=object),
+             "shset": pd.Series(dtype=object),
+             "n_sh": pd.Series(dtype="int64")})
+        pref["shset"] = None
+        pref["n_sh"] = np.int64(0)
+        return pd.concat([pref, sets], ignore_index=True)
+
+    cut = (
+        rows_df.map_batches(
+            lambda df: add_bucket_column(df, ["doc_id"], 32),
+            batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: prefix_cut(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+    ).materialize()
+
+    prefix_rows = cut.map_batches(
+        lambda df: df[df.kind == "p"][["sh", "doc_id"]],
+        batch_format="pandas")
+    doc_sets = cut.map_batches(
+        lambda df: df[df.kind == "s"][["doc_id", "shset", "n_sh"]],
+        batch_format="pandas")
+
+    # 4. candidate pairs from the PREFIX-only inverted index
+    def prefix_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy(np.uint64)
+        doc = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        sizes = np.diff(np.r_[starts, len(sh)])
+        multi = np.flatnonzero(sizes >= 2)
+        out_a, out_b = [], []
+        for gi in multi:
+            ids = doc[starts[gi]:starts[gi] + int(sizes[gi])]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b)}).drop_duplicates()
+
+    cands = bucketed_combine(
+        prefix_rows, "sh", lambda df: df,
+        prefix_pairs, num_buckets=64, coalesce_blocks=16)
+    cands = bucketed_combine(
+        cands, ["doc_a", "doc_b"], lambda df: df,
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+        num_buckets=32, coalesce_blocks=8)
+
+    # 5. exact verification: attach both docs' full sorted shingle arrays
+    def attach_a(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        r = right.rename(columns={"doc_id": "doc_a", "shset": "set_a",
+                                  "n_sh": "n_a"})
+        return left.merge(r, on="doc_a")
+
+    with_a = bucketed_join(
+        cands, doc_sets, "doc_a", "doc_id", attach_a,
+        left_dtypes={"doc_a": "int64", "doc_b": "int64"},
+        right_dtypes={"doc_id": "int64", "shset": "object",
+                      "n_sh": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    def verify(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        r = right.rename(columns={"doc_id": "doc_b", "shset": "set_b",
+                                  "n_sh": "n_b"})
+        m = left.merge(r, on="doc_b")
+        if not len(m):
+            return empty.copy()
+        inter = np.fromiter(
+            (len(np.intersect1d(np.frombuffer(a, dtype=np.uint64),
+                                np.frombuffer(b, dtype=np.uint64),
+                                assume_unique=True))
+             for a, b in zip(m.set_a, m.set_b)),
+            dtype=np.int64, count=len(m))
+        jac = inter / (m.n_a.to_numpy(np.int64)
+                       + m.n_b.to_numpy(np.int64) - inter)
+        out = pd.DataFrame({"doc_a": m.doc_a.to_numpy(np.int64),
+                            "doc_b": m.doc_b.to_numpy(np.int64),
+                            "jaccard": round_away(jac, 6)})
+        return out[jac >= min_jaccard]
+
+    out = bucketed_join(
+        with_a, doc_sets, "doc_b", "doc_id", verify,
+        left_dtypes={"doc_a": "int64", "doc_b": "int64",
+                     "set_a": "object", "n_a": "int64"},
+        right_dtypes={"doc_id": "int64", "shset": "object",
+                      "n_sh": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -418,3 +418,45 @@ def test_ann_recall_report_floors_and_determinism(ray_session):
     assert len(r1) == 12  # 4 methods x 3 panel queries
     assert (r1["recall_at_k"] >= 0.5).all()
     assert (r1["n_hits"] <= 10).all()
+
+
+def test_prefix_filter_equals_exact_standard_corpus(ray_session):
+    """Prefix filtering is an OPTIMIZATION, not an approximation: the
+    result must be bit-identical to the exact inverted-index plan."""
+    sf = "/root/testdata/sf0.001"
+    a = dedup.ngram_jaccard_prefix_filter(sf).reset_index(drop=True)
+    b = dedup.ngram_jaccard_exact(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_prefix_filter_equals_exact_hot_template_corpus(
+        ray_session, tmp_path):
+    """The prefix filter's reason to exist: a boilerplate bigram shared by
+    EVERY page (the exact plan's quadratic posting expansion) sorts to
+    the END of every doc's rarity order and never enters a prefix — yet
+    the verified result still matches the exact plan bit-for-bit,
+    including the planted near-dup pairs."""
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    texts, n = [], 300
+    for i in range(n):
+        words = list(rng.choice(vocab, size=60))
+        # every doc carries the same hot boilerplate bigram
+        body = "copyright notice " + " ".join(words)
+        texts.append(body)
+    # plant 5 near-dup pairs: copy with a small suffix tweak
+    for j in range(5):
+        texts.append(texts[j] + " tail" + str(j))
+    doc_ids = np.arange(len(texts), dtype=np.int64)
+    tbl = pa.table({"doc_id": doc_ids, "text": texts,
+                    "lang": ["en"] * len(texts),
+                    "source": ["s0"] * len(texts),
+                    "n_chars": [len(t) for t in texts]})
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    a = dedup.ngram_jaccard_prefix_filter(str(d)).reset_index(drop=True)
+    b = dedup.ngram_jaccard_exact(str(d)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 5  # the planted near-dup pairs are found
