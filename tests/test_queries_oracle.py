@@ -131,7 +131,7 @@ SQL_CHECKED = [
     "corpus_split_leakage", "embedding_label_separation",
     "events_user_burst_detection", "embedding_loo_knn_accuracy",
     "customer_revenue_gini", "doc_langid_confusion",
-    "ngram_jaccard_prefix_filter",
+    "ngram_jaccard_prefix_filter", "pages_format_roundtrip",
 ]
 
 
