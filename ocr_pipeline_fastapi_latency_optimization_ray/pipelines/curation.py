@@ -2257,3 +2257,93 @@ def dup_graph_kcore(sf_dir: str, k: int = 5, core_k: int = 2,
         removed.update(int(x) for x in weak.node)
     raise RuntimeError(
         f"dup_graph_kcore did not converge in {max_iters} peel rounds")
+
+
+def dup_cluster_size_histogram(sf_dir: str, k: int = 5,
+                               max_iters: int = 30) -> pd.DataFrame:
+    """Cluster-SIZE distribution of the duplicate graph's connected
+    components (clusters >= 2 only) — the one-line answer to "is my dedup
+    removing a few giant mirror families or a long tail of pairs?", and
+    the sanity number quoted next to every dedup rate.
+
+    Same star-edge + BSP plan as dup_clusters, but the assignment never
+    leaves the workers: per-label counts reduce through a label-bucketed
+    exchange (all members of a component co-locate by label), and only
+    the bounded (size, n_clusters) histogram reaches the driver."""
+    from ..state.cc_bsp import connected_components_bsp
+
+    pairs = _chunk_pairs(sf_dir, k)
+
+    def edges_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "h"])
+        m = g.groupby("h")["doc_id"].transform("min")
+        mask = (g["doc_id"] != m).to_numpy()
+        return pd.DataFrame({
+            "a": m.to_numpy(np.int64)[mask],
+            "b": g["doc_id"].to_numpy(np.int64)[mask],
+        }).drop_duplicates()
+
+    edges = bucketed_combine(
+        pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
+        edges_combine, num_buckets=16, coalesce_blocks=4,
+    )
+    labels = connected_components_bsp(edges, n_buckets=8,
+                                      max_iters=max_iters)
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", as_index=False).size()
+        g["m"] = g.pop("size").astype("int64")
+        return g
+
+    def size_combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("label", as_index=False).agg(m=("m", "sum"))
+        out = c.groupby("m", as_index=False).size()
+        out["n_clusters"] = out.pop("size").astype("int64")
+        return out.rename(columns={"m": "cluster_size"})
+
+    out = bucketed_combine(labels, "label", size_partial, size_combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"cluster_size": "int64", "n_clusters": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("cluster_size", as_index=False).agg(
+        n_clusters=("n_clusters", "sum"))
+    out = out[out.cluster_size >= 2]
+    out["cluster_size"] = out.cluster_size.astype("int64")
+    out["n_clusters"] = out.n_clusters.astype("int64")
+    return typed_out(out, schema, sort_by="cluster_size")
+
+
+DUP_CLUSTER_SIZE_HISTOGRAM_SQL = """
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks)+1, 5),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS chunk
+  FROM tok
+), g AS (
+  SELECT chunk, MIN(doc_id) AS m FROM ch GROUP BY chunk
+), e AS (
+  SELECT DISTINCT g.m AS a, ch.doc_id AS b
+  FROM ch JOIN g USING (chunk) WHERE ch.doc_id != g.m
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), reach(s, t) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, y.b FROM reach r JOIN sym y ON y.a = r.t
+), lab AS (
+  SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s
+), cs AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM cs
+WHERE cluster_size >= 2
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
