@@ -2988,3 +2988,103 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
              - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# market concentration: per-category Herfindahl index (decomposed moments)
+# ---------------------------------------------------------------------------
+
+
+def part_type_supplier_hhi(sf_dir: str) -> pd.DataFrame:
+    """Supplier-concentration report per part category: the Herfindahl–
+    Hirschman index HHI = Σ share_i² over each category's suppliers — the
+    antitrust-style number that flags a category one supplier owns (and,
+    corpus-side, the source-concentration diagnostic for any key space).
+
+    HHI looks holistic (shares need the category total) but DECOMPOSES:
+    HHI = Σ r_i² / (Σ r_i)², both plain sums over per-supplier revenues —
+    so after the (type, supplier) revenue combine (all of a supplier's
+    partials co-locate; revenue rounds to cents there, matching the
+    oracle's share basis), each bucket emits bounded (type, Σr, Σr², n)
+    partials and the driver folds a 5-row table. No second exchange, no
+    category hot key."""
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"])
+
+    def rev_partial(t) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "l_partkey": t.column("l_partkey").to_numpy(),
+            "l_suppkey": t.column("l_suppkey").to_numpy(),
+            "rev": (t.column("l_extendedprice").to_numpy()
+                    * (1.0 - t.column("l_discount").to_numpy())),
+        })
+        return df.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+            rev=("rev", "sum"))
+
+    line_p = line.map_batches(rev_partial, batch_format="pyarrow")
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def attach_type(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_partkey", right_on="p_partkey")
+        return m.groupby(["p_type", "l_suppkey"], as_index=False).agg(
+            rev=("rev", "sum"))
+
+    typed = bucketed_join(
+        line_p, part, "l_partkey", "p_partkey", attach_type,
+        left_dtypes={"l_partkey": "int64", "l_suppkey": "int64",
+                     "rev": "float64"},
+        right_dtypes={"p_partkey": "int64", "p_type": "object"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    def supp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.sort_values(["p_type", "l_suppkey", "rev"], kind="stable")
+        c = c.groupby(["p_type", "l_suppkey"], as_index=False).agg(
+            rev=("rev", "sum"))
+        c["rev"] = round_away(c.rev, 2)  # the oracle's share basis
+        r = c.rev.to_numpy(np.float64)
+        out = c.assign(r2=r * r).groupby("p_type", as_index=False).agg(
+            s=("rev", "sum"), s2=("r2", "sum"), n_suppliers=("rev", "size"))
+        out["n_suppliers"] = out.n_suppliers.astype("int64")
+        return out
+
+    out = bucketed_combine(typed, "l_suppkey", supp_partial, moments,
+                           num_buckets=16, coalesce_blocks=8).to_pandas()
+    schema = {"p_type": "object", "n_suppliers": "int64",
+              "total_revenue": "float64", "hhi": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["p_type", "s", "s2"], kind="stable")
+    out = out.groupby("p_type", as_index=False).agg(
+        s=("s", "sum"), s2=("s2", "sum"),
+        n_suppliers=("n_suppliers", "sum"))
+    s = out.s.to_numpy(np.float64)
+    out["total_revenue"] = round_away(s, 2)
+    out["hhi"] = round_away(out.s2.to_numpy(np.float64) / (s * s), 6)
+    out["n_suppliers"] = out.n_suppliers.astype("int64")
+    return typed_out(out[["p_type", "n_suppliers", "total_revenue", "hhi"]],
+                     schema, sort_by="p_type")
+
+
+PART_TYPE_SUPPLIER_HHI_SQL = """
+WITH r AS (
+  SELECT p_type, l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_type, l_suppkey
+)
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(rev), 2) AS total_revenue,
+       ROUND(SUM(rev * rev) / (SUM(rev) * SUM(rev)), 6) AS hhi
+FROM r
+GROUP BY p_type
+ORDER BY p_type
+"""

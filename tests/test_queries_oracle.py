@@ -132,7 +132,7 @@ SQL_CHECKED = [
     "events_user_burst_detection", "embedding_loo_knn_accuracy",
     "customer_revenue_gini", "doc_langid_confusion",
     "ngram_jaccard_prefix_filter", "pages_format_roundtrip",
-    "dup_cluster_size_histogram",
+    "dup_cluster_size_histogram", "part_type_supplier_hhi",
 ]
 
 
