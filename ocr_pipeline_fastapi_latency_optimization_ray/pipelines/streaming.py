@@ -1542,3 +1542,98 @@ FROM b
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_dau_wau_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU / WAU stickiness per day — the product-health ratio (what share
+    of the week's audience shows up on a given day). WAU is a TRAILING
+    7-day distinct count, the small sibling of
+    ``events_sliding_distinct_users``' 24h/1h window, and it reuses the
+    same exact formulation: each user's contribution to every trailing
+    window is an interval union, rolled up as a difference array.
+
+    One user-bucketed exchange of distinct (user, day) pairs feeds BOTH
+    aggregates: per bucket, active-day counts (DAU partials) and unioned
+    [day, day+6] coverage deltas (WAU partials) come out of the same
+    sorted pass; the driver folds two day-range-bounded streams, takes
+    one prefix sum, and joins them on the active days. Integers until the
+    final ratio."""
+    LOOK = 6  # window = 7 days
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["ts"].astype("int64")
+                    // 86_400_000_000).astype("int64"),
+            "user_id": df["user_id"].to_numpy(np.int64),
+        }).drop_duplicates()
+
+    def both_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="stable")
+        u = g.user_id.to_numpy(np.int64)
+        d = g.day.to_numpy(np.int64)
+        # DAU partials: one (+count) row per active day in this bucket
+        dau = g.groupby("day", as_index=False).agg(v=("user_id", "size"))
+        dau["kind"] = "dau"
+        dau = dau.rename(columns={"day": "pos"})
+        # WAU deltas: union of [day, day+LOOK] per user
+        new_run = np.ones(len(g), dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > LOOK)
+        starts = d[new_run]
+        last_idx = np.flatnonzero(np.concatenate((new_run[1:], [True])))
+        ends = d[last_idx] + LOOK
+        wau = pd.DataFrame({
+            "pos": np.concatenate((starts, ends + 1)),
+            "v": np.concatenate((np.ones(len(starts), np.int64),
+                                 -np.ones(len(ends), np.int64))),
+            "kind": "wau",
+        })
+        out = pd.concat([dau[["pos", "v", "kind"]], wau],
+                        ignore_index=True)
+        return out.groupby(["kind", "pos"], as_index=False).agg(
+            v=("v", "sum"))
+
+    out = bucketed_combine(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "user_id", lambda df: df, both_partials,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"day": "int64", "dau": "int64", "wau": "int64",
+              "stickiness": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby(["kind", "pos"], as_index=False).agg(v=("v", "sum"))
+    dau = out[out.kind == "dau"].set_index("pos").v
+    deltas = out[out.kind == "wau"].sort_values("pos")
+    pos = deltas.pos.to_numpy(np.int64)
+    cover = np.cumsum(deltas.v.to_numpy(np.int64))
+    days = np.sort(dau.index.to_numpy(np.int64))
+    # WAU at each active day = coverage level of the segment containing it
+    seg = np.searchsorted(pos, days, side="right") - 1
+    wau = cover[seg]
+    res = pd.DataFrame({
+        "day": days,
+        "dau": dau.loc[days].to_numpy(np.int64),
+        "wau": wau.astype(np.int64),
+    })
+    res["stickiness"] = round_away(
+        res.dau.to_numpy(np.float64) / res.wau.to_numpy(np.float64), 6)
+    return typed_out(res, schema, sort_by="day")
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+), wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+  FROM dau d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT day, dau, wau, ROUND(dau * 1.0 / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
