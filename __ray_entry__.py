@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 183 entries, 148 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 184 entries, 149 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, final block):
+        "token_topk_by_lang": text_analysis.token_topk_by_lang,
         "events_dau_wau_stickiness": streaming.events_dau_wau_stickiness,
         "part_type_supplier_hhi": relational.part_type_supplier_hhi,
         "dup_cluster_size_histogram":
@@ -252,11 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heldout_bigram_logprob": text_analysis.heldout_bigram_logprob,
         "doc_quality_classifier": text_analysis.doc_quality_classifier,
         "dup_graph_triangles": curation.dup_graph_triangles,
-        "events_user_cumulative_value":
-            streaming.events_user_cumulative_value,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the THIRTY-FOUR never-checked
+        # entries exactly to position 50; the THIRTY-FIVE never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
@@ -269,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": tokenizer.bpe_train_merges,
         "bpe_encode_stats": tokenizer.bpe_encode_stats,
         # oracle-backed spillover:
+        "events_user_cumulative_value":
+            streaming.events_user_cumulative_value,
         "events_profile": profiling.events_profile,
         "fk_integrity_check": profiling.fk_integrity_check,
         "corpus_build_incremental": curation.corpus_build_incremental,
@@ -416,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_topk_by_lang": text_analysis.TOKEN_TOPK_BY_LANG_SQL,
         "events_dau_wau_stickiness": streaming.EVENTS_DAU_WAU_SQL,
         "part_type_supplier_hhi": relational.PART_TYPE_SUPPLIER_HHI_SQL,
         "dup_cluster_size_histogram":

@@ -2533,3 +2533,66 @@ ORDER BY lang, pred_lang
 
 
 DOC_LANGID_CONFUSION_SQL = _langid_confusion_sql()
+
+
+def token_topk_by_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k vocabulary PER LANGUAGE — the grouped variant of
+    ``token_topk`` (the per-language vocab seed every multilingual
+    tokenizer build starts from).
+
+    Grouped top-k with exact local pruning: counts exchange on the token
+    (every (lang, token) pair lands in one bucket, so in-bucket counts
+    are exact), each bucket emits its local top-k PER LANG (a group's
+    global top-k is inside the union of per-bucket top-ks — same
+    argument as token_topk), and the driver merges a bounded
+    buckets x langs x k stream. Ties break (n desc, token asc) exactly
+    like the oracle's ROW_NUMBER order."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        ex = ex[ex != ""]
+        g = pd.DataFrame({
+            "lang": df["lang"].reindex(ex.index).to_numpy(object),
+            "token": ex.to_numpy(object),
+        }).groupby(["lang", "token"], as_index=False).size()
+        g["n"] = g.pop("size").astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["lang", "token"], as_index=False).agg(n=("n", "sum"))
+        t = t.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True], kind="stable")
+        return t.groupby("lang", as_index=False).head(k)
+
+    out = bucketed_combine(ds, "token", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"lang": "object", "token": "object", "n": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True], kind="stable")
+    out = out.groupby("lang", as_index=False).head(k)
+    out["n"] = out.n.astype("int64")
+    return typed_out(out.reset_index(drop=True), schema)
+
+
+TOKEN_TOPK_BY_LANG_SQL = """
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(COALESCE(text, ''), ' ')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE token <> '' GROUP BY lang, token
+), r AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token) AS rn
+  FROM c
+)
+SELECT lang, token, n FROM r WHERE rn <= 10
+ORDER BY lang, n DESC, token
+"""

@@ -133,7 +133,7 @@ SQL_CHECKED = [
     "customer_revenue_gini", "doc_langid_confusion",
     "ngram_jaccard_prefix_filter", "pages_format_roundtrip",
     "dup_cluster_size_histogram", "part_type_supplier_hhi",
-    "events_dau_wau_stickiness",
+    "events_dau_wau_stickiness", "token_topk_by_lang",
 ]
 
 
