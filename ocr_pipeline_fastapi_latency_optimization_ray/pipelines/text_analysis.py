@@ -2567,14 +2567,22 @@ def token_topk_by_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text", "lang"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = df["text"].fillna("").str.split(" ").explode()
-        ex = ex[ex != ""]
-        g = pd.DataFrame({
-            "lang": df["lang"].reindex(ex.index).to_numpy(object),
-            "token": ex.to_numpy(object),
-        }).groupby(["lang", "token"], as_index=False).size()
-        g["n"] = g.pop("size").astype("int64")
+    def partial(t) -> pd.DataFrame:
+        # same fully-Arrow counting as token_hapax_stats (5x measured)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        flat = pa.table({
+            "lang": pc.take(t.column("lang"),
+                            pc.list_parent_indices(lists)),
+            "token": pc.list_flatten(lists),
+        })
+        flat = flat.filter(pc.not_equal(flat.column("token"), ""))
+        g = (flat.group_by(["lang", "token"])
+             .aggregate([("token", "count")]).to_pandas()
+             .rename(columns={"token_count": "n"}))
+        g["n"] = g.n.astype("int64")
         return g
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -2584,7 +2592,8 @@ def token_topk_by_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
         return t.groupby("lang", as_index=False).head(k)
 
     out = bucketed_combine(ds, "token", partial, combine,
-                           num_buckets=16, coalesce_blocks=4).to_pandas()
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
     schema = {"lang": "object", "token": "object", "n": "int64"}
     if out.empty:
         return typed_out(pd.DataFrame(), schema)
