@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-4 block):
+        "nation_trade_matrix": relational.nation_trade_matrix,
+        "orders_yoy_growth": relational.orders_yoy_growth,
+        "embedding_cosine_histogram": similarity.embedding_cosine_histogram,
+        "events_rfm_segments": streaming.events_rfm_segments,
         # oracle-backed (new in round 4, final block):
         "token_topk_by_lang": text_analysis.token_topk_by_lang,
         "events_dau_wau_stickiness": streaming.events_dau_wau_stickiness,
@@ -249,17 +254,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_basket_pairs": relational.order_basket_pairs,
         "corpus_weighted_sample": curation.corpus_weighted_sample,
         "doc_length_median_by_lang": text_analysis.doc_length_median_by_lang,
-        "part_price_size_skyline": relational.part_price_size_skyline,
-        "heldout_bigram_logprob": text_analysis.heldout_bigram_logprob,
-        "doc_quality_classifier": text_analysis.doc_quality_classifier,
-        "dup_graph_triangles": curation.dup_graph_triangles,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the THIRTY-FIVE never-checked
+        # entries exactly to position 50; the THIRTY-NINE never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
+        # oracle-backed spillover (never driver-checked):
+        "part_price_size_skyline": relational.part_price_size_skyline,
+        "heldout_bigram_logprob": text_analysis.heldout_bigram_logprob,
+        "doc_quality_classifier": text_analysis.doc_quality_classifier,
+        "dup_graph_triangles": curation.dup_graph_triangles,
         # rows-only spillover:
         "dup_graph_kcore": curation.dup_graph_kcore,
         "audio_vad_segments": multimodal.audio_vad_segments,
@@ -417,6 +423,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nation_trade_matrix": relational.NATION_TRADE_MATRIX_SQL,
+        "orders_yoy_growth": relational.ORDERS_YOY_GROWTH_SQL,
+        "embedding_cosine_histogram":
+            similarity.EMBEDDING_COSINE_HISTOGRAM_SQL,
+        "events_rfm_segments": streaming.EVENTS_RFM_SEGMENTS_SQL,
         "token_topk_by_lang": text_analysis.TOKEN_TOPK_BY_LANG_SQL,
         "events_dau_wau_stickiness": streaming.EVENTS_DAU_WAU_SQL,
         "part_type_supplier_hhi": relational.PART_TYPE_SUPPLIER_HHI_SQL,

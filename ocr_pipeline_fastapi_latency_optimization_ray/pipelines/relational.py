@@ -3088,3 +3088,186 @@ FROM r
 GROUP BY p_type
 ORDER BY p_type
 """
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth: LAG window over a bounded yearly rollup
+# ---------------------------------------------------------------------------
+
+
+def orders_yoy_growth(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year revenue growth — the LAG-window analog of the
+    reference's per-job rate reporting (ocr_app.py exposes a running
+    docs/sec; fleet dashboards ask the same question of revenue per
+    period): yearly revenue plus its relative change vs the prior year.
+
+    The window function never touches row-level data: the yearly rollup
+    is a partial combine (one (year, Σprice, n) row per batch), the
+    shuffle moves only those partials, and LAG runs on the final
+    years-bounded frame on the driver — a shift on ≤ a few dozen rows.
+    Growth is computed FROM THE ROUNDED revenue (the oracle lags
+    ROUND(revenue, 2)), so both sides divide identical doubles."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "year": df.o_orderdate.dt.year.to_numpy(np.int64),
+            "rev": df.o_totalprice.to_numpy(np.float64),
+        }).groupby("year", as_index=False).agg(
+            rev=("rev", "sum"), n_orders=("rev", "size"))
+
+    out = _partial_then_final(
+        orders, "year", partial,
+        {"rev": ("rev", "sum"), "n_orders": ("n_orders", "sum")})
+    schema = {"year": "int64", "revenue": "float64", "n_orders": "int64",
+              "yoy_growth": "float64"}
+    if len(out) == 0:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("year").reset_index(drop=True)
+    out["revenue"] = round_away(out["rev"], 2)
+    prev = out["revenue"].shift(1)
+    out["yoy_growth"] = round_away(
+        (out["revenue"] - prev) / prev, 6)
+    return typed_out(out[["year", "revenue", "n_orders", "yoy_growth"]],
+                     schema, sort_by="year")
+
+
+ORDERS_YOY_GROWTH_SQL = """
+WITH y AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+         ROUND(SUM(o_totalprice), 2) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT year, revenue, n_orders,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY year))
+             / LAG(revenue) OVER (ORDER BY year), 6) AS yoy_growth
+FROM y
+ORDER BY year
+"""
+
+
+# ---------------------------------------------------------------------------
+# trade-flow matrix: full (supplier nation x customer nation) revenue rollup
+# ---------------------------------------------------------------------------
+
+
+def nation_trade_matrix(sf_dir: str) -> pd.DataFrame:
+    """Full trade-flow matrix — revenue between EVERY (supplier nation,
+    customer nation) pair, the unfiltered generalization of q7: where q7
+    prunes to two nations before the wide joins, this keeps all 25x25
+    cells, so the plan must survive the full join volume instead of
+    relying on early selectivity.
+
+    Same three-chain shape (lineitem->supplier on suppkey,
+    orders->customer on custkey, then orderkey joins the two streams),
+    with lineitem pre-aggregated per (orderkey, suppkey) FIRST so the
+    widest exchange moves one row per order-supplier pair, not one per
+    line item. The output is schema-bounded (<=625 cells): each join
+    bucket collapses to (s_nationkey, c_nationkey) partials locally and
+    the driver folds a few thousand partials in sorted order (bit-stable
+    float fold)."""
+    from ..functions.shuffle import bucketed_join
+
+    nation_names = _nation_lut(sf_dir)
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"])
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df.l_orderkey.to_numpy(np.int64),
+            "l_suppkey": df.l_suppkey.to_numpy(np.int64),
+            "volume": (df.l_extendedprice.to_numpy(np.float64)
+                       * (1.0 - df.l_discount.to_numpy(np.float64))),
+        }).groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            volume=("volume", "sum"), n_items=("volume", "size"))
+
+    line_p = line.map_batches(line_partial, batch_format="pandas")
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def j_supp(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_suppkey", right_on="s_suppkey")
+        return m[["l_orderkey", "volume", "n_items", "s_nationkey"]]
+
+    line_s = bucketed_join(
+        line_p, supp, "l_suppkey", "s_suppkey", j_supp,
+        left_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                     "volume": "float64", "n_items": "int64"},
+        right_dtypes={"s_suppkey": "int64", "s_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def j_ordcust(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="o_custkey", right_on="c_custkey")
+        return m[["o_orderkey", "c_nationkey"]]
+
+    ordcust = bucketed_join(
+        orders, cust, "o_custkey", "c_custkey", j_ordcust,
+        left_dtypes={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_dtypes={"c_custkey": "int64", "c_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    )
+
+    def j_final(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return pd.DataFrame({
+                "s_nationkey": pd.Series(dtype="int64"),
+                "c_nationkey": pd.Series(dtype="int64"),
+                "volume": pd.Series(dtype="float64"),
+                "n_items": pd.Series(dtype="int64")})
+        # deterministic in-bucket fold order for the float partial
+        m = m.sort_values(["l_orderkey", "volume"], kind="stable")
+        return m.groupby(["s_nationkey", "c_nationkey"],
+                         as_index=False).agg(volume=("volume", "sum"),
+                                             n_items=("n_items", "sum"))
+
+    out = bucketed_join(
+        line_s, ordcust, "l_orderkey", "o_orderkey", j_final,
+        left_dtypes={"l_orderkey": "int64", "volume": "float64",
+                     "n_items": "int64", "s_nationkey": "int64"},
+        right_dtypes={"o_orderkey": "int64", "c_nationkey": "int64"},
+        num_buckets=16, coalesce_blocks=8,
+    ).to_pandas()
+    schema = {"supp_nation": "object", "cust_nation": "object",
+              "revenue": "float64", "n_items": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["s_nationkey", "c_nationkey", "volume"],
+                          kind="stable")
+    out = out.groupby(["s_nationkey", "c_nationkey"], as_index=False).agg(
+        volume=("volume", "sum"), n_items=("n_items", "sum"))
+    # ROUND to 4, not 2: volume = price(2dp) * (1-discount)(2dp) sits on a
+    # 1e-4 decimal grid, so per-cell sums land EXACTLY on half-cent
+    # midpoints ~1% of the time and a 2dp round becomes fold-order-
+    # dependent (7 of 625 cells flipped vs DuckDB when tried); at 4dp the
+    # true sum is ON the grid and both sides round identically.
+    out = out.assign(
+        supp_nation=nation_names[out.s_nationkey.to_numpy(np.int64)],
+        cust_nation=nation_names[out.c_nationkey.to_numpy(np.int64)],
+        revenue=round_away(out.volume, 4),
+    )
+    return typed_out(out[["supp_nation", "cust_nation", "revenue",
+                          "n_items"]],
+                     schema, sort_by=["supp_nation", "cust_nation"])
+
+
+NATION_TRADE_MATRIX_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1163,3 +1163,99 @@ WHERE rn = 1
 GROUP BY la
 ORDER BY la
 """
+
+
+# ---------------------------------------------------------------------------
+# all-pairs cosine HISTOGRAM: O(N^2) compute folded to a 20-cell output
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_histogram(sf_dir: str, tile_rows: int = 65536,
+                               max_vectors: int = 2_000_000) -> pd.DataFrame:
+    """Pairwise-similarity profile of the embedding space — the histogram
+    of ALL (i<j) cosine similarities in 0.1-wide bins. This is the
+    diagnostic read before choosing any dedup/ANN threshold (where does
+    the near-dup mass start?) and the shape check for embedding collapse
+    (mass piling up near 1.0).
+
+    Plan: same tiled block-pair grid as ``dedup.embedding_cosine_pairs
+    _exact`` — block refs stay in the object store, each tile task pulls
+    two packed blocks and matmuls — but each tile emits a BOUNDED 20-cell
+    bincount instead of pairs, and the driver folds integer vectors, so
+    output size is O(1) however large N^2 gets (the pair list never
+    exists anywhere). Integer bin counts fold exactly in any order.
+
+    Binning: bin = clamp(floor(cos*10), -10, 9) — identical-vector pairs
+    (cos ~ 1 up to last-ulp formula noise between numpy's normalized
+    matmul and the oracle's dot/(|a||b|)) land safely in the top
+    [0.9, 1.0] bin on both sides. ``max_vectors`` guards the O(N^2) tier
+    exactly like the pairs query: beyond it, run per shard / LSH bucket."""
+    from ..functions.frames import typed_out
+    from .dedup import _pack_embedding_block
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = ds.count()
+    schema = {"bin": "int64", "lo": "float64", "n_pairs": "int64"}
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    if n > max_vectors:
+        raise ValueError(
+            f"embedding_cosine_histogram is the O(N^2) profiling tier "
+            f"(N={n} > max_vectors={max_vectors}); run it per dedup shard "
+            f"or per LSH candidate group at open scale"
+        )
+    n_blocks = max(1, -(-n // tile_rows))
+    refs = ds.repartition(n_blocks).to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def _hist_tile(block_a, block_b, same: bool) -> np.ndarray:
+        ia, ma = block_a
+        ib, mb = block_b
+        counts = np.zeros(20, dtype=np.int64)  # bins -10..9
+        if ma.size == 0 or mb.size == 0:
+            return counts
+        cos = ma @ mb.T
+        if same:
+            # unordered pairs: the strict upper triangle holds each {i, j}
+            # exactly once (id order is irrelevant for counting)
+            iu, ju = np.triu_indices(len(ia), k=1)
+            vals = cos[iu, ju]
+        else:
+            vals = cos.ravel()
+        bins = np.clip(np.floor(vals * 10.0).astype(np.int64), -10, 9)
+        np.add.at(counts, bins + 10, 1)
+        return counts
+
+    pack = ray.remote(num_returns=1)(_pack_embedding_block)
+    packed = [pack.remote(r) for r in refs]
+    futs = [
+        _hist_tile.remote(packed[i], packed[j], i == j)
+        for i in range(len(packed))
+        for j in range(i, len(packed))
+    ]
+    total = np.sum(ray.get(futs), axis=0) if futs else np.zeros(20, np.int64)
+    bins = np.arange(-10, 10, dtype=np.int64)
+    out = pd.DataFrame({"bin": bins, "lo": bins / 10.0, "n_pairs": total})
+    out = out[out.n_pairs > 0]
+    return typed_out(out, schema, sort_by="bin")
+
+
+EMBEDDING_COSINE_HISTOGRAM_SQL = """
+-- cast FLOAT[] -> DOUBLE[] before the cosine (f32 accumulation lands ~1e-7
+-- off and crosses bin edges); bins merge cos=1.0 into [0.9, 1.0]
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+p AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(
+             list_cosine_similarity(a.emb, b.emb) * 10) AS BIGINT),
+             -10), 9) AS bin
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT bin, bin / 10.0 AS lo, COUNT(*) AS n_pairs
+FROM p GROUP BY bin ORDER BY bin
+"""

@@ -1637,3 +1637,143 @@ SELECT day, dau, wau, ROUND(dau * 1.0 / wau, 6) AS stickiness
 FROM dau JOIN wau USING (day)
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: exact triple-NTILE(4) via sorted-cutoff broadcast
+# ---------------------------------------------------------------------------
+
+
+def events_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """RFM user segmentation — every user quartiled independently on
+    Recency (last event ts), Frequency (event count) and Monetary (value
+    sum), then the 4x4x4 segment occupancy counted: the classic
+    marketing/behavior rollup, and a triple exact-NTILE exercise.
+
+    NTILE needs global ranks, but segment COUNTS only need the quartile
+    BOUNDARIES: per metric, the engine sorts the per-user aggregate once
+    (``Dataset.sort`` on (metric, user_id) — the oracle's deterministic
+    tiebreak) and extracts the sort key at the <=3 tile-start positions
+    (per-block row counts -> exclusive prefix -> only the block holding a
+    cutoff materializes one row). The 9 cutoff tuples are broadcast and a
+    single vectorized pass assigns all three tiles per user, followed by
+    a bounded (<=64-cell) count combine. No rank table is ever
+    materialized and no rank join runs — 3 sorts of the aggregate, O(k)
+    driver state.
+
+    Monetary is rounded half-away to 2 BEFORE ranking (events.value is a
+    2-decimal quantity, so per-user sums sit exactly on the cent grid and
+    the round is fold-order-independent), matching the oracle's
+    ROUND(SUM(value), 2) sort key."""
+    import ray
+
+    from ..functions.frames import typed_out
+
+    ev = _events(sf_dir, columns=["ts", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64),
+            "ts_us": df.ts.astype("int64"),
+            "value": df.value.to_numpy(np.float64),
+        }).groupby("user_id", as_index=False).agg(
+            last_ts=("ts_us", "max"), freq=("ts_us", "size"),
+            monetary=("value", "sum"))
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("user_id", as_index=False).agg(
+            last_ts=("last_ts", "max"), freq=("freq", "sum"),
+            monetary=("monetary", "sum"))
+        t["monetary"] = round_away(t["monetary"], 2)
+        return t
+
+    users = bucketed_combine(ev, "user_id", partial, combine,
+                             coalesce_blocks=8)
+    schema = {"r_tile": "int64", "f_tile": "int64", "m_tile": "int64",
+              "n_users": "int64"}
+    # the per-user aggregate is sorted once per metric; materialize the
+    # (already user-bounded) aggregate so the raw event scan runs once
+    users = users.materialize()
+    n = users.count()
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+
+    def _tile_starts(n_rows: int, tiles: int) -> list[int]:
+        """0-based start position of tiles 2..k that are non-empty
+        (SQL NTILE: the first n%k tiles hold base+1 rows)."""
+        base, rem = divmod(n_rows, tiles)
+        starts = []
+        for t in range(2, tiles + 1):
+            s = ((t - 1) * (base + 1) if t - 1 <= rem
+                 else rem * (base + 1) + (t - 1 - rem) * base)
+            if s < n_rows:
+                starts.append(s)
+        return starts
+
+    @ray.remote(num_cpus=0.25)
+    def _rows_at(tbl, metric: str, local_idx: list[int]) -> list[tuple]:
+        # keep native dtypes: last_ts is int64 microseconds (~1.7e18),
+        # beyond float64's exact-integer range — a float cast could merge
+        # distinct cutoff keys at the equality test
+        m = tbl.column(metric).to_numpy(zero_copy_only=False)
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        return [(m[i].item(), int(u[i])) for i in local_idx]
+
+    @ray.remote(num_cpus=0.25)
+    def _nrows(tbl) -> int:
+        return tbl.num_rows
+
+    cutoffs: dict[str, list[tuple]] = {}
+    for metric in ("last_ts", "freq", "monetary"):
+        s = users.sort([metric, "user_id"])
+        refs = s.to_arrow_refs()
+        counts = ray.get([_nrows.remote(r) for r in refs])
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+            np.int64)
+        want = _tile_starts(n, k)
+        futs = []
+        for r, off, cnt in zip(refs, offsets, counts):
+            local = [w - off for w in want if off <= w < off + cnt]
+            if local:
+                futs.append(_rows_at.remote(r, metric, local))
+        got = [row for part in ray.get(futs) for row in part]
+        cutoffs[metric] = sorted(got)
+
+    cut_ref = ray.put(cutoffs)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cuts = ray.get(cut_ref)
+        out = {}
+        for metric, col in (("last_ts", "r_tile"), ("freq", "f_tile"),
+                            ("monetary", "m_tile")):
+            mv = df[metric].to_numpy()  # native dtype (int64 ts stays exact)
+            uv = df["user_id"].to_numpy(np.int64)
+            tile = np.ones(len(df), dtype=np.int64)
+            for cm, cu in cuts[metric]:
+                tile += (mv > cm) | ((mv == cm) & (uv >= cu))
+            out[col] = tile
+        return pd.DataFrame(out).groupby(
+            ["r_tile", "f_tile", "m_tile"], as_index=False).agg(
+            n_users=("r_tile", "size"))
+
+    parts = users.map_batches(assign, batch_format="pandas").to_pandas()
+    out = parts.groupby(["r_tile", "f_tile", "m_tile"], as_index=False).agg(
+        n_users=("n_users", "sum"))
+    return typed_out(out, schema, sort_by=["r_tile", "f_tile", "m_tile"])
+
+
+EVENTS_RFM_SEGMENTS_SQL = """
+WITH u AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+         ROUND(SUM(value), 2) AS monetary
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT NTILE(4) OVER (ORDER BY last_ts, user_id) AS r_tile,
+         NTILE(4) OVER (ORDER BY freq, user_id) AS f_tile,
+         NTILE(4) OVER (ORDER BY monetary, user_id) AS m_tile
+  FROM u
+)
+SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_users
+FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""

@@ -134,6 +134,8 @@ SQL_CHECKED = [
     "ngram_jaccard_prefix_filter", "pages_format_roundtrip",
     "dup_cluster_size_histogram", "part_type_supplier_hhi",
     "events_dau_wau_stickiness", "token_topk_by_lang",
+    "nation_trade_matrix", "orders_yoy_growth",
+    "embedding_cosine_histogram", "events_rfm_segments",
 ]
 
 
