@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-4 block):
+        "events_cohort_week_matrix": streaming.events_cohort_week_matrix,
+        "doc_perplexity_filter_rate":
+            text_analysis.doc_perplexity_filter_rate,
+        "doc_winnow_fingerprints": text_analysis.doc_winnow_fingerprints,
         "nation_trade_matrix": relational.nation_trade_matrix,
         "orders_yoy_growth": relational.orders_yoy_growth,
         "embedding_cosine_histogram": similarity.embedding_cosine_histogram,
@@ -251,17 +255,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_count_distribution":
             relational.customer_order_count_distribution,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
-        "order_basket_pairs": relational.order_basket_pairs,
-        "corpus_weighted_sample": curation.corpus_weighted_sample,
-        "doc_length_median_by_lang": text_analysis.doc_length_median_by_lang,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the THIRTY-NINE never-checked
+        # entries exactly to position 50; the FORTY-TWO never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "order_basket_pairs": relational.order_basket_pairs,
+        "corpus_weighted_sample": curation.corpus_weighted_sample,
+        "doc_length_median_by_lang": text_analysis.doc_length_median_by_lang,
         "part_price_size_skyline": relational.part_price_size_skyline,
         "heldout_bigram_logprob": text_analysis.heldout_bigram_logprob,
         "doc_quality_classifier": text_analysis.doc_quality_classifier,
@@ -423,6 +427,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_cohort_week_matrix":
+            streaming.EVENTS_COHORT_WEEK_MATRIX_SQL,
+        "doc_perplexity_filter_rate":
+            text_analysis.DOC_PERPLEXITY_FILTER_RATE_SQL,
+        "doc_winnow_fingerprints":
+            text_analysis.DOC_WINNOW_FINGERPRINTS_SQL,
         "nation_trade_matrix": relational.NATION_TRADE_MATRIX_SQL,
         "orders_yoy_growth": relational.ORDERS_YOY_GROWTH_SQL,
         "embedding_cosine_histogram":

@@ -1777,3 +1777,72 @@ WITH u AS (
 SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_users
 FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort-retention matrix: (cohort week x week offset) distinct users
+# ---------------------------------------------------------------------------
+
+
+def events_cohort_week_matrix(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort-retention matrix — users grouped by the Monday-start
+    week of their FIRST event (their cohort), then counted distinct in
+    every later week they were active, keyed by the week offset: the
+    product-health triangle every activation dashboard draws.
+
+    Plan: one user-bucketed exchange. Per batch, (user, week) activity
+    pairs dedupe locally (integer week index = (epoch_day + 3) // 7 —
+    Monday-start, matching DATE_TRUNC('week')); per bucket, each user's
+    cohort is the min week and the (cohort, offset) distinct-user counts
+    are emitted as bounded partials (weeks x weeks cells, not users).
+    Users partition cleanly across buckets, so cross-bucket cell sums are
+    exact integers — one shuffle, O(weeks^2) result."""
+    from ..functions.frames import typed_out
+
+    ev = _events(sf_dir, columns=["ts", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df.ts.astype("int64").to_numpy() // 86_400_000_000
+        week = (day + 3) // 7  # 1969-12-29 (a Monday) is week 0
+        return pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64), "week": week,
+        }).drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        cohort = g.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame({
+            "cohort_week": cohort.to_numpy(np.int64),
+            "week_offset": (g.week.to_numpy(np.int64)
+                            - cohort.to_numpy(np.int64)),
+        }).groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("week_offset", "size"))
+        return out
+
+    parts = bucketed_combine(ev, "user_id", partial, combine,
+                             coalesce_blocks=8).to_pandas()
+    schema = {"cohort_week": "datetime64[us]", "week_offset": "int64",
+              "n_users": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+        n_users=("n_users", "sum"))
+    out["cohort_week"] = pd.to_datetime(
+        (out.cohort_week.to_numpy(np.int64) * 7 - 3) * 86_400_000_000,
+        unit="us")
+    return typed_out(out, schema, sort_by=["cohort_week", "week_offset"])
+
+
+EVENTS_COHORT_WEEK_MATRIX_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+), c AS (
+  SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY 1
+)
+SELECT c.cohort AS cohort_week,
+       CAST((EPOCH(a.wk) - EPOCH(c.cohort)) / 604800 AS BIGINT)
+           AS week_offset,
+       COUNT(*) AS n_users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -2620,3 +2620,271 @@ WITH tok AS (
 SELECT lang, token, n FROM r WHERE rn <= 10
 ORDER BY lang, n DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM filter: per-source share of docs at-or-below the global
+# median unigram score
+# ---------------------------------------------------------------------------
+
+
+def doc_perplexity_filter_rate(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity gate audit: score every document under the
+    corpus's own unigram LM (the ``doc_unigram_logprob`` score, unrounded),
+    split at the GLOBAL median score, and report what fraction of each
+    source falls in the kept ("head") half — the per-source survival-rate
+    read a curation operator takes before committing to an LM filter.
+
+    Plan: the unigram scoring sub-plan (token-frequency combine +
+    token-keyed scoring join + doc-keyed sum — see doc_unigram_logprob)
+    lands per-doc (source, score) rows; the exact median comes from ONE
+    ``Dataset.sort`` over those rows (per-block counts -> the one or two
+    blocks holding the middle ranks materialize single rows); the
+    broadcast median then gates a per-source counting combine. No rank
+    table, no per-row driver state.
+
+    Boundary robustness: scores carry summation-order ulp noise between
+    the engine and the oracle, but the gate compares each score against a
+    median DERIVED FROM THE SAME SIDE'S scores — the only docs within
+    noise of the median are the middle docs themselves, and score <=
+    median resolves identically for them on both sides (equality for the
+    odd-n middle; a <= (a+b)/2 iff a <= b for the even-n pair)."""
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    import ray as _ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    schema = {"source": "object", "n_docs": "int64", "n_kept": "int64",
+              "kept_rate": "float64"}
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        g = (pd.DataFrame({"doc_id": ex.index.to_numpy(),
+                           "token": ex.to_numpy(object)})
+             .groupby(["doc_id", "token"], as_index=False).size()
+             .rename(columns={"size": "tf"}))
+        g["tf"] = g.tf.astype("int64")
+        return g
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas").materialize()
+
+    freq = bucketed_combine(
+        tf, "token",
+        lambda df: df.groupby("token", as_index=False).agg(f=("tf", "sum")),
+        lambda g: g.groupby("token", as_index=False).agg(f=("f", "sum")),
+    ).materialize()
+
+    n_parts = freq.map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(df.f.sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    n_total = int(n_parts.n.sum()) if len(n_parts) else 0
+    if n_total == 0:
+        return typed_out(pd.DataFrame(), schema)
+
+    def attach(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="token")
+        if m.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n_tok": pd.Series(dtype="int64")})
+        m["s"] = m.tf.to_numpy(np.float64) * np.log(m.f.to_numpy(np.float64))
+        return m.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), n_tok=("tf", "sum"))
+
+    partials = bucketed_join(
+        tf, freq, "token", "token", attach,
+        left_dtypes={"doc_id": "int64", "token": "object", "tf": "int64"},
+        right_dtypes={"token": "object", "f": "int64"},
+        coalesce_blocks=16,
+    )
+
+    def docscore(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), n_tok=("n_tok", "sum"))
+        return pd.DataFrame({
+            "doc_id": out.doc_id.to_numpy(np.int64),
+            "score": (out.s.to_numpy() / out.n_tok.to_numpy()
+                      - np.log(n_total)),
+        })
+
+    scores = bucketed_combine(
+        partials, "doc_id", lambda df: df, docscore, coalesce_blocks=8,
+    ).materialize()
+
+    # exact global median: one distributed sort, <=2 single-row lookups
+    s_sorted = scores.sort(["score", "doc_id"])
+    refs = s_sorted.to_arrow_refs()
+
+    @_ray.remote(num_cpus=0.25)
+    def _nrows(tbl) -> int:
+        return tbl.num_rows
+
+    counts = _ray.get([_nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    mids = sorted({(n - 1) // 2, n // 2})
+
+    @_ray.remote(num_cpus=0.25)
+    def _score_at(tbl, local_idx: list[int]) -> list[float]:
+        v = tbl.column("score").to_numpy(zero_copy_only=False)
+        return [float(v[i]) for i in local_idx]
+
+    futs = []
+    for r, off, cnt in zip(refs, offsets, counts):
+        local = [m - off for m in mids if off <= m < off + cnt]
+        if local:
+            futs.append(_score_at.remote(r, local))
+    mid_vals = [v for part in _ray.get(futs) for v in part]
+    median = float(np.mean(mid_vals))
+
+    # gate + per-source count: broadcast the scalar, one bounded combine
+    src = ds.map_batches(
+        lambda df: df[["doc_id", "source"]], batch_format="pandas")
+
+    def gate(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="doc_id")
+        if m.empty:
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "n_kept": pd.Series(dtype="int64")})
+        kept = (m.score.to_numpy(np.float64) <= median).astype(np.int64)
+        return m.assign(kept=kept).groupby("source", as_index=False).agg(
+            n_docs=("kept", "size"), n_kept=("kept", "sum"))
+
+    parts = bucketed_join(
+        scores, src, "doc_id", "doc_id", gate,
+        left_dtypes={"doc_id": "int64", "score": "float64"},
+        right_dtypes={"doc_id": "int64", "source": "object"},
+        coalesce_blocks=8,
+    ).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_kept=("n_kept", "sum"))
+    out["kept_rate"] = round_away(
+        out.n_kept.to_numpy(np.float64) / out.n_docs.to_numpy(np.float64), 6)
+    return typed_out(out, schema, sort_by="source")
+
+
+DOC_PERPLEXITY_FILTER_RATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS f FROM tok GROUP BY w
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+sc AS (
+  SELECT t.doc_id,
+         SUM(LN(f.f)) / COUNT(*) - (SELECT LN(NULLIF(n, 0)) FROM tot) AS score
+  FROM tok t JOIN freq f ON t.w = f.w
+  GROUP BY t.doc_id
+), m AS (SELECT MEDIAN(score) AS med FROM sc)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN sc.score <= m.med THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(SUM(CASE WHEN sc.score <= m.med THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS kept_rate
+FROM sc JOIN documents d USING (doc_id), m
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS): window-min k-gram sampling per document
+# ---------------------------------------------------------------------------
+
+
+def doc_winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 4) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-char gram, slide a
+    w-gram window, and select each window's MINIMUM hash; the selected
+    "minimizer" set is the classic position-robust fingerprint for
+    plagiarism/near-dup detection, guaranteed to share fingerprints with
+    any copy that overlaps by >= w+k-1 chars.
+
+    Per doc the engine reports n_grams, n_selected (minimizer positions)
+    and n_distinct (distinct selected hashes) — the density ~2/(w+1)
+    check. Everything runs inside one ``map_batches`` pass (documents
+    shard freely; no shuffle at all): per doc, the gram hashes become a
+    uint64 vector and the window minima come from a strided sliding-
+    window view; a position is selected iff its hash equals the min of
+    ANY window covering it (ALL tying positions — repetitive text makes
+    equal grams share a window — exactly like the oracle's join).
+
+    Hash parity: the hash is the first 16 hex chars of md5(gram) parsed
+    as uint64 — lexicographic order of the hex prefix IS numeric order,
+    and DuckDB's ``substring(md5(x), 1, 16)`` computes the identical
+    string, so the selected sets match byte-for-byte. (md5 is the oracle-
+    parity choice; at open scale the same plan runs on any vectorizable
+    64-bit hash.)"""
+    from ..functions.frames import typed_out
+    from ..functions.hashing import md5_hex_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    schema = {"doc_id": "int64", "n_grams": "int64",
+              "n_selected": "int64", "n_distinct": "int64"}
+
+    def winnow(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df.doc_id.to_numpy(np.int64),
+                                df.text.fillna("").to_numpy(object)):
+            m = len(text) - k + 1
+            if m < w:  # no full window -> no fingerprints (oracle drops doc)
+                continue
+            grams = [text[i:i + k] for i in range(m)]
+            h = np.array([int(x[:16], 16) for x in md5_hex_batch(grams)],
+                         dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            wmin = win.min(axis=1)  # window j covers positions [j, j+w-1]
+            sel = np.zeros(m, dtype=bool)
+            for o in range(w):
+                # position p sits in window p-o when 0 <= p-o <= m-w
+                lo, hi = o, len(wmin) + o
+                sel[lo:hi] |= h[lo:hi] == wmin
+            rows.append((doc_id, m, int(sel.sum()),
+                         int(np.unique(h[sel]).size)))
+        return pd.DataFrame(rows, columns=["doc_id", "n_grams",
+                                           "n_selected", "n_distinct"])
+
+    out = ds.map_batches(winnow, batch_format="pandas").to_pandas()
+    return typed_out(out, schema, sort_by="doc_id")
+
+
+DOC_WINNOW_FINGERPRINTS_SQL = """
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  WHERE len(COALESCE(text, '')) >= 8 + 4 - 1
+), g AS (
+  SELECT doc_id, text, UNNEST(range(1, len(text) - 8 + 2)) AS i FROM d
+), h AS (
+  SELECT doc_id, i,
+         substring(md5(substring(text, CAST(i AS INT), 8)), 1, 16) AS h,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM g
+), wmin AS (
+  SELECT doc_id, i AS j,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+  FROM h
+  QUALIFY i <= m - 4 + 1
+), sel AS (
+  SELECT DISTINCT x.doc_id, x.i, x.h
+  FROM h x JOIN wmin ON x.doc_id = wmin.doc_id
+       AND x.i BETWEEN wmin.j AND wmin.j + 3
+       AND x.h = wmin.wm
+)
+SELECT h.doc_id,
+       ANY_VALUE(h.m) AS n_grams,
+       COUNT(DISTINCT sel.i) AS n_selected,
+       COUNT(DISTINCT sel.h) AS n_distinct
+FROM h JOIN sel ON h.doc_id = sel.doc_id AND h.i = sel.i
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+"""

@@ -136,6 +136,8 @@ SQL_CHECKED = [
     "events_dau_wau_stickiness", "token_topk_by_lang",
     "nation_trade_matrix", "orders_yoy_growth",
     "embedding_cosine_histogram", "events_rfm_segments",
+    "events_cohort_week_matrix", "doc_perplexity_filter_rate",
+    "doc_winnow_fingerprints",
 ]
 
 
