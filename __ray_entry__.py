@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-4 block):
+        "events_heavy_hitters": streaming.events_heavy_hitters,
+        # rows-only (iterative fixpoint; pinned vs numpy eig in pytest):
+        "events_markov_stationary": streaming.events_markov_stationary,
         "events_cohort_week_matrix": streaming.events_cohort_week_matrix,
         "doc_perplexity_filter_rate":
             text_analysis.doc_perplexity_filter_rate,
@@ -252,17 +255,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_repeat_rate_by_segment":
             relational.customer_repeat_rate_by_segment,
         "doc_dup_span_stats": curation.doc_dup_span_stats,
-        "customer_order_count_distribution":
-            relational.customer_order_count_distribution,
-        "part_cheapest_supplier": relational.part_cheapest_supplier,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the FORTY-TWO never-checked
+        # entries exactly to position 50; the FORTY-FOUR never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "customer_order_count_distribution":
+            relational.customer_order_count_distribution,
+        "part_cheapest_supplier": relational.part_cheapest_supplier,
         "order_basket_pairs": relational.order_basket_pairs,
         "corpus_weighted_sample": curation.corpus_weighted_sample,
         "doc_length_median_by_lang": text_analysis.doc_length_median_by_lang,
@@ -427,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_heavy_hitters": streaming.EVENTS_HEAVY_HITTERS_SQL,
         "events_cohort_week_matrix":
             streaming.EVENTS_COHORT_WEEK_MATRIX_SQL,
         "doc_perplexity_filter_rate":

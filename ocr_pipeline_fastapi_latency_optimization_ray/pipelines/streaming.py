@@ -1846,3 +1846,139 @@ SELECT c.cohort AS cohort_week,
 FROM a JOIN c ON a.user_id = c.user_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters via a Misra-Gries candidate sweep + verify pass
+# ---------------------------------------------------------------------------
+
+
+def events_heavy_hitters(sf_dir: str, k: int = 127) -> pd.DataFrame:
+    """EXACT frequent-user detection at sketch cost — the two-pass
+    Misra-Gries plan (Misra & Gries '82; mergeable-summaries form of
+    Agarwal et al. 2012): pass 1 folds per-batch MG(k) summaries into one
+    k-counter summary whose candidate set PROVABLY contains every user
+    with frequency > n/(k+1) under ANY partitioning; pass 2 broadcasts
+    the <=k candidates and counts them exactly, keeping those above the
+    threshold. Output is deterministic even though intermediate MG state
+    is partition-order-dependent — the sketch only ever proposes, the
+    exact count disposes.
+
+    Driver state is bounded at k counters; the summary stream it folds is
+    k rows per block (streamed via iter_batches, never materialized
+    whole). The full per-user count table never exists anywhere — that is
+    the point at 10^12 rows where users outnumber worker memory."""
+    from ..functions.frames import typed_out
+
+    import ray as _ray
+
+    ev = _events(sf_dir, columns=["user_id"])
+    schema = {"user_id": "int64", "n_events": "int64"}
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("user_id", as_index=False).agg(
+            w=("user_id", "size"))
+        w = counts.w.to_numpy(np.int64)
+        if len(counts) > k:
+            s = np.partition(w, len(w) - k - 1)[len(w) - k - 1]
+            keep = w - s > 0
+            counts = pd.DataFrame({"user_id": counts.user_id.to_numpy()[keep],
+                                   "w": (w - s)[keep]})
+        counts["w"] = counts.w.astype("int64")
+        return counts
+
+    summaries = ev.map_batches(mg_partial, batch_format="pandas")
+
+    counters = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "w": pd.Series(dtype="int64")})
+    for batch in summaries.iter_batches(batch_format="pandas"):
+        merged = (pd.concat([counters, batch], ignore_index=True)
+                  .groupby("user_id", as_index=False).agg(w=("w", "sum")))
+        w = merged.w.to_numpy(np.int64)
+        if len(merged) > k:
+            s = np.partition(w, len(w) - k - 1)[len(w) - k - 1]
+            keep = w - s > 0
+            merged = pd.DataFrame({"user_id": merged.user_id.to_numpy()[keep],
+                                   "w": (w - s)[keep]})
+        counters = merged
+    if counters.empty:
+        return typed_out(pd.DataFrame(), schema)
+
+    cand_ref = _ray.put(frozenset(int(u) for u in counters.user_id))
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cands = _ray.get(cand_ref)
+        hit = df[df.user_id.isin(cands)]
+        g = hit.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size"))
+        g["n_events"] = g.n_events.astype("int64")
+        # ride the batch's total row count along for the global threshold
+        g = pd.concat([g, pd.DataFrame({"user_id": [np.int64(-1)],
+                                        "n_events": [np.int64(len(df))]})],
+                      ignore_index=True)
+        return g
+
+    parts = ev.map_batches(exact_partial, batch_format="pandas").to_pandas()
+    totals = parts.groupby("user_id", as_index=False).agg(
+        n_events=("n_events", "sum"))
+    n_total = int(totals.loc[totals.user_id == -1, "n_events"].sum())
+    out = totals[(totals.user_id != -1)
+                 & (totals.n_events > n_total / (k + 1.0))]
+    return typed_out(out, schema, sort_by="user_id")
+
+
+EVENTS_HEAVY_HITTERS_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 128.0
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# damped Markov stationary distribution over the event-type chain
+# ---------------------------------------------------------------------------
+
+
+def events_markov_stationary(sf_dir: str, damping: float = 0.85,
+                             tol: float = 1e-14,
+                             max_iter: int = 10_000) -> pd.DataFrame:
+    """Stationary distribution of the event-type Markov chain — where a
+    user's behavior settles long-run, PageRank-style damped so the chain
+    is irreducible even when some type never transitions out.
+
+    The distributed work IS ``events_path_transitions`` (one user-bucketed
+    exchange, n_types^2 bounded output); the power iteration then runs on
+    the driver over a <=n_types-square matrix — constant-size at any
+    corpus scale, the sanctioned place for an iterative fixpoint whose
+    state is schema-bounded (same pattern as dup_graph_kcore's peel).
+    No SQL analog (iterative); pinned against numpy's dominant-eigenvector
+    solution in tests/test_text_metrics.py."""
+    from ..functions.frames import typed_out
+
+    trans = events_path_transitions(sf_dir)
+    schema = {"event_type": "object", "stationary_prob": "float64",
+              "n_out": "int64"}
+    if trans.empty:
+        return typed_out(pd.DataFrame(), schema)
+    types = sorted(set(trans.from_type) | set(trans.to_type))
+    idx = {t: i for i, t in enumerate(types)}
+    m = len(types)
+    P = np.zeros((m, m), np.float64)
+    P[[idx[a] for a in trans.from_type],
+      [idx[b] for b in trans.to_type]] = trans.n.to_numpy(np.float64)
+    n_out = P.sum(axis=1)
+    row_sum = np.where(n_out > 0, n_out, 1.0)
+    P = np.where(n_out[:, None] > 0, P / row_sum[:, None], 1.0 / m)
+    pi = np.full(m, 1.0 / m)
+    for _ in range(max_iter):
+        nxt = damping * (pi @ P) + (1.0 - damping) / m
+        if np.abs(nxt - pi).sum() < tol:
+            pi = nxt
+            break
+        pi = nxt
+    out = pd.DataFrame({"event_type": types,
+                        "stationary_prob": round_away(pi, 6),
+                        "n_out": n_out.astype(np.int64)})
+    return typed_out(out, schema, sort_by="event_type")

@@ -359,3 +359,78 @@ def test_doc_dup_pagerank_on_dup_corpus(ray_session, tmp_path):
     hub = out.set_index("doc_id")["rank"]
     assert hub[0] == hub.max()  # star center (min doc of the chunk)
     assert (hub[0] > hub.drop(0) * 2).all()
+
+
+def test_markov_stationary_vs_numpy_eig(ray_session):
+    """events_markov_stationary's power iteration must match the dominant
+    left eigenvector of the damped transition matrix built independently
+    from the oracle-checked transition counts."""
+    import numpy as np
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import streaming
+
+    sf = "/root/testdata/sf0.01"
+    out = streaming.events_markov_stationary(sf)
+    assert abs(out.stationary_prob.sum() - 1.0) < 5e-6
+    trans = streaming.events_path_transitions(sf)
+    types = sorted(set(trans.from_type) | set(trans.to_type))
+    idx = {t: i for i, t in enumerate(types)}
+    m = len(types)
+    P = np.zeros((m, m))
+    P[[idx[a] for a in trans.from_type],
+      [idx[b] for b in trans.to_type]] = trans.n.to_numpy(float)
+    n_out = P.sum(axis=1)
+    P = np.where(n_out[:, None] > 0,
+                 P / np.where(n_out > 0, n_out, 1.0)[:, None], 1.0 / m)
+    G = 0.85 * P + 0.15 / m
+    vals, vecs = np.linalg.eig(G.T)
+    v = np.real(vecs[:, np.argmax(np.real(vals))])
+    v = v / v.sum()
+    assert list(out.event_type) == types
+    assert np.allclose(out.stationary_prob.to_numpy(), v, atol=1e-5)
+
+
+def test_heavy_hitters_superset_under_hostile_partitioning(ray_session,
+                                                           tmp_path):
+    """The MG candidate sweep must keep every true heavy hitter no matter
+    how the stream is partitioned: a skewed corpus written as many tiny
+    row groups (worst case for per-batch summaries) must produce exactly
+    the brute-force answer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import streaming
+
+    rng = np.random.default_rng(11)
+    # one dominant user (30%), a mid tier, and a long uniform tail
+    users = np.concatenate([
+        np.full(3000, 7), np.repeat(np.arange(100, 110), 150),
+        rng.integers(1000, 3000, 5500),
+    ])
+    rng.shuffle(users)
+    n = len(users)
+    d = tmp_path / "hh"
+    d.mkdir()
+    ts = pd.Timestamp("2024-01-01").value // 1000 + np.arange(n)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, d / "events.parquet", row_group_size=256)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        import shutil
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+
+    k = 127
+    out = streaming.events_heavy_hitters(str(d), k=k)
+    cnt = pd.Series(users).value_counts()
+    expect = sorted(int(u) for u, c in cnt.items() if c > n / (k + 1.0))
+    assert list(out.user_id) == expect
+    assert list(out.n_events) == [int(cnt[u]) for u in expect]

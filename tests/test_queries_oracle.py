@@ -137,7 +137,7 @@ SQL_CHECKED = [
     "nation_trade_matrix", "orders_yoy_growth",
     "embedding_cosine_histogram", "events_rfm_segments",
     "events_cohort_week_matrix", "doc_perplexity_filter_rate",
-    "doc_winnow_fingerprints",
+    "doc_winnow_fingerprints", "events_heavy_hitters",
 ]
 
 
@@ -161,7 +161,7 @@ ROWS_ONLY = [
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
     "doc_dup_pagerank", "ann_ivfpq_topk", "image_phash_dedup",
     "ann_recall_report", "bpe_train_merges", "bpe_encode_stats",
-    "audio_vad_segments", "dup_graph_kcore",
+    "audio_vad_segments", "dup_graph_kcore", "events_markov_stationary",
 ]
 
 
