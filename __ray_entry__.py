@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-4 block):
+        "pages_link_graph": extract_checks.pages_link_graph,
+        "events_value_quantiles_by_type":
+            streaming.events_value_quantiles_by_type,
+        "embedding_quantize_report": similarity.embedding_quantize_report,
         "events_heavy_hitters": streaming.events_heavy_hitters,
         # rows-only (iterative fixpoint; pinned vs numpy eig in pytest):
         "events_markov_stationary": streaming.events_markov_stationary,
@@ -251,18 +255,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "corpus_lang_source_contingency":
             curation.corpus_lang_source_contingency,
-        "events_seasonality_profile": streaming.events_seasonality_profile,
-        "customer_repeat_rate_by_segment":
-            relational.customer_repeat_rate_by_segment,
-        "doc_dup_span_stats": curation.doc_dup_span_stats,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the FORTY-FOUR never-checked
+        # entries exactly to position 50; the FORTY-SEVEN never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_seasonality_profile": streaming.events_seasonality_profile,
+        "customer_repeat_rate_by_segment":
+            relational.customer_repeat_rate_by_segment,
+        "doc_dup_span_stats": curation.doc_dup_span_stats,
         "customer_order_count_distribution":
             relational.customer_order_count_distribution,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
@@ -430,6 +434,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pages_link_graph": extract_checks.PAGES_LINK_GRAPH_SQL,
+        "events_value_quantiles_by_type":
+            streaming.EVENTS_VALUE_QUANTILES_SQL,
+        "embedding_quantize_report":
+            similarity.EMBEDDING_QUANTIZE_REPORT_SQL,
         "events_heavy_hitters": streaming.EVENTS_HEAVY_HITTERS_SQL,
         "events_cohort_week_matrix":
             streaming.EVENTS_COHORT_WEEK_MATRIX_SQL,

@@ -1045,3 +1045,118 @@ FROM read_json('{FORMAT_ROUNDTRIP_DIR}/json/*.jsonl',
 GROUP BY lang
 ORDER BY format, lang
 """
+
+
+# ---------------------------------------------------------------------------
+# link graph: href extraction + in-link rollup over the pages corpus
+# ---------------------------------------------------------------------------
+
+LINK_GRAPH_DIR = f"/tmp/ray_pages_link_graph_{_os.getpid()}"
+
+
+def pages_link_graph(sf_dir: str) -> pd.DataFrame:
+    """In-link rollup of the crawl's internal link graph — for every href
+    target: total links, distinct linking pages and distinct linking
+    domains. The first step of any link-based quality/authority signal
+    (harvest ratio, PageRank seeding, spam-hub detection) and the
+    graph-shaped read of the S1/S2 ingestion surface.
+
+    Plan: the synthesized pages stream once; each batch decodes its html
+    payloads (non-UTF-8 payloads — PDFs, images — become NULL and drop),
+    runs one compiled ``href="..."`` regex per page, and emits
+    (href, domain, n) partials pre-counted per page; an href-bucketed
+    combine then counts pages (rows), sums links and distincts domains
+    in-bucket. The decoded (url, html_text) pages are spooled to parquet
+    shards on the way through, and the oracle re-parses THOSE SAME files
+    with DuckDB's independent regexp_extract_all + aggregate — the
+    pages_format_roundtrip consistency contract (regex + rollup verified
+    against a second implementation; the binary decode itself is pinned
+    by the extraction golden tests)."""
+    import re as _re
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    base = LINK_GRAPH_DIR
+    shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base, exist_ok=True)
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+    wrote = 0
+    for i, batch in enumerate(pages.iter_batches(batch_format="pyarrow")):
+        urls = batch["url"].to_pylist()
+        texts = []
+        for h in batch["html"].to_pylist():
+            if h is None:
+                texts.append(None)
+                continue
+            try:
+                texts.append(h.decode("utf-8"))
+            except UnicodeDecodeError:
+                texts.append(None)
+        _pq.write_table(
+            pa.table({"url": pa.array(urls, pa.string()),
+                      "html_text": pa.array(texts, pa.string())}),
+            f"{base}/shard_{i:04d}.parquet")
+        wrote += len(urls)
+    schema = {"href": "object", "n_links": "int64", "n_pages": "int64",
+              "n_domains": "int64"}
+    if wrote == 0:  # parseable zero-row placeholder for the oracle's glob
+        _pq.write_table(
+            pa.table({"url": pa.array([], pa.string()),
+                      "html_text": pa.array([], pa.string())}),
+            f"{base}/shard_0000.parquet")
+        return typed_out(pd.DataFrame(), schema)
+
+    href_re = _re.compile(r'href="([^"]*)"')
+    dom_re = _re.compile(r"^https?://([^/]+)")
+
+    spooled = ray.data.read_parquet(base)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: list[tuple] = []
+        for url, text in zip(df.url.to_numpy(object),
+                             df.html_text.to_numpy(object)):
+            if text is None or not isinstance(text, str):
+                continue
+            hrefs = href_re.findall(text)
+            if not hrefs:
+                continue
+            dm = dom_re.match(url)
+            dom = dm.group(1) if dm else ""
+            s = pd.Series(hrefs).value_counts()
+            rows.extend((h, dom, int(c)) for h, c in s.items())
+        return pd.DataFrame(rows, columns=["href", "domain", "n"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("href", as_index=False).agg(
+            n_links=("n", "sum"), n_pages=("n", "size"),
+            n_domains=("domain", "nunique"))
+        for c in ("n_links", "n_pages", "n_domains"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = bucketed_combine(spooled, "href", partial, combine,
+                           coalesce_blocks=8).to_pandas()
+    return typed_out(out, schema, sort_by="href")
+
+
+PAGES_LINK_GRAPH_SQL = f"""
+WITH l AS (
+  SELECT url,
+         UNNEST(regexp_extract_all(html_text, 'href="([^"]*)"', 1)) AS href
+  FROM read_parquet('{LINK_GRAPH_DIR}/*.parquet')
+  WHERE html_text IS NOT NULL
+)
+SELECT href,
+       COUNT(*) AS n_links,
+       COUNT(DISTINCT url) AS n_pages,
+       COUNT(DISTINCT regexp_extract(url, '^https?://([^/]+)', 1))
+           AS n_domains
+FROM l GROUP BY href ORDER BY href
+"""

@@ -1259,3 +1259,114 @@ p AS (
 SELECT bin, bin / 10.0 AS lo, COUNT(*) AS n_pairs
 FROM p GROUP BY bin ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantization distortion report (per-dimension)
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_report(sf_dir: str) -> pd.DataFrame:
+    """Storage-compression audit for the embedding store: quantize every
+    dimension to uint8 against its global [min, max] range (the scalar
+    quantization every vector database ships first) and report the
+    per-dimension reconstruction error — the read an operator takes
+    before committing a 4x storage cut.
+
+    Two bounded passes: (1) per-batch (dim, min, max) partials — min/max
+    fold exactly in any order, so the global range needs no determinism
+    scaffolding; (2) the 64-entry range table broadcasts and each batch
+    quantizes (round-half-away like SQL), reconstructs and emits per-dim
+    (sum_sq_err, max_abs_err, n) partials. max_abs_err is elementwise-
+    identical on both sides (same doubles, same ops — bitwise-equal max);
+    the MSE sum folds in block order and rounds to 10."""
+    from ..functions.frames import round_away as _ra, typed_out
+
+    import ray as _ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    schema = {"dim": "int64", "mn": "float64", "mx": "float64",
+              "mse": "float64", "max_abs_err": "float64", "n": "int64"}
+
+    def _mat(df: pd.DataFrame) -> np.ndarray:
+        if len(df) == 0:
+            return np.empty((0, 0), np.float64)
+        return np.stack(df.embedding.to_numpy()).astype(np.float64)
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)
+        if m.size == 0:
+            return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                                 "mn": pd.Series(dtype="float64"),
+                                 "mx": pd.Series(dtype="float64")})
+        d = np.arange(m.shape[1], dtype=np.int64)
+        return pd.DataFrame({"dim": d, "mn": m.min(0), "mx": m.max(0)})
+
+    ranges = ds.map_batches(range_partial, batch_format="pandas").to_pandas()
+    if ranges.empty:
+        return typed_out(pd.DataFrame(), schema)
+    rng = ranges.groupby("dim", as_index=False).agg(mn=("mn", "min"),
+                                                    mx=("mx", "max"))
+    mn = rng.mn.to_numpy(np.float64)
+    mx = rng.mx.to_numpy(np.float64)
+    rng_ref = _ray.put((mn, mx))
+
+    def err_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)
+        if m.size == 0:
+            return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                                 "sse": pd.Series(dtype="float64"),
+                                 "mae": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        lo, hi = _ray.get(rng_ref)
+        scale = (hi - lo) / 255.0
+        safe = np.where(scale > 0, scale, 1.0)
+        code = np.clip(_ra((m - lo) / safe, 0), 0, 255)
+        recon = np.where(scale > 0, lo + code * safe, lo)
+        err = m - recon
+        d = np.arange(m.shape[1], dtype=np.int64)
+        return pd.DataFrame({
+            "dim": d,
+            "sse": (err * err).sum(0),
+            "mae": np.abs(err).max(0),
+            "n": np.full(m.shape[1], m.shape[0], dtype=np.int64),
+        })
+
+    parts = ds.map_batches(err_partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["dim", "sse", "n"], kind="stable")
+    agg = parts.groupby("dim", as_index=False).agg(
+        sse=("sse", "sum"), mae=("mae", "max"), n=("n", "sum"))
+    out = pd.DataFrame({
+        "dim": agg.dim.to_numpy(np.int64) + 1,  # 1-based like the oracle
+        "mn": mn, "mx": mx,
+        "mse": _ra(agg.sse.to_numpy() / agg.n.to_numpy(), 10),
+        "max_abs_err": agg.mae.to_numpy(np.float64),
+        "n": agg.n.to_numpy(np.int64),
+    })
+    return typed_out(out, schema, sort_by="dim")
+
+
+EMBEDDING_QUANTIZE_REPORT_SQL = """
+WITH e AS (
+  SELECT CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         UNNEST(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+), mm AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim
+), q AS (
+  SELECT e.dim, e.x, mm.mn, mm.mx,
+         CASE WHEN mm.mx > mm.mn THEN
+           e.x - (mm.mn + LEAST(GREATEST(
+               ROUND((e.x - mm.mn) / ((mm.mx - mm.mn) / 255.0), 0),
+               0), 255) * ((mm.mx - mm.mn) / 255.0))
+         ELSE 0.0 END AS err
+  FROM e JOIN mm USING (dim)
+)
+SELECT dim, ANY_VALUE(mn) AS mn, ANY_VALUE(mx) AS mx,
+       ROUND(AVG(err * err), 10) AS mse,
+       MAX(ABS(err)) AS max_abs_err,
+       COUNT(*) AS n
+FROM q GROUP BY dim ORDER BY dim
+"""

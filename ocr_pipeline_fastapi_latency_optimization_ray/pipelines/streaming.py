@@ -1982,3 +1982,61 @@ def events_markov_stationary(sf_dir: str, damping: float = 0.85,
                         "stationary_prob": round_away(pi, 6),
                         "n_out": n_out.astype(np.int64)})
     return typed_out(out, schema, sort_by="event_type")
+
+
+# ---------------------------------------------------------------------------
+# exact per-type value quantiles via the value-histogram exchange
+# ---------------------------------------------------------------------------
+
+
+def events_value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact q25/q50/q75/q95 of the transaction value per event type —
+    the latency/value-profile rollup (p95 being the one every dashboard
+    asks for), computed WITHOUT sorting events: ``value`` is a 2-decimal
+    quantity from a bounded range, so the per-type VALUE HISTOGRAM is
+    small and the exchange carries one (type, value, cnt) row per
+    distinct value per batch — the doc_length_median_by_lang trick on a
+    float grid. Each bucket folds its types' histograms and walks the
+    cumulative counts with DuckDB quantile_cont interpolation; results
+    round to 6 (the interpolation arithmetic is the only cross-side float
+    op, and it runs on identical doubles)."""
+    from ..functions.frames import typed_out
+    from .text_analysis import _hist_quantile_cont
+
+    ev = _events(sf_dir, columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "value"], as_index=False).agg(
+            cnt=("value", "size"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "value"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        rows = []
+        for et, f in g.groupby("event_type"):
+            vals = f["value"].to_numpy(np.float64)
+            cnts = f["cnt"].to_numpy(np.int64)
+            qs = [round_away(_hist_quantile_cont(vals, cnts, p), 6)
+                  for p in (0.25, 0.5, 0.75, 0.95)]
+            rows.append((et, int(cnts.sum()), *qs))
+        return pd.DataFrame(rows, columns=["event_type", "n", "q25", "q50",
+                                           "q75", "q95"])
+
+    out = bucketed_combine(ev, "event_type", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"event_type": "object", "n": "int64",
+                           "q25": "float64", "q50": "float64",
+                           "q75": "float64", "q95": "float64"},
+                     sort_by="event_type")
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.25), 6) AS q25,
+       ROUND(quantile_cont(value, 0.50), 6) AS q50,
+       ROUND(quantile_cont(value, 0.75), 6) AS q75,
+       ROUND(quantile_cont(value, 0.95), 6) AS q95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -138,6 +138,8 @@ SQL_CHECKED = [
     "embedding_cosine_histogram", "events_rfm_segments",
     "events_cohort_week_matrix", "doc_perplexity_filter_rate",
     "doc_winnow_fingerprints", "events_heavy_hitters",
+    "pages_link_graph", "events_value_quantiles_by_type",
+    "embedding_quantize_report",
 ]
 
 
