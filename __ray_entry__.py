@@ -257,12 +257,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.corpus_lang_source_contingency,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the FORTY-SEVEN never-checked
+        # entries exactly to position 50; the FORTY-NINE never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_funnel_time_to_convert":
+            streaming.events_funnel_time_to_convert,
+        "events_type_share_drift": streaming.events_type_share_drift,
         "events_seasonality_profile": streaming.events_seasonality_profile,
         "customer_repeat_rate_by_segment":
             relational.customer_repeat_rate_by_segment,
@@ -434,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_funnel_time_to_convert": streaming.EVENTS_FUNNEL_TTC_SQL,
+        "events_type_share_drift": streaming.EVENTS_TYPE_SHARE_DRIFT_SQL,
         "pages_link_graph": extract_checks.PAGES_LINK_GRAPH_SQL,
         "events_value_quantiles_by_type":
             streaming.EVENTS_VALUE_QUANTILES_SQL,

@@ -2040,3 +2040,205 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel latency: exact quantiles of per-user signup -> purchase delay
+# ---------------------------------------------------------------------------
+
+
+def events_funnel_time_to_convert(sf_dir: str) -> pd.DataFrame:
+    """Conversion-latency profile — for every user whose first purchase
+    follows their first click, the click->purchase delay, summarized as
+    exact q25/q50/q75 plus the converted-user count: the time-to-convert
+    read that pairs with ``events_funnel``'s step counts.
+
+    Plan: per-user first-click/first-purchase timestamps come from one
+    user-bucketed combine (MIN partials fold exactly); the delta stream —
+    one int64 row per converted user — is then quantiled EXACTLY via one
+    ``Dataset.sort`` + block-offset rank scan (the customer_revenue_gini
+    machinery: only the <=2 blocks holding a middle rank materialize one
+    row each per quantile). Deltas are integer microseconds; the
+    quantile_cont interpolation (pos = q*(n-1)) runs on exact doubles up
+    to 2^53 us (~285 years), so both sides interpolate identical values."""
+    from ..functions.frames import typed_out
+
+    import ray as _ray
+
+    ev = _events(sf_dir, columns=["ts", "user_id", "event_type"],
+                 event_types=("click", "purchase"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64),
+            "ts_us": df.ts.astype("int64"),
+            "is_click": (df.event_type == "click").to_numpy(),
+        })
+        g = t.groupby(["user_id", "is_click"], as_index=False).agg(
+            first_ts=("ts_us", "min"))
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "is_click"], as_index=False).agg(
+            first_ts=("first_ts", "min"))
+        c = g[g.is_click].set_index("user_id")["first_ts"]
+        p = g[~g.is_click].set_index("user_id")["first_ts"]
+        both = c.index.intersection(p.index)
+        delta = (p.loc[both] - c.loc[both])
+        delta = delta[delta >= 0]
+        return pd.DataFrame({"user_id": delta.index.to_numpy(np.int64),
+                             "delta_us": delta.to_numpy(np.int64)})
+
+    deltas = bucketed_combine(ev, "user_id", partial, combine,
+                              coalesce_blocks=8)
+    schema = {"n_converted": "int64", "q25_us": "float64",
+              "q50_us": "float64", "q75_us": "float64"}
+
+    d_sorted = deltas.sort(["delta_us", "user_id"])
+    refs = d_sorted.to_arrow_refs()
+
+    @_ray.remote(num_cpus=0.25)
+    def _nrows(tbl) -> int:
+        return tbl.num_rows
+
+    counts = _ray.get([_nrows.remote(r) for r in refs]) if refs else []
+    n = int(sum(counts))
+    if n == 0:
+        return typed_out(pd.DataFrame(
+            {"n_converted": [0], "q25_us": [np.nan], "q50_us": [np.nan],
+             "q75_us": [np.nan]}), schema)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    want = sorted({int(np.floor(p * (n - 1))) for p in (0.25, 0.5, 0.75)}
+                  | {int(np.ceil(p * (n - 1))) for p in (0.25, 0.5, 0.75)})
+
+    @_ray.remote(num_cpus=0.25)
+    def _delta_at(tbl, local_idx: list[int]) -> list[tuple[int, int]]:
+        v = tbl.column("delta_us").to_numpy(zero_copy_only=False)
+        return [(i, int(v[i])) for i in local_idx]
+
+    futs, bases = [], []
+    for r, off, cnt in zip(refs, offsets, counts):
+        local = [w - off for w in want if off <= w < off + cnt]
+        if local:
+            futs.append(_delta_at.remote(r, local))
+            bases.append(int(off))
+    at = {}
+    for base, part in zip(bases, _ray.get(futs)):
+        for i, v in part:
+            at[base + i] = v
+
+    def q_cont(p: float) -> float:
+        pos = p * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        return at[lo] + (at[hi] - at[lo]) * (pos - lo)
+
+    out = pd.DataFrame({"n_converted": [n],
+                        "q25_us": [q_cont(0.25)],
+                        "q50_us": [q_cont(0.5)],
+                        "q75_us": [q_cont(0.75)]})
+    return typed_out(out, schema)
+
+
+EVENTS_FUNNEL_TTC_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS c,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+), d AS (
+  SELECT CAST(EPOCH_US(p) - EPOCH_US(c) AS BIGINT) AS delta_us
+  FROM f WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c
+)
+SELECT COUNT(*) AS n_converted,
+       quantile_cont(delta_us, 0.25) AS q25_us,
+       quantile_cont(delta_us, 0.50) AS q50_us,
+       quantile_cont(delta_us, 0.75) AS q75_us
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# composition drift: day-over-day event-type share deltas
+# ---------------------------------------------------------------------------
+
+
+def events_type_share_drift(sf_dir: str) -> pd.DataFrame:
+    """Composition-drift monitor — per event type, how much its share of
+    daily traffic moves day over day (max and mean |Delta share|): the
+    canary a streaming pipeline watches to catch upstream mix shifts
+    (a new client version, a broken producer) before volume alarms fire.
+
+    The (day, type) count matrix is schema-bounded (days x 5), so one
+    partial-combine exchange carries everything; shares, the LAG diff and
+    the per-type rollup run on the bounded frame driver-side in fixed
+    order. Shares divide exact integer counts — identical doubles on both
+    sides — and round to 6 only at the output."""
+    from ..functions.frames import typed_out
+
+    ev = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df.ts.astype("int64").to_numpy() // 86_400_000_000
+        return pd.DataFrame({"day": day,
+                             "event_type": df.event_type.to_numpy(object)}
+                            ).groupby(["day", "event_type"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"event_type": "object", "n_days": "int64",
+              "max_abs_drift": "float64", "mean_abs_drift": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = parts.groupby(["day", "event_type"], as_index=False).agg(
+        n=("n", "sum"))
+    # dense (day x type) grid: a type absent on a day has share 0
+    days = np.sort(m.day.unique())
+    types = np.sort(m.event_type.unique())
+    grid = (m.pivot(index="day", columns="event_type", values="n")
+            .reindex(index=days, columns=types).fillna(0.0))
+    share = grid.to_numpy(np.float64)
+    share = share / share.sum(axis=1, keepdims=True)
+    drift = np.abs(np.diff(share, axis=0))
+    if drift.shape[0] == 0:  # single day: no day-over-day pairs
+        out = pd.DataFrame({"event_type": types,
+                            "n_days": np.int64(len(days)),
+                            "max_abs_drift": np.nan,
+                            "mean_abs_drift": np.nan})
+    else:
+        out = pd.DataFrame({
+            "event_type": types,
+            "n_days": np.int64(len(days)),
+            "max_abs_drift": round_away(drift.max(axis=0), 6),
+            "mean_abs_drift": round_away(drift.mean(axis=0), 6),
+        })
+    return typed_out(out, schema, sort_by="event_type")
+
+
+EVENTS_TYPE_SHARE_DRIFT_SQL = """
+WITH d AS (
+  SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM d),
+types AS (SELECT DISTINCT event_type FROM d),
+dense AS (
+  SELECT days.day, types.event_type, COALESCE(d.n, 0) AS n
+  FROM days CROSS JOIN types
+  LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type
+), s AS (
+  SELECT day, event_type,
+         n / SUM(n) OVER (PARTITION BY day) AS share
+  FROM dense
+), dr AS (
+  SELECT event_type,
+         ABS(share - LAG(share) OVER (PARTITION BY event_type
+                                      ORDER BY day)) AS drift
+  FROM s
+)
+SELECT event_type,
+       (SELECT COUNT(*) FROM days) AS n_days,
+       ROUND(MAX(drift), 6) AS max_abs_drift,
+       ROUND(AVG(drift), 6) AS mean_abs_drift
+FROM dr GROUP BY event_type ORDER BY event_type
+"""

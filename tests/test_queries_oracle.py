@@ -139,7 +139,8 @@ SQL_CHECKED = [
     "events_cohort_week_matrix", "doc_perplexity_filter_rate",
     "doc_winnow_fingerprints", "events_heavy_hitters",
     "pages_link_graph", "events_value_quantiles_by_type",
-    "embedding_quantize_report",
+    "embedding_quantize_report", "events_funnel_time_to_convert",
+    "events_type_share_drift",
 ]
 
 
