@@ -257,7 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             curation.corpus_lang_source_contingency,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the FORTY-NINE never-checked
+        # entries exactly to position 50; the FIFTY-FIVE never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
@@ -266,6 +266,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_time_to_convert":
             streaming.events_funnel_time_to_convert,
         "events_type_share_drift": streaming.events_type_share_drift,
+        "orders_pareto_share": relational.orders_pareto_share,
+        "events_bot_regularity": streaming.events_bot_regularity,
+        "events_user_type_entropy": streaming.events_user_type_entropy,
+        "events_type_user_overlap": streaming.events_type_user_overlap,
+        "doc_prefix_dup_rate": dedup.doc_prefix_dup_rate,
+        "doc_shingle_profile": text_analysis.doc_shingle_profile,
         "events_seasonality_profile": streaming.events_seasonality_profile,
         "customer_repeat_rate_by_segment":
             relational.customer_repeat_rate_by_segment,
@@ -439,6 +445,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "events_funnel_time_to_convert": streaming.EVENTS_FUNNEL_TTC_SQL,
         "events_type_share_drift": streaming.EVENTS_TYPE_SHARE_DRIFT_SQL,
+        "orders_pareto_share": relational.ORDERS_PARETO_SHARE_SQL,
+        "events_bot_regularity": streaming.EVENTS_BOT_REGULARITY_SQL,
+        "events_user_type_entropy": streaming.EVENTS_USER_TYPE_ENTROPY_SQL,
+        "events_type_user_overlap": streaming.EVENTS_TYPE_USER_OVERLAP_SQL,
+        "doc_prefix_dup_rate": dedup.DOC_PREFIX_DUP_RATE_SQL,
+        "doc_shingle_profile": text_analysis.DOC_SHINGLE_PROFILE_SQL,
         "pages_link_graph": extract_checks.PAGES_LINK_GRAPH_SQL,
         "events_value_quantiles_by_type":
             streaming.EVENTS_VALUE_QUANTILES_SQL,

@@ -1664,3 +1664,98 @@ def ngram_jaccard_prefix_filter(
     if out.empty:
         return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# prefix dedup: documents sharing an identical leading window
+# ---------------------------------------------------------------------------
+
+
+def doc_prefix_dup_rate(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """Prefix-duplicate audit — how much of the corpus shares an identical
+    first-``k``-characters window with another document: the cheap screen
+    that catches template farms, mirrored boilerplate and truncation
+    artifacts BEFORE any shingling runs (two docs with different prefixes
+    can still be near-dups, but equal prefixes are the high-precision
+    fast path every crawl-dedup stack checks first).
+
+    The partial slices prefixes with ``pyarrow.compute`` straight off the
+    Arrow string buffers (no Python boxing of document text) and counts
+    them with Arrow's native group_by, so the prefix-keyed exchange moves
+    one (prefix, n) row per distinct prefix per batch — never text.
+    Combines sum per prefix and fold each bucket to ONE stats row; the
+    driver folds 32 rows. Text is pure ASCII so the oracle's
+    character-based SUBSTR and the engine's codeunit slice agree."""
+    import pyarrow.compute as pc
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+
+    def partial(tbl) -> pd.DataFrame:
+        import pyarrow as pa
+
+        pref = pc.utf8_slice_codeunits(
+            tbl.column("text").combine_chunks(), 0, k)
+        g = pa.table({"pref": pref}).group_by("pref").aggregate(
+            [([], "count_all")])
+        return pd.DataFrame({
+            "pref": g.column("pref").to_pandas().astype(object),
+            "n": g.column("count_all").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a NULL text groups like SQL's NULL prefix group
+        t = g.groupby("pref", as_index=False, dropna=False).agg(
+            n=("n", "sum"))
+        dup = t.n.to_numpy(np.int64)[t.n.to_numpy(np.int64) > 1]
+        return pd.DataFrame({
+            "n_docs": [int(t.n.sum())],
+            "n_prefix_groups": [len(t)],
+            "n_docs_in_dup_groups": [int(dup.sum())],
+            "n_dup_groups": [len(dup)],
+        })
+
+    parts = bucketed_combine(docs, "pref", partial, combine,
+                             partial_format="pyarrow",
+                             coalesce_blocks=8).to_pandas()
+    schema = {"n_docs": "int64", "n_prefix_groups": "int64",
+              "n_docs_in_dup_groups": "int64", "n_dup_groups": "int64",
+              "dup_rate": "float64"}
+    if parts.empty or parts.n_docs.sum() == 0:
+        # scalar-aggregate mirror: COALESCEd sums are 0, the rate is NULL
+        return typed_out(pd.DataFrame(
+            {"n_docs": [0], "n_prefix_groups": [0],
+             "n_docs_in_dup_groups": [0], "n_dup_groups": [0],
+             "dup_rate": [np.nan]}), schema)
+    nd = int(parts.n_docs.sum())
+    ndd = int(parts.n_docs_in_dup_groups.sum())
+    out = pd.DataFrame({
+        "n_docs": [nd],
+        "n_prefix_groups": [int(parts.n_prefix_groups.sum())],
+        "n_docs_in_dup_groups": [ndd],
+        "n_dup_groups": [int(parts.n_dup_groups.sum())],
+        "dup_rate": round_away(np.asarray([ndd / nd]), 6),
+    })
+    return typed_out(out, schema)
+
+
+DOC_PREFIX_DUP_RATE_SQL = """
+WITH p AS (
+  SELECT SUBSTR(text, 1, 64) AS pref FROM documents
+), g AS (
+  SELECT pref, COUNT(*) AS n FROM p GROUP BY pref
+)
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_prefix_groups,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT)
+           AS n_docs_in_dup_groups,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_dup_groups,
+       ROUND(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 6) AS dup_rate
+FROM g
+"""

@@ -3271,3 +3271,104 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: revenue share of the top-N% customers
+# ---------------------------------------------------------------------------
+
+
+def orders_pareto_share(sf_dir: str) -> pd.DataFrame:
+    """Revenue-concentration curve — the share of total revenue carried by
+    the top 1/5/10/20 percent of customers by lifetime value: the Pareto
+    companion to ``customer_revenue_gini`` (one inequality scalar there,
+    the named curve points every capacity-planning and sampling-budget
+    discussion actually quotes here).
+
+    Same two-phase scan as gini: custkey-bucketed LTV combine →
+    ``Dataset.sort`` (ltv ASC, custkey) → per-block row counts give each
+    block its global rank span → every cutoff's top-slice sum folds from
+    at most one partial block plus whole-block sums. Cutoffs are computed
+    in INTEGER math (k = ceil(pct·n/100) = (pct·n+99)//100) because
+    float ``ceil(0.1*1000)`` is 101 in IEEE doubles while DuckDB's
+    DECIMAL literals make it 100 — the one place the two sides could
+    legitimately disagree. No per-row data reaches the driver."""
+    from ..functions.shuffle import bucketed_combine
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def ltv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            ltv=("o_totalprice", "sum"))
+
+    def ltv_combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("o_custkey", as_index=False).agg(ltv=("ltv", "sum"))
+        t["ltv"] = round_away(t["ltv"], 2)
+        return t
+
+    ltv = bucketed_combine(orders, "o_custkey", ltv_partial, ltv_combine,
+                           coalesce_blocks=8)
+    schema = {"pct": "int64", "k": "int64", "top_share": "float64"}
+    pcts = [1, 5, 10, 20]
+
+    ltv_sorted = ltv.sort(["ltv", "o_custkey"])
+    refs = ltv_sorted.to_arrow_refs()
+    if not refs:
+        return typed_out(pd.DataFrame(), schema)
+
+    @ray.remote(num_cpus=0.5)
+    def _nrows(tbl) -> int:
+        return tbl.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    # ascending order: top-k = global ranks >= n - k (0-based)
+    ks = {p: (p * n + 99) // 100 for p in pcts}
+    cutoffs = sorted({n - k for k in ks.values()})
+
+    @ray.remote(num_cpus=0.5)
+    def _suffix_sums(tbl, offset: int, cuts: list[int]) -> list:
+        """(total_sum, {cutoff: sum of rows with global idx >= cutoff})."""
+        vals = tbl.column("ltv").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        out = {}
+        for c in cuts:
+            lo = max(0, c - offset)
+            out[c] = float(vals[lo:].sum()) if lo < len(vals) else 0.0
+        return [float(vals.sum()), out]
+
+    parts = ray.get([_suffix_sums.remote(r, int(off), cutoffs)
+                     for r, off in zip(refs, offsets)])
+    # fixed block-order fold keeps the float sums bit-stable across runs
+    total = float(np.sum([p[0] for p in parts]))
+    suffix = {c: float(np.sum([p[1][c] for p in parts])) for c in cutoffs}
+    out = pd.DataFrame({
+        "pct": np.asarray(pcts, dtype=np.int64),
+        "k": np.asarray([ks[p] for p in pcts], dtype=np.int64),
+        "top_share": round_away(
+            np.asarray([suffix[n - ks[p]] / total for p in pcts]), 6)
+        if total != 0 else np.nan,
+    })
+    return typed_out(out, schema, sort_by="pct")
+
+
+ORDERS_PARETO_SHARE_SQL = """
+WITH ltv AS (
+  SELECT o_custkey AS custkey, ROUND(SUM(o_totalprice), 2) AS ltv
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT ltv, ROW_NUMBER() OVER (ORDER BY ltv DESC, custkey) AS i FROM ltv
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(ltv) AS s FROM ltv
+), ps AS (SELECT UNNEST([1, 5, 10, 20]) AS pct)
+SELECT pct,
+       (pct * n + 99) // 100 AS k,
+       ROUND(SUM(CASE WHEN i <= (pct * n + 99) // 100 THEN ltv ELSE 0 END)
+             / MAX(s), 6) AS top_share
+FROM ps CROSS JOIN tot CROSS JOIN r
+GROUP BY pct, n
+ORDER BY pct
+"""

@@ -2242,3 +2242,233 @@ SELECT event_type,
        ROUND(AVG(drift), 6) AS mean_abs_drift
 FROM dr GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# bot detection: inter-arrival regularity, exact integer comparator
+# ---------------------------------------------------------------------------
+
+
+def events_bot_regularity(sf_dir: str, min_events: int = 20) -> pd.DataFrame:
+    """Bot screen — users firing events at suspiciously regular intervals:
+    among users with >= ``min_events`` events, how many have an
+    inter-arrival coefficient of variation below 0.85 (a Poisson arrival
+    process has CV = 1, so traffic materially below that band is
+    scheduler-regular, not human). The classic pre-training-corpus
+    traffic filter.
+
+    The CV gate is evaluated in EXACT INTEGER arithmetic: with n deltas,
+    S = sum(d) and Q = sum(d^2) (timestamps are integer microseconds),
+    CV < 0.85  <=>  CV^2 < 0.7225  <=>  10000*n*Q < 17225*S^2 — Python
+    bigints engine-side, HUGEINT in the oracle, so no
+    float-summation-order noise can flip a borderline user. Per-user
+    state is one (user, ts) exchange via the user-bucketed combine; delta
+    multisets are tie-order invariant (sorted ts values). The driver
+    folds one (eligible, bots) pair per bucket."""
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64),
+            "ts_us": df.ts.astype("int64"),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = g.user_id.to_numpy(np.int64)
+        ts = g.ts_us.to_numpy(np.int64)
+        users, starts = np.unique(uid, return_index=True)
+        bounds = np.append(starts, len(uid))
+        n_eligible = 0
+        n_bots = 0
+        for i in range(len(users)):
+            t = ts[bounds[i]:bounds[i + 1]]
+            if len(t) < min_events:
+                continue
+            s = int(t[-1]) - int(t[0])
+            if s <= 0:
+                continue
+            n_eligible += 1
+            d = np.diff(t)
+            q = int(np.dot(d.astype(object), d.astype(object)))
+            n = len(d)
+            if 10000 * n * q < 17225 * s * s:
+                n_bots += 1
+        return pd.DataFrame({"n_eligible": [n_eligible], "n_bots": [n_bots]})
+
+    parts = bucketed_combine(ev, "user_id", partial, combine,
+                             coalesce_blocks=8).to_pandas()
+    schema = {"n_eligible": "int64", "n_bots": "int64", "bot_rate": "float64"}
+    if parts.empty or parts.n_eligible.sum() == 0:
+        # scalar-aggregate mirror: COUNT over empty is 0, SUM/ROUND are NULL
+        ne = int(parts.n_eligible.sum()) if not parts.empty else 0
+        return typed_out(pd.DataFrame(
+            {"n_eligible": [ne], "n_bots": [np.nan], "bot_rate": [np.nan]}),
+            schema)
+    ne = int(parts.n_eligible.sum())
+    nb = int(parts.n_bots.sum())
+    out = pd.DataFrame({"n_eligible": [ne], "n_bots": [nb],
+                        "bot_rate": round_away(np.asarray([nb / ne]), 6)})
+    return typed_out(out, schema)
+
+
+EVENTS_BOT_REGULARITY_SQL = """
+WITH d AS (
+  SELECT user_id,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts))
+             OVER (PARTITION BY user_id ORDER BY ts) AS dt
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(dt) AS n, SUM(dt) AS sd,
+         SUM(CAST(dt AS HUGEINT) * dt) AS sd2
+  FROM d WHERE dt IS NOT NULL GROUP BY user_id
+), e AS (
+  SELECT (10000 * n * sd2 < 17225 * CAST(sd AS HUGEINT) * sd) AS is_bot
+  FROM s WHERE n >= 19 AND sd > 0
+)
+SELECT COUNT(*) AS n_eligible,
+       CAST(SUM(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT) AS n_bots,
+       ROUND(CAST(SUM(CASE WHEN is_bot THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bot_rate
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# behavioral diversity: per-user event-type entropy histogram
+# ---------------------------------------------------------------------------
+
+
+def events_user_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Behavioral-diversity histogram — per user, the Shannon entropy (nats)
+    of their event-type mix, bucketed into 0.05-nat bands: single-purpose
+    accounts land in band 0, organic users spread toward ln(5)=1.61
+    (band 32). The per-(user,type) count matrix pre-aggregates inside
+    every batch, so the user-bucketed exchange moves one row per
+    (user,type,batch), never raw events; each bucket's combine emits band
+    counts (<=33 rows) and the driver folds 32 tiny frames. Entropy uses
+    the same -sum(p*ln p) form as the oracle; only a user whose
+    irrational entropy sits within float noise of a band edge could flip
+    (measured margin at sf0.01: 2.7e-5 nats vs ~1e-15 noise) — entropy
+    exactly 0 (one type) is the lone exact edge case and floors to band 0
+    on both sides."""
+    ev = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["user_id", "event_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum"))
+        tot = c.groupby("user_id")["n"].transform("sum").to_numpy(np.float64)
+        p = c.n.to_numpy(np.float64) / tot
+        term = -(p * np.log(p))
+        ent = pd.DataFrame({"user_id": c.user_id, "term": term}).groupby(
+            "user_id")["term"].sum()
+        band = np.floor(ent.to_numpy(np.float64) / 0.05).astype(np.int64)
+        return (pd.DataFrame({"band": band}).groupby("band", as_index=False)
+                .size().rename(columns={"size": "n_users"}))
+
+    parts = bucketed_combine(ev, "user_id", partial, combine,
+                             coalesce_blocks=8).to_pandas()
+    schema = {"band": "int64", "n_users": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby("band", as_index=False).agg(n_users=("n_users", "sum"))
+    return typed_out(out, schema, sort_by="band")
+
+
+EVENTS_USER_TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1
+), h AS (
+  SELECT c.user_id,
+         -SUM((n / tot) * LN(n / tot)) AS ent
+  FROM c JOIN t USING (user_id) GROUP BY c.user_id
+)
+SELECT CAST(FLOOR(ent / 0.05) AS BIGINT) AS band, COUNT(*) AS n_users
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# audience overlap: Jaccard of user sets between event types
+# ---------------------------------------------------------------------------
+
+
+def events_type_user_overlap(sf_dir: str) -> pd.DataFrame:
+    """Audience-overlap matrix — for every pair of event types, the Jaccard
+    similarity of their distinct-user sets: which behaviors share an
+    audience (click vs purchase) and which are disjoint populations. Only
+    pairs with at least one shared user are emitted.
+
+    Per-batch distinct (user,type) pairs flow through ONE user-bucketed
+    exchange; inside each bucket a self-merge on user_id yields the
+    co-occurrence counts (each user contributes <= C(5,2)=10 pairs) and
+    singleton type counts ride along as marker rows (type_b=''), so the
+    driver folds at most 32 x 15 tiny rows. Jaccard divides exact
+    integers — bit-identical on both sides before the round."""
+    ev = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "event_type"]].drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["user_id", "event_type"])
+        singles = u.groupby("event_type", as_index=False).size().rename(
+            columns={"event_type": "type_a", "size": "n"})
+        singles["type_b"] = ""
+        m = u.merge(u, on="user_id")
+        m = m[m.event_type_x < m.event_type_y]
+        pairs = m.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size().rename(
+            columns={"event_type_x": "type_a", "event_type_y": "type_b",
+                     "size": "n"})
+        return pd.concat([singles[["type_a", "type_b", "n"]], pairs],
+                         ignore_index=True)
+
+    parts = bucketed_combine(ev, "user_id", partial, combine,
+                             coalesce_blocks=8).to_pandas()
+    schema = {"type_a": "object", "type_b": "object", "n_a": "int64",
+              "n_b": "int64", "n_both": "int64", "jaccard": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    folded = parts.groupby(["type_a", "type_b"], as_index=False).agg(
+        n=("n", "sum"))
+    singles = folded[folded.type_b == ""].set_index("type_a")["n"]
+    pairs = folded[folded.type_b != ""]
+    if pairs.empty:
+        return typed_out(pd.DataFrame(), schema)
+    na = singles.reindex(pairs.type_a).to_numpy(np.int64)
+    nb = singles.reindex(pairs.type_b).to_numpy(np.int64)
+    co = pairs.n.to_numpy(np.int64)
+    out = pd.DataFrame({
+        "type_a": pairs.type_a.to_numpy(object),
+        "type_b": pairs.type_b.to_numpy(object),
+        "n_a": na, "n_b": nb, "n_both": co,
+        "jaccard": round_away(co / (na + nb - co), 6),
+    })
+    return typed_out(out, schema, sort_by=["type_a", "type_b"])
+
+
+EVENTS_TYPE_USER_OVERLAP_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tc AS (
+  SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / (ta.n + tb.n - n_both), 6) AS jaccard
+FROM pairs
+JOIN tc ta ON ta.event_type = type_a
+JOIN tc tb ON tb.event_type = type_b
+ORDER BY type_a, type_b
+"""

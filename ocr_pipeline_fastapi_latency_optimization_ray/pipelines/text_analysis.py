@@ -2888,3 +2888,130 @@ FROM h JOIN sel ON h.doc_id = sel.doc_id AND h.i = sel.i
 GROUP BY h.doc_id
 ORDER BY h.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# character-shingle vocabulary profile per language
+# ---------------------------------------------------------------------------
+
+
+def _char_shingle_starts(offsets: np.ndarray, k: int):
+    """Window starts + owning doc index for k-char windows that stay inside
+    one document, computed from an Arrow string offsets vector (no per-row
+    Python). Returns (doc_idx, starts) int64 arrays."""
+    lens = np.diff(offsets.astype(np.int64))
+    w = np.clip(lens - k + 1, 0, None)
+    tot = int(w.sum())
+    if tot == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    doc_idx = np.repeat(np.arange(len(w), dtype=np.int64), w)
+    base = np.repeat(offsets[:-1].astype(np.int64), w)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(w) - w, w)
+    return doc_idx, base + within
+
+
+def doc_shingle_profile(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Character-shingle vocabulary profile — per language: how many
+    ``k``-char windows the corpus contains and how many are DISTINCT. The
+    distinct/total ratio is the raw-material number behind every
+    shingle-based dedup design (MinHash bands, winnowing density): a
+    near-1 ratio means shingles are discriminative, a collapsing ratio
+    means the alphabet is too small for k and near-dup buckets will
+    saturate.
+
+    Shingling never touches Python strings: window starts come straight
+    off the Arrow offsets buffer (`_char_shingle_starts`), the 5-byte
+    windows pack INJECTIVELY into int64 codes (pure ASCII corpus, 40
+    bits), and per-batch UNIQUE (lang, code) pairs — not text — flow
+    through one shingle-keyed exchange where per-bucket dedup makes
+    distinct counts additive. Per-lang totals ride the same exchange as
+    sentinel rows (code -1). Counting distinct CODES equals counting
+    distinct substrings because the packing is injective, so the oracle's
+    COUNT(DISTINCT substr) agrees exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import bucketed_combine
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "text"])
+
+    def partial(tbl) -> pd.DataFrame:
+        text = tbl.column("text").combine_chunks()
+        if pa.types.is_large_string(text.type):
+            text = text.cast(pa.string())
+        n_rows = len(text)
+        if n_rows == 0:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "sh": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        off = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset: text.offset + n_rows + 1]
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+        doc_idx, starts = _char_shingle_starts(off, k)
+
+        lang_dict = pc.dictionary_encode(
+            tbl.column("lang").combine_chunks())
+        lang_codes = lang_dict.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lang_values = lang_dict.dictionary.to_pylist()
+
+        codes = np.zeros(len(starts), dtype=np.int64)
+        for j in range(k):
+            codes = codes * 256 + data[starts + j].astype(np.int64)
+        li = lang_codes[doc_idx]
+        # unique (lang, code) pairs in one pass: codes < 2^40, lang ids tiny
+        key = np.unique((li << 40) | codes)
+        pairs = pd.DataFrame({
+            "lang": np.asarray(lang_values, dtype=object)[key >> 40],
+            "sh": (key & ((1 << 40) - 1)).astype(np.int64),
+        })
+        pairs["n"] = np.int64(0)
+        tot = np.bincount(li, minlength=len(lang_values)).astype(np.int64) \
+            if len(li) else np.zeros(len(lang_values), np.int64)
+        nz = np.nonzero(tot)[0]
+        sent = pd.DataFrame({
+            "lang": np.asarray(lang_values, dtype=object)[nz],
+            "sh": np.int64(-1),
+            "n": tot[nz],
+        })
+        return pd.concat([pairs, sent], ignore_index=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        sent = g[g.sh < 0].groupby("lang", as_index=False).agg(
+            n_shingles=("n", "sum"))
+        dist = (g[g.sh >= 0].drop_duplicates(["lang", "sh"])
+                .groupby("lang", as_index=False).size()
+                .rename(columns={"size": "n_distinct"}))
+        return sent.merge(dist, on="lang", how="outer").fillna(0)
+
+    parts = bucketed_combine(docs, "sh", partial, combine,
+                             partial_format="pyarrow",
+                             coalesce_blocks=8).to_pandas()
+    schema = {"lang": "object", "n_shingles": "int64",
+              "n_distinct": "int64", "distinct_ratio": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby("lang", as_index=False).agg(
+        n_shingles=("n_shingles", "sum"), n_distinct=("n_distinct", "sum"))
+    out = out[out.n_shingles > 0]
+    out["distinct_ratio"] = round_away(
+        out.n_distinct.to_numpy(np.float64)
+        / out.n_shingles.to_numpy(np.float64), 6)
+    return typed_out(out, schema, sort_by="lang")
+
+
+DOC_SHINGLE_PROFILE_SQL = """
+WITH src AS (
+  SELECT lang, text FROM documents WHERE LENGTH(text) >= 5
+), s AS (
+  SELECT lang, SUBSTR(text, CAST(i AS BIGINT), 5) AS sh
+  FROM (SELECT lang, text, UNNEST(range(1, LENGTH(text) - 3)) AS i
+        FROM src)
+)
+SELECT lang, COUNT(*) AS n_shingles, COUNT(DISTINCT sh) AS n_distinct,
+       ROUND(CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6)
+           AS distinct_ratio
+FROM s GROUP BY lang ORDER BY lang
+"""

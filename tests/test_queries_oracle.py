@@ -140,7 +140,10 @@ SQL_CHECKED = [
     "doc_winnow_fingerprints", "events_heavy_hitters",
     "pages_link_graph", "events_value_quantiles_by_type",
     "embedding_quantize_report", "events_funnel_time_to_convert",
-    "events_type_share_drift",
+    "events_type_share_drift", "orders_pareto_share",
+    "events_bot_regularity", "events_user_type_entropy",
+    "events_type_user_overlap", "doc_prefix_dup_rate",
+    "doc_shingle_profile",
 ]
 
 
