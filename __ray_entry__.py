@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 184 entries, 149 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 205 entries, 169 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-9 block):
+        "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
         # oracle-backed (new in round 4, continuation-session-4 block):
         "pages_link_graph": extract_checks.pages_link_graph,
         "events_value_quantiles_by_type":
@@ -253,8 +255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
-        "corpus_lang_source_contingency":
-            curation.corpus_lang_source_contingency,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-FIVE never-checked
@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "corpus_lang_source_contingency":
+            curation.corpus_lang_source_contingency,
         "events_funnel_time_to_convert":
             streaming.events_funnel_time_to_convert,
         "events_type_share_drift": streaming.events_type_share_drift,
@@ -443,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_sorted_neighborhood": dedup.DEDUP_SORTED_NEIGHBORHOOD_SQL,
         "events_funnel_time_to_convert": streaming.EVENTS_FUNNEL_TTC_SQL,
         "events_type_share_drift": streaming.EVENTS_TYPE_SHARE_DRIFT_SQL,
         "orders_pareto_share": relational.ORDERS_PARETO_SHARE_SQL,

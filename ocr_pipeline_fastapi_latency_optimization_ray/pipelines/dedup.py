@@ -1759,3 +1759,150 @@ SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
              / SUM(n), 6) AS dup_rate
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood dedup (SNM): sort by blocking key, compare in-window
+# ---------------------------------------------------------------------------
+
+
+def dedup_sorted_neighborhood(sf_dir: str, w: int = 3,
+                              key_chars: int = 32,
+                              mirror_mod: int = 13) -> pd.DataFrame:
+    """Sorted-Neighborhood dedup — the third classic blocking family next
+    to hash-exact and LSH (Hernandez & Stolfo '95): sort the corpus by a
+    blocking key (here the first ``key_chars`` characters of the text,
+    doc_id tiebreak) and compare each record only against the ``w``
+    records that follow it in sort order, emitting the pairs whose full
+    texts verify equal — exactly how SNM runs in production: linear n*w
+    candidate generation, cheap verify, at the documented cost of
+    missing dups separated by >w interleaved same-key records.
+
+    The committed corpus is exact-dup-free, so deterministic ``mirror``
+    re-crawls are planted closed-form (every ``doc_id % mirror_mod == 0``
+    re-enters under ``doc_id + 10_000_000`` — the same UNION-ALL
+    injection the oracle applies, same pattern as corpus_split_leakage).
+
+    Distribution: one ``Dataset.sort`` on (key, doc_id); every sorted
+    block compares in-window pairs LOCALLY (vectorized shifted equality),
+    and only each block's w-row head/tail halo — never block bodies —
+    reaches the driver, which stitches the cross-block pairs from the
+    bounded halo frame (2*w rows per block). At 100 TB the halo frame is
+    n_blocks*2w tiny rows: driver-safe by construction."""
+    import pyarrow as pa
+
+    from ..functions.frames import typed_out
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def add_key(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # NULL texts can never verify equal (SQL's NULL = NULL is not
+        # true) and have no defined sort slot — drop them up front, the
+        # oracle's corpus CTE applies the same predicate
+        tbl = tbl.filter(pc.is_valid(tbl.column("text")))
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        m = ids % mirror_mod == 0
+        mirror = tbl.filter(pa.array(m))
+        mirror = mirror.set_column(
+            mirror.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids[m] + 10_000_000, pa.int64()))
+        tbl = pa.concat_tables([tbl, mirror])
+        key = pc.utf8_slice_codeunits(tbl.column("text"), 0, key_chars)
+        return tbl.append_column("snm_key", key)
+
+    schema = {"doc_a": "int64", "doc_b": "int64"}
+    keyed = docs.map_batches(add_key, batch_format="pyarrow")
+    refs = keyed.sort(["snm_key", "doc_id"]).to_arrow_refs()
+    if not refs:
+        return typed_out(pd.DataFrame(), schema)
+
+    @ray.remote(num_cpus=0.5)
+    def block_scan(tbl, block_id: int):
+        """In-window pairs inside this block + its w-row head/tail halo."""
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            # an all-filtered shard sorts to a schemaless empty block
+            empty = np.empty(0, np.int64)
+            halo0 = pd.DataFrame({"local_rank": empty, "doc_id": empty,
+                                  "text": np.empty(0, object),
+                                  "block": empty})
+            return (empty, empty), halo0, 0
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        texts = tbl.column("text").to_pandas().to_numpy(object)
+        n = len(ids)
+        pairs_a, pairs_b = [], []
+        for s in range(1, min(w, n - 1) + 1):
+            eq = texts[:-s] == texts[s:]
+            pairs_a.append(ids[:-s][eq])
+            pairs_b.append(ids[s:][eq])
+        pairs = (np.concatenate(pairs_a) if pairs_a else np.empty(0, np.int64),
+                 np.concatenate(pairs_b) if pairs_b else np.empty(0, np.int64))
+        lo = min(w, n)
+        halo = pd.DataFrame({
+            "local_rank": np.concatenate([np.arange(lo, dtype=np.int64),
+                                          np.arange(max(n - w, 0), n,
+                                                    dtype=np.int64)]),
+            "doc_id": np.concatenate([ids[:lo], ids[max(n - w, 0):]]),
+            "text": np.concatenate([texts[:lo], texts[max(n - w, 0):]]),
+            "block": np.int64(block_id),
+        }).drop_duplicates("local_rank")
+        return pairs, halo, n
+
+    outs = ray.get([block_scan.remote(r, i) for i, r in enumerate(refs)])
+    counts = [o[2] for o in outs]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    inner_a = np.concatenate([o[0][0] for o in outs]) if outs else []
+    inner_b = np.concatenate([o[0][1] for o in outs]) if outs else []
+    halos = []
+    for o, off in zip(outs, offsets):
+        h = o[1].copy()
+        h["rank"] = h.local_rank + off
+        halos.append(h)
+    halo = (pd.concat(halos, ignore_index=True)
+            .sort_values("rank").reset_index(drop=True))
+    # cross-block stitching: same shifted comparison on the bounded halo
+    # frame, keeping only pairs whose members sit in DIFFERENT blocks at
+    # true rank distance <= w (a gap in the halo's rank sequence means the
+    # two rows were never in-window)
+    cross_a, cross_b = [], []
+    hr = halo["rank"].to_numpy(np.int64)
+    hb = halo.block.to_numpy(np.int64)
+    hid = halo.doc_id.to_numpy(np.int64)
+    ht = halo.text.to_numpy(object)
+    for i in range(len(halo)):
+        j = i + 1
+        while j < len(halo) and hr[j] - hr[i] <= w:
+            if hb[j] != hb[i] and ht[i] == ht[j]:
+                cross_a.append(hid[i])
+                cross_b.append(hid[j])
+            j += 1
+    doc_a = np.concatenate([np.asarray(inner_a, np.int64),
+                            np.asarray(cross_a, np.int64)])
+    doc_b = np.concatenate([np.asarray(inner_b, np.int64),
+                            np.asarray(cross_b, np.int64)])
+    out = pd.DataFrame({"doc_a": doc_a, "doc_b": doc_b})
+    return typed_out(out.drop_duplicates(), schema,
+                     sort_by=["doc_a", "doc_b"])
+
+
+DEDUP_SORTED_NEIGHBORHOOD_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 13 = 0 AND text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY SUBSTR(text, 1, 32), doc_id) AS rk
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM r a JOIN r b
+  ON b.rk BETWEEN a.rk + 1 AND a.rk + 3 AND a.text = b.text
+ORDER BY doc_a, doc_b
+"""

@@ -143,7 +143,7 @@ SQL_CHECKED = [
     "events_type_share_drift", "orders_pareto_share",
     "events_bot_regularity", "events_user_type_entropy",
     "events_type_user_overlap", "doc_prefix_dup_rate",
-    "doc_shingle_profile",
+    "doc_shingle_profile", "dedup_sorted_neighborhood",
 ]
 
 
