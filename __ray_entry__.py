@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-10 block):
+        "events_hourly_autocorr": streaming.events_hourly_autocorr,
+        "events_type_trend": streaming.events_type_trend,
         # oracle-backed (new in round 4, continuation-session-9 block):
         "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
         # oracle-backed (new in round 4, continuation-session-4 block):
@@ -253,16 +256,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed (new in round 4, late block):
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
-        "embedding_outlier_topk": similarity.embedding_outlier_topk,
-        "ngram_containment_pairs": dedup.ngram_containment_pairs,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the FIFTY-FIVE never-checked
+        # entries exactly to position 50; the FIFTY-SEVEN never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "embedding_outlier_topk": similarity.embedding_outlier_topk,
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "corpus_lang_source_contingency":
             curation.corpus_lang_source_contingency,
         "events_funnel_time_to_convert":
@@ -492,6 +495,8 @@ def oracle_sql() -> dict[str, str]:
             streaming.EVENTS_SLIDING_DISTINCT_SQL,
         "events_late_arrivals": streaming.EVENTS_LATE_ARRIVALS_SQL,
         "crawl_snapshot_diff": extract_checks.CRAWL_SNAPSHOT_DIFF_SQL,
+        "events_hourly_autocorr": streaming.EVENTS_HOURLY_AUTOCORR_SQL,
+        "events_type_trend": streaming.EVENTS_TYPE_TREND_SQL,
         "quality_classifier_pr_curve":
             text_analysis.QUALITY_CLASSIFIER_PR_CURVE_SQL,
         "q7_volume_shipping": relational.Q7_SQL,

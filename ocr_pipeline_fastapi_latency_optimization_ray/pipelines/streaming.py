@@ -2472,3 +2472,151 @@ JOIN tc ta ON ta.event_type = type_a
 JOIN tc tb ON tb.event_type = type_b
 ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series diagnostics on the bounded hourly/daily count grid
+# ---------------------------------------------------------------------------
+
+def events_hourly_autocorr(sf_dir: str, max_lag: int = 24) -> pd.DataFrame:
+    """Autocorrelation function of the hourly event-count series at lags
+    1..max_lag — the seasonality detector (a spike at lag 24 = daily
+    rhythm, at lag 168 = weekly) that tells a capacity planner whether
+    the load is periodic or bursty.
+
+    Hour-bucketed counts are the only thing that leaves the cluster: the
+    (hour, n) partials combine to a frame bounded by the TIME SPAN of the
+    corpus (one row per hour — a decade is ~88k rows), never by event
+    volume, so the dense-grid fill, the lag shifts and the Pearson ratios
+    all run driver-side in fixed order. Counts are exact integers; the
+    correlation divides sample moments computed in one numpy pass, and
+    only the output rounds (6 dp). Lags whose pair count is zero (span
+    shorter than the lag) are dropped, matching the SQL GROUP BY; a
+    zero-variance side yields NaN like SQL CORR's NULL."""
+    ev = _events(sf_dir, columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = df.ts.astype("int64").to_numpy() // 3_600_000_000
+        return pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"lag": "int64", "n_pairs": "int64", "acf": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = parts.groupby("hr", as_index=False).agg(n=("n", "sum"))
+    lo, hi = int(m.hr.min()), int(m.hr.max())
+    series = np.zeros(hi - lo + 1, np.float64)
+    series[m.hr.to_numpy(np.int64) - lo] = m.n.to_numpy(np.float64)
+    rows = []
+    for lag in range(1, max_lag + 1):
+        if lag >= len(series):
+            break  # zero pairs: SQL's join produces no group
+        x, y = series[:-lag], series[lag:]
+        n = len(x)
+        if n < 2:
+            rows.append((lag, n, np.nan))  # sample stddev undefined
+            continue
+        sx, sy = x.sum(), y.sum()
+        cov = (x * y).sum() - sx * sy / n
+        vx = (x * x).sum() - sx * sx / n
+        vy = (y * y).sum() - sy * sy / n
+        acf = np.nan if vx <= 0.0 or vy <= 0.0 \
+            else cov / np.sqrt(vx) / np.sqrt(vy)
+        rows.append((lag, n, acf))
+    out = pd.DataFrame(rows, columns=["lag", "n_pairs", "acf"])
+    out["acf"] = round_away(out.acf, 6)
+    return typed_out(out, schema, sort_by="lag")
+
+
+EVENTS_HOURLY_AUTOCORR_SQL = """
+WITH h AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1
+), b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h WHERE hr IS NOT NULL),
+grid AS (
+  SELECT UNNEST(generate_series(b.lo, b.hi)) AS hr FROM b
+), s AS (
+  SELECT grid.hr, CAST(COALESCE(h.n, 0) AS DOUBLE) AS n
+  FROM grid LEFT JOIN h ON h.hr = grid.hr
+), lags AS (
+  SELECT UNNEST(generate_series(1, 24)) AS lag
+)
+SELECT l.lag, COUNT(*) AS n_pairs, ROUND(CORR(a.n, c.n), 6) AS acf
+FROM lags l
+JOIN s a ON TRUE
+JOIN s c ON c.hr = a.hr + l.lag
+GROUP BY l.lag ORDER BY l.lag
+"""
+
+
+def events_type_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-type traffic trend — population-OLS slope and intercept of the
+    daily count series (dense day grid, absent days count 0, x = days
+    since the corpus's first day): the one-number-per-type answer to "is
+    this event growing or dying", the input to deprecation decisions.
+
+    Same bounded-grid shape as the drift monitor: only (day, type) count
+    partials leave the cluster (days x n_types rows, time-span bounded),
+    the dense pivot and the closed-form regression moments run
+    driver-side. x is re-based to the first day so intercepts stay at
+    count magnitude (large raw epoch-day x would push float error past
+    the 6-dp round). Sums of int-count x int-day products are exact in
+    float64; only slope/intercept round."""
+    ev = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df.ts.astype("int64").to_numpy() // 86_400_000_000
+        return pd.DataFrame({"day": day,
+                             "event_type": df.event_type.to_numpy(object)}
+                            ).groupby(["day", "event_type"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"event_type": "object", "n_days": "int64",
+              "slope": "float64", "intercept": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = parts.groupby(["day", "event_type"], as_index=False).agg(
+        n=("n", "sum"))
+    lo = int(m.day.min())
+    days = np.arange(lo, int(m.day.max()) + 1, dtype=np.int64)
+    types = np.sort(m.event_type.unique())
+    grid = (m.pivot(index="day", columns="event_type", values="n")
+            .reindex(index=days, columns=types).fillna(0.0))
+    y = grid.to_numpy(np.float64)                   # (n_days, n_types)
+    x = (days - lo).astype(np.float64)[:, None]
+    n = np.float64(len(days))
+    sx, sy = x.sum(), y.sum(axis=0)
+    cov = (x * y).sum(axis=0) - sx * sy / n         # population * n
+    vx = (x * x).sum() - sx * sx / n
+    slope = np.full(len(types), np.nan) if vx == 0.0 else cov / vx
+    intercept = sy / n - slope * (sx / n)
+    out = pd.DataFrame({"event_type": types,
+                        "n_days": np.int64(len(days)),
+                        "slope": round_away(slope, 6),
+                        "intercept": round_away(intercept, 6)})
+    return typed_out(out, schema, sort_by="event_type")
+
+
+EVENTS_TYPE_TREND_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d WHERE day IS NOT NULL),
+grid AS (
+  SELECT UNNEST(generate_series(b.lo, b.hi)) AS day FROM b
+), types AS (SELECT DISTINCT event_type FROM d),
+dense AS (
+  SELECT CAST(grid.day - b.lo AS DOUBLE) AS x, types.event_type,
+         CAST(COALESCE(d.n, 0) AS DOUBLE) AS n
+  FROM grid CROSS JOIN types CROSS JOIN b
+  LEFT JOIN d ON d.day = grid.day AND d.event_type = types.event_type
+)
+SELECT event_type, COUNT(*) AS n_days,
+       ROUND(REGR_SLOPE(n, x), 6) AS slope,
+       ROUND(REGR_INTERCEPT(n, x), 6) AS intercept
+FROM dense GROUP BY event_type ORDER BY event_type
+"""

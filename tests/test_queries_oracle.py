@@ -144,6 +144,7 @@ SQL_CHECKED = [
     "events_bot_regularity", "events_user_type_entropy",
     "events_type_user_overlap", "doc_prefix_dup_rate",
     "doc_shingle_profile", "dedup_sorted_neighborhood",
+    "events_hourly_autocorr", "events_type_trend",
 ]
 
 
