@@ -1906,3 +1906,139 @@ FROM r a JOIN r b
   ON b.rk BETWEEN a.rk + 1 AND a.rk + 3 AND a.text = b.text
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join: blocked Levenshtein over text prefixes
+# ---------------------------------------------------------------------------
+
+def _levenshtein_pairs(aa: list, bb: list, chunk: int = 32768) -> np.ndarray:
+    """Exact Levenshtein distance for each (aa[i], bb[i]) byte-string pair,
+    vectorized across the PAIR axis: the classic row-DP runs len(a) steps,
+    and the in-row dependency dp[j] = min(t[j], dp[j-1]+1) resolves to the
+    closed form min_{k<=j}(t[k] + j - k) — one ``np.minimum.accumulate``
+    on (t - j), so every step is O(len(b)) vector work over all pairs at
+    once, no Python loop over cells. Distances are byte-level (UTF-8),
+    matching DuckDB's levenshtein(); inputs beyond a pair's true lengths
+    are padding the forward DP never reads (results are captured at the
+    pair's own (|a|, |b|) cell). Pairs are chunked to bound the DP frame.
+    """
+    p = len(aa)
+    res = np.empty(p, np.int64)
+    for lo in range(0, p, chunk):
+        a_chunk, b_chunk = aa[lo:lo + chunk], bb[lo:lo + chunk]
+        n = len(a_chunk)
+        la = np.fromiter((len(x) for x in a_chunk), np.int64, n)
+        lb = np.fromiter((len(x) for x in b_chunk), np.int64, n)
+        ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+        A = np.zeros((n, max(ma, 1)), np.uint8)
+        B = np.zeros((n, max(mb, 1)), np.uint8)
+        for i, (x, y) in enumerate(zip(a_chunk, b_chunk)):
+            A[i, :len(x)] = np.frombuffer(x, np.uint8)
+            B[i, :len(y)] = np.frombuffer(y, np.uint8)
+        cols = np.arange(mb + 1, dtype=np.int64)
+        prev = np.broadcast_to(cols, (n, mb + 1)).copy()
+        out = np.empty(n, np.int64)
+        out[la == 0] = lb[la == 0]
+        for i in range(1, ma + 1):
+            cost = (A[:, i - 1:i] != B).astype(np.int64)      # (n, mb)
+            t = np.empty((n, mb + 1), np.int64)
+            t[:, 0] = i
+            np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=t[:, 1:])
+            prev = np.minimum.accumulate(t - cols, axis=1) + cols
+            hit = la == i
+            if hit.any():
+                out[hit] = prev[hit, lb[hit]]
+        res[lo:lo + n] = out
+    return res
+
+
+def doc_edit_distance_join(sf_dir: str, block_chars: int = 8,
+                           probe_chars: int = 64, d_max: int = 8,
+                           block_cap: int = 512,
+                           num_buckets: int = 64) -> pd.DataFrame:
+    """Edit-distance similarity join — the typo/OCR-noise dup family that
+    token-set measures (jaccard, containment) are blind to: two texts one
+    character-swap apart share almost no shingles but sit at Levenshtein
+    distance 2. Pairs of documents whose first ``block_chars`` characters
+    match exactly (the blocking key) and whose ``probe_chars``-char
+    prefixes verify within ``d_max`` byte edits are emitted with the
+    distance.
+
+    Scale shape: only (doc_id, 8-char block, 64-char probe) rows leave
+    the read — never full texts; the exchange keys on the hashed block
+    (one bucketed ``map_groups``), and inside a bucket each block does
+    all-pairs DP VECTORIZED across the pair axis (_levenshtein_pairs —
+    no Python loop over cells or rows). Blocks larger than ``block_cap``
+    are excluded BY SEMANTICS (boilerplate mega-blocks; the oracle's
+    HAVING applies the same rule), so per-block work is bounded
+    cap²/2 · probe² regardless of corpus size. The committed corpus is
+    non-vacuous as-is: 25 pairs at sf0.01 (shared-prefix near-dups).
+    Distances are byte-level UTF-8, matching DuckDB's levenshtein();
+    blocks/probes slice codepoints, matching SUBSTR."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import add_bucket_column
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def project(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.is_valid(tbl.column("text")))
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "block": pc.utf8_slice_codeunits(tbl.column("text"), 0,
+                                             block_chars),
+            "probe": pc.utf8_slice_codeunits(tbl.column("text"), 0,
+                                             probe_chars),
+        })
+
+    keyed = docs.map_batches(project, batch_format="pyarrow").map_batches(
+        lambda df: add_bucket_column(df, ["block"], num_buckets),
+        batch_format="pandas")
+
+    empty = pd.DataFrame({"doc_a": np.empty(0, np.int64),
+                          "doc_b": np.empty(0, np.int64),
+                          "dist": np.empty(0, np.int64)})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [empty]
+        for _, blk in g.groupby("block", sort=False):
+            n = len(blk)
+            if n < 2 or n > block_cap:
+                continue
+            blk = blk.sort_values("doc_id")
+            ids = blk.doc_id.to_numpy(np.int64)
+            raw = [t.encode("utf-8") for t in blk.probe.to_numpy(object)]
+            ia, ib = np.triu_indices(n, k=1)
+            d = _levenshtein_pairs([raw[i] for i in ia],
+                                   [raw[j] for j in ib])
+            keep = d <= d_max
+            outs.append(pd.DataFrame({"doc_a": ids[ia[keep]],
+                                      "doc_b": ids[ib[keep]],
+                                      "dist": d[keep]}))
+        return pd.concat(outs, ignore_index=True)
+
+    out = keyed.groupby("_bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas").to_pandas()
+    schema = {"doc_a": "int64", "doc_b": "int64", "dist": "int64"}
+    return typed_out(out, schema, sort_by=["doc_a", "doc_b"])
+
+
+DOC_EDIT_DISTANCE_JOIN_SQL = """
+WITH corpus AS (
+  SELECT doc_id, SUBSTR(text, 1, 8) AS block, SUBSTR(text, 1, 64) AS probe
+  FROM documents WHERE text IS NOT NULL
+), ok AS (
+  SELECT block FROM corpus GROUP BY block HAVING COUNT(*) <= 512
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(LEVENSHTEIN(a.probe, b.probe) AS BIGINT) AS dist
+FROM corpus a
+JOIN corpus b ON a.block = b.block AND a.doc_id < b.doc_id
+JOIN ok ON ok.block = a.block
+WHERE LEVENSHTEIN(a.probe, b.probe) <= 8
+ORDER BY doc_a, doc_b
+"""

@@ -460,3 +460,59 @@ def test_prefix_filter_equals_exact_hot_template_corpus(
     b = dedup.ngram_jaccard_exact(str(d)).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) >= 5  # the planted near-dup pairs are found
+
+
+def _lev_scalar(a: bytes, b: bytes) -> int:
+    """Textbook single-pair DP, the independent reference for the kernel."""
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_pairs_matches_scalar_dp():
+    rng = np.random.RandomState(11)
+    alphabet = b"ab cde"
+    pairs = []
+    for _ in range(200):
+        la, lb = rng.randint(0, 20), rng.randint(0, 20)
+        pairs.append((bytes(rng.choice(list(alphabet), la).tolist()),
+                      bytes(rng.choice(list(alphabet), lb).tolist())))
+    # degenerate shapes: both empty, one empty, identical, utf-8 bytes
+    pairs += [(b"", b""), (b"", b"xyz"), (b"abc", b""),
+              (b"same text", b"same text"),
+              ("café".encode(), "cafe".encode())]
+    aa = [p[0] for p in pairs]
+    bb = [p[1] for p in pairs]
+    got = dedup._levenshtein_pairs(aa, bb, chunk=7)  # force chunk seams
+    want = np.array([_lev_scalar(a, b) for a, b in pairs], np.int64)
+    assert (got == want).all()
+
+
+def test_edit_distance_join_block_cap_excludes_giant_block(tmp_path, ray_session):
+    # block 'boilerpl' holds cap+ members -> excluded by semantics; the
+    # small block's pair survives with its exact distance
+    texts = ["boilerplate page %04d" % i for i in range(12)]
+    texts += ["unique prefix one two", "unique prefix one twx"]
+    tbl = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                    "text": texts,
+                    "lang": ["en"] * len(texts),
+                    "source": ["s0"] * len(texts),
+                    "n_chars": [len(t) for t in texts]})
+    d = tmp_path / "edj"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    out = dedup.doc_edit_distance_join(str(d), block_cap=8)
+    # giant block gone, the planted pair (12,13) found at distance 1
+    assert out.doc_a.tolist() == [12] and out.doc_b.tolist() == [13]
+    assert out.dist.tolist() == [1]
+
+    # with the cap lifted the giant block's pairs come back and match a
+    # brute-force check pair count: C(12,2) all within distance 4
+    full = dedup.doc_edit_distance_join(str(d), block_cap=512)
+    assert len(full) == 12 * 11 // 2 + 1
