@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-10 block):
         "doc_edit_distance_join": dedup.doc_edit_distance_join,
+        "pages_scd2_intervals": extract_checks.pages_scd2_intervals,
         "events_hourly_autocorr": streaming.events_hourly_autocorr,
         "events_type_trend": streaming.events_type_trend,
         # oracle-backed (new in round 4, continuation-session-9 block):
@@ -255,15 +256,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_length_histogram": text_analysis.doc_word_length_histogram,
         "doc_ttr_by_lang": text_analysis.doc_ttr_by_lang,
         # oracle-backed (new in round 4, late block):
-        "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
-        # entries exactly to position 50; the FIFTY-EIGHT never-checked
+        # entries exactly to position 50; the FIFTY-NINE never-checked
         # entries directly below spilled past the line and rotate FIRST in
         # round 5, ahead of the r2/r3-checked blocks. Every entry below
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
@@ -497,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "events_late_arrivals": streaming.EVENTS_LATE_ARRIVALS_SQL,
         "crawl_snapshot_diff": extract_checks.CRAWL_SNAPSHOT_DIFF_SQL,
         "doc_edit_distance_join": dedup.DOC_EDIT_DISTANCE_JOIN_SQL,
+        "pages_scd2_intervals": extract_checks.PAGES_SCD2_INTERVALS_SQL,
         "events_hourly_autocorr": streaming.EVENTS_HOURLY_AUTOCORR_SQL,
         "events_type_trend": streaming.EVENTS_TYPE_TREND_SQL,
         "quality_classifier_pr_curve":

@@ -1160,3 +1160,85 @@ SELECT href,
            AS n_domains
 FROM l GROUP BY href ORDER BY href
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval derivation over the deterministic crawl-wave log
+# ---------------------------------------------------------------------------
+
+def pages_scd2_intervals(sf_dir: str, n_waves: int = 4,
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """Slowly-Changing-Dimension type-2 build — collapse a crawl-snapshot
+    log into per-page validity intervals [valid_from, valid_to) with one
+    row per content VERSION: the canonical warehouse shape for "what did
+    this page say at time t" queries, and the change-data-capture step a
+    re-crawl pipeline runs after every wave.
+
+    The wave log is carved closed-form from ``documents`` (same recipe as
+    crawl_snapshot_diff): every page appears in waves 0..3, and wave w>=1
+    revises a page iff ``doc_id % (w+2) == 0`` — so the oracle re-derives
+    the identical log in SQL and the interval semantics (consecutive
+    identical versions collapse; open intervals carry valid_to = -1) are
+    checked end to end, not just row counts.
+
+    Distribution: the log is built by a flat map (4 tiny rows per page, no
+    text ever read — the scan projects doc_id only), the exchange keys on
+    the hashed doc_id so every page's waves land in one bucket, and the
+    version cumsum + change filter + LEAD are one vectorized pandas pass
+    per bucket. Output is <= n_waves rows per page, streamed."""
+    import numpy as np
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import add_bucket_column
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def wave_log(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.repeat(df.doc_id.to_numpy(np.int64), 4)
+        w = np.tile(np.arange(4, dtype=np.int64), len(df))
+        r = ((w >= 1) & (ids % (w + 2) == 0)).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "w": w, "r": r})
+
+    log = docs.map_batches(wave_log, batch_format="pandas").map_batches(
+        lambda df: add_bucket_column(df, ["doc_id"], num_buckets),
+        batch_format="pandas")
+
+    schema = {"doc_id": "int64", "version": "int64",
+              "valid_from": "int64", "valid_to": "int64"}
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "w"], kind="stable")
+        version = g.groupby("doc_id", sort=False).r.cumsum() + 1
+        ch = g.assign(version=version)[(g.w == 0) | (g.r == 1)]
+        nxt = ch.groupby("doc_id", sort=False).w.shift(-1)
+        return pd.DataFrame({
+            "doc_id": ch.doc_id.to_numpy(np.int64),
+            "version": ch.version.to_numpy(np.int64),
+            "valid_from": ch.w.to_numpy(np.int64),
+            "valid_to": nxt.fillna(-1).to_numpy(np.int64),
+        })
+
+    out = log.groupby("_bucket").map_groups(
+        intervals, batch_format="pandas").to_pandas()
+    return typed_out(out, schema, sort_by=["doc_id", "valid_from"])
+
+
+PAGES_SCD2_INTERVALS_SQL = """
+WITH waves AS (SELECT UNNEST(generate_series(0, 3)) AS w),
+snap AS (
+  SELECT d.doc_id, waves.w,
+         CASE WHEN waves.w >= 1 AND d.doc_id % (waves.w + 2) = 0
+              THEN 1 ELSE 0 END AS r
+  FROM documents d CROSS JOIN waves
+), v AS (
+  SELECT doc_id, w, r,
+         1 + SUM(r) OVER (PARTITION BY doc_id ORDER BY w) AS version
+  FROM snap
+), ch AS (SELECT doc_id, w, version FROM v WHERE w = 0 OR r = 1)
+SELECT doc_id, CAST(version AS BIGINT) AS version,
+       CAST(w AS BIGINT) AS valid_from,
+       CAST(COALESCE(LEAD(w) OVER (PARTITION BY doc_id ORDER BY w), -1)
+            AS BIGINT) AS valid_to
+FROM ch ORDER BY doc_id, valid_from
+"""

@@ -145,7 +145,7 @@ SQL_CHECKED = [
     "events_type_user_overlap", "doc_prefix_dup_rate",
     "doc_shingle_profile", "dedup_sorted_neighborhood",
     "events_hourly_autocorr", "events_type_trend",
-    "doc_edit_distance_join",
+    "doc_edit_distance_join", "pages_scd2_intervals",
 ]
 
 
