@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "orders_backlog_timeseries": relational.orders_backlog_timeseries,
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
@@ -519,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_word_length_histogram":
             text_analysis.DOC_WORD_LENGTH_HISTOGRAM_SQL,
         "doc_ttr_by_lang": text_analysis.DOC_TTR_BY_LANG_SQL,
+        "orders_backlog_timeseries": relational.ORDERS_BACKLOG_SQL,
         "part_brand_supplier_counts":
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,

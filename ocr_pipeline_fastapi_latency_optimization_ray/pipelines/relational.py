@@ -3372,3 +3372,122 @@ FROM ps CROSS JOIN tot CROSS JOIN r
 GROUP BY pct, n
 ORDER BY pct
 """
+
+
+# ---------------------------------------------------------------------------
+# order-fulfillment backlog time series (interval difference array)
+# ---------------------------------------------------------------------------
+
+
+def orders_backlog_timeseries(sf_dir: str) -> pd.DataFrame:
+    """Open-order backlog per calendar month — for every month in the
+    corpus span, how many orders have been placed but not yet fully
+    shipped (last lineitem shipdate still in the future). The operations
+    dashboard read: a rising backlog curve means fulfillment is falling
+    behind intake.
+
+    Interval semantics: an order is "open" from its order month ``om``
+    until the month of its LAST shipment ``cm``; it counts in the backlog
+    at every month-end snapshot m with om <= m < cm (an order fully
+    shipped within its opening month never enters the backlog). Orders
+    with no lineitems have no shipment evidence and are excluded (inner
+    join), matching the oracle.
+
+    Shape (the streaming-window recipe on relational data):
+      1. lineitem partial-aggregates MAX(l_shipdate) per l_orderkey in
+         ``map_batches`` (~4x collapse before any exchange), then an
+         orderkey-bucketed combine finishes the per-order max — max folds
+         exactly in any order, no determinism scaffolding;
+      2. a bucketed join against orders attaches o_orderdate; each bucket
+         emits a (month, n_opened, n_closed) DIFFERENCE-ARRAY partial
+         bounded by the corpus TIME SPAN in months, never by order count;
+      3. the driver folds integer delta vectors over the dense month grid
+         and a single cumsum yields the backlog — exact integers end to
+         end, nothing to round.
+    """
+    from ..functions.shuffle import bucketed_combine, bucketed_join
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            last_ship=("l_shipdate", "max"))
+
+    def ship_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False).agg(
+            last_ship=("last_ship", "max"))
+
+    last_ship = bucketed_combine(line, "l_orderkey", ship_partial,
+                                 ship_combine, coalesce_blocks=16)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def month_deltas(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, left_on="l_orderkey", right_on="o_orderkey")
+        if m.empty:
+            return pd.DataFrame({"m": pd.Series(dtype="int64"),
+                                 "n_opened": pd.Series(dtype="int64"),
+                                 "n_closed": pd.Series(dtype="int64")})
+        om = (m.o_orderdate.dt.year * 12 + m.o_orderdate.dt.month - 1) \
+            .to_numpy(np.int64)
+        cm = (m.last_ship.dt.year * 12 + m.last_ship.dt.month - 1) \
+            .to_numpy(np.int64)
+        opened = pd.DataFrame({"m": om}).groupby("m").size()
+        closed = pd.DataFrame({"m": cm}).groupby("m").size()
+        out = pd.concat([opened.rename("n_opened"),
+                         closed.rename("n_closed")], axis=1).fillna(0)
+        out.index.name = "m"
+        return out.reset_index().astype("int64")
+
+    parts = bucketed_join(
+        last_ship, orders, "l_orderkey", "o_orderkey", month_deltas,
+        left_dtypes={"l_orderkey": "int64", "last_ship": "datetime64[us]"},
+        coalesce_blocks=16,
+    ).to_pandas()
+
+    schema = {"month_idx": "int64", "n_opened": "int64",
+              "n_closed": "int64", "backlog": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    agg = parts.groupby("m", as_index=False).agg(
+        n_opened=("n_opened", "sum"), n_closed=("n_closed", "sum"))
+    lo, hi = int(agg.m.min()), int(agg.m.max())
+    months = np.arange(lo, hi + 1, dtype=np.int64)
+    opened = np.zeros(len(months), np.int64)
+    closed = np.zeros(len(months), np.int64)
+    opened[agg.m.to_numpy(np.int64) - lo] = agg.n_opened.to_numpy(np.int64)
+    closed[agg.m.to_numpy(np.int64) - lo] = agg.n_closed.to_numpy(np.int64)
+    out = pd.DataFrame({
+        "month_idx": months,
+        "n_opened": opened,
+        "n_closed": closed,
+        "backlog": np.cumsum(opened - closed),
+    })
+    return typed_out(out, schema, sort_by="month_idx")
+
+
+ORDERS_BACKLOG_SQL = """
+WITH ls AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), iv AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+           + EXTRACT(MONTH FROM o_orderdate) - 1 AS om,
+         EXTRACT(YEAR FROM ls.last_ship) * 12
+           + EXTRACT(MONTH FROM ls.last_ship) - 1 AS cm
+  FROM orders JOIN ls ON ls.l_orderkey = o_orderkey
+), b AS (
+  SELECT MIN(om) AS lo, MAX(cm) AS hi FROM iv
+), grid AS (
+  SELECT UNNEST(generate_series(b.lo, b.hi)) AS m FROM b
+), o AS (SELECT om AS m, COUNT(*) AS n FROM iv GROUP BY 1),
+   c AS (SELECT cm AS m, COUNT(*) AS n FROM iv GROUP BY 1)
+SELECT CAST(g.m AS BIGINT) AS month_idx,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_opened,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_closed,
+       CAST(SUM(COALESCE(o.n, 0) - COALESCE(c.n, 0))
+            OVER (ORDER BY g.m) AS BIGINT) AS backlog
+FROM grid g
+LEFT JOIN o ON o.m = g.m
+LEFT JOIN c ON c.m = g.m
+ORDER BY month_idx
+"""
