@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # position.)
         # oracle-backed spillover (never driver-checked):
         "orders_backlog_timeseries": relational.orders_backlog_timeseries,
+        "events_bounce_rate_by_entry_type":
+            streaming.events_bounce_rate_by_entry_type,
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
@@ -521,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
             text_analysis.DOC_WORD_LENGTH_HISTOGRAM_SQL,
         "doc_ttr_by_lang": text_analysis.DOC_TTR_BY_LANG_SQL,
         "orders_backlog_timeseries": relational.ORDERS_BACKLOG_SQL,
+        "events_bounce_rate_by_entry_type": streaming.EVENTS_BOUNCE_RATE_SQL,
         "part_brand_supplier_counts":
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,

@@ -2620,3 +2620,91 @@ SELECT event_type, COUNT(*) AS n_days,
        ROUND(REGR_INTERCEPT(n, x), 6) AS intercept
 FROM dense GROUP BY event_type ORDER BY event_type
 """
+
+
+def events_bounce_rate_by_entry_type(sf_dir: str,
+                                     gap_minutes: int = 30) -> pd.DataFrame:
+    """Bounce rate by session entry point — sessionize each user's stream
+    (30-min gap windows), label every session with the event type of its
+    FIRST event, and report per entry type how many sessions consist of
+    that single event and nothing else. The landing-page health metric:
+    an entry type with a high bounce rate is where users arrive and
+    immediately leave.
+
+    Same one-exchange shape as ``events_user_sessions``: user-hash
+    buckets, vectorized sort + diff + cumsum sessionization inside the
+    bucket — but each bucket emits only its (entry_type, n_sessions,
+    n_bounces) PARTIAL, bounded by the type vocabulary, so session
+    volume never reaches the driver. Integer partials fold exactly; the
+    single ratio divides once, driver-side, and rounds half-away like
+    the oracle. Ties at identical (user, ts) break on event_id on both
+    sides, so "first event of the session" is deterministic."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket_column(df, ["user_id"], 32)
+
+    def bounce_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"entry_type": pd.Series(dtype=object),
+                                 "n_sessions": pd.Series(dtype="int64"),
+                                 "n_bounces": pd.Series(dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g.user_id.ne(g.user_id.shift())
+        big_gap = g.ts.diff() > gap
+        sid = (new_user | big_gap).cumsum()
+        per = g.groupby(sid).agg(entry_type=("event_type", "first"),
+                                 n=("event_type", "size"))
+        return (per.assign(bounce=(per.n == 1).astype(np.int64))
+                .groupby("entry_type", as_index=False)
+                .agg(n_sessions=("n", "size"), n_bounces=("bounce", "sum")))
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: bounce_partial(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    schema = {"entry_type": "object", "n_sessions": "int64",
+              "n_bounces": "int64", "bounce_rate": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    agg = parts.groupby("entry_type", as_index=False).agg(
+        n_sessions=("n_sessions", "sum"), n_bounces=("n_bounces", "sum"))
+    agg["bounce_rate"] = round_away(
+        agg.n_bounces.to_numpy(np.float64)
+        / agg.n_sessions.to_numpy(np.float64), 6)
+    return typed_out(agg, schema, sort_by="entry_type")
+
+
+EVENTS_BOUNCE_RATE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+), per AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+  FROM s
+)
+SELECT event_type AS entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS bounce_rate
+FROM per
+WHERE rn = 1
+GROUP BY 1 ORDER BY 1
+"""

@@ -146,7 +146,7 @@ SQL_CHECKED = [
     "doc_shingle_profile", "dedup_sorted_neighborhood",
     "events_hourly_autocorr", "events_type_trend",
     "doc_edit_distance_join", "pages_scd2_intervals",
-    "orders_backlog_timeseries",
+    "orders_backlog_timeseries", "events_bounce_rate_by_entry_type",
 ]
 
 
