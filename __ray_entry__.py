@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backlog_timeseries": relational.orders_backlog_timeseries,
         "events_bounce_rate_by_entry_type":
             streaming.events_bounce_rate_by_entry_type,
+        "embedding_nn_distance_stats": similarity.embedding_nn_distance_stats,
+        "embedding_centroid_distances":
+            similarity.embedding_centroid_distances,
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
@@ -524,6 +527,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_ttr_by_lang": text_analysis.DOC_TTR_BY_LANG_SQL,
         "orders_backlog_timeseries": relational.ORDERS_BACKLOG_SQL,
         "events_bounce_rate_by_entry_type": streaming.EVENTS_BOUNCE_RATE_SQL,
+        "embedding_nn_distance_stats": similarity.EMBEDDING_NN_DISTANCE_SQL,
+        "embedding_centroid_distances":
+            similarity.EMBEDDING_CENTROID_DISTANCES_SQL,
         "part_brand_supplier_counts":
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,

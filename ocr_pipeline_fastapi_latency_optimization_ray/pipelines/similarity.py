@@ -1370,3 +1370,188 @@ SELECT dim, ANY_VALUE(mn) AS mn, ANY_VALUE(mx) AS mx,
        COUNT(*) AS n
 FROM q GROUP BY dim ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# nearest-neighbor distance profile (dedup-threshold calibration curve)
+# ---------------------------------------------------------------------------
+
+
+def embedding_nn_distance_stats(sf_dir: str, tile_rows: int = 65536,
+                                max_vectors: int = 2_000_000) -> pd.DataFrame:
+    """Exact nearest-neighbor similarity profile: for EVERY vector, the
+    cosine to its single closest other vector, folded into 0.1-wide bins.
+    This is the calibration read before setting a near-dup threshold —
+    the histogram's high tail says how much of the corpus has a
+    sub-duplicate twin, and the gap between modes is where the threshold
+    belongs (``embedding_cosine_histogram`` profiles ALL pairs; this
+    profiles each vector's best match, which is what dedup acts on).
+
+    Plan: the same tiled (i<=j) block-pair grid as the cosine histogram —
+    packed block refs stay in the object store, each tile task matmuls
+    two L2-normalized blocks — but a tile emits the PER-ROW MAX for both
+    of its blocks (self-similarity masked on diagonal tiles), and the
+    driver folds running np.maximum into one array per block. Max folds
+    exactly in any order, so no determinism scaffolding; driver transient
+    state is O(N) floats, bounded by the same ``max_vectors`` guard as
+    the other O(N^2) exact tiers (beyond it, run per shard / LSH bucket
+    and the per-block fold becomes a vec-bucketed combine). The final
+    bincount is integer-exact; bin edges carry the same last-ulp
+    normalize-then-dot vs dot-over-norms formula noise as the histogram
+    op — absorbed by 0.1-wide bins."""
+    from ..functions.frames import typed_out
+    from .dedup import _pack_embedding_block
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = ds.count()
+    schema = {"bin": "int64", "lo": "float64", "n_vecs": "int64"}
+    if n < 2:
+        return typed_out(pd.DataFrame(), schema)
+    if n > max_vectors:
+        raise ValueError(
+            f"embedding_nn_distance_stats is the O(N^2) exact tier "
+            f"(N={n} > max_vectors={max_vectors}); run it per dedup shard "
+            f"or per LSH candidate group at open scale"
+        )
+    n_blocks = max(1, -(-n // tile_rows))
+    refs = ds.repartition(n_blocks).to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def _nn_tile(block_a, block_b, same: bool):
+        ia, ma = block_a
+        ib, mb = block_b
+        if ma.size == 0 or mb.size == 0:
+            return (np.full(len(ia), -2.0), np.full(len(ib), -2.0))
+        cos = ma @ mb.T
+        if same:
+            np.fill_diagonal(cos, -2.0)  # a vector is not its own neighbor
+            return cos.max(axis=1), cos.max(axis=0)
+        return cos.max(axis=1), cos.max(axis=0)
+
+    pack = ray.remote(num_returns=1)(_pack_embedding_block)
+    packed = [pack.remote(r) for r in refs]
+    sizes = [len(ray.get(p)[0]) for p in packed]
+    best = [np.full(s, -2.0) for s in sizes]
+    futs, coords = [], []
+    for i in range(len(packed)):
+        for j in range(i, len(packed)):
+            futs.append(_nn_tile.remote(packed[i], packed[j], i == j))
+            coords.append((i, j))
+    for (i, j), (mx_a, mx_b) in zip(coords, ray.get(futs)):
+        best[i] = np.maximum(best[i], mx_a)
+        best[j] = np.maximum(best[j], mx_b)
+    nn = np.concatenate(best) if best else np.empty(0)
+    nn = nn[nn > -2.0]  # single-vector corners have no neighbor
+    bins = np.clip(np.floor(nn * 10.0).astype(np.int64), -10, 9)
+    counts = np.bincount(bins + 10, minlength=20).astype(np.int64)
+    grid = np.arange(-10, 10, dtype=np.int64)
+    out = pd.DataFrame({"bin": grid, "lo": grid / 10.0, "n_vecs": counts})
+    out = out[out.n_vecs > 0]
+    return typed_out(out, schema, sort_by="bin")
+
+
+EMBEDDING_NN_DISTANCE_SQL = """
+-- cast FLOAT[] -> DOUBLE[] before the cosine (f32 accumulation lands ~1e-7
+-- off and crosses bin edges)
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), mx AS (
+  SELECT a.vec_id,
+         MAX(list_cosine_similarity(a.emb, b.emb)) AS nn
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  GROUP BY a.vec_id
+)
+SELECT LEAST(GREATEST(CAST(FLOOR(nn * 10) AS BIGINT), -10), 9) AS bin,
+       LEAST(GREATEST(CAST(FLOOR(nn * 10) AS BIGINT), -10), 9) / 10.0 AS lo,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM mx GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# inter-label centroid similarity matrix (class-confusability map)
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroid_distances(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine between LABEL CENTROIDS — the class-confusability
+    map that complements ``embedding_label_separation``'s within-class
+    cohesion: two labels whose centroids sit close are the ones a
+    classifier head will mix up, and merging/relabeling decisions read
+    straight off this matrix.
+
+    One bounded pass: per-(label, dim) sum/count partials fold on the
+    driver (labels x dim rows — schema-bounded, the vectors never leave
+    the workers), then the centroid matrix is tiny and the (L choose 2)
+    cosine matrix is pure driver arithmetic. Partials sort before the
+    fold so the float sums are order-stable; output rounds 6 dp against
+    the oracle's list-aggregated centroids."""
+    from ..functions.frames import typed_out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def cent_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"label": pd.Series(dtype=object),
+                                 "d": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out = []
+        for lab, idx in df.groupby("label").groups.items():
+            sub = mat[df.index.get_indexer(idx)]
+            out.append(pd.DataFrame({
+                "label": lab, "d": np.arange(mat.shape[1], dtype=np.int64),
+                "s": sub.sum(axis=0), "n": np.int64(len(sub))}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(cent_partial, batch_format="pandas").to_pandas()
+    schema = {"label_a": "int64", "label_b": "int64",
+              "cos_centroid": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(["label", "d", "s", "n"], kind="stable")
+    cent = parts.groupby(["label", "d"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    labs = np.sort(cent.label.unique())
+    mat = np.stack([
+        (g.sort_values("d").s.to_numpy(np.float64)
+         / g.sort_values("d").n.to_numpy(np.float64))
+        for _, g in cent.groupby("label")
+    ])  # groupby sorts by label -> rows align with labs
+    norms = np.linalg.norm(mat, axis=1)
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            cos = float(mat[i] @ mat[j] / (norms[i] * norms[j]))
+            rows.append((int(labs[i]), int(labs[j]), cos))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "cos_centroid"])
+    out["cos_centroid"] = round_away(out.cos_centroid, 6)
+    return typed_out(out, schema, sort_by=["label_a", "label_b"])
+
+
+EMBEDDING_CENTROID_DISTANCES_SQL = """
+WITH e AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), x AS (
+  SELECT label, UNNEST(emb) AS v,
+         UNNEST(range(1, len(emb) + 1)) AS d
+  FROM e
+), cent AS (
+  SELECT label, d, AVG(v) AS c FROM x GROUP BY label, d
+), centl AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM cent GROUP BY label
+)
+SELECT CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       ROUND(list_cosine_similarity(a.cvec, b.cvec), 6) AS cos_centroid
+FROM centl a JOIN centl b ON a.label < b.label
+ORDER BY label_a, label_b
+"""

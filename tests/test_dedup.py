@@ -516,3 +516,20 @@ def test_edit_distance_join_block_cap_excludes_giant_block(tmp_path, ray_session
     # brute-force check pair count: C(12,2) all within distance 4
     full = dedup.doc_edit_distance_join(str(d), block_cap=512)
     assert len(full) == 12 * 11 // 2 + 1
+
+
+def test_embedding_nn_distance_tiled_equals_single_tile(ray_session):
+    """Per-row max folds across tiles: any blocking must reproduce the
+    single-tile NN histogram bit-for-bit, and the guard must point at the
+    scale path."""
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import similarity
+
+    sf = "/root/testdata/sf0.001"
+    one = similarity.embedding_nn_distance_stats(sf, tile_rows=10**9)
+    many = similarity.embedding_nn_distance_stats(sf, tile_rows=37)
+    assert len(one) > 0
+    assert int(one.n_vecs.sum()) == 500  # every vector has a neighbor
+    import pandas as pd
+    pd.testing.assert_frame_equal(one, many)
+    with pytest.raises(ValueError, match="LSH candidate group"):
+        similarity.embedding_nn_distance_stats(sf, max_vectors=10)

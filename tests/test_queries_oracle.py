@@ -147,6 +147,7 @@ SQL_CHECKED = [
     "events_hourly_autocorr", "events_type_trend",
     "doc_edit_distance_join", "pages_scd2_intervals",
     "orders_backlog_timeseries", "events_bounce_rate_by_entry_type",
+    "embedding_nn_distance_stats", "embedding_centroid_distances",
 ]
 
 
