@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_nn_distance_stats": similarity.embedding_nn_distance_stats,
         "embedding_centroid_distances":
             similarity.embedding_centroid_distances,
+        "doc_top_token_share_histogram":
+            text_analysis.doc_top_token_share_histogram,
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
@@ -530,6 +532,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_nn_distance_stats": similarity.EMBEDDING_NN_DISTANCE_SQL,
         "embedding_centroid_distances":
             similarity.EMBEDDING_CENTROID_DISTANCES_SQL,
+        "doc_top_token_share_histogram":
+            text_analysis.DOC_TOP_TOKEN_SHARE_SQL,
         "part_brand_supplier_counts":
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,

@@ -3015,3 +3015,78 @@ SELECT lang, COUNT(*) AS n_shingles, COUNT(DISTINCT sh) AS n_distinct,
            AS distinct_ratio
 FROM s GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# top-token dominance histogram (Gopher-style repetition quality rule)
+# ---------------------------------------------------------------------------
+
+
+def doc_top_token_share_histogram(sf_dir: str) -> pd.DataFrame:
+    """Per-source histogram of each document's TOP-TOKEN SHARE — the
+    fraction of the document occupied by its single most frequent token.
+    This is the Gopher/MassiveText repetition rule ("most common word
+    covers > X% of the doc" => drop) turned into a distribution, so the
+    threshold is chosen from the data instead of guessed.
+
+    Embarrassingly parallel: a document's text lives in ONE row, so the
+    max-count/total ratio is batch-local — no exchange at all. Each batch
+    dictionary-encodes its token stream once (counts run over (doc, code)
+    pairs, not strings) and emits (source, bin) integer partials bounded
+    by sources x 11 bins; integer counts fold in any order. The ratio
+    bins via floor(mx * 10.0 / nt) computed in the same f64 ops as the
+    oracle's BIGINT*10.0/BIGINT, so bin edges are bit-identical. NULL
+    text coalesces to '' (splits to one empty token -> share 1.0, bin
+    10) exactly like the SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "source"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        text = pc.coalesce(t.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        d = pc.dictionary_encode(pc.list_flatten(toks)).combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        pair = pd.DataFrame({"p": parents, "c": codes})
+        cnt = pair.groupby(["p", "c"], as_index=False).size()
+        mx = np.zeros(len(t), np.int64)
+        pm = cnt.groupby("p")["size"].max()
+        mx[pm.index.to_numpy(np.int64)] = pm.to_numpy(np.int64)
+        bins = np.minimum(
+            np.floor(mx * 10.0 / np.maximum(nt, 1)).astype(np.int64), 10)
+        src = t.column("source").to_pandas().to_numpy(object)
+        return (pd.DataFrame({"source": src, "bin": bins})
+                .groupby(["source", "bin"], as_index=False).size()
+                .rename(columns={"size": "n_docs"}))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    schema = {"source": "object", "bin": "int64", "n_docs": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = parts.groupby(["source", "bin"], as_index=False).agg(
+        n_docs=("n_docs", "sum"))
+    return typed_out(out, schema, sort_by=["source", "bin"])
+
+
+DOC_TOP_TOKEN_SHARE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents
+), tc AS (
+  SELECT doc_id, source, tok, COUNT(*) AS c
+  FROM toks GROUP BY 1, 2, 3
+), dm AS (
+  SELECT doc_id, source, MAX(c) AS mx, SUM(c) AS nt
+  FROM tc GROUP BY 1, 2
+)
+SELECT source,
+       LEAST(CAST(FLOOR(mx * 10.0 / nt) AS BIGINT), 10) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dm GROUP BY 1, 2 ORDER BY 1, 2
+"""
