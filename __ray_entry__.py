@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             similarity.embedding_centroid_distances,
         "doc_top_token_share_histogram":
             text_analysis.doc_top_token_share_histogram,
+        "pack_efficiency_curve": packing.pack_efficiency_curve,
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
             similarity.EMBEDDING_CENTROID_DISTANCES_SQL,
         "doc_top_token_share_histogram":
             text_analysis.DOC_TOP_TOKEN_SHARE_SQL,
+        "pack_efficiency_curve": packing.PACK_EFFICIENCY_CURVE_SQL,
         "part_brand_supplier_counts":
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,

@@ -43,7 +43,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.frames import typed_out
+from ..functions.frames import round_away, typed_out
 from ..functions.shuffle import bucketed_combine
 
 PACK_BUDGET = 2048
@@ -331,4 +331,104 @@ FROM (
   FROM s
 )
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# packing-efficiency curve across sequence-length budgets
+# ---------------------------------------------------------------------------
+
+PACK_CURVE_BUDGETS = (256, 512, 1024, 2048)
+
+
+def pack_efficiency_curve(sf_dir: str,
+                          budgets: tuple = PACK_CURVE_BUDGETS) -> pd.DataFrame:
+    """``pack_stats`` swept across the max-sequence-length grid in ONE
+    scan — the capacity-planning read before choosing a training context
+    length: how many sequences each budget yields and what fraction of
+    documents a boundary cuts through (cross-document attention
+    contamination under this layout).
+
+    The prefix sum is budget-independent, so the expensive part runs
+    once: pass 1/2 are the same range-keyed distributed scan as
+    ``pack_sequences``, but the reduce emits the RAW exclusive prefix;
+    a final streaming pass scores all budgets against each row
+    simultaneously and folds |budgets| integer partial rows. Nothing
+    corpus-sized reaches the driver, and adding a budget adds one
+    vectorized compare, not a rescan."""
+    ds = _docs(sf_dir)
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _tok_batch(df)
+        g = t.groupby("range_id", sort=False)["n_tok"].sum().reset_index()
+        return g.rename(columns={"n_tok": "tok_sum"})
+
+    schema = {"budget": "int64", "n_docs": "int64", "n_seqs": "int64",
+              "n_split_docs": "int64", "split_frac": "float64"}
+    parts = ds.map_batches(range_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    totals = parts.groupby("range_id", sort=True)["tok_sum"].sum().sort_index()
+    n_ranges = int(totals.index.max()) + 1
+    sums = np.zeros(n_ranges, np.int64)
+    sums[totals.index.to_numpy(np.int64)] = totals.to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    offsets_ref = ray.put(offsets)
+    grid = np.asarray(sorted(budgets), dtype=np.int64)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        g = g.sort_values("doc_id", kind="stable")
+        excl = (
+            g.groupby("range_id", sort=False)["n_tok"].cumsum()
+            .to_numpy(np.int64) - g["n_tok"].to_numpy(np.int64)
+        )
+        prefix = off[g["range_id"].to_numpy(np.int64)] + excl
+        n_tok = g["n_tok"].to_numpy(np.int64)
+        split = (prefix[None, :] % grid[:, None] + n_tok[None, :]
+                 > grid[:, None]).sum(axis=1)
+        return pd.DataFrame({"budget": grid,
+                             "n_docs": np.int64(len(g)),
+                             "n_split_docs": split.astype(np.int64),
+                             "tokens": n_tok.sum()})
+
+    p = bucketed_combine(ds, "range_id", _tok_batch, score,
+                         num_buckets=16, coalesce_blocks=4).to_pandas()
+    agg = p.groupby("budget", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_split_docs=("n_split_docs", "sum"),
+        tokens=("tokens", "sum"))
+    out = pd.DataFrame({
+        "budget": agg.budget.to_numpy(np.int64),
+        "n_docs": agg.n_docs.to_numpy(np.int64),
+        "n_seqs": -(-agg.tokens.to_numpy(np.int64)
+                    // agg.budget.to_numpy(np.int64)),
+        "n_split_docs": agg.n_split_docs.to_numpy(np.int64),
+        "split_frac": round_away(
+            agg.n_split_docs.to_numpy(np.float64)
+            / agg.n_docs.to_numpy(np.float64), 6),
+    })
+    return typed_out(out, schema, sort_by="budget")
+
+
+PACK_EFFICIENCY_CURVE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS n_tok
+  FROM documents
+), scanned AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM toks
+), bs AS (SELECT UNNEST({list(PACK_CURVE_BUDGETS)}) AS budget)
+SELECT CAST(budget AS BIGINT) AS budget,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(CEIL(SUM(n_tok) / (budget * 1.0)) AS BIGINT) AS n_seqs,
+       SUM(CASE WHEN prefix % budget + n_tok > budget
+                THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+       ROUND(SUM(CASE WHEN prefix % budget + n_tok > budget
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS split_frac
+FROM scanned CROSS JOIN bs
+GROUP BY budget ORDER BY budget
 """

@@ -148,7 +148,7 @@ SQL_CHECKED = [
     "doc_edit_distance_join", "pages_scd2_intervals",
     "orders_backlog_timeseries", "events_bounce_rate_by_entry_type",
     "embedding_nn_distance_stats", "embedding_centroid_distances",
-    "doc_top_token_share_histogram",
+    "doc_top_token_share_histogram", "pack_efficiency_curve",
 ]
 
 
