@@ -2920,10 +2920,13 @@ def doc_shingle_profile(sf_dir: str, k: int = 5) -> pd.DataFrame:
     means the alphabet is too small for k and near-dup buckets will
     saturate.
 
-    Shingling never touches Python strings: window starts come straight
-    off the Arrow offsets buffer (`_char_shingle_starts`), the 5-byte
-    windows pack INJECTIVELY into int64 codes (pure ASCII corpus, 40
-    bits), and per-batch UNIQUE (lang, code) pairs — not text — flow
+    Shingles are UTF-8 BYTE windows (the standard convention for
+    shingle-based dedup — hashes run over bytes, not codepoints; on
+    ASCII text bytes and characters coincide). Shingling never touches
+    Python strings: window starts come straight off the Arrow offsets
+    buffer (`_char_shingle_starts`), the 5-byte windows pack INJECTIVELY
+    into int64 codes (40 bits), and per-batch UNIQUE (lang, code) pairs
+    — not text — flow
     through one shingle-keyed exchange where per-bucket dedup makes
     distinct counts additive. Per-lang totals ride the same exchange as
     sentinel rows (code -1). Counting distinct CODES equals counting
@@ -3003,11 +3006,17 @@ def doc_shingle_profile(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
 
 DOC_SHINGLE_PROFILE_SQL = """
+-- BYTE shingles (UTF-8), matching the engine's offsets-buffer windows:
+-- DuckDB has no BLOB substring, so windows come off the hex encoding
+-- (2 hex chars per byte -> a 5-byte window is 10 hex chars at 2*i-1);
+-- hex is injective, so COUNT(DISTINCT) is unchanged by the encoding
 WITH src AS (
-  SELECT lang, text FROM documents WHERE LENGTH(text) >= 5
+  SELECT lang, hex(ENCODE(text)) AS h,
+         OCTET_LENGTH(ENCODE(text)) AS blen
+  FROM documents WHERE OCTET_LENGTH(ENCODE(text)) >= 5
 ), s AS (
-  SELECT lang, SUBSTR(text, CAST(i AS BIGINT), 5) AS sh
-  FROM (SELECT lang, text, UNNEST(range(1, LENGTH(text) - 3)) AS i
+  SELECT lang, SUBSTR(h, 2 * CAST(i AS BIGINT) - 1, 10) AS sh
+  FROM (SELECT lang, h, UNNEST(range(1, blen - 3)) AS i
         FROM src)
 )
 SELECT lang, COUNT(*) AS n_shingles, COUNT(DISTINCT sh) AS n_distinct,
