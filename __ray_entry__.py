@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_token_share_histogram":
             text_analysis.doc_top_token_share_histogram,
         "pack_efficiency_curve": packing.pack_efficiency_curve,
+        "events_attribution_last_touch":
+            streaming.events_attribution_last_touch,
         "part_brand_supplier_counts": relational.part_brand_supplier_counts,
         "customer_ltv_deciles": relational.customer_ltv_deciles,
         "embedding_outlier_topk": similarity.embedding_outlier_topk,
@@ -536,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_token_share_histogram":
             text_analysis.DOC_TOP_TOKEN_SHARE_SQL,
         "pack_efficiency_curve": packing.PACK_EFFICIENCY_CURVE_SQL,
+        "events_attribution_last_touch": streaming.EVENTS_ATTRIBUTION_SQL,
         "part_brand_supplier_counts":
             relational.PART_BRAND_SUPPLIER_COUNTS_SQL,
         "customer_ltv_deciles": relational.CUSTOMER_LTV_DECILES_SQL,

@@ -2708,3 +2708,91 @@ FROM per
 WHERE rn = 1
 GROUP BY 1 ORDER BY 1
 """
+
+
+def events_attribution_last_touch(sf_dir: str) -> pd.DataFrame:
+    """Last-touch revenue attribution: every purchase is credited to the
+    user's most recent PRIOR non-purchase event type (the touchpoint that
+    "closed" the sale); purchases with no prior touch credit 'none'. The
+    marketing-analytics staple that needs full per-user event ordering —
+    exactly what a hash-bucketed exchange plus an in-bucket sort gives.
+
+    One exchange: user-hash buckets; inside a bucket, one stable sort on
+    (user, ts, event_id) and a per-user forward-fill of the last
+    non-purchase type (purchase rows carry NaN, so the filled value at a
+    purchase row is the latest strictly-prior touch — the oracle's
+    LAST_VALUE IGNORE NULLS over 1 PRECEDING). Buckets emit
+    (touch_type, n, sum_value) partials bounded by the type vocabulary;
+    partials sort before the driver fold so the float revenue sums are
+    order-stable, and the total rounds 2 dp like the SQL. (ts, event_id)
+    is a total order (event_id unique), so ties at equal ts are
+    deterministic on both sides."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                          "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return add_bucket_column(df, ["user_id"], 32)
+
+    def attr_partial(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_type": pd.Series(dtype=object),
+                              "n_purchases": pd.Series(dtype="int64"),
+                              "sum_value": pd.Series(dtype="float64")})
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        np_type = g.event_type.where(g.event_type != "purchase")
+        attr = np_type.groupby(g.user_id).ffill()
+        p = g[g.event_type == "purchase"]
+        if p.empty:
+            return empty
+        touch = attr[p.index].fillna("none").to_numpy(object)
+        frame = pd.DataFrame({"source_type": touch,
+                              "value": p.value.to_numpy(np.float64)})
+        out = []
+        for st, sub in frame.groupby("source_type"):
+            v = np.sort(sub.value.to_numpy(np.float64))
+            out.append((st, np.int64(len(v)), float(v.sum())))
+        return pd.DataFrame(out, columns=["source_type", "n_purchases",
+                                          "sum_value"])
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: attr_partial(g.drop(columns=["_bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    schema = {"source_type": "object", "n_purchases": "int64",
+              "attributed_value": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(["source_type", "n_purchases", "sum_value"],
+                              kind="stable")
+    agg = parts.groupby("source_type", as_index=False).agg(
+        n_purchases=("n_purchases", "sum"), sum_value=("sum_value", "sum"))
+    agg["attributed_value"] = round_away(agg.sum_value, 2)
+    agg["n_purchases"] = agg.n_purchases.astype("int64")
+    return typed_out(
+        agg[["source_type", "n_purchases", "attributed_value"]],
+        schema, sort_by="source_type")
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS np_type
+  FROM events
+), w AS (
+  SELECT event_type, value,
+         LAST_VALUE(np_type IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM s
+)
+SELECT COALESCE(touch, 'none') AS source_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 2) AS attributed_value
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""

@@ -149,6 +149,7 @@ SQL_CHECKED = [
     "orders_backlog_timeseries", "events_bounce_rate_by_entry_type",
     "embedding_nn_distance_stats", "embedding_centroid_distances",
     "doc_top_token_share_histogram", "pack_efficiency_curve",
+    "events_attribution_last_touch",
 ]
 
 
