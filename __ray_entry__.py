@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-11 block):
+        "lineitem_cube_pricing": relational.lineitem_cube_pricing,
+        "orders_band_join_gaps": relational.orders_band_join_gaps,
+        "events_weekly_churn": streaming.events_weekly_churn,
         # oracle-backed (new in round 4, continuation-session-10 block):
         "doc_edit_distance_join": dedup.doc_edit_distance_join,
         "pages_scd2_intervals": extract_checks.pages_scd2_intervals,
@@ -252,10 +256,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q19_discounted_revenue": relational.q19_discounted_revenue,
         "q22_idle_balance_by_nation": relational.q22_idle_balance_by_nation,
-        "events_new_users_by_hour": streaming.events_new_users_by_hour,
-        "doc_word_length_histogram": text_analysis.doc_word_length_histogram,
-        "doc_ttr_by_lang": text_analysis.doc_ttr_by_lang,
-        # oracle-backed (new in round 4, late block):
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_new_users_by_hour": streaming.events_new_users_by_hour,
+        "doc_word_length_histogram": text_analysis.doc_word_length_histogram,
+        "doc_ttr_by_lang": text_analysis.doc_ttr_by_lang,
         "orders_backlog_timeseries": relational.orders_backlog_timeseries,
         "events_bounce_rate_by_entry_type":
             streaming.events_bounce_rate_by_entry_type,
@@ -461,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_cube_pricing": relational.LINEITEM_CUBE_SQL,
+        "orders_band_join_gaps": relational.ORDERS_BAND_JOIN_SQL,
+        "events_weekly_churn": streaming.EVENTS_WEEKLY_CHURN_SQL,
         "dedup_sorted_neighborhood": dedup.DEDUP_SORTED_NEIGHBORHOOD_SQL,
         "events_funnel_time_to_convert": streaming.EVENTS_FUNNEL_TTC_SQL,
         "events_type_share_drift": streaming.EVENTS_TYPE_SHARE_DRIFT_SQL,

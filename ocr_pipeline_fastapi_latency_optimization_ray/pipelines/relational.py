@@ -3491,3 +3491,160 @@ LEFT JOIN o ON o.m = g.m
 LEFT JOIN c ON c.m = g.m
 ORDER BY month_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# lineitem_cube_pricing: GROUP BY CUBE (grouping sets) in one scan
+# ---------------------------------------------------------------------------
+
+def lineitem_cube_pricing(sf_dir: str) -> pd.DataFrame:
+    """All four grouping sets of (returnflag, linestatus) — the CUBE /
+    GROUPING SETS operator family — computed from ONE scan. Only the
+    finest grouping ever touches the data (the same schema-bounded
+    partial-combine as q1); the three coarser sets are pure rollups of
+    the finest cells, derived on the driver from a frame whose size is
+    bounded by the flag-combination count, never the row count. At
+    100 TB this is exactly one q1-shaped pass; the alternative (one
+    groupby per grouping set) would scan the table four times.
+
+    Rolled-up dimensions surface as 'ALL' (the testdata flags are
+    non-null, so COALESCE in the oracle is unambiguous). Raw sums roll
+    up BEFORE rounding, matching SQL's evaluation order. On empty input
+    SQL still emits the () grouping-set row (scalar-aggregate
+    semantics: SUM -> NULL, COUNT -> 0), mirrored here."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        )
+
+    fine = _partial_then_final(
+        ds, ["l_returnflag", "l_linestatus"], partial,
+        {"sum_qty": ("sum_qty", "sum"), "sum_price": ("sum_price", "sum"),
+         "n": ("n", "sum")},
+    )
+    schema = {"returnflag": "object", "linestatus": "object",
+              "sum_qty": "float64", "sum_price": "float64", "n": "int64"}
+    if fine.empty:
+        return typed_out(pd.DataFrame([{
+            "returnflag": "ALL", "linestatus": "ALL",
+            "sum_qty": np.nan, "sum_price": np.nan, "n": 0}]), schema)
+    fine = fine.rename(columns={"l_returnflag": "returnflag",
+                                "l_linestatus": "linestatus"})
+    sets = [fine]
+    for dims in (["returnflag"], ["linestatus"], []):
+        dropped = [c for c in ("returnflag", "linestatus") if c not in dims]
+        if dims:
+            g = fine.groupby(dims, as_index=False).agg(
+                sum_qty=("sum_qty", "sum"), sum_price=("sum_price", "sum"),
+                n=("n", "sum"))
+        else:
+            g = pd.DataFrame([{"sum_qty": fine.sum_qty.sum(),
+                               "sum_price": fine.sum_price.sum(),
+                               "n": fine.n.sum()}])
+        for c in dropped:
+            g[c] = "ALL"
+        sets.append(g)
+    out = pd.concat(sets, ignore_index=True)
+    out["sum_qty"] = round_away(out.sum_qty, 2)
+    out["sum_price"] = round_away(out.sum_price, 2)
+    out["n"] = out.n.astype("int64")
+    return typed_out(out, schema, sort_by=["returnflag", "linestatus"])
+
+
+LINEITEM_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_band_join_gaps: band (range) self-join per customer
+# ---------------------------------------------------------------------------
+
+def orders_band_join_gaps(sf_dir: str) -> pd.DataFrame:
+    """Band / range self-join: pairs of DISTINCT orders by the SAME
+    customer whose order dates lie within 30 days, histogrammed by gap
+    week. The range predicate Ray Data has no native join for becomes a
+    customer-bucketed exchange (orders co-locate by the equi-key) plus
+    an in-bucket sort by (customer, day): every qualifying pair is then
+    a contiguous run, found with ONE vectorized searchsorted over a
+    composite (customer, day) int64 key — no per-row loop, no O(n^2)
+    blowup beyond the true pair count. Each bucket reduces its pairs to
+    the 5-bin gap histogram before anything reaches the driver, so the
+    exchange moves 3 int64 columns of orders and the driver folds
+    ``num_buckets x 5`` counter rows at any scale.
+
+    Partitioning assumption (documented per the custom-operator
+    contract): pairs never cross customers, so hash-bucketing by
+    o_custkey is a complete partitioning; skew is bounded by orders per
+    customer (~10 in TPC-H-shaped data)."""
+    from ..functions.shuffle import bucketed_combine
+
+    BAND_DAYS = 30
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df.o_custkey.to_numpy(np.int64),
+            "day": (df.o_orderdate.astype("int64")
+                    // 86_400_000_000).astype("int64"),
+        })
+
+    def pairs_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "day"], kind="stable")
+        c = g.o_custkey.to_numpy(np.int64)
+        d = g.day.to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"gap_week": pd.Series([], dtype="int64"),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        # composite key: days are ~2e4 << 2**20, custkey fits the rest
+        k = c * (1 << 21) + d
+        hi = np.searchsorted(k, k + BAND_DAYS, side="right")
+        counts = hi - np.arange(n) - 1
+        left = np.repeat(np.arange(n), counts)
+        right = (np.arange(counts.sum())
+                 - np.repeat(np.cumsum(counts) - counts, counts)
+                 + left + 1)
+        gap_week = (d[right] - d[left]) // 7
+        wk, cnt = np.unique(gap_week, return_counts=True)
+        return pd.DataFrame({"gap_week": wk.astype(np.int64),
+                             "n_pairs": cnt.astype(np.int64)})
+
+    out = bucketed_combine(
+        ds.map_batches(rows, batch_format="pandas"),
+        "o_custkey", lambda df: df, pairs_hist,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"gap_week": "int64", "n_pairs": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("gap_week", as_index=False).agg(n_pairs=("n_pairs", "sum"))
+    return typed_out(out, schema, sort_by="gap_week")
+
+
+ORDERS_BAND_JOIN_SQL = """
+SELECT CAST(FLOOR(ABS(date_diff('day', o1.o_orderdate, o2.o_orderdate)) / 7)
+            AS BIGINT) AS gap_week,
+       COUNT(*) AS n_pairs
+FROM orders o1
+JOIN orders o2
+  ON o2.o_custkey = o1.o_custkey
+ AND o1.o_orderkey < o2.o_orderkey
+ AND ABS(date_diff('day', o1.o_orderdate, o2.o_orderdate)) <= 30
+GROUP BY gap_week
+ORDER BY gap_week
+"""

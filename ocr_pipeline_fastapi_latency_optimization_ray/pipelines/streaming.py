@@ -2796,3 +2796,80 @@ FROM w
 WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# events_weekly_churn: INTERSECT / EXCEPT retention between week cohorts
+# ---------------------------------------------------------------------------
+
+def events_weekly_churn(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week churn: per ISO week, how many purchase-active users
+    stay active the NEXT week (INTERSECT of the two weekly user sets) and
+    how many lapse (EXCEPT). Activity = made a purchase that week — the
+    raw any-event definition is vacuous on this corpus (every user fires
+    events every week), purchases actually churn.
+
+    The set operations never materialize user sets: one user-bucketed
+    exchange of distinct (user, week) pairs, then inside each bucket a
+    single k=1 shifted compare over the (user, week)-sorted runs — a
+    user's week w is retained iff the next distinct week for the same
+    user is exactly w+7. Each bucket emits one (week, active, retained)
+    counter row per active week; the driver folds a
+    ``num_buckets x weeks`` frame. EXCEPT falls out as
+    active - retained, no second pass. Integers end to end."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"],
+                 event_types=["purchase"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        # ISO Monday truncation: epoch day 0 (1970-01-01) was a Thursday
+        wk = day - ((day + 3) % 7)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "wk": wk,
+        }).drop_duplicates()
+
+    def week_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"]).sort_values(
+            ["user_id", "wk"], kind="stable")
+        u = g.user_id.to_numpy(np.int64)
+        w = g.wk.to_numpy(np.int64)
+        nxt = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            nxt[:-1] = (u[1:] == u[:-1]) & (w[1:] - w[:-1] == 7)
+        out = pd.DataFrame({"wk": w, "retained": nxt.astype(np.int64)})
+        return out.groupby("wk", as_index=False).agg(
+            active_users=("retained", "size"),
+            retained_next=("retained", "sum"))
+
+    out = bucketed_combine(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "user_id", lambda df: df, week_partials,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"wk": "datetime64[us]", "active_users": "int64",
+              "retained_next": "int64", "churned_next": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("wk", as_index=False).agg(
+        active_users=("active_users", "sum"),
+        retained_next=("retained_next", "sum"))
+    out["churned_next"] = out.active_users - out.retained_next
+    out["wk"] = pd.to_datetime(out.wk.to_numpy(np.int64) * 86_400,
+                               unit="s").astype("datetime64[us]")
+    return typed_out(out, schema, sort_by="wk")
+
+
+EVENTS_WEEKLY_CHURN_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.wk AS wk,
+       COUNT(*) AS active_users,
+       COUNT(b.user_id) AS retained_next,
+       COUNT(*) - COUNT(b.user_id) AS churned_next
+FROM uw a
+LEFT JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 7
+GROUP BY a.wk
+ORDER BY wk
+"""
