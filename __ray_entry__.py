@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "doc_length_ks_by_lang": text_analysis.doc_length_ks_by_lang,
+        "events_rate_changepoint": streaming.events_rate_changepoint,
+        "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
         "lineitem_cube_pricing": relational.lineitem_cube_pricing,
         "orders_band_join_gaps": relational.orders_band_join_gaps,
         "events_weekly_churn": streaming.events_weekly_churn,
@@ -253,9 +256,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_late_shipment_priority": relational.q4_late_shipment_priority,
         "q10_returned_items": relational.q10_returned_items,
         "q15_top_supplier": relational.q15_top_supplier,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        "q19_discounted_revenue": relational.q19_discounted_revenue,
-        "q22_idle_balance_by_nation": relational.q22_idle_balance_by_nation,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q22_idle_balance_by_nation": relational.q22_idle_balance_by_nation,
         "events_new_users_by_hour": streaming.events_new_users_by_hour,
         "doc_word_length_histogram": text_analysis.doc_word_length_histogram,
         "doc_ttr_by_lang": text_analysis.doc_ttr_by_lang,
@@ -464,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_length_ks_by_lang": text_analysis.DOC_LENGTH_KS_SQL,
+        "events_rate_changepoint": streaming.EVENTS_RATE_CHANGEPOINT_SQL,
+        "lineitem_metric_unpivot": relational.LINEITEM_UNPIVOT_SQL,
         "lineitem_cube_pricing": relational.LINEITEM_CUBE_SQL,
         "orders_band_join_gaps": relational.ORDERS_BAND_JOIN_SQL,
         "events_weekly_churn": streaming.EVENTS_WEEKLY_CHURN_SQL,

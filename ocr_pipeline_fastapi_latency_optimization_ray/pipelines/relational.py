@@ -3648,3 +3648,56 @@ JOIN orders o2
 GROUP BY gap_week
 ORDER BY gap_week
 """
+
+
+# ---------------------------------------------------------------------------
+# lineitem_metric_unpivot: UNPIVOT / melt wide aggregates to long form
+# ---------------------------------------------------------------------------
+
+def lineitem_metric_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (melt) — the wide-to-long reshaping operator, the inverse
+    of the pivot family (``nation_trade_matrix``): per returnflag the
+    wide (sum_qty, sum_price, n_rows) aggregate row unpivots into one
+    (returnflag, metric, value) row per measure. The aggregation is the
+    same bounded q1-shaped partial combine; the reshape is a pandas
+    ``melt`` on the flag-bounded frame — column count, not row count,
+    drives the fanout, so the operator costs the same at any scale."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+
+    wide = _partial_then_final(
+        ds, ["l_returnflag"], partial,
+        {"sum_qty": ("sum_qty", "sum"), "sum_price": ("sum_price", "sum"),
+         "n_rows": ("n_rows", "sum")},
+    )
+    schema = {"returnflag": "object", "metric": "object", "value": "float64"}
+    if wide.empty:
+        return typed_out(pd.DataFrame(), schema)
+    wide = wide.rename(columns={"l_returnflag": "returnflag"})
+    wide["sum_qty"] = round_away(wide.sum_qty, 2)
+    wide["sum_price"] = round_away(wide.sum_price, 2)
+    wide["n_rows"] = wide.n_rows.astype("float64")
+    out = wide.melt(id_vars=["returnflag"],
+                    value_vars=["sum_qty", "sum_price", "n_rows"],
+                    var_name="metric", value_name="value")
+    return typed_out(out, schema, sort_by=["returnflag", "metric"])
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH a AS (
+  SELECT l_returnflag AS returnflag,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+UNPIVOT a ON sum_qty, sum_price, n_rows INTO NAME metric VALUE value
+ORDER BY returnflag, metric
+"""

@@ -2873,3 +2873,57 @@ LEFT JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 7
 GROUP BY a.wk
 ORDER BY wk
 """
+
+
+# ---------------------------------------------------------------------------
+# events_rate_changepoint: CUSUM over the daily event-rate series
+# ---------------------------------------------------------------------------
+
+def events_rate_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint diagnostic over the daily event-count series —
+    the sequential drift detector (did the crawl rate shift?): per day,
+    the running sum of (count - global mean). The series itself is the
+    output; a monitor thresholds |cusum| downstream. Per-batch day-count
+    partials are the only thing the scan emits (bounded by the day
+    range), the driver folds them, and the cumulative sum runs
+    left-to-right in day order — the SAME evaluation order as the
+    oracle's windowed SUM, so the float hash is stable. Mean and cumsum
+    touch only the bounded grid; nothing about this scales with events."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n_events": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    schema = {"day": "int64", "n_events": "int64", "cusum": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("day", kind="stable").reset_index(drop=True)
+    n = out.n_events.to_numpy(np.int64)
+    mu = n.sum() / len(n)
+    out["cusum"] = round_away(np.cumsum(n - mu), 6)
+    out["n_events"] = out.n_events.astype("int64")
+    return typed_out(out, schema, sort_by="day")
+
+
+EVENTS_RATE_CHANGEPOINT_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+m AS (SELECT AVG(n) AS mu FROM d)
+SELECT day, CAST(n AS BIGINT) AS n_events,
+       ROUND(SUM(n - mu) OVER (ORDER BY day), 6) AS cusum
+FROM d, m
+ORDER BY day
+"""

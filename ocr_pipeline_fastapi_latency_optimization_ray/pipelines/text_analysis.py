@@ -3099,3 +3099,80 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM dm GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_length_ks_by_lang: two-sample Kolmogorov-Smirnov between languages
+# ---------------------------------------------------------------------------
+
+def doc_length_ks_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between every pair of
+    languages' document-length distributions — the distribution-drift test
+    a corpus-balance audit runs (is French systematically longer than
+    English?). The KS sup over an EXACT ECDF needs only the per-(lang,
+    length) counts: partial histograms inside map_batches, one bounded
+    fold on the driver (rows <= langs x distinct lengths, capped by the
+    length domain, never the document count), then cumulative sums down a
+    dense [lang x pooled-grid] matrix and one vectorized pairwise max.
+    Integer counts cross the wire; the only floats are the final ECDF
+    divisions, evaluated in the same order as the oracle's windowed
+    running sums so the round(6) hash is stable."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.dropna(subset=["lang"]).groupby(
+            ["lang", "n_chars"], as_index=False).agg(n=("n_chars", "size"))
+        return g.rename(columns={"n_chars": "x"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "x"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"lang_a": "object", "lang_b": "object", "ks_stat": "float64"}
+    if counts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    langs = np.sort(counts.lang.unique())
+    grid = np.sort(counts.x.unique())
+    mat = np.zeros((len(langs), len(grid)), dtype=np.int64)
+    li = pd.Series(range(len(langs)), index=langs)
+    gi = pd.Series(range(len(grid)), index=grid)
+    mat[li.loc[counts.lang].to_numpy(), gi.loc[counts.x].to_numpy()] = (
+        counts.n.to_numpy(np.int64))
+    cum = np.cumsum(mat, axis=1).astype(np.float64)
+    ecdf = cum / cum[:, -1:]
+    rows = []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            rows.append((langs[i], langs[j],
+                         np.max(np.abs(ecdf[i] - ecdf[j]))))
+    out = pd.DataFrame(rows, columns=["lang_a", "lang_b", "ks_stat"])
+    out["ks_stat"] = round_away(out.ks_stat, 6)
+    return typed_out(out, schema, sort_by=["lang_a", "lang_b"])
+
+
+DOC_LENGTH_KS_SQL = """
+WITH counts AS (
+  SELECT lang, n_chars AS x, COUNT(*) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM counts),
+grid AS (SELECT DISTINCT x FROM counts),
+lg AS (SELECT l.lang, g.x FROM langs l CROSS JOIN grid g),
+cum AS (
+  SELECT lg.lang, lg.x,
+         CAST(SUM(COALESCE(c.n, 0))
+              OVER (PARTITION BY lg.lang ORDER BY lg.x) AS DOUBLE)
+           / SUM(COALESCE(c.n, 0)) OVER (PARTITION BY lg.lang) AS f
+  FROM lg LEFT JOIN counts c ON c.lang = lg.lang AND c.x = lg.x
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       ROUND(MAX(ABS(a.f - b.f)), 6) AS ks_stat
+FROM cum a JOIN cum b ON b.x = a.x AND a.lang < b.lang
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
