@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "orders_median_gap_per_customer":
+            relational.orders_median_gap_per_customer,
+        "part_type_size_chi2": relational.part_type_size_chi2,
         "doc_length_ks_by_lang": text_analysis.doc_length_ks_by_lang,
         "events_rate_changepoint": streaming.events_rate_changepoint,
         "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
@@ -254,8 +257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k_stats": streaming.events_props_k_stats,
         "embedding_dup_clusters": dedup.embedding_dup_clusters,
         "q4_late_shipment_priority": relational.q4_late_shipment_priority,
-        "q10_returned_items": relational.q10_returned_items,
-        "q15_top_supplier": relational.q15_top_supplier,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -264,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "q10_returned_items": relational.q10_returned_items,
+        "q15_top_supplier": relational.q15_top_supplier,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q19_discounted_revenue": relational.q19_discounted_revenue,
         "q22_idle_balance_by_nation": relational.q22_idle_balance_by_nation,
@@ -467,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_median_gap_per_customer": relational.ORDERS_MEDIAN_GAP_SQL,
+        "part_type_size_chi2": relational.PART_TYPE_SIZE_CHI2_SQL,
         "doc_length_ks_by_lang": text_analysis.DOC_LENGTH_KS_SQL,
         "events_rate_changepoint": streaming.EVENTS_RATE_CHANGEPOINT_SQL,
         "lineitem_metric_unpivot": relational.LINEITEM_UNPIVOT_SQL,

@@ -3701,3 +3701,165 @@ WITH a AS (
 UNPIVOT a ON sum_qty, sum_price, n_rows INTO NAME metric VALUE value
 ORDER BY returnflag, metric
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_median_gap_per_customer: exact per-group median at scale
+# ---------------------------------------------------------------------------
+
+def orders_median_gap_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Exact per-customer MEDIAN inter-order gap, histogrammed by week —
+    the exact-grouped-median operator (medians don't decompose into
+    partials the way sums do, so naive plans collect whole groups to the
+    driver). Here the groups co-locate through the customer-bucketed
+    exchange and every bucket computes ALL its customers' medians in one
+    vectorized pass: segment the (customer, day)-sorted frame, take
+    in-segment day diffs, lexsort the gaps once (segment-id major), and
+    read each median off the two middle offsets — no per-customer loop,
+    no group ever leaves its bucket. Buckets emit week-bucketed median
+    counts; the driver folds ``buckets x weeks`` integers.
+
+    percentile_cont(0.5) semantics: even gap counts average the middle
+    two (exact .5 halves floor cleanly through the /7 bucketing).
+    Single-order customers have no gap and drop out on both sides."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df.o_custkey.to_numpy(np.int64),
+            "day": (df.o_orderdate.astype("int64")
+                    // 86_400_000_000).astype("int64"),
+        })
+
+    def medians_hist(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"med_week": pd.Series([], dtype="int64"),
+                              "n_customers": pd.Series([], dtype="int64")})
+        g = g.sort_values(["o_custkey", "day"], kind="stable")
+        c = g.o_custkey.to_numpy(np.int64)
+        d = g.day.to_numpy(np.int64)
+        if len(g) < 2:
+            return empty
+        within = c[1:] == c[:-1]
+        gaps = (d[1:] - d[:-1])[within]
+        if len(gaps) == 0:
+            return empty
+        # segment id per gap = index of its customer's run
+        run_start = np.ones(len(c), dtype=bool)
+        run_start[1:] = ~within
+        seg_of_row = np.cumsum(run_start) - 1
+        seg = seg_of_row[1:][within]
+        order = np.lexsort((gaps, seg))
+        gs, ss = gaps[order], seg[order]
+        starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+        lens = np.diff(np.r_[starts, len(ss)])
+        lo = starts + (lens - 1) // 2
+        hi = starts + lens // 2
+        med = (gs[lo] + gs[hi]) / 2.0
+        wk = np.floor(med / 7).astype(np.int64)
+        u, n = np.unique(wk, return_counts=True)
+        return pd.DataFrame({"med_week": u.astype(np.int64),
+                             "n_customers": n.astype(np.int64)})
+
+    out = bucketed_combine(
+        ds.map_batches(rows, batch_format="pandas"),
+        "o_custkey", lambda df: df, medians_hist,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"med_week": "int64", "n_customers": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("med_week", as_index=False).agg(
+        n_customers=("n_customers", "sum"))
+    return typed_out(out, schema, sort_by="med_week")
+
+
+ORDERS_MEDIAN_GAP_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day', o_orderdate,
+                   LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey)
+                   ) AS gap
+  FROM orders
+),
+m AS (
+  SELECT o_custkey, percentile_cont(0.5) WITHIN GROUP (ORDER BY gap) AS med
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT CAST(FLOOR(med / 7) AS BIGINT) AS med_week, COUNT(*) AS n_customers
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_type_size_chi2: chi-square independence test over a crosstab
+# ---------------------------------------------------------------------------
+
+def part_type_size_chi2(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence statistic between part type and
+    size class (p_size mod 5) — the categorical hypothesis-test sibling
+    of the KS family: one scan emits (type, size-class) count partials,
+    the driver folds the category-bounded contingency matrix (including
+    never-observed cells, which still contribute their expectation) and
+    reduces it to (chi2, n_cells, dof). At 100 TB the only state is the
+    crosstab — categories x classes integers."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "part", columns=["p_type", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"p_type": df.p_type,
+                          "sz": (df.p_size.to_numpy(np.int64) % 5)})
+        return g.groupby(["p_type", "sz"], as_index=False).agg(
+            n=("sz", "size"))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["p_type", "sz"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"chi2": "float64", "n_cells": "int64", "dof": "int64"}
+    if counts.empty:
+        return typed_out(pd.DataFrame(
+            [{"chi2": np.nan, "n_cells": 0, "dof": 1}]), schema)
+    types = np.sort(counts.p_type.unique())
+    sizes = np.sort(counts.sz.unique())
+    mat = np.zeros((len(types), len(sizes)), dtype=np.float64)
+    ti = pd.Series(range(len(types)), index=types)
+    si = pd.Series(range(len(sizes)), index=sizes)
+    mat[ti.loc[counts.p_type].to_numpy(), si.loc[counts.sz].to_numpy()] = (
+        counts.n.to_numpy(np.float64))
+    rn = mat.sum(axis=1, keepdims=True)
+    cn = mat.sum(axis=0, keepdims=True)
+    e = rn * cn / mat.sum()
+    chi2 = float(((mat - e) ** 2 / e).sum())
+    out = pd.DataFrame([{
+        "chi2": round_away(np.float64(chi2), 6) + 0.0,
+        "n_cells": np.int64(mat.size),
+        "dof": np.int64(mat.size - len(types) - len(sizes) + 1),
+    }])
+    return typed_out(out, schema)
+
+
+PART_TYPE_SIZE_CHI2_SQL = """
+WITH o AS (
+  SELECT p_type, CAST(p_size % 5 AS BIGINT) AS sz,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM part GROUP BY 1, 2
+),
+r AS (SELECT p_type, SUM(n) AS rn FROM o GROUP BY 1),
+c AS (SELECT sz, SUM(n) AS cn FROM o GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM o),
+grid AS (
+  SELECT r.p_type, c.sz, r.rn * c.cn / tot.t AS e, COALESCE(o.n, 0) AS n
+  FROM r CROSS JOIN c CROSS JOIN tot
+  LEFT JOIN o ON o.p_type = r.p_type AND o.sz = c.sz
+)
+SELECT ROUND(SUM(POW(n - e, 2) / e), 6) AS chi2,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COUNT(*) - (SELECT COUNT(*) FROM r)
+            - (SELECT COUNT(*) FROM c) + 1 AS BIGINT) AS dof
+FROM grid
+"""
