@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "orders_benford_digit_audit": relational.orders_benford_digit_audit,
+        "events_overdispersion_by_type":
+            streaming.events_overdispersion_by_type,
         "orders_median_gap_per_customer":
             relational.orders_median_gap_per_customer,
         "part_type_size_chi2": relational.part_type_size_chi2,
@@ -255,8 +258,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.orders_ship_latency_histogram,
         "supplier_sole_late_orders": relational.supplier_sole_late_orders,
         "events_props_k_stats": streaming.events_props_k_stats,
-        "embedding_dup_clusters": dedup.embedding_dup_clusters,
-        "q4_late_shipment_priority": relational.q4_late_shipment_priority,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -265,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "embedding_dup_clusters": dedup.embedding_dup_clusters,
+        "q4_late_shipment_priority": relational.q4_late_shipment_priority,
         "q10_returned_items": relational.q10_returned_items,
         "q15_top_supplier": relational.q15_top_supplier,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
@@ -470,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_benford_digit_audit": relational.ORDERS_BENFORD_SQL,
+        "events_overdispersion_by_type":
+            streaming.EVENTS_OVERDISPERSION_SQL,
         "orders_median_gap_per_customer": relational.ORDERS_MEDIAN_GAP_SQL,
         "part_type_size_chi2": relational.PART_TYPE_SIZE_CHI2_SQL,
         "doc_length_ks_by_lang": text_analysis.DOC_LENGTH_KS_SQL,

@@ -3863,3 +3863,71 @@ SELECT ROUND(SUM(POW(n - e, 2) / e), 6) AS chi2,
             - (SELECT COUNT(*) FROM c) + 1 AS BIGINT) AS dof
 FROM grid
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_benford_digit_audit: Benford first-digit data-quality audit
+# ---------------------------------------------------------------------------
+
+def orders_benford_digit_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic fabricated-data / ingest-corruption screen. The digit is
+    taken from the INTEGER cents value (floor(x*100 + 0.5), then integer
+    division until < 10): floating log10 at an exact power of ten can
+    land on either side in different libms, integer division cannot, so
+    the Ray and SQL sides agree bit-for-bit. One scan emits 9-bin digit
+    partials; observed vs log10(1 + 1/d) expectation folds on the
+    driver. (This corpus' uniform-ish price range VIOLATES Benford —
+    large abs_dev on digits 1-4 — which is exactly what the audit is
+    for.)"""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.o_totalprice.to_numpy(np.float64)
+        cents = np.floor(x[x > 0] * 100 + 0.5).astype(np.int64)
+        while (cents >= 10).any():
+            big = cents >= 10
+            cents[big] //= 10
+        u, n = np.unique(cents, return_counts=True)
+        return pd.DataFrame({"digit": u.astype(np.int64),
+                             "n_orders": n.astype(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("digit")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    schema = {"digit": "int64", "n_orders": "int64",
+              "observed_freq": "float64", "benford_freq": "float64",
+              "abs_dev": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("digit", kind="stable").reset_index(drop=True)
+    tot = float(out.n_orders.sum())
+    obs = out.n_orders.to_numpy(np.float64) / tot
+    ben = np.log10(1.0 + 1.0 / out.digit.to_numpy(np.float64))
+    out["observed_freq"] = round_away(obs, 6)
+    out["benford_freq"] = round_away(ben, 6)
+    out["abs_dev"] = round_away(np.abs(obs - ben), 6)
+    out["n_orders"] = out.n_orders.astype("int64")
+    return typed_out(out, schema, sort_by="digit")
+
+
+ORDERS_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+h AS (SELECT digit, CAST(COUNT(*) AS DOUBLE) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS tot FROM h)
+SELECT digit, CAST(n AS BIGINT) AS n_orders,
+       ROUND(n / t.tot, 6) AS observed_freq,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq,
+       ROUND(ABS(n / t.tot - LOG10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM h, t
+ORDER BY digit
+"""

@@ -2927,3 +2927,73 @@ SELECT day, CAST(n AS BIGINT) AS n_events,
 FROM d, m
 ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# events_overdispersion_by_type: index-of-dispersion audit
+# ---------------------------------------------------------------------------
+
+def events_overdispersion_by_type(sf_dir: str) -> pd.DataFrame:
+    """Index of dispersion (variance-to-mean of per-user event counts)
+    per event type — the over/under-dispersion screen that separates
+    Poisson-like organic traffic (ratio ~1) from bursty bots (>>1) and
+    rate-limited clients (<<1). Per-(user, type) partial counts shrink
+    each batch to its distinct keys; the user-bucketed exchange makes
+    the per-user counts exact; each bucket then collapses to THREE
+    moment rows per type (k, sum, sum-of-squares), so the driver folds
+    ``types x buckets`` fixed-width rows and finishes with the
+    closed-form sample variance. Nothing driver-side scales with users."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum"))
+        n = g.n.to_numpy(np.float64)
+        g = g.assign(n=n, n2=n * n)
+        return g.groupby("event_type", as_index=False).agg(
+            k=("n", "size"), s1=("n", "sum"), s2=("n2", "sum"))
+
+    out = bucketed_combine(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "user_id", lambda df: df, moments,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"event_type": "object", "n_users": "int64",
+              "mean_n": "float64", "var_n": "float64",
+              "dispersion": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(["event_type", "k", "s1", "s2"],
+                          kind="stable")
+    f = out.groupby("event_type", as_index=False).agg(
+        k=("k", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    k = f.k.to_numpy(np.float64)
+    s1 = f.s1.to_numpy(np.float64)
+    s2 = f.s2.to_numpy(np.float64)
+    mean = s1 / k
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var = np.where(k > 1, (s2 - s1 * s1 / k) / (k - 1), np.nan)
+    res = pd.DataFrame({
+        "event_type": f.event_type,
+        "n_users": f.k.astype("int64"),
+        "mean_n": round_away(mean, 6),
+        "var_n": round_away(var, 6),
+        "dispersion": round_away(var / mean, 6),
+    })
+    return typed_out(res, schema, sort_by="event_type")
+
+
+EVENTS_OVERDISPERSION_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(n), 6) AS mean_n,
+       ROUND(VAR_SAMP(n), 6) AS var_n,
+       ROUND(VAR_SAMP(n) / AVG(n), 6) AS dispersion
+FROM c GROUP BY 1 ORDER BY 1
+"""

@@ -72,7 +72,8 @@ SQL_CHECKED = [
     "lineitem_cube_pricing", "orders_band_join_gaps", "events_weekly_churn",
     "doc_length_ks_by_lang", "events_rate_changepoint",
     "lineitem_metric_unpivot", "orders_median_gap_per_customer",
-    "part_type_size_chi2",
+    "part_type_size_chi2", "orders_benford_digit_audit",
+    "events_overdispersion_by_type",
     "q1_pricing_summary", "q3_top_orders", "orders_per_region",
     "events_tumbling_hourly", "events_top_users", "part_type_stats",
     "doc_token_stats", "doc_quality", "dedup_exact", "ann_cosine_topk",
