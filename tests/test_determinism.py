@@ -41,6 +41,15 @@ DETERMINISM_QUERIES = [
     "events_late_arrivals",
     "crawl_snapshot_diff",
     "embedding_dup_clusters",
+    # session-11 shapes: driver-folded ECDF matrix (KS), crosstab chi2,
+    # CUBE rollup of finest partials, CUSUM running sum, per-bucket
+    # moment folds (dispersion), grouped-median lexsort
+    "doc_length_ks_by_lang",
+    "part_type_size_chi2",
+    "lineitem_cube_pricing",
+    "events_rate_changepoint",
+    "events_overdispersion_by_type",
+    "orders_median_gap_per_customer",
 ]
 
 
