@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
+        "events_user_survival_curve": streaming.events_user_survival_curve,
         "orders_benford_digit_audit": relational.orders_benford_digit_audit,
         "events_overdispersion_by_type":
             streaming.events_overdispersion_by_type,
@@ -256,8 +258,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": relational.q8_market_share,
         "orders_ship_latency_histogram":
             relational.orders_ship_latency_histogram,
-        "supplier_sole_late_orders": relational.supplier_sole_late_orders,
-        "events_props_k_stats": streaming.events_props_k_stats,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "supplier_sole_late_orders": relational.supplier_sole_late_orders,
+        "events_props_k_stats": streaming.events_props_k_stats,
         "embedding_dup_clusters": dedup.embedding_dup_clusters,
         "q4_late_shipment_priority": relational.q4_late_shipment_priority,
         "q10_returned_items": relational.q10_returned_items,
@@ -473,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_length_anova_by_lang": text_analysis.DOC_LENGTH_ANOVA_SQL,
+        "events_user_survival_curve": streaming.EVENTS_USER_SURVIVAL_SQL,
         "orders_benford_digit_audit": relational.ORDERS_BENFORD_SQL,
         "events_overdispersion_by_type":
             streaming.EVENTS_OVERDISPERSION_SQL,

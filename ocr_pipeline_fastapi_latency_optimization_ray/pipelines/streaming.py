@@ -2997,3 +2997,76 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
        ROUND(VAR_SAMP(n) / AVG(n), 6) AS dispersion
 FROM c GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# events_user_survival_curve: purchase-lifespan survival function
+# ---------------------------------------------------------------------------
+
+def events_user_survival_curve(sf_dir: str) -> pd.DataFrame:
+    """Survival curve of user purchase lifespans — S(t) = share of
+    purchasing users whose first-to-last-purchase span reaches t days
+    (the retention/survival-analysis staple; any-event lifespans are
+    vacuous on this corpus because every user fires events all month,
+    purchases actually vary). Per-batch (user, min-day, max-day)
+    partials shrink each batch to its users; the user-bucketed exchange
+    makes the per-user extremes exact; each bucket emits a
+    lifetime-histogram bounded by the day range. The driver folds the
+    histograms and takes ONE reverse cumulative sum down the day grid —
+    integers until the final share."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"],
+                 event_types=["purchase"])
+
+    def extremes(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "lo": day, "hi": day})
+        return g.groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    def lifetime_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+        lt = (g.hi - g.lo).to_numpy(np.int64)
+        u, n = np.unique(lt, return_counts=True)
+        return pd.DataFrame({"lt": u.astype(np.int64),
+                             "n_users": n.astype(np.int64)})
+
+    out = bucketed_combine(
+        ds.map_batches(extremes, batch_format="pandas"),
+        "user_id", lambda df: df, lifetime_hist,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"t_days": "int64", "n_surviving": "int64",
+              "surv_frac": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("lt", as_index=False).agg(n_users=("n_users", "sum"))
+    max_lt = int(out["lt"].max())
+    counts = np.zeros(max_lt + 1, dtype=np.int64)
+    counts[out["lt"].to_numpy(np.int64)] = out.n_users.to_numpy(np.int64)
+    surviving = np.cumsum(counts[::-1])[::-1]
+    total = float(counts.sum())
+    res = pd.DataFrame({
+        "t_days": np.arange(max_lt + 1, dtype=np.int64),
+        "n_surviving": surviving.astype(np.int64),
+        "surv_frac": round_away(surviving / total, 6),
+    })
+    return typed_out(res, schema, sort_by="t_days")
+
+
+EVENTS_USER_SURVIVAL_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(FLOOR(EPOCH(MAX(ts)) / 86400)
+              - FLOOR(EPOCH(MIN(ts)) / 86400) AS BIGINT) AS lt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+g AS (SELECT UNNEST(generate_series(0, (SELECT MAX(lt) FROM u))) AS t)
+SELECT CAST(g.t AS BIGINT) AS t_days,
+       CAST(SUM(CASE WHEN u.lt >= g.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       ROUND(SUM(CASE WHEN u.lt >= g.t THEN 1 ELSE 0 END)
+             / CAST((SELECT COUNT(*) FROM u) AS DOUBLE), 6) AS surv_frac
+FROM g CROSS JOIN u
+GROUP BY 1 ORDER BY 1
+"""

@@ -3176,3 +3176,78 @@ FROM cum a JOIN cum b ON b.x = a.x AND a.lang < b.lang
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_length_anova_by_lang: one-way ANOVA F-statistic across languages
+# ---------------------------------------------------------------------------
+
+def doc_length_anova_by_lang(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F-statistic of document length across languages —
+    the mean-difference member of the hypothesis-test trio (KS compares
+    whole distributions, chi-square categorical independence, F group
+    means). ANOVA is fully moment-decomposable: each batch emits one
+    (lang, n, sum, sum-of-squares) row per language, the driver folds
+    the lang-bounded partials in sorted order (float-sum determinism)
+    and evaluates the closed forms — between/within mean squares never
+    see a document. Output is empty when the test is undefined
+    (fewer than 2 groups or no residual df), matching the oracle's
+    guard."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["lang"])
+        x = df.n_chars.to_numpy(np.float64)
+        g = df.assign(n=1, s1=x, s2=x * x)
+        return g.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"n_groups": "int64", "n_docs": "int64",
+              "ms_between": "float64", "ms_within": "float64",
+              "f_stat": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    m = parts.groupby("lang", as_index=False).agg(
+        n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    k = float(len(m))
+    n = float(m.n.sum())
+    if k <= 1 or n <= k:
+        return typed_out(pd.DataFrame(), schema)
+    s1 = m.s1.to_numpy(np.float64)
+    nn = m.n.to_numpy(np.float64)
+    sq = float((s1 * s1 / nn).sum())
+    s1t = float(s1.sum())
+    s2t = float(m.s2.sum())
+    ms_between = (sq - s1t * s1t / n) / (k - 1)
+    ms_within = (s2t - sq) / (n - k)
+    out = pd.DataFrame([{
+        "n_groups": np.int64(k), "n_docs": np.int64(n),
+        "ms_between": round_away(np.float64(ms_between), 6) + 0.0,
+        "ms_within": round_away(np.float64(ms_within), 6) + 0.0,
+        "f_stat": round_away(np.float64(ms_between / ms_within), 6) + 0.0,
+    }])
+    return typed_out(out, schema)
+
+
+DOC_LENGTH_ANOVA_SQL = """
+WITH m AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(n_chars AS DOUBLE)) AS s1,
+         SUM(CAST(n_chars AS DOUBLE) * n_chars) AS s2
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+t AS (
+  SELECT SUM(n) AS n, SUM(s1) AS s1, SUM(s1 * s1 / n) AS sq,
+         SUM(s2) AS s2, CAST(COUNT(*) AS DOUBLE) AS k
+  FROM m
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_docs,
+       ROUND((sq - s1 * s1 / n) / (k - 1), 6) AS ms_between,
+       ROUND((s2 - sq) / (n - k), 6) AS ms_within,
+       ROUND(((sq - s1 * s1 / n) / (k - 1)) / ((s2 - sq) / (n - k)), 6)
+         AS f_stat
+FROM t WHERE k > 1 AND n > k
+"""
