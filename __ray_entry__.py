@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "events_k_anonymity_audit": streaming.events_k_anonymity_audit,
+        "embedding_silhouette": similarity.embedding_silhouette,
         "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
         "events_user_survival_curve": streaming.events_user_survival_curve,
         "orders_benford_digit_audit": relational.orders_benford_digit_audit,
@@ -255,9 +257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_pr_curve":
             text_analysis.quality_classifier_pr_curve,
         "q7_volume_shipping": relational.q7_volume_shipping,
-        "q8_market_share": relational.q8_market_share,
-        "orders_ship_latency_histogram":
-            relational.orders_ship_latency_histogram,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -266,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "q8_market_share": relational.q8_market_share,
+        "orders_ship_latency_histogram":
+            relational.orders_ship_latency_histogram,
         "supplier_sole_late_orders": relational.supplier_sole_late_orders,
         "events_props_k_stats": streaming.events_props_k_stats,
         "embedding_dup_clusters": dedup.embedding_dup_clusters,
@@ -475,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_k_anonymity_audit": streaming.EVENTS_K_ANONYMITY_SQL,
+        "embedding_silhouette": similarity.EMBEDDING_SILHOUETTE_SQL,
         "doc_length_anova_by_lang": text_analysis.DOC_LENGTH_ANOVA_SQL,
         "events_user_survival_curve": streaming.EVENTS_USER_SURVIVAL_SQL,
         "orders_benford_digit_audit": relational.ORDERS_BENFORD_SQL,

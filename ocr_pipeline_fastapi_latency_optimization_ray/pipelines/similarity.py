@@ -1555,3 +1555,120 @@ SELECT CAST(a.label AS BIGINT) AS label_a,
 FROM centl a JOIN centl b ON a.label < b.label
 ORDER BY label_a, label_b
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_silhouette: simplified (centroid) silhouette per label
+# ---------------------------------------------------------------------------
+
+def embedding_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Simplified silhouette score per label (cosine distance to
+    centroids): a = distance to the OWN label's centroid, b = distance
+    to the NEAREST other centroid, s = (b - a) / max(a, b) — the
+    clustering-quality metric reported next to
+    ``embedding_label_separation``'s cohesion (separation says how
+    tight a class is; silhouette says whether it is tighter than its
+    nearest confuser). Same two bounded passes as the centroid
+    aggregation: (label x dim) sum/count partials, centroid matrix
+    broadcast by closure, then ONE batched (n x labels) cosine matrix
+    per batch and per-label (sum_s, n) partials folded in stable
+    order. Vectors never leave the workers."""
+    from ..functions.frames import typed_out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def cent_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"label": pd.Series(dtype=object),
+                                 "d": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out = []
+        for lab, idx in df.groupby("label").groups.items():
+            sub = mat[df.index.get_indexer(idx)]
+            out.append(pd.DataFrame({
+                "label": lab, "d": np.arange(mat.shape[1], dtype=np.int64),
+                "s": sub.sum(axis=0), "n": np.int64(len(sub))}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(cent_partial, batch_format="pandas").to_pandas()
+    schema = {"label": "object", "n": "int64", "mean_silhouette": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(["label", "d", "s", "n"], kind="stable")
+    cent = parts.groupby(["label", "d"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    labs = sorted(cent.label.unique())
+    cmat = np.stack([
+        (g.sort_values("d").s.to_numpy(np.float64)
+         / g.sort_values("d").n.to_numpy(np.float64))
+        for _, g in cent.groupby("label")
+    ])  # groupby iterates labels sorted -> row i is labs[i]
+    if len(labs) < 2:
+        # b (nearest OTHER centroid) is undefined; oracle yields NULL means
+        return typed_out(pd.DataFrame(), schema)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    li = {lab: i for i, lab in enumerate(labs)}
+
+    def sil_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"label": pd.Series(dtype=object),
+                                 "sum_s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vnorm = np.linalg.norm(mat, axis=1)
+        dst = 1.0 - (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+        own = np.array([li[v] for v in df["label"]], dtype=np.int64)
+        rows = np.arange(len(mat))
+        a = dst[rows, own]
+        masked = dst.copy()
+        masked[rows, own] = np.inf
+        b = masked.min(axis=1)
+        s = (b - a) / np.maximum(a, b)
+        out = pd.DataFrame({"label": df["label"].to_numpy(object), "s": s})
+        out = out.sort_values(["label", "s"], kind="stable")
+        return out.groupby("label", as_index=False).agg(
+            sum_s=("s", "sum"), n=("s", "size"))
+
+    sc = ds.map_batches(sil_partial, batch_format="pandas").to_pandas()
+    if sc.empty:
+        return typed_out(pd.DataFrame(), schema)
+    sc = sc.sort_values(["label", "sum_s", "n"], kind="stable")
+    agg = sc.groupby("label", as_index=False).agg(
+        sum_s=("sum_s", "sum"), n=("n", "sum"))
+    agg["mean_silhouette"] = round_away(
+        agg.sum_s.to_numpy(np.float64) / agg.n.to_numpy(np.float64), 6)
+    agg["n"] = agg.n.astype("int64")
+    return typed_out(agg[["label", "n", "mean_silhouette"]], schema,
+                     sort_by="label")
+
+
+EMBEDDING_SILHOUETTE_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), x AS (
+  SELECT label, UNNEST(emb) AS v,
+         UNNEST(range(1, len(emb) + 1)) AS d
+  FROM e
+), cent AS (
+  SELECT label, d, AVG(v) AS c FROM x GROUP BY label, d
+), centl AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM cent GROUP BY label
+), dist AS (
+  SELECT e.vec_id, e.label, c.label AS clabel,
+         1 - list_cosine_similarity(e.emb, c.cvec) AS dst
+  FROM e CROSS JOIN centl c
+), ab AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN clabel = label THEN dst END) AS a,
+         MIN(CASE WHEN clabel <> label THEN dst END) AS b
+  FROM dist GROUP BY 1, 2
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette
+FROM ab GROUP BY 1 ORDER BY 1
+"""

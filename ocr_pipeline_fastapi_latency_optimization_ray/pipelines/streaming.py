@@ -3070,3 +3070,70 @@ SELECT CAST(g.t AS BIGINT) AS t_days,
 FROM g CROSS JOIN u
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# events_k_anonymity_audit: quasi-identifier k-anonymity privacy screen
+# ---------------------------------------------------------------------------
+
+def events_k_anonymity_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-anonymity audit over the (event_type, hour-of-day, value-bucket)
+    quasi-identifier combination — the privacy screen a
+    training-data release runs next to `pii_scan`: any QI group with
+    fewer than k rows re-identifies its members. Per-batch combo-count
+    partials are bounded by the QI domain (types x 24 x value buckets),
+    the integer fold is exact in any order, and the driver reduces the
+    bounded group table to ONE audit row (groups, violating groups,
+    exposed rows). Scaling this to 100 TB changes nothing but the
+    partial count."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def combos(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": ((df["ts"].astype("int64") // 3_600_000_000) % 24
+                     ).astype("int64"),
+            "vbucket": np.floor(
+                df["value"].to_numpy(np.float64) / 100).astype(np.int64),
+        })
+        return g.groupby(["event_type", "hour", "vbucket"],
+                         as_index=False).agg(cnt=("hour", "size"))
+
+    out = (
+        ds.map_batches(combos, batch_format="pandas")
+        .groupby(["event_type", "hour", "vbucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    schema = {"n_groups": "int64", "n_violating_groups": "int64",
+              "n_exposed_rows": "int64", "n_rows": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    cnt = out.cnt.to_numpy(np.int64)
+    viol = cnt < k
+    res = pd.DataFrame([{
+        "n_groups": np.int64(len(cnt)),
+        "n_violating_groups": np.int64(viol.sum()),
+        "n_exposed_rows": np.int64(cnt[viol].sum()),
+        "n_rows": np.int64(cnt.sum()),
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_K_ANONYMITY_SQL = """
+WITH q AS (
+  SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+         CAST(FLOOR(value / 100) AS BIGINT) AS vbucket
+  FROM events
+),
+g AS (SELECT event_type, hour, vbucket, COUNT(*) AS cnt FROM q GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (cnt < 5) AS BIGINT) AS n_violating_groups,
+       CAST(COALESCE(SUM(cnt) FILTER (cnt < 5), 0) AS BIGINT)
+         AS n_exposed_rows,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM g
+HAVING COUNT(*) > 0
+"""
