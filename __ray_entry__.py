@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "doc_length_mannwhitney_by_lang":
+            text_analysis.doc_length_mannwhitney_by_lang,
+        "events_value_tail_index": streaming.events_value_tail_index,
         "events_k_anonymity_audit": streaming.events_k_anonymity_audit,
         "embedding_silhouette": similarity.embedding_silhouette,
         "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
@@ -254,9 +257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streaming.events_sliding_distinct_users,
         "events_late_arrivals": streaming.events_late_arrivals,
         "crawl_snapshot_diff": extract_checks.crawl_snapshot_diff,
-        "quality_classifier_pr_curve":
-            text_analysis.quality_classifier_pr_curve,
-        "q7_volume_shipping": relational.q7_volume_shipping,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "quality_classifier_pr_curve":
+            text_analysis.quality_classifier_pr_curve,
+        "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "orders_ship_latency_histogram":
             relational.orders_ship_latency_histogram,
@@ -477,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_length_mannwhitney_by_lang":
+            text_analysis.DOC_LENGTH_MANNWHITNEY_SQL,
+        "events_value_tail_index": streaming.EVENTS_VALUE_TAIL_SQL,
         "events_k_anonymity_audit": streaming.EVENTS_K_ANONYMITY_SQL,
         "embedding_silhouette": similarity.EMBEDDING_SILHOUETTE_SQL,
         "doc_length_anova_by_lang": text_analysis.DOC_LENGTH_ANOVA_SQL,

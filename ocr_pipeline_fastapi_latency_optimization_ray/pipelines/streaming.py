@@ -3137,3 +3137,59 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
 FROM g
 HAVING COUNT(*) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# events_value_tail_index: Hill estimator over the global top-k
+# ---------------------------------------------------------------------------
+
+def events_value_tail_index(sf_dir: str, k: int = 500) -> pd.DataFrame:
+    """Hill tail-index estimate over the top-k event values — the
+    heavy-tail screen (alpha < 2: unbounded variance, revenue
+    concentrated in freak events; this corpus' uniform-ish values give
+    alpha ~3.8, i.e. a thin tail, which is the finding). The global
+    top-k uses the standard two-level prune: each batch keeps its local
+    (value DESC, event_id ASC) top-k, the driver merge-sorts blocks x k
+    candidate rows and takes the exact k — the event_id tiebreak makes
+    the selected MULTISET identical to the oracle's LIMIT under ties.
+    At open scale the same prune nests once more per bucket before the
+    driver; k is a constant."""
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"] > 0]
+        df = pd.DataFrame({"value": df["value"].to_numpy(np.float64),
+                           "event_id": df["event_id"].to_numpy(np.int64)})
+        df = df.sort_values(["value", "event_id"],
+                            ascending=[False, True], kind="stable")
+        return df.head(k)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    schema = {"k_used": "int64", "x_k": "float64", "hill_alpha": "float64"}
+    if cand.empty:
+        return typed_out(pd.DataFrame(), schema)
+    cand = cand.sort_values(["value", "event_id"],
+                            ascending=[False, True], kind="stable").head(k)
+    x = cand.value.to_numpy(np.float64)
+    xk = float(x.min())
+    logs = np.sort(np.log(x / xk))
+    out = pd.DataFrame([{
+        "k_used": np.int64(len(x)),
+        "x_k": round_away(np.float64(xk), 6) + 0.0,
+        "hill_alpha": round_away(np.float64(len(x) / logs.sum()), 6) + 0.0,
+    }])
+    return typed_out(out, schema)
+
+
+EVENTS_VALUE_TAIL_SQL = """
+WITH t AS (
+  SELECT value FROM events WHERE value > 0
+  ORDER BY value DESC, event_id LIMIT 500
+),
+m AS (SELECT MIN(value) AS xk FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+       ROUND(MIN(m.xk), 6) AS x_k,
+       ROUND(COUNT(*) / SUM(LN(value / m.xk)), 6) AS hill_alpha
+FROM t, m
+HAVING COUNT(*) > 0
+"""

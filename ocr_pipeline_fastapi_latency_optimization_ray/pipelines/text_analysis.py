@@ -3251,3 +3251,83 @@ SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_docs,
          AS f_stat
 FROM t WHERE k > 1 AND n > k
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_length_mannwhitney_by_lang: rank-sum (Mann-Whitney U) test per pair
+# ---------------------------------------------------------------------------
+
+def doc_length_mannwhitney_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U (rank-sum) statistic and rank-biserial effect size
+    between every language pair's length distributions — the RANK-based
+    member of the test family (KS takes the ECDF sup, U counts
+    discordant pairs, so U sees stochastic dominance KS understates).
+    U decomposes over the same (lang, length) count matrix as the KS
+    fold: U_ab = sum_x n_a(x) * (count_b(<x) + n_b(x)/2) — ties get the
+    half — evaluated as one vectorized pass down the pooled grid per
+    pair. Counts are integers until the effect-size division; U itself
+    is exact in halves (rounded to 1dp to pin the dtype)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.dropna(subset=["lang"]).groupby(
+            ["lang", "n_chars"], as_index=False).agg(n=("n_chars", "size"))
+        return g.rename(columns={"n_chars": "x"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "x"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"lang_a": "object", "lang_b": "object",
+              "u_stat": "float64", "rank_biserial": "float64"}
+    if counts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    langs = np.sort(counts.lang.unique())
+    grid = np.sort(counts.x.unique())
+    mat = np.zeros((len(langs), len(grid)), dtype=np.float64)
+    li = pd.Series(range(len(langs)), index=langs)
+    gi = pd.Series(range(len(grid)), index=grid)
+    mat[li.loc[counts.lang].to_numpy(), gi.loc[counts.x].to_numpy()] = (
+        counts.n.to_numpy(np.float64))
+    below = np.cumsum(mat, axis=1) - mat
+    tot = mat.sum(axis=1)
+    rows = []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            u = float((mat[i] * (below[j] + 0.5 * mat[j])).sum())
+            r = 1.0 - 2.0 * u / (tot[i] * tot[j])
+            rows.append((langs[i], langs[j], u, r))
+    out = pd.DataFrame(rows, columns=["lang_a", "lang_b", "u_stat",
+                                      "rank_biserial"])
+    out["u_stat"] = round_away(out.u_stat, 1)
+    out["rank_biserial"] = round_away(out.rank_biserial, 6)
+    return typed_out(out, schema, sort_by=["lang_a", "lang_b"])
+
+
+DOC_LENGTH_MANNWHITNEY_SQL = """
+WITH counts AS (
+  SELECT lang, n_chars AS x, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM counts),
+grid AS (SELECT DISTINCT x FROM counts),
+lg AS (SELECT l.lang, g.x FROM langs l CROSS JOIN grid g),
+cum AS (
+  SELECT lg.lang, lg.x, COALESCE(c.n, 0) AS n,
+         SUM(COALESCE(c.n, 0)) OVER (PARTITION BY lg.lang ORDER BY lg.x)
+           - COALESCE(c.n, 0) AS below
+  FROM lg LEFT JOIN counts c ON c.lang = lg.lang AND c.x = lg.x
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       ROUND(SUM(a.n * (b.below + 0.5 * b.n)), 1) AS u_stat,
+       ROUND(1 - 2 * SUM(a.n * (b.below + 0.5 * b.n))
+                 / (SUM(a.n) * SUM(b.n)), 6) AS rank_biserial
+FROM cum a JOIN cum b ON b.x = a.x AND a.lang < b.lang
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
