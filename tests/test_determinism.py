@@ -50,6 +50,15 @@ DETERMINISM_QUERIES = [
     "events_rate_changepoint",
     "events_overdispersion_by_type",
     "orders_median_gap_per_customer",
+    # session-11 later blocks: ANOVA moment fold, centroid-matrix
+    # silhouette, count-matrix U statistic, top-k Hill fold, survival
+    # shares, Benford frequencies
+    "doc_length_anova_by_lang",
+    "embedding_silhouette",
+    "doc_length_mannwhitney_by_lang",
+    "events_value_tail_index",
+    "events_user_survival_curve",
+    "orders_benford_digit_audit",
 ]
 
 
