@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "quality_classifier_calibration":
+            text_analysis.quality_classifier_calibration,
+        "orders_daily_runs_test": relational.orders_daily_runs_test,
         "doc_length_mannwhitney_by_lang":
             text_analysis.doc_length_mannwhitney_by_lang,
         "events_value_tail_index": streaming.events_value_tail_index,
@@ -255,8 +258,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": relational.q9_product_profit,
         "events_sliding_distinct_users":
             streaming.events_sliding_distinct_users,
-        "events_late_arrivals": streaming.events_late_arrivals,
-        "crawl_snapshot_diff": extract_checks.crawl_snapshot_diff,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -265,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_late_arrivals": streaming.events_late_arrivals,
+        "crawl_snapshot_diff": extract_checks.crawl_snapshot_diff,
         "quality_classifier_pr_curve":
             text_analysis.quality_classifier_pr_curve,
         "q7_volume_shipping": relational.q7_volume_shipping,
@@ -480,6 +483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_classifier_calibration":
+            text_analysis.QUALITY_CLASSIFIER_CALIBRATION_SQL,
+        "orders_daily_runs_test": relational.ORDERS_RUNS_TEST_SQL,
         "doc_length_mannwhitney_by_lang":
             text_analysis.DOC_LENGTH_MANNWHITNEY_SQL,
         "events_value_tail_index": streaming.EVENTS_VALUE_TAIL_SQL,

@@ -3931,3 +3931,92 @@ SELECT digit, CAST(n AS BIGINT) AS n_orders,
 FROM h, t
 ORDER BY digit
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_daily_runs_test: Wald-Wolfowitz runs test on the daily series
+# ---------------------------------------------------------------------------
+
+def orders_daily_runs_test(sf_dir: str) -> pd.DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily order-count
+    series — the sequential-independence audit (a generator that
+    ping-pongs around its median, or drifts in long streaks, fails it;
+    CUSUM sees level shifts, runs sees serial dependence). Day counts
+    fold to the date-range-bounded grid; the series dichotomizes
+    against its median (ties dropped, per the classic test), runs are
+    ONE shifted-compare, and the z-score is closed-form from three
+    integers. Nothing scales with orders."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_used": "int64", "n_above": "int64", "n_below": "int64",
+              "runs": "int64", "expected_runs": "float64",
+              "z_score": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("day", kind="stable")
+    n = out.n.to_numpy(np.float64)
+    med = float(np.percentile(n, 50, method="linear"))
+    keep = n != med
+    above = n[keep] > med
+    if len(above) == 0:
+        return typed_out(pd.DataFrame(), schema)
+    runs = int(1 + np.count_nonzero(above[1:] != above[:-1]))
+    n1 = float(above.sum())
+    n2 = float(len(above) - n1)
+    nn = n1 + n2
+    exp_runs = 1.0 + 2.0 * n1 * n2 / nn
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)) / (nn * nn * (nn - 1.0))
+    z = (runs - exp_runs) / np.sqrt(var) if var > 0 else np.nan
+    res = pd.DataFrame([{
+        "n_used": np.int64(nn), "n_above": np.int64(n1),
+        "n_below": np.int64(n2), "runs": np.int64(runs),
+        "expected_runs": round_away(np.float64(exp_runs), 6) + 0.0,
+        "z_score": round_away(np.float64(z), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_RUNS_TEST_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1
+),
+m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS med FROM d),
+s AS (SELECT day, (n > m.med) AS above FROM d, m WHERE n <> m.med),
+r AS (
+  SELECT above,
+         CASE WHEN LAG(above) OVER (ORDER BY day) IS DISTINCT FROM above
+              THEN 1 ELSE 0 END AS newrun
+  FROM s
+),
+c AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+         CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS DOUBLE) AS n2,
+         CAST(SUM(newrun) AS DOUBLE) AS runs
+  FROM r HAVING COUNT(*) > 0
+)
+SELECT CAST(nn AS BIGINT) AS n_used, CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS runs,
+       ROUND(1.0 + 2.0 * n1 * n2 / nn, 6) AS expected_runs,
+       ROUND((runs - (1.0 + 2.0 * n1 * n2 / nn))
+             / SQRT((2.0 * n1 * n2 * (2.0 * n1 * n2 - nn))
+                    / (nn * nn * (nn - 1.0))), 6) AS z_score
+FROM c
+"""

@@ -3331,3 +3331,87 @@ FROM cum a JOIN cum b ON b.x = a.x AND a.lang < b.lang
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_calibration: reliability diagram of the quality score
+# ---------------------------------------------------------------------------
+
+def quality_classifier_calibration(sf_dir: str) -> pd.DataFrame:
+    """Calibration (reliability-diagram) bins for the quality
+    classifier — the companion report to the PR curve: per predicted-
+    score decile, how often the reference label is actually positive
+    (a well-calibrated filter has pos_rate tracking mean_score; this
+    one over-predicts the low bins, which is what the report is for).
+    Same actor-pool scoring as ``quality_classifier_pr_curve`` (weights
+    once per actor, the SAME rounded sigmoid the oracle reproduces);
+    each batch reduces to <= 10 (bin, n, n_pos, sum_score) partials,
+    folded in stable order on the driver."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class _CalibPartial(QualityClassifier):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            scored = super().__call__(df)
+            score = scored.quality_score.to_numpy(np.float64)
+            truth = (scored.doc_id.to_numpy(np.int64) % 10 < 7)
+            b = np.minimum(np.floor(score * 10), 9).astype(np.int64)
+            g = pd.DataFrame({"bin": b, "pos": truth.astype(np.int64),
+                              "score": score})
+            g = g.sort_values(["bin", "score"], kind="stable")
+            return g.groupby("bin", as_index=False).agg(
+                n_docs=("pos", "size"), n_pos=("pos", "sum"),
+                sum_score=("score", "sum"))
+
+    out = ds.map_batches(_CalibPartial, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    schema = {"bin": "int64", "n_docs": "int64", "n_pos": "int64",
+              "pos_rate": "float64", "mean_score": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values(list(out.columns), kind="stable")
+    agg = out.groupby("bin", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_pos=("n_pos", "sum"),
+        sum_score=("sum_score", "sum"))
+    agg["pos_rate"] = round_away(
+        agg.n_pos.to_numpy(np.float64) / agg.n_docs.to_numpy(np.float64), 6)
+    agg["mean_score"] = round_away(
+        agg.sum_score.to_numpy(np.float64)
+        / agg.n_docs.to_numpy(np.float64), 6)
+    agg = agg.drop(columns=["sum_score"])
+    agg["n_docs"] = agg.n_docs.astype("int64")
+    agg["n_pos"] = agg.n_pos.astype("int64")
+    return typed_out(agg, schema, sort_by="bin")
+
+
+QUALITY_CLASSIFIER_CALIBRATION_SQL = """
+WITH t AS (
+  SELECT doc_id, COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, w -> w IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+             AS DOUBLE) AS n_stop,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM t
+), s AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.45 * ln(n_tok + 1.0)
+               + 6.0 * (n_stop / n_tok)
+               + 1.5 * (n_alpha / (n_chars + 1.0))
+               + 0.05 * (n_chars / n_tok)))), 6) AS score,
+         (doc_id % 10 < 7) AS truth
+  FROM f
+)
+SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       ROUND(SUM(CASE WHEN truth THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS pos_rate,
+       ROUND(AVG(score), 6) AS mean_score
+FROM s GROUP BY bin ORDER BY bin
+"""

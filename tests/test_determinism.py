@@ -59,6 +59,8 @@ DETERMINISM_QUERIES = [
     "events_value_tail_index",
     "events_user_survival_curve",
     "orders_benford_digit_audit",
+    "quality_classifier_calibration",
+    "orders_daily_runs_test",
 ]
 
 

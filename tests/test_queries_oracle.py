@@ -76,7 +76,8 @@ SQL_CHECKED = [
     "events_overdispersion_by_type", "doc_length_anova_by_lang",
     "events_user_survival_curve", "events_k_anonymity_audit",
     "embedding_silhouette", "doc_length_mannwhitney_by_lang",
-    "events_value_tail_index",
+    "events_value_tail_index", "quality_classifier_calibration",
+    "orders_daily_runs_test",
     "q1_pricing_summary", "q3_top_orders", "orders_per_region",
     "events_tumbling_hourly", "events_top_users", "part_type_stats",
     "doc_token_stats", "doc_quality", "dedup_exact", "ann_cosine_topk",
