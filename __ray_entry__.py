@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "orders_priority_late_share_ci":
+            relational.orders_priority_late_share_ci,
+        "events_hourly_uniformity_chi2":
+            streaming.events_hourly_uniformity_chi2,
         "quality_classifier_calibration":
             text_analysis.quality_classifier_calibration,
         "orders_daily_runs_test": relational.orders_daily_runs_test,
@@ -255,9 +259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_separation":
             similarity.embedding_label_separation,
         "extract_spans_roundtrip": extract_checks.extract_spans_roundtrip,
-        "q9_product_profit": relational.q9_product_profit,
-        "events_sliding_distinct_users":
-            streaming.events_sliding_distinct_users,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -266,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "q9_product_profit": relational.q9_product_profit,
+        "events_sliding_distinct_users":
+            streaming.events_sliding_distinct_users,
         "events_late_arrivals": streaming.events_late_arrivals,
         "crawl_snapshot_diff": extract_checks.crawl_snapshot_diff,
         "quality_classifier_pr_curve":
@@ -483,6 +487,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_priority_late_share_ci":
+            relational.ORDERS_PRIORITY_LATE_CI_SQL,
+        "events_hourly_uniformity_chi2":
+            streaming.EVENTS_HOURLY_UNIFORMITY_SQL,
         "quality_classifier_calibration":
             text_analysis.QUALITY_CLASSIFIER_CALIBRATION_SQL,
         "orders_daily_runs_test": relational.ORDERS_RUNS_TEST_SQL,

@@ -4020,3 +4020,82 @@ SELECT CAST(nn AS BIGINT) AS n_used, CAST(n1 AS BIGINT) AS n_above,
                     / (nn * nn * (nn - 1.0))), 6) AS z_score
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_priority_late_share_ci: Wilson interval per group proportion
+# ---------------------------------------------------------------------------
+
+def orders_priority_late_share_ci(sf_dir: str) -> pd.DataFrame:
+    """Share of still-unfinished ('F') orders per priority WITH a Wilson
+    95% confidence interval — proportions reported at 100 TB need the
+    uncertainty attached (a 0.33 on 3k orders and a 0.33 on 3 orders are
+    different findings; Wilson stays inside [0,1] where the normal
+    interval leaks). One scan folds (priority, n, k) integer partials —
+    priority-bounded — and the driver evaluates the closed form with the
+    same literal z and the same expression shape as the oracle, so the
+    IEEE results agree bitwise before rounding."""
+    from ray.data.aggregate import Sum
+
+    Z = 1.9599639845400545  # two-sided 95%
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "priority": df.o_orderpriority,
+            "one": np.ones(len(df), np.int64),
+            "f": (df.o_orderstatus == "F").to_numpy().astype(np.int64),
+        })
+        return g.groupby("priority", as_index=False).agg(
+            n=("one", "sum"), k=("f", "sum"))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("priority")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    schema = {"priority": "object", "n_orders": "int64", "n_f": "int64",
+              "p_hat": "float64", "wilson_lo": "float64",
+              "wilson_hi": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    n = out.n.to_numpy(np.float64)
+    k = out.k.to_numpy(np.float64)
+    p = k / n
+    half = Z * np.sqrt((k / n) * (1 - k / n) / n + Z * Z / (4 * n * n))
+    denom = 1 + Z * Z / n
+    res = pd.DataFrame({
+        "priority": out.priority,
+        "n_orders": out.n.astype("int64"),
+        "n_f": out.k.astype("int64"),
+        "p_hat": round_away(p, 6),
+        "wilson_lo": round_away((k / n + Z * Z / (2 * n) - half) / denom, 6),
+        "wilson_hi": round_away((k / n + Z * Z / (2 * n) + half) / denom, 6),
+    })
+    return typed_out(res, schema, sort_by="priority")
+
+
+ORDERS_PRIORITY_LATE_CI_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS k
+  FROM orders GROUP BY 1
+)
+SELECT priority, CAST(n AS BIGINT) AS n_orders, CAST(k AS BIGINT) AS n_f,
+       ROUND(k / n, 6) AS p_hat,
+       ROUND((k / n + 1.9599639845400545 * 1.9599639845400545 / (2 * n)
+              - 1.9599639845400545 * SQRT((k / n) * (1 - k / n) / n
+                + 1.9599639845400545 * 1.9599639845400545 / (4 * n * n)))
+             / (1 + 1.9599639845400545 * 1.9599639845400545 / n), 6)
+         AS wilson_lo,
+       ROUND((k / n + 1.9599639845400545 * 1.9599639845400545 / (2 * n)
+              + 1.9599639845400545 * SQRT((k / n) * (1 - k / n) / n
+                + 1.9599639845400545 * 1.9599639845400545 / (4 * n * n)))
+             / (1 + 1.9599639845400545 * 1.9599639845400545 / n), 6)
+         AS wilson_hi
+FROM g ORDER BY priority
+"""

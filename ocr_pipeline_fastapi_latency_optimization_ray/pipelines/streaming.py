@@ -3193,3 +3193,63 @@ SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
 FROM t, m
 HAVING COUNT(*) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_uniformity_chi2: chi-square GOODNESS-OF-FIT vs uniform
+# ---------------------------------------------------------------------------
+
+def events_hourly_uniformity_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square goodness-of-fit of the hour-of-day traffic profile
+    against the uniform expectation — the GOF member of the chi-square
+    family (``part_type_size_chi2`` tests independence; this tests a
+    known distribution). 24-bin integer partials, one row out. The sum
+    runs over OBSERVED hours with e = total/24, same as the oracle (at
+    any real scale all 24 hours are occupied; a missing hour at toy
+    scale contributes to neither side)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = ((df["ts"].astype("int64") // 3_600_000_000) % 24
+             ).astype("int64")
+        c = pd.Series(h).value_counts()
+        return pd.DataFrame({"hour": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_bins": "int64", "n_events": "int64", "chi2": "float64",
+              "dof": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("hour", kind="stable")
+    n = out.n.to_numpy(np.float64)
+    tot = n.sum()
+    e = tot / 24
+    chi2 = float(((n - e) ** 2 / e).sum())
+    res = pd.DataFrame([{
+        "n_bins": np.int64(len(n)), "n_events": np.int64(tot),
+        "chi2": round_away(np.float64(chi2), 6) + 0.0,
+        "dof": np.int64(23),
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_HOURLY_UNIFORMITY_SQL = """
+WITH h AS (
+  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT SUM(n) AS tot, CAST(COUNT(*) AS DOUBLE) AS bins FROM h)
+SELECT CAST(t.bins AS BIGINT) AS n_bins, CAST(t.tot AS BIGINT) AS n_events,
+       ROUND(SUM(POW(h.n - t.tot / 24, 2) / (t.tot / 24)), 6) AS chi2,
+       CAST(23 AS BIGINT) AS dof
+FROM h, t GROUP BY t.bins, t.tot
+"""

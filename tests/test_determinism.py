@@ -61,6 +61,8 @@ DETERMINISM_QUERIES = [
     "orders_benford_digit_audit",
     "quality_classifier_calibration",
     "orders_daily_runs_test",
+    "orders_priority_late_share_ci",
+    "events_hourly_uniformity_chi2",
 ]
 
 

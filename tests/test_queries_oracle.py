@@ -77,7 +77,8 @@ SQL_CHECKED = [
     "events_user_survival_curve", "events_k_anonymity_audit",
     "embedding_silhouette", "doc_length_mannwhitney_by_lang",
     "events_value_tail_index", "quality_classifier_calibration",
-    "orders_daily_runs_test",
+    "orders_daily_runs_test", "orders_priority_late_share_ci",
+    "events_hourly_uniformity_chi2",
     "q1_pricing_summary", "q3_top_orders", "orders_per_region",
     "events_tumbling_hourly", "events_top_users", "part_type_stats",
     "doc_token_stats", "doc_quality", "dedup_exact", "ann_cosine_topk",
