@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "source_lang_js_divergence": curation.source_lang_js_divergence,
+        "orders_monthly_mann_kendall":
+            relational.orders_monthly_mann_kendall,
         "orders_priority_late_share_ci":
             relational.orders_priority_late_share_ci,
         "events_hourly_uniformity_chi2":
@@ -256,9 +259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_burst_detection":
             streaming.events_user_burst_detection,
         "corpus_split_leakage": curation.corpus_split_leakage,
-        "embedding_label_separation":
-            similarity.embedding_label_separation,
-        "extract_spans_roundtrip": extract_checks.extract_spans_roundtrip,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "embedding_label_separation":
+            similarity.embedding_label_separation,
+        "extract_spans_roundtrip": extract_checks.extract_spans_roundtrip,
         "q9_product_profit": relational.q9_product_profit,
         "events_sliding_distinct_users":
             streaming.events_sliding_distinct_users,
@@ -487,6 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "source_lang_js_divergence": curation.SOURCE_LANG_JS_SQL,
+        "orders_monthly_mann_kendall": relational.ORDERS_MANN_KENDALL_SQL,
         "orders_priority_late_share_ci":
             relational.ORDERS_PRIORITY_LATE_CI_SQL,
         "events_hourly_uniformity_chi2":

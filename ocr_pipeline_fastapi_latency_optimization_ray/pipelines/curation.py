@@ -2347,3 +2347,77 @@ WHERE cluster_size >= 2
 GROUP BY cluster_size
 ORDER BY cluster_size
 """
+
+
+# ---------------------------------------------------------------------------
+# source_lang_js_divergence: Jensen-Shannon skew of each source's mix
+# ---------------------------------------------------------------------------
+
+def source_lang_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between each source's language mix and
+    the corpus-wide mix — the composition-skew score a corpus-mixing
+    plan reads before reweighting (a crawl source whose mix diverges
+    from target gets down/up-weighted; JS is symmetric and bounded
+    unlike raw KL). One scan folds the (source x lang) contingency
+    counts — both dimensions schema-bounded — and the driver evaluates
+    the dense-grid divergence with the 0-count conventions evaluated
+    exactly as the oracle writes them (p=0 cells contribute only the
+    q-side term and vice versa)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.dropna(subset=["lang"]).groupby(
+            ["source", "lang"], as_index=False).agg(n=("lang", "size"))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"source": "object", "js_divergence": "float64"}
+    if counts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    srcs = np.sort(counts.source.unique())
+    langs = np.sort(counts.lang.unique())
+    mat = np.zeros((len(srcs), len(langs)), dtype=np.float64)
+    si = pd.Series(range(len(srcs)), index=srcs)
+    li = pd.Series(range(len(langs)), index=langs)
+    mat[si.loc[counts.source].to_numpy(), li.loc[counts.lang].to_numpy()] = (
+        counts.n.to_numpy(np.float64))
+    p = mat / mat.sum(axis=1, keepdims=True)
+    q = (mat.sum(axis=0) / mat.sum())[None, :]
+    m = (p + q) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_p = np.where(p > 0, 0.5 * p * np.log(p / m), 0.0)
+        t_q = np.where(q > 0, 0.5 * q * np.log(q / m), 0.0)
+    js = (t_p + t_q).sum(axis=1)
+    out = pd.DataFrame({"source": srcs, "js_divergence": round_away(js, 6)})
+    return typed_out(out, schema, sort_by="source")
+
+
+SOURCE_LANG_JS_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+srcs AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+gl AS (SELECT lang, SUM(n) AS ng FROM c GROUP BY 1),
+tot AS (SELECT SUM(n) AS g FROM c),
+grid AS (
+  SELECT s.source,
+         COALESCE(c.n, 0) / s.ns AS p,
+         l.ng / t.g AS q
+  FROM srcs s CROSS JOIN gl l CROSS JOIN tot t
+  LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+)
+SELECT source,
+       ROUND(SUM(CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2))
+                      ELSE 0 END
+               + CASE WHEN q > 0 THEN 0.5 * q * LN(q / ((p + q) / 2))
+                      ELSE 0 END), 6) AS js_divergence
+FROM grid GROUP BY 1 ORDER BY 1
+"""

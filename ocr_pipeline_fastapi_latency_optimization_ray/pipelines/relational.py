@@ -4099,3 +4099,92 @@ SELECT priority, CAST(n AS BIGINT) AS n_orders, CAST(k AS BIGINT) AS n_f,
          AS wilson_hi
 FROM g ORDER BY priority
 """
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_mann_kendall: nonparametric trend test on the series
+# ---------------------------------------------------------------------------
+
+def orders_monthly_mann_kendall(sf_dir: str) -> pd.DataFrame:
+    """Mann-Kendall trend test over the monthly order-count series —
+    the NONPARAMETRIC trend detector (the runs test sees streaks, CUSUM
+    sees level shifts; Mann-Kendall asks 'is the series monotonically
+    drifting' without assuming a linear model). Month-count partials
+    fold to the date-range-bounded grid; S = sum of pairwise
+    sign(n_j - n_i) over the ~k^2/2 grid pairs is ONE vectorized
+    sign-matrix sum on the driver (k = months, never rows), with the
+    standard tie-corrected variance and continuity-corrected z."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df.o_orderdate
+        m = (ts.dt.year * 12 + ts.dt.month - 1).astype("int64")
+        c = m.value_counts()
+        return pd.DataFrame({"m": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("m")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_periods": "int64", "s_stat": "int64", "var_s": "float64",
+              "z_score": "float64"}
+    if out.empty or len(out) < 2:
+        # < 2 periods: no pairs, the test is undefined (oracle guard)
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("m", kind="stable")
+    n = out.n.to_numpy(np.float64)
+    k = len(n)
+    s = float(np.sign(n[None, :] - n[:, None])[np.triu_indices(k, 1)].sum())
+    _, tcnt = np.unique(n, return_counts=True)
+    t = tcnt[tcnt > 1].astype(np.float64)
+    var_s = (k * (k - 1) * (2 * k + 5) - (t * (t - 1) * (2 * t + 5)).sum()
+             ) / 18.0
+    if s > 0:
+        z = (s - 1) / np.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var_s)
+    else:
+        z = 0.0
+    res = pd.DataFrame([{
+        "n_periods": np.int64(k), "s_stat": np.int64(s),
+        "var_s": round_away(np.float64(var_s), 6) + 0.0,
+        "z_score": round_away(np.float64(z), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(SIGN(b.n - a.n)) AS DOUBLE) AS s_stat
+  FROM d a JOIN d b ON b.m > a.m
+),
+c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM d),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt
+  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t
+        FROM d GROUP BY n HAVING COUNT(*) > 1)
+),
+v AS (
+  SELECT (c.k * (c.k - 1) * (2 * c.k + 5) - ties.tt) / 18.0 AS var_s
+  FROM c, ties
+)
+SELECT CAST(c.k AS BIGINT) AS n_periods,
+       CAST(s.s_stat AS BIGINT) AS s_stat,
+       ROUND(v.var_s, 6) AS var_s,
+       ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / SQRT(v.var_s)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1) / SQRT(v.var_s)
+                  ELSE 0.0 END, 6) AS z_score
+FROM s, c, v
+WHERE c.k > 1
+"""

@@ -63,6 +63,8 @@ DETERMINISM_QUERIES = [
     "orders_daily_runs_test",
     "orders_priority_late_share_ci",
     "events_hourly_uniformity_chi2",
+    "source_lang_js_divergence",
+    "orders_monthly_mann_kendall",
 ]
 
 

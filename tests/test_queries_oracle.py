@@ -78,7 +78,8 @@ SQL_CHECKED = [
     "embedding_silhouette", "doc_length_mannwhitney_by_lang",
     "events_value_tail_index", "quality_classifier_calibration",
     "orders_daily_runs_test", "orders_priority_late_share_ci",
-    "events_hourly_uniformity_chi2",
+    "events_hourly_uniformity_chi2", "source_lang_js_divergence",
+    "orders_monthly_mann_kendall",
     "q1_pricing_summary", "q3_top_orders", "orders_per_region",
     "events_tumbling_hourly", "events_top_users", "part_type_stats",
     "doc_token_stats", "doc_quality", "dedup_exact", "ann_cosine_topk",
