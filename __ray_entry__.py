@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "events_kruskal_by_type": streaming.events_kruskal_by_type,
+        "events_hour_value_spearman":
+            streaming.events_hour_value_spearman,
         "source_lang_js_divergence": curation.source_lang_js_divergence,
         "orders_monthly_mann_kendall":
             relational.orders_monthly_mann_kendall,
@@ -256,9 +259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": relational.customer_revenue_gini,
         "embedding_loo_knn_accuracy":
             similarity.embedding_loo_knn_accuracy,
-        "events_user_burst_detection":
-            streaming.events_user_burst_detection,
-        "corpus_split_leakage": curation.corpus_split_leakage,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_user_burst_detection":
+            streaming.events_user_burst_detection,
+        "corpus_split_leakage": curation.corpus_split_leakage,
         "embedding_label_separation":
             similarity.embedding_label_separation,
         "extract_spans_roundtrip": extract_checks.extract_spans_roundtrip,
@@ -490,6 +493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_kruskal_by_type": streaming.EVENTS_KRUSKAL_SQL,
+        "events_hour_value_spearman":
+            streaming.EVENTS_HOUR_VALUE_SPEARMAN_SQL,
         "source_lang_js_divergence": curation.SOURCE_LANG_JS_SQL,
         "orders_monthly_mann_kendall": relational.ORDERS_MANN_KENDALL_SQL,
         "orders_priority_late_share_ci":

@@ -3253,3 +3253,180 @@ SELECT CAST(t.bins AS BIGINT) AS n_bins, CAST(t.tot AS BIGINT) AS n_events,
        CAST(23 AS BIGINT) AS dof
 FROM h, t GROUP BY t.bins, t.tot
 """
+
+
+# ---------------------------------------------------------------------------
+# events_kruskal_by_type: Kruskal-Wallis H across event types
+# ---------------------------------------------------------------------------
+
+def events_kruskal_by_type(sf_dir: str) -> pd.DataFrame:
+    """Kruskal-Wallis H test — does `value` differ across event types?
+    The k-group generalization of the Mann-Whitney pair test, computed
+    the same rank-free way: per-(type, value) count partials (bounded by
+    the 2-decimal value domain x types, never by events), pooled
+    midranks from one cumulative pass over the sorted value grid, rank
+    sums as a weighted join against that grid, and the closed form with
+    the standard tie correction. No event row is ever ranked."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "value"], as_index=False).agg(
+            n=("value", "size")).rename(columns={"value": "v"})
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_events": "int64", "n_groups": "int64",
+              "h_stat": "float64", "h_corrected": "float64"}
+    if c.empty or c.event_type.nunique() < 2:
+        return typed_out(pd.DataFrame(), schema)
+    pool = c.groupby("v", as_index=False).agg(m=("n", "sum")).sort_values(
+        "v", kind="stable")
+    m = pool.m.to_numpy(np.float64)
+    mid = np.cumsum(m) - m + (m + 1) / 2
+    midmap = pd.Series(mid, index=pool.v.to_numpy())
+    c = c.sort_values(["event_type", "v"], kind="stable")
+    c["r"] = midmap.loc[c.v].to_numpy()
+    rl = c.assign(rs=c.n.to_numpy(np.float64) * c.r).groupby(
+        "event_type", as_index=False).agg(nl=("n", "sum"), rsum=("rs", "sum"))
+    n = float(rl.nl.sum())
+    k = len(rl)
+    h_raw = (12.0 / (n * (n + 1))
+             * float((rl.rsum.to_numpy(np.float64) ** 2
+                      / rl.nl.to_numpy(np.float64)).sum())
+             - 3.0 * (n + 1))
+    tie = float((m ** 3 - m).sum())
+    corr = 1.0 - tie / (n ** 3 - n)
+    res = pd.DataFrame([{
+        "n_events": np.int64(n), "n_groups": np.int64(k),
+        "h_stat": round_away(np.float64(h_raw), 6) + 0.0,
+        "h_corrected": round_away(np.float64(h_raw / corr), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_KRUSKAL_SQL = """
+WITH c AS (
+  SELECT event_type, value AS v, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+pool AS (SELECT v, SUM(n) AS m FROM c GROUP BY 1),
+mid AS (
+  SELECT v, m, SUM(m) OVER (ORDER BY v) - m + (m + 1) / 2 AS r
+  FROM pool
+),
+rl AS (
+  SELECT c.event_type, SUM(c.n) AS nl, SUM(c.n * mid.r) AS rsum
+  FROM c JOIN mid ON mid.v = c.v GROUP BY 1
+),
+tot AS (SELECT SUM(nl) AS n, CAST(COUNT(*) AS DOUBLE) AS k FROM rl),
+tc AS (SELECT COALESCE(SUM(m * m * m - m), 0) AS tie FROM pool),
+h AS (
+  SELECT tot.n, tot.k,
+         12.0 / (tot.n * (tot.n + 1))
+           * (SELECT SUM(rsum * rsum / nl) FROM rl)
+           - 3.0 * (tot.n + 1) AS h_raw,
+         1.0 - tc.tie / (tot.n * tot.n * tot.n - tot.n) AS corr
+  FROM tot, tc
+)
+SELECT CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS n_groups,
+       ROUND(h_raw, 6) AS h_stat,
+       ROUND(h_raw / corr, 6) AS h_corrected
+FROM h WHERE k > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_hour_value_spearman: Spearman rank correlation on bounded grids
+# ---------------------------------------------------------------------------
+
+def events_hour_value_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between hour-of-day and value bucket —
+    the RANK-correlation family member (``lineitem_corr`` is Pearson on
+    raw values; Spearman on midranks is robust to any monotone
+    transform). Both variables live on schema-bounded grids (24 hours x
+    integer value buckets), so the exact tie-midrank Pearson needs only
+    the joint contingency counts: marginal cumulative passes give the
+    midranks, one weighted-moment fold gives rho. Nothing row-scaled
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "h": ((df["ts"].astype("int64") // 3_600_000_000) % 24
+                  ).astype("int64"),
+            "b": np.floor(df["value"].to_numpy(np.float64)).astype(np.int64),
+        })
+        return g.groupby(["h", "b"], as_index=False).agg(n=("h", "size"))
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["h", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_events": "int64", "spearman_rho": "float64"}
+    if c.empty or int(c.n.sum()) < 2:
+        return typed_out(pd.DataFrame(), schema)
+
+    def midranks(keys, cnts):
+        order = np.argsort(keys, kind="stable")
+        m = cnts[order].astype(np.float64)
+        r = np.cumsum(m) - m + (m + 1) / 2
+        return pd.Series(r, index=keys[order])
+
+    hm = c.groupby("h", as_index=False).agg(m=("n", "sum"))
+    bm = c.groupby("b", as_index=False).agg(m=("n", "sum"))
+    rx = midranks(hm.h.to_numpy(np.int64), hm.m.to_numpy(np.int64))
+    ry = midranks(bm.b.to_numpy(np.int64), bm.m.to_numpy(np.int64))
+    c = c.sort_values(["h", "b"], kind="stable")
+    w = c.n.to_numpy(np.float64)
+    x = rx.loc[c.h].to_numpy()
+    y = ry.loc[c.b].to_numpy()
+    n = w.sum()
+    sx, sy = (w * x).sum(), (w * y).sum()
+    sxx, syy = (w * x * x).sum(), (w * y * y).sum()
+    sxy = (w * x * y).sum()
+    rho = (sxy - sx * sy / n) / np.sqrt(
+        (sxx - sx * sx / n) * (syy - sy * sy / n))
+    res = pd.DataFrame([{
+        "n_events": np.int64(n),
+        "spearman_rho": round_away(np.float64(rho), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_HOUR_VALUE_SPEARMAN_SQL = """
+WITH c AS (
+  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
+         CAST(FLOOR(value) AS BIGINT) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+hm AS (SELECT h, SUM(n) AS m FROM c GROUP BY 1),
+bm AS (SELECT b, SUM(n) AS m FROM c GROUP BY 1),
+hr AS (SELECT h, SUM(m) OVER (ORDER BY h) - m + (m + 1) / 2 AS r FROM hm),
+br AS (SELECT b, SUM(m) OVER (ORDER BY b) - m + (m + 1) / 2 AS r FROM bm),
+j AS (
+  SELECT c.n, hr.r AS rx, br.r AS ry
+  FROM c JOIN hr ON hr.h = c.h JOIN br ON br.b = c.b
+),
+m AS (
+  SELECT SUM(n) AS n, SUM(n * rx) AS sx, SUM(n * ry) AS sy,
+         SUM(n * rx * rx) AS sxx, SUM(n * ry * ry) AS syy,
+         SUM(n * rx * ry) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       ROUND((sxy - sx * sy / n)
+             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         AS spearman_rho
+FROM m WHERE n > 1
+"""

@@ -65,6 +65,8 @@ DETERMINISM_QUERIES = [
     "events_hourly_uniformity_chi2",
     "source_lang_js_divergence",
     "orders_monthly_mann_kendall",
+    "events_kruskal_by_type",
+    "events_hour_value_spearman",
 ]
 
 
