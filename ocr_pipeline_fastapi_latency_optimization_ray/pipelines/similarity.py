@@ -1672,3 +1672,145 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS mean_silhouette
 FROM ab GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_intrinsic_dim: Two-NN intrinsic dimensionality estimate
+# ---------------------------------------------------------------------------
+
+def _pack_raw_block(tbl) -> tuple:
+    """(ids, RAW float64 matrix) from one Arrow block — the un-normalized
+    sibling of dedup._pack_embedding_block, for euclidean-metric tiles."""
+    import pyarrow as pa
+
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = tbl.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(ids) == 0:
+        return ids, np.empty((0, 0), np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, flat.reshape(len(ids), -1)
+
+
+def embedding_intrinsic_dim(sf_dir: str, tile_rows: int = 65536,
+                            max_vectors: int = 2_000_000) -> pd.DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017): the MLE
+    id = n / sum(ln(d2/d1)) over each vector's two nearest euclidean
+    neighbors — the curse-of-dimensionality read on an embedding dump
+    (an id far below the ambient 64 says the vectors live on a low-dim
+    manifold and ANN/quantization will behave much better than the raw
+    dim suggests; ~35 here, i.e. genuinely high-dimensional synthetic
+    noise). Same tiled O(N^2) exact-tier plan as
+    ``embedding_nn_distance_stats`` — packed block refs in the object
+    store, each tile matmuls raw float64 blocks via the
+    |a|^2 - 2ab + |b|^2 expansion and emits its per-row TWO smallest
+    squared distances; merging (d1, d2) candidate pairs is an order
+    statistic, exact in any fold order. The expansion's last-ulp noise
+    vs the oracle's direct (a-b)^2 kernel can only swap NEAR-TIED
+    neighbors, which leaves d2/d1 unchanged to ~1e-12 — absorbed by the
+    6dp round. Exact-duplicate vectors (d1 == 0) are excluded on both
+    sides (none exist in this corpus)."""
+    from ..functions.frames import typed_out
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n = ds.count()
+    schema = {"n_used": "int64", "intrinsic_dim": "float64"}
+    if n < 3:
+        return typed_out(pd.DataFrame(), schema)
+    if n > max_vectors:
+        raise ValueError(
+            f"embedding_intrinsic_dim is the O(N^2) exact tier "
+            f"(N={n} > max_vectors={max_vectors}); subsample or run per "
+            f"shard at open scale (the estimator is sampling-consistent)"
+        )
+    n_blocks = max(1, -(-n // tile_rows))
+    refs = ds.repartition(n_blocks).to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def _two_nn_tile(block_a, block_b, same: bool):
+        ia, ma = block_a
+        ib, mb = block_b
+        INF = np.inf
+        if ma.size == 0 or mb.size == 0:
+            return (np.full((len(ia), 2), INF), np.full((len(ib), 2), INF))
+        sq = (np.sum(ma * ma, axis=1)[:, None]
+              - 2.0 * (ma @ mb.T)
+              + np.sum(mb * mb, axis=1)[None, :])
+        np.maximum(sq, 0.0, out=sq)
+        if same:
+            np.fill_diagonal(sq, INF)
+
+        def two_smallest(m):
+            if m.shape[1] == 0:
+                return np.full((m.shape[0], 2), INF)
+            if m.shape[1] == 1:
+                return np.concatenate(
+                    [m, np.full((m.shape[0], 1), INF)], axis=1)
+            p = np.partition(m, 1, axis=1)[:, :2]
+            p.sort(axis=1)
+            return p
+
+        return two_smallest(sq), two_smallest(np.ascontiguousarray(sq.T))
+
+    pack = ray.remote(num_returns=1)(_pack_raw_block)
+    packed = [pack.remote(r) for r in refs]
+    sizes = [len(ray.get(p)[0]) for p in packed]
+    best = [np.full((s, 2), np.inf) for s in sizes]
+    futs, coords = [], []
+    for i in range(len(packed)):
+        for j in range(i, len(packed)):
+            futs.append(_two_nn_tile.remote(packed[i], packed[j], i == j))
+            coords.append((i, j))
+    for (i, j), fut in zip(coords, futs):
+        pa_, pb_ = ray.get(fut)
+        cand = np.concatenate([best[i], pa_], axis=1)
+        cand.sort(axis=1)
+        best[i] = cand[:, :2]
+        if j != i:
+            cand = np.concatenate([best[j], pb_], axis=1)
+            cand.sort(axis=1)
+            best[j] = cand[:, :2]
+    d = np.concatenate(best, axis=0)
+    d1 = np.sqrt(d[:, 0])
+    d2 = np.sqrt(d[:, 1])
+    keep = d1 > 0
+    mu = d2[keep] / d1[keep]
+    logs = np.sort(np.log(mu))
+    k = float(len(logs))
+    if k == 0:
+        return typed_out(pd.DataFrame(), schema)
+    out = pd.DataFrame([{
+        "n_used": np.int64(k),
+        "intrinsic_dim": round_away(np.float64(k / logs.sum()), 6) + 0.0,
+    }])
+    return typed_out(out, schema)
+
+
+EMBEDDING_INTRINSIC_DIM_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+d AS (
+  SELECT a.vec_id, list_distance(a.emb, b.emb) AS dist
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+),
+r AS (
+  SELECT vec_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist) AS rk
+  FROM d
+),
+mu AS (
+  SELECT a.vec_id, b.dist / a.dist AS mu
+  FROM (SELECT vec_id, dist FROM r WHERE rk = 1) a
+  JOIN (SELECT vec_id, dist FROM r WHERE rk = 2) b USING (vec_id)
+  WHERE a.dist > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+       ROUND(COUNT(*) / SUM(LN(mu)), 6) AS intrinsic_dim
+FROM mu
+HAVING COUNT(*) > 0
+"""

@@ -3415,3 +3415,139 @@ SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
        ROUND(AVG(score), 6) AS mean_score
 FROM s GROUP BY bin ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_heaps_law_fit: vocabulary-growth (Heaps' law) fit over shingles
+# ---------------------------------------------------------------------------
+
+def doc_heaps_law_fit(sf_dir: str, n_ck: int = 20) -> pd.DataFrame:
+    """Heaps'-law fit V(N) ~ K * N^beta of 3-token-shingle vocabulary
+    growth — the curve a tokenizer/dedup budget is planned against (how
+    fast does new vocabulary keep arriving as the corpus grows?). Word
+    vocabulary is vacuous on this synthetic corpus (31 words, saturates
+    in checkpoint 0); 3-token shingles grow for real (16k+ distinct at
+    sf0.01, new mass in every checkpoint).
+
+    The ordered 'scan the corpus and watch vocabulary grow' semantics
+    distribute exactly without any ordered scan: a shingle's
+    contribution to the growth curve is fully determined by its FIRST
+    document (gram-bucketed MIN exchange — the token_doc_freq pattern),
+    and both curves then collapse to ``n_ck`` checkpoint counters
+    (first-occurrence histogram for V, shingle-count histogram for N —
+    the latter needs no exchange at all). The driver takes two
+    cumulative sums and a closed-form log-log OLS over n_ck points."""
+    import ray.data
+    from ray.data.aggregate import Sum
+    from ..functions.shuffle import bucketed_combine
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    schema = {"n_checkpoints": "int64", "heaps_beta": "float64",
+              "heaps_k": "float64"}
+    md_row = docs.max("doc_id")
+    if md_row is None:
+        return typed_out(pd.DataFrame(), schema)
+    md = int(md_row) + 1
+
+    def shingles(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_d = [], []
+        for did, txt in zip(df.doc_id.to_numpy(np.int64),
+                            df.text.fillna("")):
+            toks = txt.split(" ") if txt else []
+            for i in range(len(toks) - 2):
+                out_g.append(" ".join(toks[i:i + 3]))
+                out_d.append(did)
+        return pd.DataFrame({"gram": pd.Series(out_g, dtype=object),
+                             "doc_id": pd.Series(out_d, dtype="int64")})
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = shingles(df)
+        return g.groupby("gram", as_index=False).agg(fd=("doc_id", "min"))
+
+    def first_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("gram", as_index=False).agg(fd=("fd", "min"))
+        ck = (g.fd.to_numpy(np.int64) * n_ck // md)
+        u, v = np.unique(ck, return_counts=True)
+        return pd.DataFrame({"ck": u.astype(np.int64),
+                             "v": v.astype(np.int64)})
+
+    vb = bucketed_combine(
+        docs.map_batches(first_partial, batch_format="pandas"),
+        "gram", lambda df: df, first_hist,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = shingles(df)
+        ck = (g.doc_id.to_numpy(np.int64) * n_ck // md)
+        u, n = np.unique(ck, return_counts=True)
+        return pd.DataFrame({"ck": u.astype(np.int64),
+                             "n": n.astype(np.int64)})
+
+    nb = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby("ck")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if vb.empty or nb.empty:
+        return typed_out(pd.DataFrame(), schema)
+    vgrid = np.zeros(n_ck, dtype=np.float64)
+    ngrid = np.zeros(n_ck, dtype=np.float64)
+    vb = vb.groupby("ck", as_index=False).agg(v=("v", "sum"))
+    vgrid[vb.ck.to_numpy(np.int64)] = vb.v.to_numpy(np.float64)
+    ngrid[nb.ck.to_numpy(np.int64)] = nb.n.to_numpy(np.float64)
+    cv = np.cumsum(vgrid)
+    cn = np.cumsum(ngrid)
+    keep = (cv > 0) & (cn > 0)
+    x = np.log(cn[keep])
+    y = np.log(cv[keep])
+    k = float(len(x))
+    if k <= 1:
+        return typed_out(pd.DataFrame(), schema)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    beta = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    kc = np.exp((sy - beta * sx) / k)
+    out = pd.DataFrame([{
+        "n_checkpoints": np.int64(k),
+        "heaps_beta": round_away(np.float64(beta), 6) + 0.0,
+        "heaps_k": round_away(np.float64(kc), 6) + 0.0,
+    }])
+    return typed_out(out, schema)
+
+
+DOC_HEAPS_LAW_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 2, 0) + 1)) AS u(i)
+),
+mx AS (SELECT MAX(doc_id) + 1 AS md FROM documents),
+firsts AS (SELECT gram, MIN(doc_id) AS fd FROM sh GROUP BY 1),
+vb AS (SELECT CAST(fd * 20 // mx.md AS BIGINT) AS ck,
+              CAST(COUNT(*) AS DOUBLE) AS v FROM firsts, mx GROUP BY 1),
+nb AS (SELECT CAST(doc_id * 20 // mx.md AS BIGINT) AS ck,
+              CAST(COUNT(*) AS DOUBLE) AS n FROM sh, mx GROUP BY 1),
+grid AS (SELECT UNNEST(generate_series(0, 19)) AS ck),
+cums AS (
+  SELECT g.ck,
+         SUM(COALESCE(vb.v, 0)) OVER (ORDER BY g.ck) AS cv,
+         SUM(COALESCE(nb.n, 0)) OVER (ORDER BY g.ck) AS cn
+  FROM grid g LEFT JOIN vb ON vb.ck = g.ck LEFT JOIN nb ON nb.ck = g.ck
+),
+pts AS (SELECT LN(cn) AS x, LN(cv) AS y FROM cums WHERE cn > 0 AND cv > 0),
+o AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_checkpoints,
+       ROUND((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS heaps_beta,
+       ROUND(EXP((sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx) / k),
+             6) AS heaps_k
+FROM o WHERE k > 1
+"""

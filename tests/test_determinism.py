@@ -67,6 +67,8 @@ DETERMINISM_QUERIES = [
     "orders_monthly_mann_kendall",
     "events_kruskal_by_type",
     "events_hour_value_spearman",
+    "doc_heaps_law_fit",
+    "embedding_intrinsic_dim",
 ]
 
 
