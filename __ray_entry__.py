@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "embedding_anisotropy": similarity.embedding_anisotropy,
+        "doc_token_char_regression":
+            text_analysis.doc_token_char_regression,
         "doc_heaps_law_fit": text_analysis.doc_heaps_law_fit,
         "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
         "events_kruskal_by_type": streaming.events_kruskal_by_type,
@@ -256,8 +259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_size_histogram":
             curation.dup_cluster_size_histogram,
         "pages_format_roundtrip": extract_checks.pages_format_roundtrip,
-        "ngram_jaccard_prefix_filter": dedup.ngram_jaccard_prefix_filter,
-        "doc_langid_confusion": text_analysis.doc_langid_confusion,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -266,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "ngram_jaccard_prefix_filter": dedup.ngram_jaccard_prefix_filter,
+        "doc_langid_confusion": text_analysis.doc_langid_confusion,
         "customer_revenue_gini": relational.customer_revenue_gini,
         "embedding_loo_knn_accuracy":
             similarity.embedding_loo_knn_accuracy,
@@ -495,6 +498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "embedding_anisotropy": similarity.EMBEDDING_ANISOTROPY_SQL,
+        "doc_token_char_regression":
+            text_analysis.DOC_TOKEN_CHAR_REGRESSION_SQL,
         "doc_heaps_law_fit": text_analysis.DOC_HEAPS_LAW_SQL,
         "embedding_intrinsic_dim": similarity.EMBEDDING_INTRINSIC_DIM_SQL,
         "events_kruskal_by_type": streaming.EVENTS_KRUSKAL_SQL,

@@ -1814,3 +1814,74 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
 FROM mu
 HAVING COUNT(*) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_anisotropy: mean pairwise cosine from ONE sum-vector pass
+# ---------------------------------------------------------------------------
+
+def embedding_anisotropy(sf_dir: str) -> pd.DataFrame:
+    """Anisotropy of the embedding space — the mean cosine over ALL
+    pairs, the representation-collapse diagnostic (a healthy isotropic
+    space sits near 0; contextual-LM embeddings are notoriously ~0.5+,
+    and a collapsed encoder approaches 1). The naive plan is O(N^2);
+    the identity sum_{i!=j} cos(v_i, v_j) = |sum v_hat|^2 - N collapses
+    it to ONE streaming pass emitting dim-bounded sum-vector partials —
+    the same trick that makes centroid aggregation scale. Driver state
+    is a single dim-length vector at any corpus size."""
+    from ..functions.frames import typed_out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"d": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        return pd.DataFrame({
+            "d": np.arange(mat.shape[1], dtype=np.int64),
+            "s": mat.sum(axis=0),
+            "n": np.int64(len(mat)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"n_vectors": "int64", "mean_pairwise_cos": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(["d", "s", "n"], kind="stable")
+    s = parts.groupby("d", as_index=False).agg(s=("s", "sum"))
+    n = float(parts[parts.d == 0].n.sum())
+    if n <= 1:
+        return typed_out(pd.DataFrame(), schema)
+    s2 = float((s.s.to_numpy(np.float64) ** 2).sum())
+    out = pd.DataFrame([{
+        "n_vectors": np.int64(n),
+        "mean_pairwise_cos": round_away(
+            np.float64((s2 - n) / (n * (n - 1))), 6) + 0.0,
+    }])
+    return typed_out(out, schema)
+
+
+EMBEDDING_ANISOTROPY_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+nrm AS (
+  SELECT list_transform(
+           emb, x -> x / sqrt(list_sum(list_transform(emb, y -> y * y)))
+         ) AS v
+  FROM e
+),
+x AS (SELECT UNNEST(v) AS val, UNNEST(range(1, len(v) + 1)) AS d FROM nrm),
+s AS (SELECT d, SUM(val) AS sv FROM x GROUP BY d),
+agg AS (SELECT SUM(sv * sv) AS s2 FROM s),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nrm)
+SELECT CAST(n.n AS BIGINT) AS n_vectors,
+       ROUND((agg.s2 - n.n) / (n.n * (n.n - 1)), 6) AS mean_pairwise_cos
+FROM agg, n
+WHERE n.n > 1
+"""

@@ -3551,3 +3551,74 @@ SELECT CAST(k AS BIGINT) AS n_checkpoints,
              6) AS heaps_k
 FROM o WHERE k > 1
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_token_char_regression: grouped OLS from decomposable moments
+# ---------------------------------------------------------------------------
+
+def doc_token_char_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-language OLS of token count on character count — the grouped
+    LINEAR-REGRESSION operator (slope ~ 1/avg-word-length, r^2 ~ 0.995
+    here: the tokenizer-budget rule of thumb 'tokens per char' with its
+    goodness of fit, per language). OLS is fully moment-decomposable:
+    each batch emits one (lang, n, sum-x, sum-y, sum-xx, sum-xy, sum-yy)
+    row per language, folded in sorted order; slope/intercept/r^2 are
+    closed forms on the lang-bounded frame."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["lang"])
+        x = df.n_chars.to_numpy(np.float64)
+        y = np.array([len(t.split(" ")) if t else 1
+                      for t in df.text.fillna("")], dtype=np.float64)
+        g = pd.DataFrame({"lang": df.lang, "n": 1.0, "sx": x, "sy": y,
+                          "sxx": x * x, "sxy": x * y, "syy": y * y})
+        return g.groupby("lang", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"lang": "object", "n_docs": "int64", "slope": "float64",
+              "intercept": "float64", "r2": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    m = parts.groupby("lang", as_index=False).sum()
+    m = m[m.n > 1]
+    if m.empty:
+        return typed_out(pd.DataFrame(), schema)
+    n = m.n.to_numpy(np.float64)
+    sx, sy = m.sx.to_numpy(np.float64), m.sy.to_numpy(np.float64)
+    sxx, sxy = m.sxx.to_numpy(np.float64), m.sxy.to_numpy(np.float64)
+    syy = m.syy.to_numpy(np.float64)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    out = pd.DataFrame({
+        "lang": m.lang,
+        "n_docs": n.astype(np.int64),
+        "slope": round_away(slope, 6),
+        "intercept": round_away((sy - slope * sx) / n, 6),
+        "r2": round_away((sxy - sx * sy / n) ** 2
+                         / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6),
+    })
+    return typed_out(out, schema, sort_by="lang")
+
+
+DOC_TOKEN_CHAR_REGRESSION_SQL = """
+WITH f AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS DOUBLE) AS y
+  FROM documents WHERE lang IS NOT NULL
+),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM f GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+         AS intercept,
+       ROUND(POW(sxy - sx * sy / n, 2)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+FROM m WHERE n > 1 ORDER BY lang
+"""

@@ -69,6 +69,8 @@ DETERMINISM_QUERIES = [
     "events_hour_value_spearman",
     "doc_heaps_law_fit",
     "embedding_intrinsic_dim",
+    "embedding_anisotropy",
+    "doc_token_char_regression",
 ]
 
 
