@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-11 block):
+        "events_circular_hour_stats":
+            streaming.events_circular_hour_stats,
         "embedding_anisotropy": similarity.embedding_anisotropy,
         "doc_token_char_regression":
             text_analysis.doc_token_char_regression,
@@ -258,7 +260,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_supplier_hhi": relational.part_type_supplier_hhi,
         "dup_cluster_size_histogram":
             curation.dup_cluster_size_histogram,
-        "pages_format_roundtrip": extract_checks.pages_format_roundtrip,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -267,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "pages_format_roundtrip": extract_checks.pages_format_roundtrip,
         "ngram_jaccard_prefix_filter": dedup.ngram_jaccard_prefix_filter,
         "doc_langid_confusion": text_analysis.doc_langid_confusion,
         "customer_revenue_gini": relational.customer_revenue_gini,
@@ -498,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_circular_hour_stats": streaming.EVENTS_CIRCULAR_HOUR_SQL,
         "embedding_anisotropy": similarity.EMBEDDING_ANISOTROPY_SQL,
         "doc_token_char_regression":
             text_analysis.DOC_TOKEN_CHAR_REGRESSION_SQL,

@@ -3430,3 +3430,68 @@ SELECT CAST(n AS BIGINT) AS n_events,
          AS spearman_rho
 FROM m WHERE n > 1
 """
+
+
+# ---------------------------------------------------------------------------
+# events_circular_hour_stats: directional statistics on time-of-day
+# ---------------------------------------------------------------------------
+
+def events_circular_hour_stats(sf_dir: str) -> pd.DataFrame:
+    """Circular (directional) statistics of event time-of-day per type —
+    time-of-day is a CIRCLE, and the arithmetic 'mean hour' of traffic
+    straddling midnight is nonsense; the circular mean resolves it, and
+    the resultant length R says how concentrated the daily rhythm is
+    (R ~ 0: uniform around the clock, as here; R -> 1: a sharp daily
+    peak). Each batch folds to (type, n, sum-sin, sum-cos) — the
+    angular sufficient statistics — and the driver evaluates the
+    closed forms on the type-bounded frame."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64") % 86_400_000_000
+        th = 2 * np.pi * us.to_numpy(np.float64) / 86_400_000_000
+        g = pd.DataFrame({"event_type": df["event_type"], "n": 1.0,
+                          "sy": np.sin(th), "sx": np.cos(th)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"event_type": "object", "n_events": "int64",
+              "circular_mean_hour": "float64",
+              "resultant_length": "float64",
+              "circular_variance": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    parts = parts.sort_values(list(parts.columns), kind="stable")
+    m = parts.groupby("event_type", as_index=False).sum()
+    n = m.n.to_numpy(np.float64)
+    sy, sx = m.sy.to_numpy(np.float64), m.sx.to_numpy(np.float64)
+    r = np.sqrt(sx * sx + sy * sy) / n
+    mean_h = np.fmod(np.arctan2(sy / n, sx / n) / (2 * np.pi) * 24 + 24, 24)
+    out = pd.DataFrame({
+        "event_type": m.event_type,
+        "n_events": n.astype(np.int64),
+        "circular_mean_hour": round_away(mean_h, 6),
+        "resultant_length": round_away(r, 6),
+        "circular_variance": round_away(1 - r, 6),
+    })
+    return typed_out(out, schema, sort_by="event_type")
+
+
+EVENTS_CIRCULAR_HOUR_SQL = """
+WITH a AS (
+  SELECT event_type,
+         2 * PI() * (EPOCH_US(ts) % 86400000000) / 86400000000 AS th
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(SIN(th)) AS sy, SUM(COS(th)) AS sx
+  FROM a GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       ROUND(FMOD(ATAN2(sy / n, sx / n) / (2 * PI()) * 24 + 24, 24), 6)
+         AS circular_mean_hour,
+       ROUND(SQRT(sx * sx + sy * sy) / n, 6) AS resultant_length,
+       ROUND(1 - SQRT(sx * sx + sy * sy) / n, 6) AS circular_variance
+FROM m ORDER BY event_type
+"""

@@ -71,6 +71,7 @@ DETERMINISM_QUERIES = [
     "embedding_intrinsic_dim",
     "embedding_anisotropy",
     "doc_token_char_regression",
+    "events_circular_hour_stats",
 ]
 
 

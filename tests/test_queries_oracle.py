@@ -82,7 +82,7 @@ SQL_CHECKED = [
     "orders_monthly_mann_kendall", "events_kruskal_by_type",
     "events_hour_value_spearman", "doc_heaps_law_fit",
     "embedding_intrinsic_dim", "embedding_anisotropy",
-    "doc_token_char_regression",
+    "doc_token_char_regression", "events_circular_hour_stats",
     "q1_pricing_summary", "q3_top_orders", "orders_per_region",
     "events_tumbling_hourly", "events_top_users", "part_type_stats",
     "doc_token_stats", "doc_quality", "dedup_exact", "ann_cosine_topk",
