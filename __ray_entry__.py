@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-12 block):
+        "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
+        "lineitem_qty_discount_kendall":
+            relational.lineitem_qty_discount_kendall,
         # oracle-backed (new in round 4, continuation-session-11 block):
         "events_circular_hour_stats":
             streaming.events_circular_hour_stats,
@@ -257,9 +261,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed (new in round 4, final block):
         "token_topk_by_lang": text_analysis.token_topk_by_lang,
         "events_dau_wau_stickiness": streaming.events_dau_wau_stickiness,
-        "part_type_supplier_hhi": relational.part_type_supplier_hhi,
-        "dup_cluster_size_histogram":
-            curation.dup_cluster_size_histogram,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -268,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "part_type_supplier_hhi": relational.part_type_supplier_hhi,
+        "dup_cluster_size_histogram":
+            curation.dup_cluster_size_histogram,
         "pages_format_roundtrip": extract_checks.pages_format_roundtrip,
         "ngram_jaccard_prefix_filter": dedup.ngram_jaccard_prefix_filter,
         "doc_langid_confusion": text_analysis.doc_langid_confusion,
@@ -500,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_monthly_theil_sen": relational.ORDERS_THEIL_SEN_SQL,
+        "lineitem_qty_discount_kendall": relational.LINEITEM_KENDALL_SQL,
         "events_circular_hour_stats": streaming.EVENTS_CIRCULAR_HOUR_SQL,
         "embedding_anisotropy": similarity.EMBEDDING_ANISOTROPY_SQL,
         "doc_token_char_regression":

@@ -4188,3 +4188,161 @@ SELECT CAST(c.k AS BIGINT) AS n_periods,
 FROM s, c, v
 WHERE c.k > 1
 """
+
+
+def orders_monthly_theil_sen(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend of the monthly order-count series — the
+    ESTIMATOR companion to the Mann-Kendall TEST above (MK answers 'is
+    there a monotone drift?'; Theil-Sen answers 'how steep?' as the
+    median of all pairwise slopes, resistant to up to ~29% outlier
+    months where OLS is wrecked by one bad month). Month-count partials
+    fold to the date-range-bounded grid; the ~k^2/2 pairwise slopes are
+    ONE vectorized upper-triangle evaluation on the driver (k = months,
+    never rows). Months are indexed relative to the first month so the
+    intercept reads as 'orders in month 0'."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df.o_orderdate
+        m = (ts.dt.year * 12 + ts.dt.month - 1).astype("int64")
+        c = m.value_counts()
+        return pd.DataFrame({"m": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("m")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_periods": "int64", "ts_slope": "float64",
+              "ts_intercept": "float64"}
+    if out.empty or len(out) < 2:
+        # < 2 periods: no slope pair exists (oracle WHERE k > 1 guard)
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("m", kind="stable")
+    x = (out.m.to_numpy(np.int64) - out.m.min()).astype(np.float64)
+    y = out.n.to_numpy(np.float64)
+    iu, ju = np.triu_indices(len(x), 1)
+    slope = float(np.median((y[ju] - y[iu]) / (x[ju] - x[iu])))
+    intercept = float(np.median(y - slope * x))
+    res = pd.DataFrame([{
+        "n_periods": np.int64(len(x)),
+        "ts_slope": round_away(np.float64(slope), 6) + 0.0,
+        "ts_intercept": round_away(np.float64(intercept), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_THEIL_SEN_SQL = """
+WITH d AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1
+),
+dx AS (SELECT CAST(m - MIN(m) OVER () AS DOUBLE) AS x, n FROM d),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dx),
+sl AS (
+  SELECT MEDIAN((b.n - a.n) / (b.x - a.x)) AS slope
+  FROM dx a JOIN dx b ON b.x > a.x
+),
+ic AS (
+  SELECT MEDIAN(dx.n - sl.slope * dx.x) AS intercept FROM dx, sl
+)
+SELECT c.k AS n_periods,
+       ROUND(sl.slope, 6) AS ts_slope,
+       ROUND(ic.intercept, 6) AS ts_intercept
+FROM c, sl, ic
+WHERE c.k > 1
+"""
+
+
+def lineitem_qty_discount_kendall(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b rank correlation between line quantity and discount
+    — the third rank-correlation sibling (Pearson: lineitem_corr,
+    Spearman: events_hour_value_spearman); tau-b is the one with a
+    clean probabilistic reading (P(concordant) - P(discordant)) and the
+    tie correction both of this table's heavily-tied columns need.
+    NO row is ever paired with another row: each batch folds to
+    (quantity, discount) cell counts, the driver pivots the bounded
+    ~50x11 contingency grid, and concordant/discordant pair counts fall
+    out of two cumulative-sum passes over that grid."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_quantity", "l_discount"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_quantity", "l_discount"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    schema = {"n_rows": "int64", "concordant": "int64",
+              "discordant": "int64", "tau_b": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    grid = out.pivot_table(index="l_quantity", columns="l_discount",
+                           values="c", aggfunc="sum", fill_value=0,
+                           sort=True).to_numpy(np.int64)
+    n = int(grid.sum())
+    # cells strictly below-left of (i,j): concordant partners; strictly
+    # below-right: discordant. Both are prefix-sum reads of the padded
+    # 2-D cumulative grid (pair counts stay integer-exact in int64).
+    cum = np.zeros((grid.shape[0] + 1, grid.shape[1] + 1), np.int64)
+    cum[1:, 1:] = grid.cumsum(axis=0).cumsum(axis=1)
+    lt_lt = cum[:-1, :-1]                      # a < i and b < j
+    row_lt = cum[:-1, -1:]                     # a < i (any b)
+    lt_gt = row_lt - cum[:-1, 1:]              # a < i and b > j
+    conc = int((grid * lt_lt).sum())
+    disc = int((grid * lt_gt).sum())
+    n0 = n * (n - 1) // 2
+    tx = grid.sum(axis=1)
+    ty = grid.sum(axis=0)
+    n1 = int((tx * (tx - 1) // 2).sum())
+    n2 = int((ty * (ty - 1) // 2).sum())
+    if n < 2 or n0 - n1 <= 0 or n0 - n2 <= 0:
+        # a constant column: tau undefined (oracle guard mirrors this)
+        return typed_out(pd.DataFrame(), schema)
+    tau = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    res = pd.DataFrame([{
+        "n_rows": np.int64(n), "concordant": np.int64(conc),
+        "discordant": np.int64(disc),
+        "tau_b": round_away(np.float64(tau), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+LINEITEM_KENDALL_SQL = """
+WITH d AS (
+  SELECT l_quantity AS x, l_discount AS y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM d),
+cd AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN a.c * b.c END), 0)
+         AS BIGINT) AS conc,
+    CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN a.c * b.c END), 0)
+         AS BIGINT) AS disc
+  FROM d a JOIN d b ON b.x > a.x
+),
+tx AS (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) AS n1
+       FROM (SELECT SUM(c) AS m FROM d GROUP BY x)),
+ty AS (SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT) AS n2
+       FROM (SELECT SUM(c) AS m FROM d GROUP BY y))
+SELECT tot.n AS n_rows, cd.conc AS concordant, cd.disc AS discordant,
+       ROUND((cd.conc - cd.disc)
+             / SQRT(CAST(tot.n * (tot.n - 1) // 2 - tx.n1 AS DOUBLE)
+                    * CAST(tot.n * (tot.n - 1) // 2 - ty.n2 AS DOUBLE)),
+             6) AS tau_b
+FROM tot, cd, tx, ty
+WHERE tot.n > 1 AND tot.n * (tot.n - 1) // 2 - tx.n1 > 0
+  AND tot.n * (tot.n - 1) // 2 - ty.n2 > 0
+"""

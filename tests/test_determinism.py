@@ -72,6 +72,10 @@ DETERMINISM_QUERIES = [
     "embedding_anisotropy",
     "doc_token_char_regression",
     "events_circular_hour_stats",
+    # session-12 shapes: pairwise-slope median fold, contingency-grid
+    # concordance cumsums
+    "orders_monthly_theil_sen",
+    "lineitem_qty_discount_kendall",
 ]
 
 
