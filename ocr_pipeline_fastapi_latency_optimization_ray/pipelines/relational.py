@@ -4346,3 +4346,90 @@ FROM tot, cd, tx, ty
 WHERE tot.n > 1 AND tot.n * (tot.n - 1) // 2 - tx.n1 > 0
   AND tot.n * (tot.n - 1) // 2 - ty.n2 > 0
 """
+
+
+def orders_weekly_extreme_fit(sf_dir: str) -> pd.DataFrame:
+    """Gumbel extreme-value fit (method of moments) to WEEKLY MAXIMA of
+    the daily order-count series — the capacity-planning question ('how
+    big a daily spike should a week bring?') is an EVT question, and
+    block maxima converge to a Gumbel for light-tailed daily counts
+    (the Hill estimator in events_value_tail_index covers the
+    heavy-tailed peaks-over-threshold side). Day-count partials fold to
+    the date-range-bounded grid (zero-filled — an empty day is a real
+    observation); weekly maxima are INTEGERS, so mean/std come from
+    exact integer sums and the closed forms beta = s*sqrt(6)/pi,
+    mu = mean - gamma*beta are bit-stable at any scale."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_weeks": "int64", "block_max_mean": "float64",
+              "gumbel_mu": "float64", "gumbel_beta": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    d0 = int(out.day.min())
+    k = int(out.day.max()) - d0 + 1
+    daily = np.zeros(k, np.int64)
+    daily[out.day.to_numpy(np.int64) - d0] = out.n.to_numpy(np.int64)
+    week = (np.arange(k, dtype=np.int64) + d0) // 7  # absolute epoch-week
+    mx = pd.Series(daily).groupby(week).max().to_numpy(np.int64)
+    nw = len(mx)
+    if nw < 2:
+        # < 2 blocks: the sample std (ddof=1) is undefined (oracle guard)
+        return typed_out(pd.DataFrame(), schema)
+    sx, sxx = int(mx.sum()), int(np.dot(mx, mx))
+    mean = float(sx) / nw
+    s = np.sqrt((float(sxx) - float(sx) * sx / nw) / (nw - 1))
+    beta = s * np.sqrt(6.0) / np.pi
+    mu = mean - 0.5772156649015329 * beta  # Euler-Mascheroni
+    res = pd.DataFrame([{
+        "n_weeks": np.int64(nw),
+        "block_max_mean": round_away(np.float64(mean), 6) + 0.0,
+        "gumbel_mu": round_away(np.float64(mu), 6) + 0.0,
+        "gumbel_beta": round_away(np.float64(beta), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_EXTREME_FIT_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d HAVING COUNT(*) > 0),
+days AS (SELECT UNNEST(generate_series(d0, d1)) AS dd FROM span),
+g AS (
+  SELECT days.dd // 7 AS w, MAX(COALESCE(d.n, 0)) AS mx
+  FROM days LEFT JOIN d ON d.day = days.dd GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(mx) AS sx,
+         SUM(mx * mx) AS sxx
+  FROM g
+)
+SELECT k AS n_weeks,
+       ROUND(CAST(sx AS DOUBLE) / k, 6) AS block_max_mean,
+       ROUND(CAST(sx AS DOUBLE) / k
+             - 0.5772156649015329
+               * SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k)
+                      / (k - 1))
+               * SQRT(6.0) / PI(), 6) AS gumbel_mu,
+       ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k)
+                  / (k - 1))
+             * SQRT(6.0) / PI(), 6) AS gumbel_beta
+FROM s WHERE k > 1
+"""

@@ -3495,3 +3495,95 @@ SELECT event_type, CAST(n AS BIGINT) AS n_events,
        ROUND(1 - SQRT(sx * sx + sy * sy) / n, 6) AS circular_variance
 FROM m ORDER BY event_type
 """
+
+
+def events_type_cross_correlation(sf_dir: str) -> pd.DataFrame:
+    """Lead-lag cross-correlation between the click and purchase daily
+    series — the pipeline question behind it: does click volume LEAD
+    purchase volume (positive lag peak) or just co-move (lag-0 peak)?
+    The autocorr sibling (events_hourly_autocorr) correlates one series
+    with itself; this correlates two. Each batch folds to (day, type)
+    counts; the driver zero-fills the date-range-bounded day grid and
+    evaluates Pearson r at each lag in [-3, 3] from INTEGER sufficient
+    statistics (counts dot counts — bit-exact, no float-summation-order
+    hazard at any scale)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_type"],
+                 event_types=("click", "purchase"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "day": (df["ts"].astype("int64")
+                    // 86_400_000_000).astype("int64"),
+            "event_type": df["event_type"],
+        }).groupby(["day", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"lag": "int64", "n_days": "int64", "xcorr": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    d0 = int(out.day.min())
+    k = int(out.day.max()) - d0 + 1
+    x = np.zeros(k, np.int64)
+    y = np.zeros(k, np.int64)
+    cl = out[out.event_type == "click"]
+    pu = out[out.event_type == "purchase"]
+    x[cl.day.to_numpy(np.int64) - d0] = cl.n.to_numpy(np.int64)
+    y[pu.day.to_numpy(np.int64) - d0] = pu.n.to_numpy(np.int64)
+    rows = []
+    for lag in range(-3, 4):
+        lo, hi = max(0, -lag), k - max(0, lag)
+        if hi - lo < 2:
+            continue
+        xa, ya = x[lo:hi], y[lo + lag:hi + lag]
+        n = hi - lo
+        sx, sy = int(xa.sum()), int(ya.sum())
+        vx = n * int(np.dot(xa, xa)) - sx * sx
+        vy = n * int(np.dot(ya, ya)) - sy * sy
+        if vx <= 0 or vy <= 0:
+            continue  # constant window: r undefined (oracle guard)
+        r = (n * int(np.dot(xa, ya)) - sx * sy) / np.sqrt(float(vx) * float(vy))
+        rows.append({"lag": np.int64(lag), "n_days": np.int64(n),
+                     "xcorr": round_away(np.float64(r), 6) + 0.0})
+    return typed_out(pd.DataFrame(rows), schema, sort_by="lag")
+
+
+EVENTS_CROSS_CORRELATION_SQL = """
+WITH e AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS d, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e HAVING COUNT(*) > 0),
+days AS (SELECT UNNEST(generate_series(d0, d1)) AS dd FROM span),
+g AS (
+  SELECT days.dd AS d,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'click'
+                                THEN 1 END), 0) AS BIGINT) AS cx,
+         CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                THEN 1 END), 0) AS BIGINT) AS cy
+  FROM days LEFT JOIN e ON e.d = days.dd GROUP BY 1
+),
+lags AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+p AS (
+  SELECT l.lag AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a.cx) AS sx, SUM(b.cy) AS sy,
+         SUM(a.cx * a.cx) AS sxx, SUM(b.cy * b.cy) AS syy,
+         SUM(a.cx * b.cy) AS sxy
+  FROM lags l JOIN g a ON TRUE JOIN g b ON b.d = a.d + l.lag
+  GROUP BY 1
+)
+SELECT lag, n AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS xcorr
+FROM p
+WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY lag
+"""

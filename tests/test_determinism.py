@@ -76,6 +76,8 @@ DETERMINISM_QUERIES = [
     # concordance cumsums
     "orders_monthly_theil_sen",
     "lineitem_qty_discount_kendall",
+    "events_type_cross_correlation",
+    "orders_weekly_extreme_fit",
 ]
 
 
