@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cross_correlation":
             streaming.events_type_cross_correlation,
         "orders_weekly_extreme_fit": relational.orders_weekly_extreme_fit,
+        "quality_classifier_roc_auc":
+            text_analysis.quality_classifier_roc_auc,
+        "quality_rater_agreement_kappa":
+            text_analysis.quality_rater_agreement_kappa,
         # oracle-backed (new in round 4, continuation-session-11 block):
         "events_circular_hour_stats":
             streaming.events_circular_hour_stats,
@@ -259,9 +263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": text_analysis.doc_winnow_fingerprints,
         "nation_trade_matrix": relational.nation_trade_matrix,
         "orders_yoy_growth": relational.orders_yoy_growth,
-        "embedding_cosine_histogram": similarity.embedding_cosine_histogram,
-        "events_rfm_segments": streaming.events_rfm_segments,
-        # oracle-backed (new in round 4, final block):
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -270,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "embedding_cosine_histogram": similarity.embedding_cosine_histogram,
+        "events_rfm_segments": streaming.events_rfm_segments,
         "token_topk_by_lang": text_analysis.token_topk_by_lang,
         "events_dau_wau_stickiness": streaming.events_dau_wau_stickiness,
         "part_type_supplier_hhi": relational.part_type_supplier_hhi,
@@ -512,6 +515,10 @@ def oracle_sql() -> dict[str, str]:
         "events_type_cross_correlation":
             streaming.EVENTS_CROSS_CORRELATION_SQL,
         "orders_weekly_extreme_fit": relational.ORDERS_EXTREME_FIT_SQL,
+        "quality_classifier_roc_auc":
+            text_analysis.QUALITY_CLASSIFIER_ROC_AUC_SQL,
+        "quality_rater_agreement_kappa":
+            text_analysis.QUALITY_RATER_KAPPA_SQL,
         "events_circular_hour_stats": streaming.EVENTS_CIRCULAR_HOUR_SQL,
         "embedding_anisotropy": similarity.EMBEDDING_ANISOTROPY_SQL,
         "doc_token_char_regression":

@@ -3622,3 +3622,193 @@ SELECT lang, CAST(n AS BIGINT) AS n_docs,
              / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
 FROM m WHERE n > 1 ORDER BY lang
 """
+
+
+def quality_classifier_roc_auc(sf_dir: str) -> pd.DataFrame:
+    """Exact ROC AUC of the quality classifier via the rank-sum (Mann-
+    Whitney) identity — the threshold-FREE companion to the PR curve
+    and calibration reports: AUC = P(score_pos > score_neg) + 0.5 *
+    P(tie). No pair of documents is ever compared: each batch folds to
+    per-score (n_pos, n_neg) counts through the same warm actor pool,
+    and because the emitted score is rounded to 6 decimals the score
+    grid is hard-bounded at ~1e6 cells regardless of corpus size. The
+    doubled U statistic stays INTEGER (ties contribute odd halves), so
+    the fold is exact in any arrival order."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class _AucPartial(QualityClassifier):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            scored = super().__call__(df)
+            truth = scored.doc_id.to_numpy(np.int64) % 10 < 7
+            g = pd.DataFrame({"score": scored.quality_score,
+                              "p": truth.astype(np.int64),
+                              "q": (~truth).astype(np.int64)})
+            return g.groupby("score", as_index=False).sum()
+
+    out = ds.map_batches(_AucPartial, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    schema = {"n_pos": "int64", "n_neg": "int64", "roc_auc": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = out.groupby("score", as_index=False).sum().sort_values("score")
+    p = m.p.to_numpy(np.int64)
+    q = m.q.to_numpy(np.int64)
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    if n_pos == 0 or n_neg == 0:
+        # single-class corpus: AUC undefined (oracle guard mirrors)
+        return typed_out(pd.DataFrame(), schema)
+    cq = np.concatenate(([0], np.cumsum(q)[:-1]))  # negs strictly below
+    u2 = int((p * (2 * cq + q)).sum())             # 2U: ties count once
+    res = pd.DataFrame([{
+        "n_pos": np.int64(n_pos), "n_neg": np.int64(n_neg),
+        "roc_auc": round_away(
+            np.float64(u2 / (2.0 * n_pos * n_neg)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+QUALITY_CLASSIFIER_ROC_AUC_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, w -> w IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+             AS DOUBLE) AS n_stop,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM t
+), s AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.45 * ln(n_tok + 1.0)
+               + 6.0 * (n_stop / n_tok)
+               + 1.5 * (n_alpha / (n_chars + 1.0))
+               + 0.05 * (n_chars / n_tok)))), 6) AS score,
+         (doc_id % 10 < 7) AS truth
+  FROM f
+), g AS (
+  SELECT score,
+         CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS q
+  FROM s GROUP BY 1
+), w AS (
+  SELECT p, q,
+         COALESCE(SUM(q) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq
+  FROM g
+), u AS (
+  SELECT CAST(SUM(p * (2 * cq + q)) AS BIGINT) AS u2,
+         CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(q) AS BIGINT) AS nq
+  FROM w
+)
+SELECT np AS n_pos, nq AS n_neg,
+       ROUND(CAST(u2 AS DOUBLE) / (2.0 * np * nq), 6) AS roc_auc
+FROM u WHERE np > 0 AND nq > 0
+"""
+
+
+def quality_rater_agreement_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between two independent keep/drop 'raters' — the
+    learned quality classifier (keep iff rounded score >= 0.5) and a
+    rule-based stopword-density gate (keep iff n_stop/n_tok >= 0.2):
+    the label-audit statistic that discounts the agreement two filters
+    get for free from the base rate (raw agreement of two 99%-keep
+    filters is ~98% even if independent; kappa reads ~0 there). Each
+    batch emits ONE 2x2 confusion row; the driver folds four integers
+    and evaluates the closed form."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class _KappaPartial(QualityClassifier):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            scored = super().__call__(df)
+            txt = df["text"].fillna("")
+            toks = txt.str.split(" ")
+            ex = toks.explode()
+            n_tok = toks.str.len().to_numpy(np.float64)
+            n_stop = (ex.isin(self.stop).groupby(ex.index).sum()
+                      .reindex(df.index, fill_value=0)
+                      .to_numpy(np.float64))
+            a = scored.quality_score.to_numpy(np.float64) >= 0.5
+            b = (n_stop / n_tok) >= 0.2
+            return pd.DataFrame([{
+                "kk": int(np.sum(a & b)), "kd": int(np.sum(a & ~b)),
+                "dk": int(np.sum(~a & b)), "dd": int(np.sum(~a & ~b)),
+            }])
+
+    out = ds.map_batches(_KappaPartial, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    schema = {"n_docs": "int64", "observed_agree": "float64",
+              "expected_agree": "float64", "kappa": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    kk, kd = int(out.kk.sum()), int(out.kd.sum())
+    dk, dd = int(out.dk.sum()), int(out.dd.sum())
+    n = kk + kd + dk + dd
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    po = (kk + dd) / float(n)
+    pe = ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) / (float(n) * n)
+    if 1.0 - pe <= 0:
+        # both raters constant: kappa undefined (oracle guard mirrors)
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_docs": np.int64(n),
+        "observed_agree": round_away(np.float64(po), 6) + 0.0,
+        "expected_agree": round_away(np.float64(pe), 6) + 0.0,
+        "kappa": round_away(np.float64((po - pe) / (1.0 - pe)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+QUALITY_RATER_KAPPA_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, w -> w IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+             AS DOUBLE) AS n_stop,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM t
+), s AS (
+  SELECT (ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.45 * ln(n_tok + 1.0)
+               + 6.0 * (n_stop / n_tok)
+               + 1.5 * (n_alpha / (n_chars + 1.0))
+               + 0.05 * (n_chars / n_tok)))), 6) >= 0.5) AS a,
+         ((n_stop / n_tok) >= 0.2) AS b
+  FROM f
+), c AS (
+  SELECT CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS kk,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS kd,
+         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+           AS dk,
+         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS dd
+  FROM s HAVING COUNT(*) > 0
+), k AS (
+  SELECT kk + kd + dk + dd AS n,
+         (kk + dd) / CAST(kk + kd + dk + dd AS DOUBLE) AS po,
+         ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd))
+           / (CAST(kk + kd + dk + dd AS DOUBLE)
+              * (kk + kd + dk + dd)) AS pe
+  FROM c
+)
+SELECT n AS n_docs,
+       ROUND(po, 6) AS observed_agree,
+       ROUND(pe, 6) AS expected_agree,
+       ROUND((po - pe) / (1.0 - pe), 6) AS kappa
+FROM k WHERE n > 0 AND 1.0 - pe > 0
+"""

@@ -78,6 +78,8 @@ DETERMINISM_QUERIES = [
     "lineitem_qty_discount_kendall",
     "events_type_cross_correlation",
     "orders_weekly_extreme_fit",
+    "quality_classifier_roc_auc",
+    "quality_rater_agreement_kappa",
 ]
 
 

@@ -71,6 +71,7 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 SQL_CHECKED = [
     "orders_monthly_theil_sen", "lineitem_qty_discount_kendall",
     "events_type_cross_correlation", "orders_weekly_extreme_fit",
+    "quality_classifier_roc_auc", "quality_rater_agreement_kappa",
     "lineitem_cube_pricing", "orders_band_join_gaps", "events_weekly_churn",
     "doc_length_ks_by_lang", "events_rate_changepoint",
     "lineitem_metric_unpivot", "orders_median_gap_per_customer",
