@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-13 block):
+        "lang_token_llr_topk": text_analysis.lang_token_llr_topk,
         # oracle-backed (new in round 4, continuation-session-12 block):
         "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
         "lineitem_qty_discount_kendall":
@@ -262,7 +264,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text_analysis.doc_perplexity_filter_rate,
         "doc_winnow_fingerprints": text_analysis.doc_winnow_fingerprints,
         "nation_trade_matrix": relational.nation_trade_matrix,
-        "orders_yoy_growth": relational.orders_yoy_growth,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -271,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "orders_yoy_growth": relational.orders_yoy_growth,
         "embedding_cosine_histogram": similarity.embedding_cosine_histogram,
         "events_rfm_segments": streaming.events_rfm_segments,
         "token_topk_by_lang": text_analysis.token_topk_by_lang,
@@ -510,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_token_llr_topk": text_analysis.LANG_TOKEN_LLR_SQL,
         "orders_monthly_theil_sen": relational.ORDERS_THEIL_SEN_SQL,
         "lineitem_qty_discount_kendall": relational.LINEITEM_KENDALL_SQL,
         "events_type_cross_correlation":

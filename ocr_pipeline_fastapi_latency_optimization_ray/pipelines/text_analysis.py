@@ -3812,3 +3812,104 @@ SELECT n AS n_docs,
        ROUND((po - pe) / (1.0 - pe), 6) AS kappa
 FROM k WHERE n > 0 AND 1.0 - pe > 0
 """
+
+
+def lang_token_llr_topk(sf_dir: str) -> pd.DataFrame:
+    """Dunning log-likelihood-ratio (G-test) DISTINCTIVE tokens per
+    language — the corpus-linguistics keyword extractor (tf-idf asks
+    'what is frequent here'; LLR asks 'what is frequent here relative
+    to everywhere else, beyond chance'), the standard report when
+    auditing a multilingual mix for contamination or register drift.
+    Each batch folds to (lang, token) counts; the (vocab x lang) grid
+    is bounded by the vocabulary, and every 2x2 G2 is evaluated
+    vectorized on the driver frame. Ranking uses the ROUNDED statistic
+    with a token tiebreak so both engines induce the same total order."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        lang = df["lang"]
+        ex = pd.DataFrame({"lang": lang.repeat(toks.str.len()),
+                           "token": np.concatenate(toks.to_numpy())
+                           if len(df) else np.array([], dtype=object)})
+        ex = ex[ex.token != ""]
+        g = ex.groupby(["lang", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"lang": "object", "token": "object", "n_in_lang": "int64",
+              "g2_llr": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    a = out.n.to_numpy(np.float64)
+    tok_tot = out.groupby("token").n.transform("sum").to_numpy(np.float64)
+    lang_tot = out.groupby("lang").n.transform("sum").to_numpy(np.float64)
+    n = float(out.n.sum())
+    b = tok_tot - a
+    c = lang_tot - a
+    d = n - tok_tot - c
+    ea = tok_tot * lang_tot / n
+    eb = tok_tot * (n - lang_tot) / n
+    ec = (n - tok_tot) * lang_tot / n
+    ed = (n - tok_tot) * (n - lang_tot) / n
+
+    def term(o, e):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(o > 0, o * np.log(o / e), 0.0)
+
+    g2 = 2.0 * (term(a, ea) + term(b, eb) + term(c, ec) + term(d, ed))
+    res = pd.DataFrame({"lang": out.lang, "token": out.token,
+                        "n_in_lang": out.n.astype("int64"),
+                        "g2_llr": round_away(g2, 6) + 0.0})
+    res = res.sort_values(["lang", "g2_llr", "token"],
+                          ascending=[True, False, True], kind="stable")
+    res = res.groupby("lang", as_index=False).head(5)
+    return typed_out(res, schema, sort_by=["lang", "token"])
+
+
+LANG_TOKEN_LLR_SQL = """
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(COALESCE(text, ''), ' ')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS a
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), m AS (
+  SELECT lang, token, a,
+         SUM(a) OVER (PARTITION BY token) AS tt,
+         SUM(a) OVER (PARTITION BY lang) AS lt,
+         SUM(a) OVER () AS n
+  FROM c
+), g AS (
+  SELECT lang, token, a,
+         ROUND(2.0 * (
+           (CASE WHEN a > 0 THEN a * LN(a / (CAST(tt AS DOUBLE) * lt / n))
+                 ELSE 0.0 END)
+           + (CASE WHEN tt - a > 0 THEN (tt - a)
+                * LN((tt - a) / (CAST(tt AS DOUBLE) * (n - lt) / n))
+                 ELSE 0.0 END)
+           + (CASE WHEN lt - a > 0 THEN (lt - a)
+                * LN((lt - a) / (CAST(n - tt AS DOUBLE) * lt / n))
+                 ELSE 0.0 END)
+           + (CASE WHEN n - tt - (lt - a) > 0 THEN (n - tt - (lt - a))
+                * LN((n - tt - (lt - a))
+                     / (CAST(n - tt AS DOUBLE) * (n - lt) / n))
+                 ELSE 0.0 END)), 6) AS g2_llr
+  FROM m
+), r AS (
+  SELECT lang, token, a, g2_llr,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY g2_llr DESC, token) AS rn
+  FROM g
+)
+SELECT lang, token, a AS n_in_lang, g2_llr
+FROM r WHERE rn <= 5 ORDER BY lang, token
+"""

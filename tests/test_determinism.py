@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "lang_token_llr_topk",
     "doc_length_moments",
     "doc_unigram_logprob",
     "token_pmi_topk",

@@ -19,7 +19,7 @@ DOC_QUERIES = [
     n for n in SQL_CHECKED
     if n.startswith(("doc", "dedup", "token", "chunk", "dup", "pii",
                      "contamination", "source", "filter", "corpus",
-                     "pack", "ngram", "tf_idf", "window", "cross"))
+                     "pack", "ngram", "tf_idf", "window", "cross", "lang"))
     or n == "docs_longest"
 ]
 
