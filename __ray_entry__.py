@@ -193,6 +193,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-13 block):
         "lang_token_llr_topk": text_analysis.lang_token_llr_topk,
+        "events_ab_conversion_ztest":
+            streaming.events_ab_conversion_ztest,
+        "orders_monthly_holt": relational.orders_monthly_holt,
+        "events_transition_entropy": streaming.events_transition_entropy,
+        "orders_date_gap_audit": relational.orders_date_gap_audit,
+        "lang_unigram_cross_entropy":
+            text_analysis.lang_unigram_cross_entropy,
         # oracle-backed (new in round 4, continuation-session-12 block):
         "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
         "lineitem_qty_discount_kendall":
@@ -257,13 +264,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streaming.events_value_quantiles_by_type,
         "embedding_quantize_report": similarity.embedding_quantize_report,
         "events_heavy_hitters": streaming.events_heavy_hitters,
-        # rows-only (iterative fixpoint; pinned vs numpy eig in pytest):
-        "events_markov_stationary": streaming.events_markov_stationary,
-        "events_cohort_week_matrix": streaming.events_cohort_week_matrix,
-        "doc_perplexity_filter_rate":
-            text_analysis.doc_perplexity_filter_rate,
-        "doc_winnow_fingerprints": text_analysis.doc_winnow_fingerprints,
-        "nation_trade_matrix": relational.nation_trade_matrix,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -272,7 +272,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_cohort_week_matrix": streaming.events_cohort_week_matrix,
+        "doc_perplexity_filter_rate":
+            text_analysis.doc_perplexity_filter_rate,
+        "doc_winnow_fingerprints": text_analysis.doc_winnow_fingerprints,
+        "nation_trade_matrix": relational.nation_trade_matrix,
         "orders_yoy_growth": relational.orders_yoy_growth,
+        # rows-only (iterative fixpoint; pinned vs numpy eig in pytest):
+        "events_markov_stationary": streaming.events_markov_stationary,
         "embedding_cosine_histogram": similarity.embedding_cosine_histogram,
         "events_rfm_segments": streaming.events_rfm_segments,
         "token_topk_by_lang": text_analysis.token_topk_by_lang,
@@ -513,6 +520,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_token_llr_topk": text_analysis.LANG_TOKEN_LLR_SQL,
+        "events_ab_conversion_ztest": streaming.EVENTS_AB_ZTEST_SQL,
+        "orders_monthly_holt": relational.ORDERS_MONTHLY_HOLT_SQL,
+        "events_transition_entropy":
+            streaming.EVENTS_TRANSITION_ENTROPY_SQL,
+        "orders_date_gap_audit": relational.ORDERS_DATE_GAP_SQL,
+        "lang_unigram_cross_entropy": text_analysis.LANG_CROSS_ENTROPY_SQL,
         "orders_monthly_theil_sen": relational.ORDERS_THEIL_SEN_SQL,
         "lineitem_qty_discount_kendall": relational.LINEITEM_KENDALL_SQL,
         "events_type_cross_correlation":

@@ -4433,3 +4433,158 @@ SELECT k AS n_weeks,
              * SQRT(6.0) / PI(), 6) AS gumbel_beta
 FROM s WHERE k > 1
 """
+
+
+def orders_monthly_holt(sf_dir: str, alpha: float = 0.5,
+                        beta: float = 0.3) -> pd.DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over the
+    zero-filled monthly order-count series — the classic short-horizon
+    demand forecast (q6 extrapolates one global factor; this carries a
+    per-month smoothed state and emits the one-step-ahead forecast the
+    model would have made for each month, i.e. the in-sample backtest a
+    forecasting dashboard plots against actuals).
+
+    Plan: per-batch (month, count) integer partials -> one bounded
+    exchange (key space = months in the date span, never rows); the
+    driver zero-fills the calendar spine and runs the O(months)
+    recursion on EXACT integer y values with the same literal
+    float expressions as the recursive-CTE oracle, so level/trend are
+    bit-identical. Recursion state is two floats; outputs are rounded
+    half-away to 6 only at emission (never fed back)."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = pd.to_datetime(df.o_orderdate).dt.strftime("%Y-%m")
+        return (pd.DataFrame({"month": month})
+                .groupby("month", as_index=False).size()
+                .rename(columns={"size": "y"}))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("month", as_index=False).agg(y=("y", "sum"))
+
+    out = bucketed_combine(ds, "month", partial, combine,
+                           coalesce_blocks=16).to_pandas()
+    schema = {"month": "object", "n_orders": "int64", "level": "float64",
+              "trend": "float64", "forecast": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("month", as_index=False).agg(y=("y", "sum"))
+    spine = pd.period_range(out.month.min(), out.month.max(), freq="M")
+    y = (out.set_index("month").y
+         .reindex(spine.strftime("%Y-%m"), fill_value=0)
+         .to_numpy(np.float64))
+    months = list(spine.strftime("%Y-%m"))
+    if len(y) < 2:
+        return typed_out(pd.DataFrame(), schema)
+    level, trend = y[0], y[1] - y[0]
+    rows = []
+    for t in range(1, len(y)):
+        forecast = level + trend
+        lvl = alpha * y[t] + (1.0 - alpha) * (level + trend)
+        trend = beta * (lvl - level) + (1.0 - beta) * trend
+        level = lvl
+        rows.append((months[t], int(y[t]), level, trend, forecast))
+    res = pd.DataFrame(rows, columns=["month", "n_orders", "level",
+                                      "trend", "forecast"])
+    for c in ("level", "trend", "forecast"):
+        res[c] = round_away(res[c].to_numpy(np.float64), 6) + 0.0
+    return typed_out(res, schema, sort_by=["month"])
+
+
+ORDERS_MONTHLY_HOLT_SQL = """
+WITH RECURSIVE b AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mo FROM b
+), cnt AS (
+  SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS yc
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY s.mo) AS i,
+         strftime(s.mo, '%Y-%m') AS month,
+         CAST(COALESCE(c.yc, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN cnt c ON c.mo = s.mo
+), r AS (
+  SELECT CAST(1 AS BIGINT) AS i,
+         (SELECT y FROM m WHERE i = 1) AS level,
+         (SELECT y FROM m WHERE i = 2)
+           - (SELECT y FROM m WHERE i = 1) AS trend,
+         CAST(NULL AS DOUBLE) AS forecast
+  WHERE (SELECT COUNT(*) FROM m) >= 2
+  UNION ALL
+  SELECT m.i,
+         0.5 * m.y + 0.5 * (r.level + r.trend),
+         0.3 * ((0.5 * m.y + 0.5 * (r.level + r.trend)) - r.level)
+           + 0.7 * r.trend,
+         r.level + r.trend
+  FROM r JOIN m ON m.i = r.i + 1
+)
+SELECT m.month, CAST(m.y AS BIGINT) AS n_orders,
+       ROUND(r.level, 6) AS level, ROUND(r.trend, 6) AS trend,
+       ROUND(r.forecast, 6) AS forecast
+FROM r JOIN m ON m.i = r.i
+WHERE r.i >= 2 ORDER BY m.month
+"""
+
+
+def orders_date_gap_audit(sf_dir: str) -> pd.DataFrame:
+    """Calendar-continuity audit of the order stream — span vs active
+    days, missing-day total, longest zero-order run and run count: the
+    data-quality check that catches silently dropped ingest partitions
+    (a feed that skipped a week shows up as one long zero run, not as
+    any per-row anomaly).
+
+    Plan: per-batch distinct-day shrink -> one day-keyed exchange
+    bounded by the DATE SPAN (never row count); the driver sorts the
+    active-day vector once and reads every statistic out of the
+    consecutive-diff array — no calendar spine is materialized
+    anywhere."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(df.o_orderdate).dt.normalize()
+        return pd.DataFrame({"day": day.unique()})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": g.day.unique()})
+
+    out = bucketed_combine(ds, "day", partial, combine,
+                           coalesce_blocks=16).to_pandas()
+    schema = {"span_days": "int64", "active_days": "int64",
+              "missing_days": "int64", "longest_zero_run": "int64",
+              "n_zero_runs": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    days = np.sort(pd.unique(out.day.to_numpy().astype("datetime64[D]")))
+    span = int((days[-1] - days[0]).astype(np.int64)) + 1
+    gaps = np.diff(days).astype(np.int64)
+    res = pd.DataFrame({
+        "span_days": [span],
+        "active_days": [len(days)],
+        "missing_days": [span - len(days)],
+        "longest_zero_run": [int(gaps.max()) - 1 if len(gaps) else 0],
+        "n_zero_runs": [int((gaps > 1).sum())],
+    })
+    return typed_out(res, schema)
+
+
+ORDERS_DATE_GAP_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+), g AS (
+  SELECT day, day - LAG(day) OVER (ORDER BY day) AS gap FROM d
+)
+SELECT CAST(DATE_DIFF('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span_days,
+       CAST(COUNT(*) AS BIGINT) AS active_days,
+       CAST(DATE_DIFF('day', MIN(day), MAX(day)) + 1 - COUNT(*) AS BIGINT)
+           AS missing_days,
+       CAST(COALESCE(MAX(gap), 1) - 1 AS BIGINT) AS longest_zero_run,
+       CAST(COUNT(*) FILTER (WHERE gap > 1) AS BIGINT) AS n_zero_runs
+FROM g HAVING COUNT(*) > 0
+"""

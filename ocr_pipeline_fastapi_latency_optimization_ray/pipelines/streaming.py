@@ -3587,3 +3587,156 @@ FROM p
 WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY lag
 """
+
+
+def events_ab_conversion_ztest(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test between deterministic A/B cohorts — the
+    experiment readout every event pipeline ends in (reference has no
+    stats layer; this is the training-data-engine companion to the
+    one-sample Wilson interval in ``orders_priority_late_share_ci``:
+    two samples, pooled variance, signed effect). Cohort assignment is
+    ``user_id % 2`` — the hash-mod split an A/B service would emit —
+    and conversion is "user has >= 1 purchase event with value >= 100"
+    (every synth user purchases at least once, so bare purchase would be
+    a vacuous 100%-vs-100% readout; the big-ticket gate converts ~80%
+    and leaves both cohorts with real variance).
+
+    Plan: per-batch pre-shrink to distinct (user, purchased) pairs, one
+    user-bucketed exchange of those fixed-width rows (O(distinct users),
+    never O(events)), per-bucket fold to 4 integers per cohort; the z
+    statistic is one closed-form expression on the driver from exact
+    integer counts, so it is bit-identical in any arrival order."""
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "user_id": df["user_id"],
+            "purchased": ((df["event_type"] == "purchase")
+                          & (df["value"] >= 100.0)).astype("int64"),
+        })
+        return p.groupby("user_id", as_index=False).agg(
+            purchased=("purchased", "max"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).agg(
+            purchased=("purchased", "max"))
+        cohort = (u.user_id % 2).to_numpy()
+        conv = u.purchased.to_numpy()
+        return pd.DataFrame({
+            "n_a": [int((cohort == 0).sum())],
+            "conv_a": [int(conv[cohort == 0].sum())],
+            "n_b": [int((cohort == 1).sum())],
+            "conv_b": [int(conv[cohort == 1].sum())],
+        })
+
+    out = bucketed_combine(ds, "user_id", partial, combine,
+                           num_buckets=16, coalesce_blocks=8).to_pandas()
+    schema = {"n_a": "int64", "conv_a": "int64", "n_b": "int64",
+              "conv_b": "int64", "rate_a": "float64", "rate_b": "float64",
+              "z_score": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    n_a, c_a = int(out.n_a.sum()), int(out.conv_a.sum())
+    n_b, c_b = int(out.n_b.sum()), int(out.conv_b.sum())
+    if n_a == 0 or n_b == 0:
+        return typed_out(pd.DataFrame(), schema)
+    ra, rb = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    se2 = pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)
+    z = (ra - rb) / np.sqrt(se2) if se2 > 0 else 0.0
+    res = pd.DataFrame({
+        "n_a": [n_a], "conv_a": [c_a], "n_b": [n_b], "conv_b": [c_b],
+        "rate_a": round_away(np.array([ra]), 6) + 0.0,
+        "rate_b": round_away(np.array([rb]), 6) + 0.0,
+        "z_score": round_away(np.array([z]), 6) + 0.0,
+    })
+    return typed_out(res, schema)
+
+
+EVENTS_AB_ZTEST_SQL = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 100
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), k AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+    CAST(COALESCE(SUM(conv) FILTER (WHERE cohort = 0), 0) AS BIGINT)
+        AS conv_a,
+    CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b,
+    CAST(COALESCE(SUM(conv) FILTER (WHERE cohort = 1), 0) AS BIGINT)
+        AS conv_b
+  FROM u HAVING COUNT(*) > 0
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN 0.0
+            ELSE ROUND((CAST(conv_a AS DOUBLE) / n_a
+                        - CAST(conv_b AS DOUBLE) / n_b)
+             / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+FROM k WHERE n_a > 0 AND n_b > 0
+"""
+
+
+def events_transition_entropy(sf_dir: str) -> pd.DataFrame:
+    """Conditional next-step entropy H(next | current) per event type —
+    the predictability profile of the behavioral Markov chain
+    (``events_path_transitions`` gives the raw matrix;
+    ``events_markov_stationary`` its fixpoint; this is the per-state
+    uncertainty a sequence model would face, the sequence-mining
+    closed-form companion). A state whose followers are deterministic
+    scores 0 nats; a uniformly-branching one scores ln(n_types).
+
+    Plan: reuses the transition-count machinery (user-bucketed exchange,
+    shift-compare pairs, n_types^2-bounded matrix); entropy is the
+    decomposed form H = ln(total) - sum(n*ln n)/total on exact integer
+    counts — one flop per matrix cell on the driver, same literal
+    expression as the oracle."""
+    t = events_path_transitions(sf_dir)
+    schema = {"from_type": "object", "n_transitions": "int64",
+              "n_next_types": "int64", "entropy": "float64"}
+    if t.empty:
+        return typed_out(pd.DataFrame(), schema)
+    n = t.n.to_numpy(np.float64)
+    t = t.assign(nlogn=n * np.log(n))
+    g = t.groupby("from_type", as_index=False).agg(
+        n_transitions=("n", "sum"), n_next_types=("n", "size"),
+        nlogn=("nlogn", "sum"))
+    tot = g.n_transitions.to_numpy(np.float64)
+    ent = np.log(tot) - g.nlogn.to_numpy(np.float64) / tot
+    res = pd.DataFrame({
+        "from_type": g.from_type,
+        "n_transitions": g.n_transitions.astype("int64"),
+        "n_next_types": g.n_next_types.astype("int64"),
+        "entropy": round_away(ent, 6) + 0.0,
+    })
+    return typed_out(res, schema, sort_by=["from_type"])
+
+
+EVENTS_TRANSITION_ENTROPY_SQL = """
+WITH o AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), c AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type,
+       CAST(SUM(n) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+       ROUND(LN(CAST(SUM(n) AS DOUBLE))
+             - SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE)))
+               / CAST(SUM(n) AS DOUBLE), 6) AS entropy
+FROM c GROUP BY from_type ORDER BY from_type
+"""

@@ -3913,3 +3913,96 @@ WITH tok AS (
 SELECT lang, token, a AS n_in_lang, g2_llr
 FROM r WHERE rn <= 5 ORDER BY lang, token
 """
+
+
+def lang_unigram_cross_entropy(sf_dir: str) -> pd.DataFrame:
+    """Cross-entropy and KL divergence between per-language unigram LMs,
+    for every ordered language pair — the corpus-drift matrix behind
+    "is the es split just translated en?" audits (JS divergence in
+    ``source_lang_js_divergence`` compares LABEL distributions; this
+    compares the LANGUAGE MODELS the text itself induces). P_a is the
+    MLE unigram model of language a; Q_b is Laplace-smoothed over the
+    union vocabulary so unseen tokens stay finite:
+    Q_b(t) = (n_bt + 1) / (N_b + V).
+
+    Plan: the same per-batch (lang, token) integer partials as
+    ``lang_token_llr_topk`` and one vocab-bounded groupby; the pair
+    matrix is (langs x langs) driver flops over the (vocab x lang)
+    grid — bounded by vocabulary, not corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        ex = pd.DataFrame({"lang": df["lang"].repeat(toks.str.len()),
+                           "token": np.concatenate(toks.to_numpy())
+                           if len(df) else np.array([], dtype=object)})
+        ex = ex[ex.token != ""]
+        g = ex.groupby(["lang", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"lang_a": "object", "lang_b": "object",
+              "cross_entropy": "float64", "kl_divergence": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    grid = out.pivot_table(index="token", columns="lang", values="n",
+                           aggfunc="sum", fill_value=0)
+    counts = grid.to_numpy(np.float64)           # (V, L)
+    langs = list(grid.columns)
+    v = float(len(grid))
+    totals = counts.sum(axis=0)                  # N_l
+    rows = []
+    for ia, la in enumerate(langs):
+        pa = counts[:, ia] / totals[ia]
+        sup = pa > 0
+        lp = np.log(pa[sup])
+        for ib, lb in enumerate(langs):
+            lq = np.log((counts[sup, ib] + 1.0) / (totals[ib] + v))
+            ce = -float(np.sum(pa[sup] * lq))
+            kl = float(np.sum(pa[sup] * (lp - lq)))
+            rows.append((la, lb, ce, kl))
+    res = pd.DataFrame(rows, columns=["lang_a", "lang_b",
+                                      "cross_entropy", "kl_divergence"])
+    for c in ("cross_entropy", "kl_divergence"):
+        res[c] = round_away(res[c].to_numpy(np.float64), 6) + 0.0
+    return typed_out(res, schema, sort_by=["lang_a", "lang_b"])
+
+
+LANG_CROSS_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(COALESCE(text, ''), ' ')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), vv AS (
+  SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS v FROM c
+), tot AS (
+  SELECT lang, CAST(SUM(n) AS DOUBLE) AS nl FROM c GROUP BY lang
+), pair AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         a.nl AS na, b.nl AS nb
+  FROM tot a CROSS JOIN tot b
+), terms AS (
+  SELECT p.lang_a, p.lang_b,
+         ca.n / p.na AS pa,
+         LN(ca.n / p.na) AS lpa,
+         LN((COALESCE(cb.n, 0) + 1.0) / (p.nb + vv.v)) AS lqb
+  FROM pair p
+  JOIN c ca ON ca.lang = p.lang_a
+  LEFT JOIN c cb ON cb.lang = p.lang_b AND cb.token = ca.token
+  CROSS JOIN vv
+)
+SELECT lang_a, lang_b,
+       ROUND(-SUM(pa * lqb), 6) AS cross_entropy,
+       ROUND(SUM(pa * (lpa - lqb)), 6) AS kl_divergence
+FROM terms GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
+"""

@@ -17,6 +17,9 @@ SF = "/root/testdata/sf0.001"
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
     "lang_token_llr_topk",
+    "orders_monthly_holt",
+    "lang_unigram_cross_entropy",
+    "events_transition_entropy",
     "doc_length_moments",
     "doc_unigram_logprob",
     "token_pmi_topk",

@@ -69,7 +69,9 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 
 SQL_CHECKED = [
-    "lang_token_llr_topk",
+    "lang_token_llr_topk", "events_ab_conversion_ztest",
+    "orders_monthly_holt", "events_transition_entropy",
+    "orders_date_gap_audit", "lang_unigram_cross_entropy",
     "orders_monthly_theil_sen", "lineitem_qty_discount_kendall",
     "events_type_cross_correlation", "orders_weekly_extreme_fit",
     "quality_classifier_roc_auc", "quality_rater_agreement_kappa",
