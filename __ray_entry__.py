@@ -200,6 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_date_gap_audit": relational.orders_date_gap_audit,
         "lang_unigram_cross_entropy":
             text_analysis.lang_unigram_cross_entropy,
+        "quality_rater_mcnemar": text_analysis.quality_rater_mcnemar,
+        "doc_length_levene_by_lang":
+            text_analysis.doc_length_levene_by_lang,
+        "lineitem_weighted_median_discount":
+            relational.lineitem_weighted_median_discount,
+        "source_lang_cramers_v": curation.source_lang_cramers_v,
         # oracle-backed (new in round 4, continuation-session-12 block):
         "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
         "lineitem_qty_discount_kendall":
@@ -259,11 +265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed (new in round 4, continuation-session-9 block):
         "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
         # oracle-backed (new in round 4, continuation-session-4 block):
-        "pages_link_graph": extract_checks.pages_link_graph,
-        "events_value_quantiles_by_type":
-            streaming.events_value_quantiles_by_type,
-        "embedding_quantize_report": similarity.embedding_quantize_report,
-        "events_heavy_hitters": streaming.events_heavy_hitters,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -272,6 +273,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "pages_link_graph": extract_checks.pages_link_graph,
+        "events_value_quantiles_by_type":
+            streaming.events_value_quantiles_by_type,
+        "embedding_quantize_report": similarity.embedding_quantize_report,
+        "events_heavy_hitters": streaming.events_heavy_hitters,
         "events_cohort_week_matrix": streaming.events_cohort_week_matrix,
         "doc_perplexity_filter_rate":
             text_analysis.doc_perplexity_filter_rate,
@@ -526,6 +532,11 @@ def oracle_sql() -> dict[str, str]:
             streaming.EVENTS_TRANSITION_ENTROPY_SQL,
         "orders_date_gap_audit": relational.ORDERS_DATE_GAP_SQL,
         "lang_unigram_cross_entropy": text_analysis.LANG_CROSS_ENTROPY_SQL,
+        "quality_rater_mcnemar": text_analysis.QUALITY_RATER_MCNEMAR_SQL,
+        "doc_length_levene_by_lang": text_analysis.DOC_LENGTH_LEVENE_SQL,
+        "lineitem_weighted_median_discount":
+            relational.LINEITEM_WEIGHTED_MEDIAN_SQL,
+        "source_lang_cramers_v": curation.SOURCE_LANG_CRAMERS_V_SQL,
         "orders_monthly_theil_sen": relational.ORDERS_THEIL_SEN_SQL,
         "lineitem_qty_discount_kendall": relational.LINEITEM_KENDALL_SQL,
         "events_type_cross_correlation":

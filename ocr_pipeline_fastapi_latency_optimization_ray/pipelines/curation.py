@@ -2421,3 +2421,82 @@ SELECT source,
                       ELSE 0 END), 6) AS js_divergence
 FROM grid GROUP BY 1 ORDER BY 1
 """
+
+
+def source_lang_cramers_v(sf_dir: str) -> pd.DataFrame:
+    """Cramér's V effect size for the source x language association —
+    the one-number companion to ``corpus_lang_source_contingency``
+    (that operator shows WHICH cells drive the skew; this says whether
+    the association is practically large at all — chi-square alone
+    grows with n, V = sqrt(chi2 / (n * min(r-1, c-1))) does not,
+    which is what makes it comparable across corpus snapshots).
+
+    Plan: one streaming pass of per-batch (source, lang) crosstab
+    partials; the merged grid is schema-bounded (n_sources x n_langs),
+    so chi2, dof and V are driver flops on exact integer marginals."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "lang"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .to_pandas())
+    schema = {"n_docs": "int64", "n_sources": "int64", "n_langs": "int64",
+              "chi2": "float64", "dof": "int64", "cramers_v": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    g = out.groupby(["source", "lang"], as_index=False).agg(n=("n", "sum"))
+    grid = g.pivot_table(index="source", columns="lang", values="n",
+                         aggfunc="sum", fill_value=0).to_numpy(np.float64)
+    n = float(grid.sum())
+    r, c = grid.shape
+    if n == 0 or r < 2 or c < 2:
+        return typed_out(pd.DataFrame(), schema)
+    exp = grid.sum(axis=1, keepdims=True) * grid.sum(axis=0,
+                                                     keepdims=True) / n
+    chi2 = float(np.sum((grid - exp) ** 2 / exp))
+    dof = (r - 1) * (c - 1)
+    v = float(np.sqrt(chi2 / (n * min(r - 1, c - 1))))
+    res = pd.DataFrame([{
+        "n_docs": np.int64(n), "n_sources": np.int64(r),
+        "n_langs": np.int64(c),
+        "chi2": round_away(np.float64(chi2), 6) + 0.0,
+        "dof": np.int64(dof),
+        "cramers_v": round_away(np.float64(v), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+SOURCE_LANG_CRAMERS_V_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+), mr AS (
+  SELECT source, SUM(n) AS rn FROM c GROUP BY source
+), mc AS (
+  SELECT lang, SUM(n) AS cn FROM c GROUP BY lang
+), tot AS (
+  SELECT SUM(n) AS t,
+         (SELECT COUNT(*) FROM mr) AS r,
+         (SELECT COUNT(*) FROM mc) AS k
+  FROM c
+), cells AS (
+  SELECT mr.source, mc.lang, COALESCE(c.n, 0) AS obs,
+         mr.rn * mc.cn / tot.t AS exp
+  FROM mr CROSS JOIN mc CROSS JOIN tot
+  LEFT JOIN c ON c.source = mr.source AND c.lang = mc.lang
+), s AS (
+  SELECT SUM(POWER(obs - exp, 2) / exp) AS chi2 FROM cells
+)
+SELECT CAST(tot.t AS BIGINT) AS n_docs,
+       CAST(tot.r AS BIGINT) AS n_sources,
+       CAST(tot.k AS BIGINT) AS n_langs,
+       ROUND(s.chi2, 6) AS chi2,
+       CAST((tot.r - 1) * (tot.k - 1) AS BIGINT) AS dof,
+       ROUND(SQRT(s.chi2 / (tot.t * LEAST(tot.r - 1, tot.k - 1))), 6)
+           AS cramers_v
+FROM s CROSS JOIN tot
+WHERE tot.t > 0 AND tot.r >= 2 AND tot.k >= 2
+"""

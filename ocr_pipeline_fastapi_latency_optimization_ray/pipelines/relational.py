@@ -4588,3 +4588,68 @@ SELECT CAST(DATE_DIFF('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span_days,
        CAST(COUNT(*) FILTER (WHERE gap > 1) AS BIGINT) AS n_zero_runs
 FROM g HAVING COUNT(*) > 0
 """
+
+
+def lineitem_weighted_median_discount(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median discount per return flag — the pricing
+    question "what discount does the MEDIAN UNIT ship at?" (the plain
+    median treats a 1-unit and a 50-unit line equally; weighting by
+    quantity answers for the goods, not the paperwork). Weighted
+    median = smallest discount whose cumulative weight reaches half
+    the total (the standard lower weighted median).
+
+    Plan: per-batch (flag, discount, sum_qty) partials — the key space
+    is flags x the 11-value discount grid, so the exchange and the
+    driver cumsum are schema-bounded at any corpus size; quantities
+    are integral doubles, so every cumulative sum is exact and the
+    >= W/2 threshold test cannot wobble."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_discount", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_discount"],
+                          as_index=False).agg(w=("l_quantity", "sum"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["l_returnflag", "l_discount"],
+                         as_index=False).agg(w=("w", "sum"))
+
+    out = bucketed_combine(ds, "l_returnflag", partial, combine,
+                           num_buckets=4, coalesce_blocks=8).to_pandas()
+    schema = {"l_returnflag": "object", "total_qty": "float64",
+              "weighted_median_discount": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby(["l_returnflag", "l_discount"], as_index=False).agg(
+        w=("w", "sum"))
+    rows = []
+    for flag, f in out.sort_values(["l_returnflag", "l_discount"]).groupby(
+            "l_returnflag"):
+        w = f.w.to_numpy(np.float64)
+        cw = np.cumsum(w)
+        tot = cw[-1]
+        med = f.l_discount.to_numpy(np.float64)[cw >= tot / 2.0][0]
+        rows.append((flag, tot, med))
+    res = pd.DataFrame(rows, columns=["l_returnflag", "total_qty",
+                                      "weighted_median_discount"])
+    return typed_out(res, schema, sort_by=["l_returnflag"])
+
+
+LINEITEM_WEIGHTED_MEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_discount, SUM(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+), t AS (
+  SELECT l_returnflag, l_discount, w,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY l_discount) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM c
+)
+SELECT l_returnflag, MAX(tw) AS total_qty,
+       MIN(l_discount) AS weighted_median_discount
+FROM t WHERE cw >= tw / 2.0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -3712,6 +3712,45 @@ FROM u WHERE np > 0 AND nq > 0
 """
 
 
+class _RaterConfusionPartial(QualityClassifier):
+    """Per-batch 2x2 confusion between the learned classifier (keep iff
+    rounded score >= 0.5) and the rule-based stopword-density gate
+    (keep iff n_stop/n_tok >= 0.2) — shared by the kappa and McNemar
+    rater-agreement operators."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        scored = super().__call__(df)
+        txt = df["text"].fillna("")
+        toks = txt.str.split(" ")
+        ex = toks.explode()
+        n_tok = toks.str.len().to_numpy(np.float64)
+        n_stop = (ex.isin(self.stop).groupby(ex.index).sum()
+                  .reindex(df.index, fill_value=0)
+                  .to_numpy(np.float64))
+        a = scored.quality_score.to_numpy(np.float64) >= 0.5
+        b = (n_stop / n_tok) >= 0.2
+        return pd.DataFrame([{
+            "kk": int(np.sum(a & b)), "kd": int(np.sum(a & ~b)),
+            "dk": int(np.sum(~a & b)), "dd": int(np.sum(~a & ~b)),
+        }])
+
+
+def _rater_confusion(sf_dir: str):
+    """Fold the per-batch 2x2 rows to global (kk, kd, dk, dd); None on an
+    empty corpus."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(_RaterConfusionPartial, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    if out.empty:
+        return None
+    kk, kd = int(out.kk.sum()), int(out.kd.sum())
+    dk, dd = int(out.dk.sum()), int(out.dd.sum())
+    if kk + kd + dk + dd == 0:
+        return None
+    return kk, kd, dk, dd
+
+
 def quality_rater_agreement_kappa(sf_dir: str) -> pd.DataFrame:
     """Cohen's kappa between two independent keep/drop 'raters' — the
     learned quality classifier (keep iff rounded score >= 0.5) and a
@@ -3721,37 +3760,13 @@ def quality_rater_agreement_kappa(sf_dir: str) -> pd.DataFrame:
     filters is ~98% even if independent; kappa reads ~0 there). Each
     batch emits ONE 2x2 confusion row; the driver folds four integers
     and evaluates the closed form."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-    class _KappaPartial(QualityClassifier):
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            scored = super().__call__(df)
-            txt = df["text"].fillna("")
-            toks = txt.str.split(" ")
-            ex = toks.explode()
-            n_tok = toks.str.len().to_numpy(np.float64)
-            n_stop = (ex.isin(self.stop).groupby(ex.index).sum()
-                      .reindex(df.index, fill_value=0)
-                      .to_numpy(np.float64))
-            a = scored.quality_score.to_numpy(np.float64) >= 0.5
-            b = (n_stop / n_tok) >= 0.2
-            return pd.DataFrame([{
-                "kk": int(np.sum(a & b)), "kd": int(np.sum(a & ~b)),
-                "dk": int(np.sum(~a & b)), "dd": int(np.sum(~a & ~b)),
-            }])
-
-    out = ds.map_batches(_KappaPartial, batch_format="pandas",
-                         concurrency=2).to_pandas()
     schema = {"n_docs": "int64", "observed_agree": "float64",
               "expected_agree": "float64", "kappa": "float64"}
-    if out.empty:
+    conf = _rater_confusion(sf_dir)
+    if conf is None:
         return typed_out(pd.DataFrame(), schema)
-    kk, kd = int(out.kk.sum()), int(out.kd.sum())
-    dk, dd = int(out.dk.sum()), int(out.dd.sum())
+    kk, kd, dk, dd = conf
     n = kk + kd + dk + dd
-    if n == 0:
-        return typed_out(pd.DataFrame(), schema)
     po = (kk + dd) / float(n)
     pe = ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) / (float(n) * n)
     if 1.0 - pe <= 0:
@@ -4005,4 +4020,157 @@ SELECT lang_a, lang_b,
        ROUND(-SUM(pa * lqb), 6) AS cross_entropy,
        ROUND(SUM(pa * (lpa - lqb)), 6) AS kl_divergence
 FROM terms GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
+"""
+
+
+def quality_rater_mcnemar(sf_dir: str) -> pd.DataFrame:
+    """McNemar paired test between the same two keep/drop raters as
+    ``quality_rater_agreement_kappa`` — kappa says HOW MUCH the filters
+    agree; McNemar says whether their DISAGREEMENTS are one-sided (one
+    filter systematically keeps what the other drops), which is the
+    question when deciding if swapping filters changes the corpus. Uses
+    the continuity-corrected statistic (|b - c| - 1)^2 / (b + c) over
+    the two discordant cells; shares the per-batch confusion fold, so
+    the only new work is one closed form on two integers."""
+    schema = {"n_docs": "int64", "a_only_keep": "int64",
+              "b_only_keep": "int64", "mcnemar_chi2": "float64"}
+    conf = _rater_confusion(sf_dir)
+    if conf is None:
+        return typed_out(pd.DataFrame(), schema)
+    kk, kd, dk, dd = conf
+    if kd + dk == 0:
+        return typed_out(pd.DataFrame(), schema)
+    stat = (abs(kd - dk) - 1.0) ** 2 / float(kd + dk)
+    res = pd.DataFrame([{
+        "n_docs": np.int64(kk + kd + dk + dd),
+        "a_only_keep": np.int64(kd), "b_only_keep": np.int64(dk),
+        "mcnemar_chi2": round_away(np.float64(stat), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+QUALITY_RATER_MCNEMAR_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, w -> w IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+             AS DOUBLE) AS n_stop,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM t
+), s AS (
+  SELECT (ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.45 * ln(n_tok + 1.0)
+               + 6.0 * (n_stop / n_tok)
+               + 1.5 * (n_alpha / (n_chars + 1.0))
+               + 0.05 * (n_chars / n_tok)))), 6) >= 0.5) AS a,
+         ((n_stop / n_tok) >= 0.2) AS b
+  FROM f
+), c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS kd,
+         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+           AS dk
+  FROM s HAVING COUNT(*) > 0
+)
+SELECT n AS n_docs, kd AS a_only_keep, dk AS b_only_keep,
+       ROUND(POWER(ABS(CAST(kd - dk AS DOUBLE)) - 1.0, 2)
+             / CAST(kd + dk AS DOUBLE), 6) AS mcnemar_chi2
+FROM c WHERE kd + dk > 0
+"""
+
+
+def doc_length_levene_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Brown-Forsythe test (Levene with median centers) for equality of
+    document-length VARIANCE across languages — the homoscedasticity
+    gate that decides whether the ANOVA in ``doc_length_anova_by_lang``
+    is trustworthy (ANOVA compares means assuming equal spread; a web
+    corpus where one language is all boilerplate snippets and another
+    is long articles fails exactly here). The statistic is a one-way
+    ANOVA F on the absolute deviations z = |len - median(lang)|.
+
+    Plan: the same VALUE-HISTOGRAM trick as the exact-median operator —
+    per-batch (lang, n_chars, cnt) partials, lang-bucketed combine
+    walks the cumulative histogram for each language's median and
+    emits one (n, sum_z, sum_z2) triple per language. z values are
+    half-integers (len integer, median on the 0.5 grid) so every
+    product and sum is an EXACT double; the F closed form is driver
+    flops on a #langs-bounded frame."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], as_index=False).agg(
+            cnt=("n_chars", "size"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["lang", "n_chars"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        rows = []
+        for lang, f in g.groupby("lang"):
+            vals = f["n_chars"].to_numpy(np.float64)
+            cnts = f["cnt"].to_numpy(np.int64)
+            med = _hist_quantile_cont(vals, cnts, 0.5)
+            z = np.abs(vals - med)
+            rows.append((lang, int(cnts.sum()),
+                         float(np.sum(cnts * z)),
+                         float(np.sum(cnts * z * z))))
+        return pd.DataFrame(rows, columns=["lang", "n", "sz", "sz2"])
+
+    out = bucketed_combine(ds, "lang", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"n_langs": "int64", "n_docs": "int64", "f_stat": "float64"}
+    if out.empty or len(out) < 2:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("lang")
+    n = out.n.to_numpy(np.float64)
+    sz = out.sz.to_numpy(np.float64)
+    sz2 = out.sz2.to_numpy(np.float64)
+    k, nn = len(out), float(n.sum())
+    zb = sz / n
+    zbar = float(sz.sum()) / nn
+    num = float(np.sum(n * (zb - zbar) ** 2))
+    den = float(np.sum(sz2 - n * zb * zb))
+    if den <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    f_stat = ((nn - k) / (k - 1.0)) * num / den
+    res = pd.DataFrame([{
+        "n_langs": np.int64(k), "n_docs": np.int64(nn),
+        "f_stat": round_away(np.float64(f_stat), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+DOC_LENGTH_LEVENE_SQL = """
+WITH m AS (
+  SELECT lang, MEDIAN(n_chars) AS med FROM documents GROUP BY lang
+), z AS (
+  SELECT d.lang, ABS(d.n_chars - m.med) AS z
+  FROM documents d JOIN m ON d.lang = m.lang
+), g AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(z) AS sz, SUM(z * z) AS sz2
+  FROM z GROUP BY lang
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         SUM(n * POWER(sz / n
+             - (SELECT SUM(sz) FROM g) / (SELECT SUM(n) FROM g), 2))
+           AS num,
+         SUM(sz2 - n * (sz / n) * (sz / n)) AS den,
+         CAST(COUNT(*) AS DOUBLE) AS kk, SUM(n) AS nn
+  FROM g HAVING COUNT(*) >= 2
+)
+SELECT n_langs, n_docs,
+       ROUND(((nn - kk) / (kk - 1.0)) * num / den, 6) AS f_stat
+FROM agg WHERE den > 0
 """

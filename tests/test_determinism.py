@@ -20,6 +20,8 @@ DETERMINISM_QUERIES = [
     "orders_monthly_holt",
     "lang_unigram_cross_entropy",
     "events_transition_entropy",
+    "doc_length_levene_by_lang",
+    "source_lang_cramers_v",
     "doc_length_moments",
     "doc_unigram_logprob",
     "token_pmi_topk",

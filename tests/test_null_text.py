@@ -19,7 +19,8 @@ DOC_QUERIES = [
     n for n in SQL_CHECKED
     if n.startswith(("doc", "dedup", "token", "chunk", "dup", "pii",
                      "contamination", "source", "filter", "corpus",
-                     "pack", "ngram", "tf_idf", "window", "cross", "lang"))
+                     "pack", "ngram", "tf_idf", "window", "cross", "lang",
+                     "quality"))
     or n == "docs_longest"
 ]
 
