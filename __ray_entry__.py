@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median_discount":
             relational.lineitem_weighted_median_discount,
         "source_lang_cramers_v": curation.source_lang_cramers_v,
+        "dup_graph_assortativity": curation.dup_graph_assortativity,
+        "doc_length_cohens_d": text_analysis.doc_length_cohens_d,
         # oracle-backed (new in round 4, continuation-session-12 block):
         "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
         "lineitem_qty_discount_kendall":
@@ -261,10 +263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_edit_distance_join": dedup.doc_edit_distance_join,
         "pages_scd2_intervals": extract_checks.pages_scd2_intervals,
         "events_hourly_autocorr": streaming.events_hourly_autocorr,
-        "events_type_trend": streaming.events_type_trend,
-        # oracle-backed (new in round 4, continuation-session-9 block):
-        "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
-        # oracle-backed (new in round 4, continuation-session-4 block):
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -273,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_type_trend": streaming.events_type_trend,
+        "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
         "pages_link_graph": extract_checks.pages_link_graph,
         "events_value_quantiles_by_type":
             streaming.events_value_quantiles_by_type,
@@ -537,6 +537,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_weighted_median_discount":
             relational.LINEITEM_WEIGHTED_MEDIAN_SQL,
         "source_lang_cramers_v": curation.SOURCE_LANG_CRAMERS_V_SQL,
+        "dup_graph_assortativity": curation.DUP_GRAPH_ASSORTATIVITY_SQL,
+        "doc_length_cohens_d": text_analysis.DOC_LENGTH_COHENS_D_SQL,
         "orders_monthly_theil_sen": relational.ORDERS_THEIL_SEN_SQL,
         "lineitem_qty_discount_kendall": relational.LINEITEM_KENDALL_SQL,
         "events_type_cross_correlation":

@@ -1993,15 +1993,11 @@ ORDER BY doc_id
 """
 
 
-def dup_graph_degree_histogram(sf_dir: str, k: int = 5,
-                               max_clique: int = 256) -> pd.DataFrame:
-    """Degree distribution of the duplicate graph — the first thing to
-    look at before running CC/PageRank/triangles on a candidate graph
-    (a power-law head means hot templates; a spike at degree d means
-    d+1-document mirror families). Reuses the triangle pipeline's edge
-    derivation; degrees come from a node-bucketed count exchange and the
-    histogram is a bounded second rollup (key space = distinct degrees,
-    not nodes)."""
+def _dup_edges(sf_dir: str, k: int, max_clique: int) -> "ray.data.Dataset":
+    """Deduped undirected (a < b) edge Dataset of the chunk-hash
+    duplicate graph — the shared edge derivation behind the degree /
+    assortativity graph diagnostics (triangles and kcore carry their
+    own orientation-specific variants)."""
     from ..functions.shuffle import bucketed_combine
 
     pairs = _chunk_pairs(sf_dir, k)
@@ -2029,10 +2025,24 @@ def dup_graph_degree_histogram(sf_dir: str, k: int = 5,
         pairs, "h", lambda df: df.drop_duplicates(["doc_id", "h"]),
         edge_combine, num_buckets=16, coalesce_blocks=4)
 
-    edges = bucketed_combine(
+    return bucketed_combine(
         raw_edges, ["a", "b"], lambda df: df,
         lambda g: g.drop_duplicates(["a", "b"]),
         num_buckets=16, coalesce_blocks=4)
+
+
+def dup_graph_degree_histogram(sf_dir: str, k: int = 5,
+                               max_clique: int = 256) -> pd.DataFrame:
+    """Degree distribution of the duplicate graph — the first thing to
+    look at before running CC/PageRank/triangles on a candidate graph
+    (a power-law head means hot templates; a spike at degree d means
+    d+1-document mirror families). Reuses the triangle pipeline's edge
+    derivation; degrees come from a node-bucketed count exchange and the
+    histogram is a bounded second rollup (key space = distinct degrees,
+    not nodes)."""
+    from ..functions.shuffle import bucketed_combine
+
+    edges = _dup_edges(sf_dir, k, max_clique)
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         n = pd.concat([df["a"], df["b"]]).to_numpy(np.int64)
@@ -2499,4 +2509,108 @@ SELECT CAST(tot.t AS BIGINT) AS n_docs,
            AS cramers_v
 FROM s CROSS JOIN tot
 WHERE tot.t > 0 AND tot.r >= 2 AND tot.k >= 2
+"""
+
+
+def dup_graph_assortativity(sf_dir: str, k: int = 5,
+                            max_clique: int = 256) -> pd.DataFrame:
+    """Degree assortativity of the duplicate graph — do hub templates
+    link to other hubs (mirror networks re-hosting each other, r > 0)
+    or to leaves (one boilerplate shell stamped onto many one-off
+    pages, r < 0)? The sign decides the dedup strategy: disassortative
+    star families collapse cheaply to their hub; assortative cores
+    need full clique handling.
+
+    Plan: shares ``_dup_edges``; degrees come from the same bounded
+    node-count exchange and the (node, degree) table — O(dup docs),
+    not corpus — is broadcast ONCE via ``ray.put`` into a streaming
+    pass over the edge Dataset, which emits one integer partial row
+    (m2, s_jk, s_j, s_jj) per batch. Newman's r over the
+    direction-doubled pairs is then a single closed form on exact
+    integers, so arrival order cannot move it."""
+    from ..functions.shuffle import bucketed_combine
+
+    edges = _dup_edges(sf_dir, k, max_clique)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["a"], df["b"]]).to_numpy(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    deg = bucketed_combine(
+        edges, "node", deg_partial,
+        lambda g: g.groupby("node", as_index=False).agg(deg=("deg", "sum")),
+        num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"n_nodes": "int64", "n_edges": "int64",
+              "assortativity": "float64"}
+    if deg.empty:
+        return typed_out(pd.DataFrame(), schema)
+    deg = deg.groupby("node", as_index=False).agg(deg=("deg", "sum"))
+    nodes = deg.node.to_numpy(np.int64)
+    degs = deg.deg.to_numpy(np.int64)
+    order = np.argsort(nodes)
+    nodes, degs = nodes[order], degs[order]
+    deg_ref = ray.put((nodes, degs))
+
+    def edge_sums(df: pd.DataFrame) -> pd.DataFrame:
+        nd, dg = ray.get(deg_ref)
+        ja = dg[np.searchsorted(nd, df["a"].to_numpy(np.int64))]
+        kb = dg[np.searchsorted(nd, df["b"].to_numpy(np.int64))]
+        return pd.DataFrame([{
+            "m2": np.int64(2 * len(df)),
+            "s_jk": np.int64(2 * np.sum(ja * kb)),
+            "s_j": np.int64(np.sum(ja + kb)),
+            "s_jj": np.int64(np.sum(ja * ja + kb * kb)),
+        }])
+
+    out = edges.map_batches(edge_sums, batch_format="pandas").to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m2 = int(out.m2.sum())
+    s_jk, s_j, s_jj = int(out.s_jk.sum()), int(out.s_j.sum()), int(
+        out.s_jj.sum())
+    den = m2 * s_jj - s_j * s_j
+    if m2 == 0 or den <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    r = (m2 * s_jk - s_j * s_j) / float(den)
+    res = pd.DataFrame([{
+        "n_nodes": np.int64(len(deg)), "n_edges": np.int64(m2 // 2),
+        "assortativity": round_away(np.float64(r), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+DUP_GRAPH_ASSORTATIVITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks)+1, 5),
+                               i -> array_to_string(toks[i:i+4], ' ')))
+             AS chunk
+  FROM tok
+), pe AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+), deg AS (
+  SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS x FROM pe UNION ALL SELECT b FROM pe) GROUP BY x
+), dir AS (
+  SELECT a AS s, b AS t FROM pe UNION ALL SELECT b, a FROM pe
+), j AS (
+  SELECT da.d AS jd, db.d AS kd
+  FROM dir JOIN deg da ON da.node = dir.s JOIN deg db ON db.node = dir.t
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(jd * kd) AS BIGINT) AS s_jk,
+         CAST(SUM(jd) AS BIGINT) AS s_j,
+         CAST(SUM(jd * jd) AS BIGINT) AS s_jj
+  FROM j HAVING COUNT(*) > 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       m2 / 2 AS n_edges,
+       ROUND((m2 * s_jk - s_j * s_j)
+             / CAST(m2 * s_jj - s_j * s_j AS DOUBLE), 6) AS assortativity
+FROM s WHERE m2 > 0 AND m2 * s_jj - s_j * s_j > 0
 """

@@ -4174,3 +4174,86 @@ SELECT n_langs, n_docs,
        ROUND(((nn - kk) / (kk - 1.0)) * num / den, 6) AS f_stat
 FROM agg WHERE den > 0
 """
+
+
+def doc_length_cohens_d(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Cohen's d effect sizes for document length between every
+    unordered language pair — the practical-significance companion to
+    the ANOVA/Brown-Forsythe omnibus tests (an F-test on a web corpus
+    is 'significant' at almost any real difference; d says whether the
+    gap is 0.05 sd trivia or a 0.8 sd pipeline bug). Pooled-sd
+    convention: sp^2 = ((n1-1)s1^2 + (n2-1)s2^2) / (n1+n2-2).
+
+    Plan: one streaming pass of per-batch (lang, n, sum, sum2) integer
+    moment partials (the doc_length_moments fold); all pair math is
+    driver flops on a #langs-bounded frame with the same literal
+    expressions as the oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        g = pd.DataFrame({"lang": df["lang"], "n": 1,
+                          "s1": x, "s2": x * x})
+        return g.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"lang_a": "object", "lang_b": "object", "n_a": "int64",
+              "n_b": "int64", "mean_diff": "float64", "cohens_d": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    g = out.groupby("lang", as_index=False).agg(
+        n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    g = g.sort_values("lang").reset_index(drop=True)
+    rows = []
+    for ia in range(len(g)):
+        for ib in range(ia + 1, len(g)):
+            a, b = g.iloc[ia], g.iloc[ib]
+            na, nb = int(a.n), int(b.n)
+            if na < 2 or nb < 2 or na + nb < 3:
+                continue
+            ma, mb = a.s1 / na, b.s1 / nb
+            va = (a.s2 - na * ma * ma) / (na - 1.0)
+            vb = (b.s2 - nb * mb * mb) / (nb - 1.0)
+            sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+            if sp2 <= 0:
+                continue
+            d = (ma - mb) / np.sqrt(sp2)
+            rows.append((a.lang, b.lang, na, nb, ma - mb, d))
+    if not rows:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_a", "n_b",
+                                      "mean_diff", "cohens_d"])
+    for c in ("mean_diff", "cohens_d"):
+        res[c] = round_away(res[c].to_numpy(np.float64), 6) + 0.0
+    return typed_out(res, schema, sort_by=["lang_a", "lang_b"])
+
+
+DOC_LENGTH_COHENS_D_SQL = """
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang
+), p AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         a.n AS na, b.n AS nb,
+         a.s1 / CAST(a.n AS DOUBLE) AS ma,
+         b.s1 / CAST(b.n AS DOUBLE) AS mb,
+         (a.s2 - a.n * (a.s1 / CAST(a.n AS DOUBLE))
+               * (a.s1 / CAST(a.n AS DOUBLE))) / (a.n - 1.0) AS va,
+         (b.s2 - b.n * (b.s1 / CAST(b.n AS DOUBLE))
+               * (b.s1 / CAST(b.n AS DOUBLE))) / (b.n - 1.0) AS vb
+  FROM g a JOIN g b ON a.lang < b.lang
+  WHERE a.n >= 2 AND b.n >= 2
+), q AS (
+  SELECT lang_a, lang_b, na, nb, ma - mb AS mean_diff,
+         ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0) AS sp2
+  FROM p
+)
+SELECT lang_a, lang_b, na AS n_a, nb AS n_b,
+       ROUND(mean_diff, 6) AS mean_diff,
+       ROUND(mean_diff / SQRT(sp2), 6) AS cohens_d
+FROM q WHERE sp2 > 0 ORDER BY lang_a, lang_b
+"""

@@ -22,6 +22,8 @@ DETERMINISM_QUERIES = [
     "events_transition_entropy",
     "doc_length_levene_by_lang",
     "source_lang_cramers_v",
+    "dup_graph_assortativity",
+    "doc_length_cohens_d",
     "doc_length_moments",
     "doc_unigram_logprob",
     "token_pmi_topk",

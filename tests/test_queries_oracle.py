@@ -74,6 +74,7 @@ SQL_CHECKED = [
     "orders_date_gap_audit", "lang_unigram_cross_entropy",
     "quality_rater_mcnemar", "doc_length_levene_by_lang",
     "lineitem_weighted_median_discount", "source_lang_cramers_v",
+    "dup_graph_assortativity", "doc_length_cohens_d",
     "orders_monthly_theil_sen", "lineitem_qty_discount_kendall",
     "events_type_cross_correlation", "orders_weekly_extreme_fit",
     "quality_classifier_roc_auc", "quality_rater_agreement_kappa",
