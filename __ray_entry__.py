@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-14 block):
+        "events_weekly_decomposition":
+            streaming.events_weekly_decomposition,
+        "events_error_pchart": streaming.events_error_pchart,
         # oracle-backed (new in round 4, continuation-session-13 block):
         "lang_token_llr_topk": text_analysis.lang_token_llr_topk,
         "events_ab_conversion_ztest":
@@ -261,8 +265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_churn": streaming.events_weekly_churn,
         # oracle-backed (new in round 4, continuation-session-10 block):
         "doc_edit_distance_join": dedup.doc_edit_distance_join,
-        "pages_scd2_intervals": extract_checks.pages_scd2_intervals,
-        "events_hourly_autocorr": streaming.events_hourly_autocorr,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -271,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "pages_scd2_intervals": extract_checks.pages_scd2_intervals,
+        "events_hourly_autocorr": streaming.events_hourly_autocorr,
         "events_type_trend": streaming.events_type_trend,
         "dedup_sorted_neighborhood": dedup.dedup_sorted_neighborhood,
         "pages_link_graph": extract_checks.pages_link_graph,
@@ -525,6 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_weekly_decomposition":
+            streaming.EVENTS_WEEKLY_DECOMPOSITION_SQL,
+        "events_error_pchart": streaming.EVENTS_ERROR_PCHART_SQL,
         "lang_token_llr_topk": text_analysis.LANG_TOKEN_LLR_SQL,
         "events_ab_conversion_ztest": streaming.EVENTS_AB_ZTEST_SQL,
         "orders_monthly_holt": relational.ORDERS_MONTHLY_HOLT_SQL,

@@ -3740,3 +3740,153 @@ SELECT from_type,
                / CAST(SUM(n) AS DOUBLE), 6) AS entropy
 FROM c GROUP BY from_type ORDER BY from_type
 """
+
+
+def events_weekly_decomposition(sf_dir: str) -> pd.DataFrame:
+    """Classical seasonal decomposition (trend = centered 7-day moving
+    average, seasonal = day-of-week mean of the detrended series) of
+    the daily event-count stream — the additive-decomposition readout
+    behind "is Saturday really 20% quieter, or is that the launch-week
+    trend?". ``events_seasonality_profile`` averages RAW counts per
+    slot; this one removes the trend first, so a ramping corpus does
+    not masquerade as seasonality.
+
+    Plan: per-batch (epoch-day, count) integer partials -> a grid
+    bounded by the TIME SPAN; zero-fill, the 7-day window sums come
+    off one cumulative sum (exact integers divided by 7.0, same flop
+    as the oracle's AVG window), and the day-of-week fold only covers
+    days with a FULL window, mirroring the oracle's row-number
+    filter."""
+    ev = _events(sf_dir, columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df.ts.astype("int64").to_numpy() // 86_400_000_000
+        return pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"dow": "int64", "n_days": "int64", "seasonal": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = parts.groupby("day", as_index=False).agg(n=("n", "sum"))
+    lo, hi = int(m.day.min()), int(m.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[m.day.to_numpy(np.int64) - lo] = m.n.to_numpy(np.int64)
+    n = len(y)
+    if n < 7:
+        return typed_out(pd.DataFrame(), schema)
+    cs = np.concatenate(([0], np.cumsum(y)))
+    centers = np.arange(3, n - 3)
+    trend = (cs[centers + 4] - cs[centers - 3]) / 7.0
+    det = y[centers].astype(np.float64) - trend
+    dow = ((lo + centers) + 4) % 7  # epoch day 0 = Thursday = DuckDB 4
+    g = pd.DataFrame({"dow": dow, "det": det}).groupby(
+        "dow", as_index=False).agg(n_days=("det", "size"),
+                                   seasonal=("det", "mean"))
+    g["seasonal"] = round_away(g.seasonal.to_numpy(np.float64), 6) + 0.0
+    g["n_days"] = g.n_days.astype("int64")
+    g["dow"] = g.dow.astype("int64")
+    return typed_out(g, schema, sort_by="dow")
+
+
+EVENTS_WEEKLY_DECOMPOSITION_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+  FROM events HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), c AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+), d AS (
+  SELECT CAST(s.day AS DATE) AS day, COALESCE(c.n, 0) AS y,
+         ROW_NUMBER() OVER (ORDER BY s.day) AS i,
+         COUNT(*) OVER () AS nn
+  FROM spine s LEFT JOIN c ON c.day = CAST(s.day AS DATE)
+), t AS (
+  SELECT day, y, i, nn,
+         AVG(y) OVER (ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tr
+  FROM d
+), f AS (
+  SELECT dayofweek(day) AS dow, y - tr AS det
+  FROM t WHERE i >= 4 AND i <= nn - 3 AND nn >= 7
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(det), 6) AS seasonal
+FROM f GROUP BY dow ORDER BY dow
+"""
+
+
+def events_error_pchart(sf_dir: str) -> pd.DataFrame:
+    """SPC p-chart over the daily error proportion — the
+    statistical-process-control gate (Shewhart 3-sigma limits with
+    per-day sample-size-adjusted bounds) that separates "error rate
+    wobbles within binomial noise" from "a day genuinely broke":
+    the changepoint operator finds WHERE the level shifted; this
+    counts how many days are incompatible with ONE stable level.
+
+    Plan: per-batch (day, n, n_err) integer partials -> a span-bounded
+    grid; pbar and every per-day limit are closed-form driver flops on
+    exact integers, written as the same literal expressions as the
+    oracle so the strict above/below comparisons agree bit-for-bit."""
+    ev = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df.ts.astype("int64").to_numpy() // 86_400_000_000
+        g = pd.DataFrame({
+            "day": day, "n": 1,
+            "e": (df.event_type == "error").astype("int64").to_numpy(),
+        })
+        return g.groupby("day", as_index=False).agg(n=("n", "sum"),
+                                                    e=("e", "sum"))
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"n_days": "int64", "p_bar": "float64",
+              "days_above_ucl": "int64", "days_below_lcl": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = parts.groupby("day", as_index=False).agg(n=("n", "sum"),
+                                                 e=("e", "sum"))
+    tot_n, tot_e = int(m.n.sum()), int(m.e.sum())
+    if tot_n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    pbar = tot_e / float(tot_n)
+    nd = m.n.to_numpy(np.float64)
+    p = m.e.to_numpy(np.float64) / nd
+    sig = np.sqrt(pbar * (1.0 - pbar) / nd)
+    ucl = pbar + 3.0 * sig
+    lcl = np.maximum(pbar - 3.0 * sig, 0.0)
+    res = pd.DataFrame([{
+        "n_days": np.int64(len(m)),
+        "p_bar": round_away(np.float64(pbar), 6) + 0.0,
+        "days_above_ucl": np.int64(int((p > ucl).sum())),
+        "days_below_lcl": np.int64(int((p < lcl).sum())),
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_ERROR_PCHART_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1
+), k AS (
+  SELECT SUM(e) / CAST(SUM(n) AS DOUBLE) AS pbar FROM d
+  HAVING SUM(n) > 0
+), f AS (
+  SELECT d.e / CAST(d.n AS DOUBLE) AS p,
+         k.pbar + 3.0 * SQRT(k.pbar * (1.0 - k.pbar) / d.n) AS ucl,
+         GREATEST(k.pbar - 3.0 * SQRT(k.pbar * (1.0 - k.pbar) / d.n),
+                  0.0) AS lcl,
+         k.pbar
+  FROM d CROSS JOIN k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(MAX(pbar), 6) AS p_bar,
+       CAST(SUM(CASE WHEN p > ucl THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_above_ucl,
+       CAST(SUM(CASE WHEN p < lcl THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_below_lcl
+FROM f HAVING COUNT(*) > 0
+"""

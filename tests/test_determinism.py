@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "events_weekly_decomposition",
+    "events_error_pchart",
     "lang_token_llr_topk",
     "orders_monthly_holt",
     "lang_unigram_cross_entropy",

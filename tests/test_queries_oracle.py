@@ -69,6 +69,7 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 
 SQL_CHECKED = [
+    "events_weekly_decomposition", "events_error_pchart",
     "lang_token_llr_topk", "events_ab_conversion_ztest",
     "orders_monthly_holt", "events_transition_entropy",
     "orders_date_gap_audit", "lang_unigram_cross_entropy",
