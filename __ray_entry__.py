@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-14 block):
+        "source_lang_mutual_info": curation.source_lang_mutual_info,
+        "doc_length_trimmed_mean_by_lang":
+            text_analysis.doc_length_trimmed_mean_by_lang,
         "events_weekly_decomposition":
             streaming.events_weekly_decomposition,
         "events_error_pchart": streaming.events_error_pchart,
@@ -262,9 +265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
         "lineitem_cube_pricing": relational.lineitem_cube_pricing,
         "orders_band_join_gaps": relational.orders_band_join_gaps,
-        "events_weekly_churn": streaming.events_weekly_churn,
-        # oracle-backed (new in round 4, continuation-session-10 block):
-        "doc_edit_distance_join": dedup.doc_edit_distance_join,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_weekly_churn": streaming.events_weekly_churn,
+        "doc_edit_distance_join": dedup.doc_edit_distance_join,
         "pages_scd2_intervals": extract_checks.pages_scd2_intervals,
         "events_hourly_autocorr": streaming.events_hourly_autocorr,
         "events_type_trend": streaming.events_type_trend,
@@ -529,6 +531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "source_lang_mutual_info": curation.SOURCE_LANG_MUTUAL_INFO_SQL,
+        "doc_length_trimmed_mean_by_lang":
+            text_analysis.DOC_LENGTH_TRIMMED_MEAN_SQL,
         "events_weekly_decomposition":
             streaming.EVENTS_WEEKLY_DECOMPOSITION_SQL,
         "events_error_pchart": streaming.EVENTS_ERROR_PCHART_SQL,

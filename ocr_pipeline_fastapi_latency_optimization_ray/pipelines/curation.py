@@ -2614,3 +2614,97 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
              / CAST(m2 * s_jj - s_j * s_j AS DOUBLE), 6) AS assortativity
 FROM s WHERE m2 > 0 AND m2 * s_jj - s_j * s_j > 0
 """
+
+
+def source_lang_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information (nats) and normalized MI between crawl source
+    and language — the information-theoretic companion to
+    ``source_lang_cramers_v``: V measures departure-from-independence
+    in chi-square units, MI measures it in "bits you learn about the
+    language from knowing the source", which is the number a corpus
+    mixer actually budgets (NMI = MI / sqrt(H_source * H_lang) makes
+    it comparable across snapshots with different source counts).
+
+    Plan: the SAME one-pass (source, lang) crosstab partial exchange as
+    Cramér's V — the merged grid is schema-bounded (n_sources x
+    n_langs), so MI, the two marginal entropies and NMI are closed-form
+    driver flops on exact integer counts, written as the oracle's
+    literal expressions (sum over nonzero cells of p*ln(n*nij/(ri*cj)))."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "lang"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"n_docs": "int64", "n_sources": "int64", "n_langs": "int64",
+              "mi_nats": "float64", "h_source": "float64",
+              "h_lang": "float64", "nmi": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    g = (out.groupby(["source", "lang"], as_index=False).agg(n=("n", "sum"))
+         .sort_values(["source", "lang"], kind="mergesort"))
+    nij = g.n.to_numpy(np.float64)
+    n = float(nij.sum())
+    ri = g.groupby("source").n.sum()
+    cj = g.groupby("lang").n.sum()
+    r, c = len(ri), len(cj)
+    if n == 0 or r < 2 or c < 2:
+        return typed_out(pd.DataFrame(), schema)
+    rv = g.source.map(ri).to_numpy(np.float64)
+    cv = g.lang.map(cj).to_numpy(np.float64)
+    mi = float(np.sum((nij / n) * np.log(n * nij / (rv * cv))))
+    hs = float(-np.sum((ri.to_numpy(np.float64) / n)
+                       * np.log(ri.to_numpy(np.float64) / n)))
+    hl = float(-np.sum((cj.to_numpy(np.float64) / n)
+                       * np.log(cj.to_numpy(np.float64) / n)))
+    denom = float(np.sqrt(hs * hl))
+    if denom <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_docs": np.int64(n), "n_sources": np.int64(r),
+        "n_langs": np.int64(c),
+        "mi_nats": round_away(np.float64(mi), 6) + 0.0,
+        "h_source": round_away(np.float64(hs), 6) + 0.0,
+        "h_lang": round_away(np.float64(hl), 6) + 0.0,
+        "nmi": round_away(np.float64(mi / denom), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+SOURCE_LANG_MUTUAL_INFO_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+), mr AS (
+  SELECT source, SUM(n) AS rn FROM c GROUP BY source
+), mc AS (
+  SELECT lang, SUM(n) AS cn FROM c GROUP BY lang
+), tot AS (
+  SELECT SUM(n) AS t,
+         (SELECT COUNT(*) FROM mr) AS r,
+         (SELECT COUNT(*) FROM mc) AS k
+  FROM c
+), mi AS (
+  SELECT SUM((c.n / tot.t)
+             * LN(tot.t * c.n / (mr.rn * mc.cn))) AS mi
+  FROM c
+  JOIN mr ON mr.source = c.source
+  JOIN mc ON mc.lang = c.lang
+  CROSS JOIN tot
+), hs AS (
+  SELECT -SUM((rn / tot.t) * LN(rn / tot.t)) AS h FROM mr CROSS JOIN tot
+), hl AS (
+  SELECT -SUM((cn / tot.t) * LN(cn / tot.t)) AS h FROM mc CROSS JOIN tot
+)
+SELECT CAST(tot.t AS BIGINT) AS n_docs,
+       CAST(tot.r AS BIGINT) AS n_sources,
+       CAST(tot.k AS BIGINT) AS n_langs,
+       ROUND(mi.mi, 6) AS mi_nats,
+       ROUND(hs.h, 6) AS h_source,
+       ROUND(hl.h, 6) AS h_lang,
+       ROUND(mi.mi / SQRT(hs.h * hl.h), 6) AS nmi
+FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN tot
+WHERE tot.t > 0 AND tot.r >= 2 AND tot.k >= 2 AND hs.h * hl.h > 0
+"""

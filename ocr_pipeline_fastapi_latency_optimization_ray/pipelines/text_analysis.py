@@ -4257,3 +4257,92 @@ SELECT lang_a, lang_b, na AS n_a, nb AS n_b,
        ROUND(mean_diff / SQRT(sp2), 6) AS cohens_d
 FROM q WHERE sp2 > 0 ORDER BY lang_a, lang_b
 """
+
+
+def doc_length_trimmed_mean_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language 10%-trimmed and winsorized mean of document length
+    — the robust location estimates between the mean (tail-dominated,
+    ``doc_length_moments``) and the median (throws away 50% of the
+    sample, ``doc_length_median_by_lang``): trim drops the k=floor(n/10)
+    smallest and largest values; winsorize clamps them to the surviving
+    extremes, so boilerplate stubs and concatenation monsters stop
+    dragging the per-language length budget.
+
+    Plan: the same VALUE-HISTOGRAM exchange as the exact median —
+    per-batch (lang, n_chars, cnt) partials, a lang-bucketed combine
+    sorts the bounded distinct-value grid and takes rank-interval
+    overlaps off one cumulative count walk. All sums are integer
+    (value x effective-count), so both means are exact rationals in
+    doubles, matching the oracle's rank-filtered AVG bit-for-bit."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], as_index=False).agg(
+            cnt=("n_chars", "size"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["lang", "n_chars"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+        rows = []
+        for lang, f in g.groupby("lang"):
+            f = f.sort_values("n_chars", kind="mergesort")
+            vals = f["n_chars"].to_numpy(np.int64)
+            cnts = f["cnt"].to_numpy(np.int64)
+            n = int(cnts.sum())
+            k = n // 10
+            cum = np.cumsum(cnts)
+            prev = cum - cnts
+            # effective count of each value inside rank window (k, n-k]
+            eff = np.minimum(cum, n - k) - np.maximum(prev, k)
+            eff = np.maximum(eff, 0)
+            m = n - 2 * k
+            tsum = int(np.sum(vals * eff))
+            lo = int(vals[np.searchsorted(cum, k + 1)])
+            hi = int(vals[np.searchsorted(cum, n - k)])
+            wsum = tsum + k * lo + k * hi
+            rows.append((lang, n, k, tsum / float(m), wsum / float(n)))
+        return pd.DataFrame(rows, columns=["lang", "n_docs", "trim_k",
+                                           "trimmed_mean",
+                                           "winsorized_mean"])
+
+    out = bucketed_combine(ds, "lang", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"lang": "object", "n_docs": "int64", "trim_k": "int64",
+              "trimmed_mean": "float64", "winsorized_mean": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out["trimmed_mean"] = round_away(
+        out.trimmed_mean.to_numpy(np.float64), 6) + 0.0
+    out["winsorized_mean"] = round_away(
+        out.winsorized_mean.to_numpy(np.float64), 6) + 0.0
+    return typed_out(out, schema, sort_by="lang")
+
+
+DOC_LENGTH_TRIMMED_MEAN_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), lim AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = n // 10 + 1 THEN n_chars END) AS lo,
+         MAX(CASE WHEN rn = n - n // 10 THEN n_chars END) AS hi
+  FROM r GROUP BY lang
+)
+SELECT r.lang,
+       CAST(MAX(r.n) AS BIGINT) AS n_docs,
+       CAST(MAX(r.n) // 10 AS BIGINT) AS trim_k,
+       ROUND(AVG(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                      THEN CAST(n_chars AS DOUBLE) END), 6)
+           AS trimmed_mean,
+       ROUND(AVG(CAST(CASE WHEN rn <= n // 10 THEN lim.lo
+                           WHEN rn > n - n // 10 THEN lim.hi
+                           ELSE n_chars END AS DOUBLE)), 6)
+           AS winsorized_mean
+FROM r JOIN lim ON lim.lang = r.lang
+GROUP BY r.lang ORDER BY r.lang
+"""

@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "source_lang_mutual_info",
+    "doc_length_trimmed_mean_by_lang",
     "events_weekly_decomposition",
     "events_error_pchart",
     "lang_token_llr_topk",
