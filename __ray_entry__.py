@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-14 block):
+        "doc_length_jarque_bera_by_lang":
+            text_analysis.doc_length_jarque_bera_by_lang,
+        "orders_daily_ljung_box": relational.orders_daily_ljung_box,
         "source_lang_mutual_info": curation.source_lang_mutual_info,
         "doc_length_trimmed_mean_by_lang":
             text_analysis.doc_length_trimmed_mean_by_lang,
@@ -263,8 +266,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ks_by_lang": text_analysis.doc_length_ks_by_lang,
         "events_rate_changepoint": streaming.events_rate_changepoint,
         "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
-        "lineitem_cube_pricing": relational.lineitem_cube_pricing,
-        "orders_band_join_gaps": relational.orders_band_join_gaps,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -273,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "lineitem_cube_pricing": relational.lineitem_cube_pricing,
+        "orders_band_join_gaps": relational.orders_band_join_gaps,
         "events_weekly_churn": streaming.events_weekly_churn,
         "doc_edit_distance_join": dedup.doc_edit_distance_join,
         "pages_scd2_intervals": extract_checks.pages_scd2_intervals,
@@ -531,6 +534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_length_jarque_bera_by_lang":
+            text_analysis.DOC_LENGTH_JARQUE_BERA_SQL,
+        "orders_daily_ljung_box": relational.ORDERS_LJUNG_BOX_SQL,
         "source_lang_mutual_info": curation.SOURCE_LANG_MUTUAL_INFO_SQL,
         "doc_length_trimmed_mean_by_lang":
             text_analysis.DOC_LENGTH_TRIMMED_MEAN_SQL,

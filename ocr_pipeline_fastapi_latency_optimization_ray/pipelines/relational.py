@@ -4653,3 +4653,94 @@ SELECT l_returnflag, MAX(tw) AS total_qty,
 FROM t WHERE cw >= tw / 2.0
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def orders_daily_ljung_box(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Ljung-Box portmanteau test (lags 1..7) on the zero-filled daily
+    order-count series — the omnibus serial-correlation audit: the runs
+    test sees sign streaks around the median, the single-lag autocorr
+    sees ONE lag; Q = n(n+2) sum rho_k^2/(n-k) convicts a generator
+    whose correlation hides at ANY weekly-scale lag.
+
+    Plan: per-batch (epoch-day, count) integer partials -> a grid
+    bounded by the DATE SPAN, zero-filled; the mean is an exact
+    integer/n division, every lag's co-moment is one shifted vector
+    product on the driver array (span-sized, never row-sized), written
+    as the oracle's literal expressions."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas())
+    schema = {"n_days": "int64", "dof": "int64", "rho_1": "float64",
+              "lb_q": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = int(out.day.min()), int(out.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[out.day.to_numpy(np.int64) - lo] = out.n.to_numpy(np.int64)
+    nn = len(y)
+    if nn <= max_lag:
+        return typed_out(pd.DataFrame(), schema)
+    mu = float(y.sum()) / nn
+    d = y.astype(np.float64) - mu
+    denom = float(np.sum(d * d))
+    if denom <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    rho = np.array([float(np.sum(d[k:] * d[:-k])) / denom
+                    for k in range(1, max_lag + 1)])
+    q = nn * (nn + 2.0) * float(np.sum(
+        rho * rho / (nn - np.arange(1.0, max_lag + 1))))
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn), "dof": np.int64(max_lag),
+        "rho_1": round_away(np.float64(rho[0]), 6) + 0.0,
+        "lb_q": round_away(np.float64(q), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_LJUNG_BOX_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), c AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT CAST(s.day AS DATE) AS day,
+         CAST(COALESCE(c.n, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN c ON c.day = CAST(s.day AS DATE)
+), m AS (
+  SELECT SUM(y) / COUNT(*) AS mu, CAST(COUNT(*) AS BIGINT) AS nn FROM d
+), e AS (
+  SELECT d.day, d.y - m.mu AS dd FROM d CROSS JOIN m
+), den AS (
+  SELECT SUM(dd * dd) AS dn FROM e
+), l AS (
+  SELECT UNNEST(generate_series(1, 7)) AS k
+), rho AS (
+  SELECT l.k, SUM(e1.dd * e2.dd) / den.dn AS r
+  FROM l CROSS JOIN den
+  CROSS JOIN e e1
+  JOIN e e2 ON e2.day = e1.day - CAST(l.k AS INTEGER)
+  GROUP BY l.k, den.dn
+)
+SELECT m.nn AS n_days, CAST(7 AS BIGINT) AS dof,
+       ROUND(MAX(CASE WHEN rho.k = 1 THEN rho.r END), 6) AS rho_1,
+       ROUND(m.nn * (m.nn + 2.0)
+             * SUM(rho.r * rho.r / (m.nn - rho.k)), 6) AS lb_q
+FROM rho CROSS JOIN m CROSS JOIN den
+WHERE m.nn > 7 AND den.dn > 0
+GROUP BY m.nn
+"""

@@ -4346,3 +4346,87 @@ SELECT r.lang,
 FROM r JOIN lim ON lim.lang = r.lang
 GROUP BY r.lang ORDER BY r.lang
 """
+
+
+def doc_length_jarque_bera_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Jarque-Bera normality test of document length per language —
+    skewness and excess kurtosis from one pass of raw power sums, and
+    JB = n/6 (g1^2 + g2^2/4), the moment-based answer to "is this
+    length distribution even roughly Gaussian, or do the tail-driven
+    z-score filters downstream need a different null?" (the KS/MW
+    operators compare LANGUAGES to each other; this tests each against
+    normality itself).
+
+    Plan: per-batch (lang, n, s1..s4) INT64 power-sum partials (length
+    is a small int, s4 stays far below 2^53 at any tested SF; at
+    larger scale the partial dtype widens to float with the same
+    algebra) -> one lang-bounded fold; every central moment and the JB
+    closed form are written as the oracle's literal expressions over
+    the exact sums."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.n_chars.to_numpy(np.int64)
+        g = pd.DataFrame({"lang": df.lang, "n": 1, "s1": x, "s2": x * x,
+                          "s3": x * x * x, "s4": x * x * x * x})
+        return g.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+            s3=("s3", "sum"), s4=("s4", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"lang": "object", "n_docs": "int64", "skewness": "float64",
+              "ex_kurtosis": "float64", "jb_stat": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    g = out.groupby("lang", as_index=False).agg(
+        n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+        s3=("s3", "sum"), s4=("s4", "sum"))
+    rows = []
+    for r in g.itertuples(index=False):
+        n = float(r.n)
+        if r.n < 4:
+            continue
+        mu = r.s1 / n
+        m2 = r.s2 / n - mu * mu
+        if m2 <= 0:
+            continue
+        m3 = r.s3 / n - 3 * mu * (r.s2 / n) + 2 * mu * mu * mu
+        m4 = (r.s4 / n - 4 * mu * (r.s3 / n) + 6 * mu * mu * (r.s2 / n)
+              - 3 * mu * mu * mu * mu)
+        skew = m3 / m2 ** 1.5
+        exk = m4 / (m2 * m2) - 3
+        jb = n / 6.0 * (skew ** 2 + exk ** 2 / 4.0)
+        rows.append((r.lang, np.int64(r.n),
+                     round_away(np.float64(skew), 6) + 0.0,
+                     round_away(np.float64(exk), 6) + 0.0,
+                     round_away(np.float64(jb), 6) + 0.0))
+    res = pd.DataFrame(rows, columns=list(schema))
+    return typed_out(res, schema, sort_by="lang")
+
+
+DOC_LENGTH_JARQUE_BERA_SQL = """
+WITH s AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS nn,
+         SUM(CAST(n_chars AS DOUBLE)) AS s1,
+         SUM(CAST(n_chars AS DOUBLE) * n_chars) AS s2,
+         SUM(CAST(n_chars AS DOUBLE) * n_chars * n_chars) AS s3,
+         SUM(CAST(n_chars AS DOUBLE) * n_chars * n_chars * n_chars) AS s4
+  FROM documents GROUP BY lang
+), m AS (
+  SELECT lang, n, nn, s1 / n AS mu, s2, s3, s4 FROM s
+), cm AS (
+  SELECT lang, n, nn,
+         s2 / n - mu * mu AS m2,
+         s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu AS m3,
+         s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+             - 3 * mu * mu * mu * mu AS m4
+  FROM m
+)
+SELECT lang, CAST(nn AS BIGINT) AS n_docs,
+       ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3, 6) AS ex_kurtosis,
+       ROUND(n / 6.0 * (POWER(m3 / POWER(m2, 1.5), 2)
+             + POWER(m4 / (m2 * m2) - 3, 2) / 4.0), 6) AS jb_stat
+FROM cm WHERE m2 > 0 AND nn >= 4 ORDER BY lang
+"""
