@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-14 block):
+        "events_daily_permutation_entropy":
+            streaming.events_daily_permutation_entropy,
+        "events_daily_grubbs": streaming.events_daily_grubbs,
         "doc_length_jarque_bera_by_lang":
             text_analysis.doc_length_jarque_bera_by_lang,
         "orders_daily_ljung_box": relational.orders_daily_ljung_box,
@@ -264,8 +267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.orders_median_gap_per_customer,
         "part_type_size_chi2": relational.part_type_size_chi2,
         "doc_length_ks_by_lang": text_analysis.doc_length_ks_by_lang,
-        "events_rate_changepoint": streaming.events_rate_changepoint,
-        "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -274,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_rate_changepoint": streaming.events_rate_changepoint,
+        "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
         "lineitem_cube_pricing": relational.lineitem_cube_pricing,
         "orders_band_join_gaps": relational.orders_band_join_gaps,
         "events_weekly_churn": streaming.events_weekly_churn,
@@ -534,6 +537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_daily_permutation_entropy":
+            streaming.EVENTS_PERMUTATION_ENTROPY_SQL,
+        "events_daily_grubbs": streaming.EVENTS_DAILY_GRUBBS_SQL,
         "doc_length_jarque_bera_by_lang":
             text_analysis.DOC_LENGTH_JARQUE_BERA_SQL,
         "orders_daily_ljung_box": relational.ORDERS_LJUNG_BOX_SQL,

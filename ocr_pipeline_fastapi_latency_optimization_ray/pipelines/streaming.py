@@ -3890,3 +3890,179 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
            AS days_below_lcl
 FROM f HAVING COUNT(*) > 0
 """
+
+
+def events_daily_permutation_entropy(sf_dir: str) -> pd.DataFrame:
+    """Order-3 permutation entropy of the zero-filled daily event-count
+    series — the model-free complexity readout (Bandt-Pompe): a ramp or
+    strict weekly sawtooth concentrates all triples in one or two
+    ordinal patterns (entropy ~ 0), white noise spreads them uniformly
+    over the 6 patterns (entropy ~ ln 6). Where Ljung-Box needs linear
+    correlation to convict, this sees ANY monotone structure. Ties
+    break by POSITION (stable ascending sort), the classic Bandt-Pompe
+    convention, encoded as identical rank comparisons on both sides.
+
+    Plan: per-batch (epoch-day, count) integer partials -> span-bounded
+    zero-filled grid; the triple ranks are three vectorized compares on
+    the driver array (span-sized), the pattern histogram has at most 6
+    rows."""
+    ev = _events(sf_dir, columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df.ts.astype("int64").to_numpy() // 86_400_000_000
+        return pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"n_triples": "int64", "n_patterns": "int64",
+              "perm_entropy": "float64", "normalized_pe": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = parts.groupby("day", as_index=False).agg(n=("n", "sum"))
+    lo, hi = int(m.day.min()), int(m.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[m.day.to_numpy(np.int64) - lo] = m.n.to_numpy(np.int64)
+    if len(y) < 3:
+        return typed_out(pd.DataFrame(), schema)
+    a, b, c = y[:-2], y[1:-1], y[2:]
+    r0 = (b < a).astype(np.int64) + (c < a).astype(np.int64)
+    r1 = (a <= b).astype(np.int64) + (c < b).astype(np.int64)
+    r2 = (a <= c).astype(np.int64) + (b <= c).astype(np.int64)
+    code = r0 * 9 + r1 * 3 + r2
+    cnt = pd.Series(code).value_counts().to_numpy(np.float64)
+    tn = float(cnt.sum())
+    h = float(-np.sum((cnt / tn) * np.log(cnt / tn)))
+    res = pd.DataFrame([{
+        "n_triples": np.int64(tn), "n_patterns": np.int64(len(cnt)),
+        "perm_entropy": round_away(np.float64(h), 6) + 0.0,
+        "normalized_pe": round_away(np.float64(h / np.log(6.0)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_PERMUTATION_ENTROPY_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+  FROM events HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), c AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+), d AS (
+  SELECT CAST(s.day AS DATE) AS day, COALESCE(c.n, 0) AS y
+  FROM spine s LEFT JOIN c ON c.day = CAST(s.day AS DATE)
+), t AS (
+  SELECT y AS a,
+         LEAD(y, 1) OVER (ORDER BY day) AS b2,
+         LEAD(y, 2) OVER (ORDER BY day) AS c2
+  FROM d
+), p AS (
+  SELECT (CASE WHEN b2 < a THEN 1 ELSE 0 END)
+         + (CASE WHEN c2 < a THEN 1 ELSE 0 END) AS r0,
+         (CASE WHEN a <= b2 THEN 1 ELSE 0 END)
+         + (CASE WHEN c2 < b2 THEN 1 ELSE 0 END) AS r1,
+         (CASE WHEN a <= c2 THEN 1 ELSE 0 END)
+         + (CASE WHEN b2 <= c2 THEN 1 ELSE 0 END) AS r2
+  FROM t WHERE c2 IS NOT NULL
+), g AS (
+  SELECT r0 * 9 + r1 * 3 + r2 AS code, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM p GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS tn FROM g
+)
+SELECT CAST(tot.tn AS BIGINT) AS n_triples,
+       CAST(COUNT(*) AS BIGINT) AS n_patterns,
+       ROUND(-SUM((n / tot.tn) * LN(n / tot.tn)), 6) AS perm_entropy,
+       ROUND(-SUM((n / tot.tn) * LN(n / tot.tn)) / LN(6.0), 6)
+           AS normalized_pe
+FROM g CROSS JOIN tot
+GROUP BY tot.tn
+"""
+
+
+def events_daily_grubbs(sf_dir: str) -> pd.DataFrame:
+    """Grubbs extreme-outlier statistic on the daily event-count series
+    — G = max|y - mean| / sd (sample sd), plus WHICH day is the extreme
+    (earliest on ties): the single-worst-day audit that complements the
+    p-chart (which counts limit breaches) and CUSUM (which finds level
+    shifts) by naming the one day most incompatible with the rest.
+
+    Plan: per-batch (epoch-day, count) integer partials -> span-bounded
+    zero-filled grid; mean/sd come from exact integer sums in the same
+    literal expression shape as the oracle, argmax is one vectorized
+    pass with the earliest-day tie rule mirrored by the oracle's
+    ORDER BY dev DESC, day LIMIT 1."""
+    ev = _events(sf_dir, columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df.ts.astype("int64").to_numpy() // 86_400_000_000
+        return pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"n_days": "int64", "mean_n": "float64", "sd_n": "float64",
+              "g_stat": "float64", "outlier_day": "object",
+              "outlier_n": "int64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = parts.groupby("day", as_index=False).agg(n=("n", "sum"))
+    lo, hi = int(m.day.min()), int(m.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[m.day.to_numpy(np.int64) - lo] = m.n.to_numpy(np.int64)
+    nn = len(y)
+    if nn < 3:
+        return typed_out(pd.DataFrame(), schema)
+    s1, s2 = int(y.sum()), int((y * y).sum())
+    mu = s1 / float(nn)
+    var = (s2 - s1 * (s1 / float(nn))) / (nn - 1.0)
+    if var <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    dev = np.abs(y.astype(np.float64) - mu)
+    idx = int(np.argmax(dev))  # first max = earliest day
+    g = float(dev[idx] / np.sqrt(var))
+    day_str = str(np.datetime64(int(lo + idx), "D"))
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn),
+        "mean_n": round_away(np.float64(mu), 6) + 0.0,
+        "sd_n": round_away(np.float64(np.sqrt(var)), 6) + 0.0,
+        "g_stat": round_away(np.float64(g), 6) + 0.0,
+        "outlier_day": day_str,
+        "outlier_n": np.int64(y[idx]),
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_DAILY_GRUBBS_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+  FROM events HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), c AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+), d AS (
+  SELECT CAST(s.day AS DATE) AS day, COALESCE(c.n, 0) AS y
+  FROM spine s LEFT JOIN c ON c.day = CAST(s.day AS DATE)
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         SUM(CAST(y AS DOUBLE)) AS s1,
+         SUM(CAST(y AS DOUBLE) * y) AS s2
+  FROM d HAVING COUNT(*) >= 3
+), k AS (
+  SELECT nn, s1 / nn AS mu,
+         (s2 - s1 * (s1 / nn)) / (nn - 1.0) AS var
+  FROM m
+), w AS (
+  SELECT d.day, d.y, ABS(d.y - k.mu) AS dev, k.nn, k.mu, k.var
+  FROM d CROSS JOIN k WHERE k.var > 0
+  ORDER BY ABS(d.y - k.mu) DESC, d.day
+  LIMIT 1
+)
+SELECT nn AS n_days,
+       ROUND(mu, 6) AS mean_n,
+       ROUND(SQRT(var), 6) AS sd_n,
+       ROUND(dev / SQRT(var), 6) AS g_stat,
+       CAST(day AS VARCHAR) AS outlier_day,
+       CAST(y AS BIGINT) AS outlier_n
+FROM w
+"""

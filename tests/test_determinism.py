@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "events_daily_permutation_entropy",
+    "events_daily_grubbs",
     "doc_length_jarque_bera_by_lang",
     "orders_daily_ljung_box",
     "source_lang_mutual_info",
