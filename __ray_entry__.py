@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-14 block):
+        "dup_graph_bfs_levels": curation.dup_graph_bfs_levels,
         "events_daily_permutation_entropy":
             streaming.events_daily_permutation_entropy,
         "events_daily_grubbs": streaming.events_daily_grubbs,
@@ -266,7 +267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_median_gap_per_customer":
             relational.orders_median_gap_per_customer,
         "part_type_size_chi2": relational.part_type_size_chi2,
-        "doc_length_ks_by_lang": text_analysis.doc_length_ks_by_lang,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "doc_length_ks_by_lang": text_analysis.doc_length_ks_by_lang,
         "events_rate_changepoint": streaming.events_rate_changepoint,
         "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
         "lineitem_cube_pricing": relational.lineitem_cube_pricing,
@@ -537,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dup_graph_bfs_levels": curation.DUP_GRAPH_BFS_LEVELS_SQL,
         "events_daily_permutation_entropy":
             streaming.EVENTS_PERMUTATION_ENTROPY_SQL,
         "events_daily_grubbs": streaming.EVENTS_DAILY_GRUBBS_SQL,

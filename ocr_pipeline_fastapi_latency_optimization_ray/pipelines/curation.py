@@ -2708,3 +2708,96 @@ SELECT CAST(tot.t AS BIGINT) AS n_docs,
 FROM mi CROSS JOIN hs CROSS JOIN hl CROSS JOIN tot
 WHERE tot.t > 0 AND tot.r >= 2 AND tot.k >= 2 AND hs.h * hl.h > 0
 """
+
+
+def dup_graph_bfs_levels(sf_dir: str, k: int = 5,
+                         max_clique: int = 256) -> pd.DataFrame:
+    """BFS level profile of the duplicate graph from its smallest
+    doc_id — how many docs sit at each hop distance from the seed
+    (level 0 = the seed, level 1 = its direct duplicates, ...): a long
+    shallow profile means one star family; a deep narrow one means
+    duplicate CHAINS (A~B~C with A!~C), which exact-dedup-by-key never
+    collapses and which decide whether transitive-closure dedup is
+    safe.
+
+    Plan: the genuinely iterative operator — shares ``_dup_edges``;
+    each BFS round broadcasts the CURRENT FRONTIER (bounded by dup
+    docs, like the assortativity node table) via ``ray.put`` and one
+    ``map_batches`` pass over the edge Dataset emits frontier
+    neighbors; rounds = graph diameter (tiny for chunk-clique unions),
+    so the edge set streams diameter times and never materializes on
+    the driver. Oracle: a depth-capped recursive CTE with MIN(depth)
+    per node (cap 64 >> any dup-graph diameter; the engine loop is
+    uncapped and converges by visited-set exhaustion)."""
+    import ray as _ray
+
+    edges = _dup_edges(sf_dir, k, max_clique).materialize()
+    schema = {"depth": "int64", "n_nodes": "int64"}
+
+    def min_a(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"m": pd.Series(dtype="int64")})
+        return pd.DataFrame({"m": [np.int64(df.a.min())]})
+
+    mins = edges.map_batches(min_a, batch_format="pandas").to_pandas()
+    if mins.empty:
+        return typed_out(pd.DataFrame(), schema)
+    seed = int(mins.m.min())
+
+    visited = {seed: 0}
+    frontier = np.array([seed], np.int64)
+    depth = 0
+    while len(frontier):
+        ref = _ray.put(frontier)
+
+        def neighbors(df: pd.DataFrame) -> pd.DataFrame:
+            f = _ray.get(ref)
+            am = np.isin(df.a.to_numpy(np.int64), f)
+            bm = np.isin(df.b.to_numpy(np.int64), f)
+            out = np.concatenate([df.b.to_numpy(np.int64)[am],
+                                  df.a.to_numpy(np.int64)[bm]])
+            return pd.DataFrame({"node": np.unique(out)})
+
+        nb = edges.map_batches(neighbors, batch_format="pandas").to_pandas()
+        depth += 1
+        nxt = [] if nb.empty else [
+            n for n in np.unique(nb.node.to_numpy(np.int64))
+            if n not in visited]
+        for n in nxt:
+            visited[n] = depth
+        frontier = np.array(nxt, np.int64)
+    lv = pd.Series(list(visited.values()), dtype="int64").value_counts()
+    out = pd.DataFrame({"depth": lv.index.to_numpy(np.int64),
+                        "n_nodes": lv.to_numpy(np.int64)})
+    return typed_out(out, schema, sort_by="depth")
+
+
+DUP_GRAPH_BFS_LEVELS_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split(lower(COALESCE(text, '')), ' ') AS toks
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(toks)+1, 5),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS chunk
+  FROM tok
+), pe AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+), e2 AS (
+  SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe
+), seed AS (
+  SELECT MIN(a) AS s FROM pe HAVING COUNT(*) > 0
+), bfs AS (
+  SELECT s AS node, 0 AS depth FROM seed
+  UNION
+  SELECT e2.b, bfs.depth + 1
+  FROM bfs JOIN e2 ON e2.a = bfs.node
+  WHERE bfs.depth < 64
+), lv AS (
+  SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM lv GROUP BY depth ORDER BY depth
+"""
