@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-14 block):
+        "quality_classifier_ks": text_analysis.quality_classifier_ks,
+        "orders_priority_trend_test":
+            relational.orders_priority_trend_test,
+        "source_lang_diversity": curation.source_lang_diversity,
         "dup_graph_bfs_levels": curation.dup_graph_bfs_levels,
         "events_daily_permutation_entropy":
             streaming.events_daily_permutation_entropy,
@@ -262,11 +266,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
         "events_user_survival_curve": streaming.events_user_survival_curve,
         "orders_benford_digit_audit": relational.orders_benford_digit_audit,
-        "events_overdispersion_by_type":
-            streaming.events_overdispersion_by_type,
-        "orders_median_gap_per_customer":
-            relational.orders_median_gap_per_customer,
-        "part_type_size_chi2": relational.part_type_size_chi2,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -275,6 +274,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_overdispersion_by_type":
+            streaming.events_overdispersion_by_type,
+        "orders_median_gap_per_customer":
+            relational.orders_median_gap_per_customer,
+        "part_type_size_chi2": relational.part_type_size_chi2,
         "doc_length_ks_by_lang": text_analysis.doc_length_ks_by_lang,
         "events_rate_changepoint": streaming.events_rate_changepoint,
         "lineitem_metric_unpivot": relational.lineitem_metric_unpivot,
@@ -538,6 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_classifier_ks": text_analysis.QUALITY_CLASSIFIER_KS_SQL,
+        "orders_priority_trend_test": relational.ORDERS_PRIORITY_TREND_SQL,
+        "source_lang_diversity": curation.SOURCE_LANG_DIVERSITY_SQL,
         "dup_graph_bfs_levels": curation.DUP_GRAPH_BFS_LEVELS_SQL,
         "events_daily_permutation_entropy":
             streaming.EVENTS_PERMUTATION_ENTROPY_SQL,

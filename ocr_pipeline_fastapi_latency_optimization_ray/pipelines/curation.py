@@ -2801,3 +2801,60 @@ SELECT CAST(depth AS BIGINT) AS depth,
        CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM lv GROUP BY depth ORDER BY depth
 """
+
+
+def source_lang_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source language-diversity indices — Shannon entropy (nats),
+    Simpson diversity (1 - sum p^2) and Berger-Parker dominance (max
+    share) of the language mix within each crawl source. The global MI
+    operator says whether source PREDICTS language; this ranks the
+    individual sources ("which feeds are monolingual silos?") — the
+    per-feed number a mixer uses to pick rebalance candidates.
+
+    Plan: the same one-pass (source, lang) crosstab partial exchange;
+    all three indices are closed-form flops per source row on the
+    schema-bounded grid."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["source", "lang"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    schema = {"source": "object", "n_docs": "int64", "n_langs": "int64",
+              "shannon": "float64", "simpson": "float64",
+              "berger_parker": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    g = (out.groupby(["source", "lang"], as_index=False).agg(n=("n", "sum"))
+         .sort_values(["source", "lang"], kind="mergesort"))
+    rows = []
+    for src, f in g.groupby("source", sort=True):
+        n = f.n.to_numpy(np.float64)
+        t = float(n.sum())
+        p = n / t
+        rows.append((src, np.int64(t), np.int64(len(n)),
+                     round_away(np.float64(-np.sum(p * np.log(p))), 6) + 0.0,
+                     round_away(np.float64(1.0 - np.sum(p * p)), 6) + 0.0,
+                     round_away(np.float64(p.max()), 6) + 0.0))
+    res = pd.DataFrame(rows, columns=list(schema))
+    return typed_out(res, schema, sort_by="source")
+
+
+SOURCE_LANG_DIVERSITY_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, SUM(n) AS tn FROM c GROUP BY source
+)
+SELECT c.source,
+       CAST(MAX(t.tn) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       ROUND(-SUM((c.n / t.tn) * LN(c.n / t.tn)), 6) AS shannon,
+       ROUND(1.0 - SUM((c.n / t.tn) * (c.n / t.tn)), 6) AS simpson,
+       ROUND(MAX(c.n / t.tn), 6) AS berger_parker
+FROM c JOIN t ON t.source = c.source
+GROUP BY c.source ORDER BY c.source
+"""

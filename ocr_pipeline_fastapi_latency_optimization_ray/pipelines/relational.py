@@ -4744,3 +4744,88 @@ FROM rho CROSS JOIN m CROSS JOIN den
 WHERE m.nn > 7 AND den.dn > 0
 GROUP BY m.nn
 """
+
+
+def orders_priority_trend_test(sf_dir: str) -> pd.DataFrame:
+    """Cochran-Armitage trend test — is the still-unfinished ('F')
+    share MONOTONE in order priority (scores 1..5 from the priority
+    prefix)? The per-priority Wilson CIs say each group's uncertainty;
+    the omnibus chi-square ignores the ordering; CA asks the sharper
+    ordered question ("does urgency actually buy completion?") with
+    one z-score.
+
+    Plan: one scan folds (priority, n, k) integer partials — the grid
+    is priority-bounded — and the driver evaluates the closed form
+    z = sum(s_i (k_i - n_i pbar)) / sqrt(pbar (1-pbar)
+    (sum s_i^2 n_i - (sum s_i n_i)^2 / N)) with the same literal
+    expression shape as the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority",
+                                          "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "priority": df.o_orderpriority,
+            "n": np.ones(len(df), np.int64),
+            "k": (df.o_orderstatus == "F").to_numpy().astype(np.int64),
+        })
+        return g.groupby("priority", as_index=False).agg(
+            n=("n", "sum"), k=("k", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("priority")
+           .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+           .to_pandas())
+    schema = {"n_orders": "int64", "n_groups": "int64",
+              "pooled_share": "float64", "z_trend": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("priority", kind="mergesort")
+    s = out.priority.str.slice(0, 1).astype(np.int64).to_numpy(np.float64)
+    n = out.n.to_numpy(np.int64)
+    k = out.k.to_numpy(np.int64)
+    nn, kk = int(n.sum()), int(k.sum())
+    if nn == 0 or len(out) < 2:
+        return typed_out(pd.DataFrame(), schema)
+    pbar = kk / float(nn)
+    num = float(np.sum(s * (k - n * pbar)))
+    den = pbar * (1.0 - pbar) * (float(np.sum(s * s * n))
+                                 - float(np.sum(s * n)) ** 2 / nn)
+    if den <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_orders": np.int64(nn), "n_groups": np.int64(len(out)),
+        "pooled_share": round_away(np.float64(pbar), 6) + 0.0,
+        "z_trend": round_away(np.float64(num / np.sqrt(den)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_PRIORITY_TREND_SQL = """
+WITH g AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(k) AS BIGINT) AS kk,
+         CAST(COUNT(*) AS BIGINT) AS ng
+  FROM g HAVING SUM(n) > 0 AND COUNT(*) >= 2
+), m AS (
+  SELECT nn, ng, kk / CAST(nn AS DOUBLE) AS pbar FROM tot
+), q AS (
+  SELECT m.nn, m.ng, m.pbar,
+         SUM(g.s * (g.k - g.n * m.pbar)) AS num,
+         m.pbar * (1.0 - m.pbar)
+             * (SUM(g.s * g.s * g.n)
+                - POWER(SUM(g.s * g.n), 2) / m.nn) AS den
+  FROM g CROSS JOIN m
+  GROUP BY m.nn, m.ng, m.pbar
+)
+SELECT nn AS n_orders, ng AS n_groups,
+       ROUND(pbar, 6) AS pooled_share,
+       ROUND(num / SQRT(den), 6) AS z_trend
+FROM q WHERE den > 0
+"""

@@ -4430,3 +4430,97 @@ SELECT lang, CAST(nn AS BIGINT) AS n_docs,
              + POWER(m4 / (m2 * m2) - 3, 2) / 4.0), 6) AS jb_stat
 FROM cm WHERE m2 > 0 AND nn >= 4 ORDER BY lang
 """
+
+
+def quality_classifier_ks(sf_dir: str) -> pd.DataFrame:
+    """Kolmogorov-Smirnov separation of the quality classifier — the
+    max gap between the positive-class and negative-class score CDFs,
+    and the score where it opens (the classic single-number "how
+    separable are the classes" readout; AUC integrates the whole
+    curve, KS names the best operating threshold). Ties on the gap
+    break to the LOWEST score on both sides.
+
+    Plan: the same per-score (n_pos, n_neg) count-grid exchange as the
+    ROC AUC operator (scores are rounded to 6 decimals, so the grid is
+    hard-bounded at ~1e6 cells regardless of corpus size); both CDFs
+    are exact integer-cumsum / total divisions, and the max walk is
+    one vectorized pass over the grid."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    class _KsPartial(QualityClassifier):
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            scored = super().__call__(df)
+            truth = scored.doc_id.to_numpy(np.int64) % 10 < 7
+            g = pd.DataFrame({"score": scored.quality_score,
+                              "p": truth.astype(np.int64),
+                              "q": (~truth).astype(np.int64)})
+            return g.groupby("score", as_index=False).sum()
+
+    out = ds.map_batches(_KsPartial, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    schema = {"n_pos": "int64", "n_neg": "int64", "ks_stat": "float64",
+              "ks_score": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = out.groupby("score", as_index=False).sum().sort_values("score")
+    p = m.p.to_numpy(np.int64)
+    q = m.q.to_numpy(np.int64)
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    if n_pos == 0 or n_neg == 0:
+        return typed_out(pd.DataFrame(), schema)
+    d = np.abs(np.cumsum(p) / float(n_pos) - np.cumsum(q) / float(n_neg))
+    i = int(np.argmax(d))  # first max = lowest score
+    res = pd.DataFrame([{
+        "n_pos": np.int64(n_pos), "n_neg": np.int64(n_neg),
+        "ks_stat": round_away(np.float64(d[i]), 6) + 0.0,
+        "ks_score": np.float64(m.score.to_numpy(np.float64)[i]),
+    }])
+    return typed_out(res, schema)
+
+
+QUALITY_CLASSIFIER_KS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS txt,
+         string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, w -> w IN
+             ('the','a','of','and','to','in','is','that','it','for')))
+             AS DOUBLE) AS n_stop,
+         CAST(length(txt) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM t
+), s AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.45 * ln(n_tok + 1.0)
+               + 6.0 * (n_stop / n_tok)
+               + 1.5 * (n_alpha / (n_chars + 1.0))
+               + 0.05 * (n_chars / n_tok)))), 6) AS score,
+         (doc_id % 10 < 7) AS truth
+  FROM f
+), g AS (
+  SELECT score,
+         CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS q
+  FROM s GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(q) AS BIGINT) AS nq
+  FROM g
+), w AS (
+  SELECT score,
+         ABS(SUM(p) OVER (ORDER BY score) / CAST(tot.np AS DOUBLE)
+             - SUM(q) OVER (ORDER BY score) / CAST(tot.nq AS DOUBLE))
+             AS d,
+         tot.np, tot.nq
+  FROM g CROSS JOIN tot
+  WHERE tot.np > 0 AND tot.nq > 0
+)
+SELECT np AS n_pos, nq AS n_neg,
+       ROUND(d, 6) AS ks_stat,
+       score AS ks_score
+FROM w ORDER BY d DESC, score LIMIT 1
+"""

@@ -16,6 +16,9 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "quality_classifier_ks",
+    "orders_priority_trend_test",
+    "source_lang_diversity",
     "events_daily_permutation_entropy",
     "events_daily_grubbs",
     "doc_length_jarque_bera_by_lang",

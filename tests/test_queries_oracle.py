@@ -69,7 +69,8 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 
 SQL_CHECKED = [
-    "dup_graph_bfs_levels",
+    "quality_classifier_ks", "orders_priority_trend_test",
+    "source_lang_diversity", "dup_graph_bfs_levels",
     "events_daily_permutation_entropy", "events_daily_grubbs",
     "doc_length_jarque_bera_by_lang", "orders_daily_ljung_box",
     "source_lang_mutual_info", "doc_length_trimmed_mean_by_lang",
