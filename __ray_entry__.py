@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-15 block):
+        "events_type_burstiness": streaming.events_type_burstiness,
+        "corpus_token_gini": text_analysis.corpus_token_gini,
         # oracle-backed (new in round 4, continuation-session-14 block):
         "quality_classifier_ks": text_analysis.quality_classifier_ks,
         "orders_priority_trend_test":
@@ -264,8 +267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_k_anonymity_audit": streaming.events_k_anonymity_audit,
         "embedding_silhouette": similarity.embedding_silhouette,
         "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
-        "events_user_survival_curve": streaming.events_user_survival_curve,
-        "orders_benford_digit_audit": relational.orders_benford_digit_audit,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -274,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_user_survival_curve": streaming.events_user_survival_curve,
+        "orders_benford_digit_audit": relational.orders_benford_digit_audit,
         "events_overdispersion_by_type":
             streaming.events_overdispersion_by_type,
         "orders_median_gap_per_customer":
@@ -542,6 +545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_type_burstiness": streaming.EVENTS_TYPE_BURSTINESS_SQL,
+        "corpus_token_gini": text_analysis.CORPUS_TOKEN_GINI_SQL,
         "quality_classifier_ks": text_analysis.QUALITY_CLASSIFIER_KS_SQL,
         "orders_priority_trend_test": relational.ORDERS_PRIORITY_TREND_SQL,
         "source_lang_diversity": curation.SOURCE_LANG_DIVERSITY_SQL,

@@ -4066,3 +4066,118 @@ SELECT nn AS n_days,
        CAST(y AS BIGINT) AS outlier_n
 FROM w
 """
+
+
+def events_type_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Goh-Barabási burstiness B = (sd - mean)/(sd + mean) and memory
+    coefficient M = corr(gap_i, gap_{i+1}) of the inter-arrival gaps
+    per event type — the two-axis fingerprint that separates periodic
+    crawler traffic (B < 0), Poisson background (B ~ 0, M ~ 0) and
+    human bursts (B > 0, M > 0). The per-USER gap profile feeds bot
+    scoring; this per-TYPE one answers "which event streams can be
+    batch-scheduled vs need burst headroom?".
+
+    Plan: a type-bucketed exchange co-locates each type's stream (the
+    ``events_inter_arrival_stats`` shape; salt by time range if one
+    type dominates at larger scale); the bucket sorts once
+    (ts, event_id — the oracle's window order), gaps are one diff, and
+    B / M come from population-moment sums written as the oracle's
+    literal expressions on identical second-scaled doubles."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_type", "n_gaps", "mean_gap_s", "burstiness",
+                "memory_coef"]
+        empty = pd.DataFrame({c: pd.Series(dtype=d) for c, d in zip(
+            cols, ["object", "int64", "float64", "float64", "float64"])})
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(["event_type", "ts", "event_id"], kind="stable")
+        rows = []
+        for et, f in g.groupby("event_type", sort=True):
+            us = f.ts.astype("int64").to_numpy()
+            if len(us) < 3:
+                continue
+            gap = np.diff(us).astype(np.float64) / 1000000.0
+            n = float(len(gap))
+            mu = float(np.sum(gap)) / n
+            var = float(np.sum(gap * gap)) / n - mu * mu
+            sd = np.sqrt(var) if var > 0 else 0.0
+            if sd + mu <= 0:
+                continue
+            a, b = gap[:-1], gap[1:]
+            m = float(len(a))
+            if m < 2:
+                continue
+            ma = float(np.sum(a)) / m
+            mb = float(np.sum(b)) / m
+            cov = float(np.sum(a * b)) / m - ma * mb
+            va = float(np.sum(a * a)) / m - ma * ma
+            vb = float(np.sum(b * b)) / m - mb * mb
+            if va * vb <= 0:
+                continue
+            rows.append((et, np.int64(len(gap)),
+                         round_away(np.float64(mu), 6) + 0.0,
+                         round_away(np.float64((sd - mu) / (sd + mu)), 6)
+                         + 0.0,
+                         round_away(np.float64(cov / np.sqrt(va * vb)), 6)
+                         + 0.0))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=cols)
+
+    out = bucketed_combine(ds, "event_type", lambda df: df, combine,
+                           num_buckets=8, coalesce_blocks=4).to_pandas()
+    schema = {"event_type": "object", "n_gaps": "int64",
+              "mean_gap_s": "float64", "burstiness": "float64",
+              "memory_coef": "float64"}
+    return typed_out(out, schema, sort_by="event_type")
+
+
+EVENTS_TYPE_BURSTINESS_SQL = """
+WITH e AS (
+  SELECT event_type, EPOCH_US(ts) AS us, event_id FROM events
+), g AS (
+  SELECT event_type, us, event_id,
+         CAST(us - LAG(us) OVER (PARTITION BY event_type
+                                 ORDER BY us, event_id) AS DOUBLE)
+             / 1000000.0 AS gap
+  FROM e
+), h AS (
+  SELECT event_type, gap,
+         LAG(gap) OVER (PARTITION BY event_type
+                        ORDER BY us, event_id) AS pg
+  FROM g WHERE gap IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(gap) AS DOUBLE) AS n,
+         SUM(gap) AS s1, SUM(gap * gap) AS s2,
+         CAST(COUNT(pg) AS DOUBLE) AS m,
+         SUM(CASE WHEN pg IS NOT NULL THEN pg END) AS sa,
+         SUM(CASE WHEN pg IS NOT NULL THEN gap END) AS sb,
+         SUM(pg * gap) AS sab,
+         SUM(pg * pg) AS saa,
+         SUM(CASE WHEN pg IS NOT NULL THEN gap * gap END) AS sbb
+  FROM h GROUP BY event_type
+), k AS (
+  SELECT event_type, n, s1 / n AS mu,
+         CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+              THEN SQRT(s2 / n - (s1 / n) * (s1 / n)) ELSE 0.0 END AS sd,
+         m, sa / m AS ma, sb / m AS mb,
+         sab / m - (sa / m) * (sb / m) AS cov,
+         saa / m - (sa / m) * (sa / m) AS va,
+         sbb / m - (sb / m) * (sb / m) AS vb
+  FROM s WHERE n >= 2 AND m >= 2
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       ROUND(mu, 6) AS mean_gap_s,
+       ROUND((sd - mu) / (sd + mu), 6) AS burstiness,
+       ROUND(cov / SQRT(va * vb), 6) AS memory_coef
+FROM k WHERE sd + mu > 0 AND va * vb > 0
+ORDER BY event_type
+"""

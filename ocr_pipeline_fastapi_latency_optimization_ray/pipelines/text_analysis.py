@@ -4524,3 +4524,85 @@ SELECT np AS n_pos, nq AS n_neg,
        score AS ks_score
 FROM w ORDER BY d DESC, score LIMIT 1
 """
+
+
+def corpus_token_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    the vocabulary-concentration number (0 = every token equally
+    common, ->1 = a few tokens dominate) that complements the Zipf
+    slope (a FIT, assumes power law) and the token entropy (in nats,
+    scale-coupled): Gini is unit-free and exact, the one to trend
+    across corpus snapshots when deciding if dedup/boilerplate removal
+    actually diversified the text.
+
+    Plan: the same token-hash-bucketed count exchange as
+    ``token_topk``; the merged (token, count) table is VOCABULARY-
+    bounded, sorts once ascending (count, token), and the Gini sum
+    stays INTEGER until the single final division — bit-exact parity
+    with the oracle's rank formula by construction."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.coalesce(t.column("text"), ""), " "))
+        vc = toks.value_counts()
+        return pd.DataFrame({
+            "token": vc.field("values").to_pandas().to_numpy(object),
+            "n": vc.field("counts").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(n=("n", "sum"))
+
+    out = bucketed_combine(ds, "token", partial, combine,
+                           partial_format="pyarrow").to_pandas()
+    schema = {"vocab_size": "int64", "total_tokens": "int64",
+              "gini": "float64", "top_share": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = (out.groupby("token", as_index=False).agg(n=("n", "sum"))
+         .sort_values(["n", "token"], kind="mergesort"))
+    c = m.n.to_numpy(np.int64)
+    v = len(c)
+    t = int(c.sum())
+    if t == 0:
+        return typed_out(pd.DataFrame(), schema)
+    rn = np.arange(1, v + 1, dtype=np.int64)
+    num = int(np.sum((2 * rn - v - 1) * c))
+    res = pd.DataFrame([{
+        "vocab_size": np.int64(v), "total_tokens": np.int64(t),
+        "gini": round_away(np.float64(num / (float(v) * t)), 6) + 0.0,
+        "top_share": round_away(np.float64(int(c.max()) / float(t)), 6)
+            + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+CORPUS_TOKEN_GINI_SQL = """
+WITH c AS (
+  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+), r AS (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n, token) AS rn,
+         COUNT(*) OVER () AS v,
+         SUM(n) OVER () AS t
+  FROM c
+)
+SELECT CAST(MAX(v) AS BIGINT) AS vocab_size,
+       CAST(MAX(t) AS BIGINT) AS total_tokens,
+       ROUND(SUM((2 * rn - v - 1) * n)
+             / (CAST(MAX(v) AS DOUBLE) * MAX(t)), 6) AS gini,
+       ROUND(CAST(MAX(n) AS DOUBLE) / MAX(t), 6) AS top_share
+FROM r HAVING COUNT(*) > 0 AND MAX(t) > 0
+"""
