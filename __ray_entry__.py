@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "token_burstiness": text_analysis.token_burstiness,
+        "dedup_blocking_quality": dedup.dedup_blocking_quality,
         "events_type_burstiness": streaming.events_type_burstiness,
         "corpus_token_gini": text_analysis.corpus_token_gini,
         # oracle-backed (new in round 4, continuation-session-14 block):
@@ -265,8 +267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text_analysis.doc_length_mannwhitney_by_lang,
         "events_value_tail_index": streaming.events_value_tail_index,
         "events_k_anonymity_audit": streaming.events_k_anonymity_audit,
-        "embedding_silhouette": similarity.embedding_silhouette,
-        "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "embedding_silhouette": similarity.embedding_silhouette,
+        "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
         "events_user_survival_curve": streaming.events_user_survival_curve,
         "orders_benford_digit_audit": relational.orders_benford_digit_audit,
         "events_overdispersion_by_type":
@@ -545,6 +547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_burstiness": text_analysis.TOKEN_BURSTINESS_SQL,
+        "dedup_blocking_quality": dedup.DEDUP_BLOCKING_QUALITY_SQL,
         "events_type_burstiness": streaming.EVENTS_TYPE_BURSTINESS_SQL,
         "corpus_token_gini": text_analysis.CORPUS_TOKEN_GINI_SQL,
         "quality_classifier_ks": text_analysis.QUALITY_CLASSIFIER_KS_SQL,

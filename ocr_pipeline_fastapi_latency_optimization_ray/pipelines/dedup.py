@@ -2042,3 +2042,124 @@ JOIN ok ON ok.block = a.block
 WHERE LEVENSHTEIN(a.probe, b.probe) <= 8
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# blocking-quality audit: how good is sorted-neighborhood blocking?
+# ---------------------------------------------------------------------------
+
+def dedup_blocking_quality(sf_dir: str, w: int = 3, key_chars: int = 32,
+                           mirror_mod: int = 13) -> pd.DataFrame:
+    """Record-linkage quality audit of the sorted-neighborhood blocking
+    scheme (Christen's three standard metrics): reduction ratio
+    RR = 1 - |candidates| / C(N,2), pairs completeness
+    PC = |captured true pairs| / |true pairs| (blocking recall), and
+    pairs quality PQ = |captured| / |candidates| (blocking precision).
+    This is the number that decides whether a blocking key/window is
+    safe to deploy at 100 TB BEFORE running it: a PC of 0.9 means 10%
+    of duplicates are structurally unreachable no matter how good the
+    verifier is.
+
+    Plan: captured pairs reuse :func:`dedup_sorted_neighborhood`'s
+    sort + halo scan verbatim (same mirror planting, same window);
+    |candidates| is CLOSED FORM for SNM (each record pairs with the w
+    records after it: sum_{s=1..w} max(0, N-s)) so it never
+    materializes; true pairs roll up from md5(text)-bucketed group
+    sizes (sum m*(m-1)/2) — text never shuffles, only 16-byte digests.
+    All counts stay integer until the three final divisions."""
+    import pyarrow as pa
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    schema = {"n_docs": "int64", "n_true_pairs": "int64",
+              "n_candidate_pairs": "int64", "n_captured_pairs": "int64",
+              "reduction_ratio": "float64", "pairs_completeness": "float64",
+              "pairs_quality": "float64"}
+
+    captured = len(dedup_sorted_neighborhood(sf_dir, w=w,
+                                             key_chars=key_chars,
+                                             mirror_mod=mirror_mod))
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.is_valid(tbl.column("text")))
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dig = np.asarray(md5_hex_arrow(tbl.column("text")), object)
+        mult = np.where(ids % mirror_mod == 0, 2, 1).astype(np.int64)
+        g = pd.DataFrame({"dig": dig, "m": mult}).groupby(
+            "dig", as_index=False).agg(m=("m", "sum"))
+        g["nd"] = np.int64(0)
+        if len(g):
+            g.loc[g.index[0], "nd"] = np.int64(mult.sum())
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("dig", as_index=False).agg(m=("m", "sum"))
+        sizes = m["m"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "true_pairs": [np.int64(np.sum(sizes * (sizes - 1) // 2))],
+            "n_docs": [np.int64(g["nd"].sum())],
+        })
+
+    parts = bucketed_combine(docs, "dig", partial, combine,
+                             partial_format="pyarrow").to_pandas()
+    n_docs = int(parts["n_docs"].sum()) if len(parts) else 0
+    true_pairs = int(parts["true_pairs"].sum()) if len(parts) else 0
+    if n_docs < 2 or true_pairs == 0:
+        return typed_out(pd.DataFrame(), schema)
+    cand = int(sum(max(0, n_docs - s) for s in range(1, w + 1)))
+    all_pairs = n_docs * (n_docs - 1) // 2
+    res = pd.DataFrame([{
+        "n_docs": np.int64(n_docs),
+        "n_true_pairs": np.int64(true_pairs),
+        "n_candidate_pairs": np.int64(cand),
+        "n_captured_pairs": np.int64(captured),
+        "reduction_ratio": round_away(
+            np.float64(1.0 - cand / float(all_pairs)), 6) + 0.0,
+        "pairs_completeness": round_away(
+            np.float64(captured / float(true_pairs)), 6) + 0.0,
+        "pairs_quality": round_away(
+            np.float64(captured / float(cand)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+DEDUP_BLOCKING_QUALITY_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 13 = 0 AND text IS NOT NULL
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM corpus
+), tp AS (
+  SELECT CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT) AS t
+  FROM (SELECT COUNT(*) AS m FROM corpus GROUP BY text)
+), r AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (ORDER BY SUBSTR(text, 1, 32), doc_id) AS rk
+  FROM corpus
+), cap AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM r a JOIN r b
+    ON b.rk BETWEEN a.rk + 1 AND a.rk + 3 AND a.text = b.text
+), cand AS (
+  SELECT CAST(GREATEST(nn - 1, 0) + GREATEST(nn - 2, 0)
+              + GREATEST(nn - 3, 0) AS BIGINT) AS k,
+         nn FROM n
+)
+SELECT nn AS n_docs, t AS n_true_pairs, k AS n_candidate_pairs,
+       c AS n_captured_pairs,
+       ROUND(1.0 - k / (CAST(nn AS DOUBLE) * (nn - 1) / 2), 6)
+           AS reduction_ratio,
+       ROUND(c / CAST(t AS DOUBLE), 6) AS pairs_completeness,
+       ROUND(c / CAST(k AS DOUBLE), 6) AS pairs_quality
+FROM cand, tp, cap
+WHERE nn >= 2 AND t > 0
+"""

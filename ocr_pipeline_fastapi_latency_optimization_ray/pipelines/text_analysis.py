@@ -4606,3 +4606,94 @@ SELECT CAST(MAX(v) AS BIGINT) AS vocab_size,
        ROUND(CAST(MAX(n) AS DOUBLE) / MAX(t), 6) AS top_share
 FROM r HAVING COUNT(*) > 0 AND MAX(t) > 0
 """
+
+
+def token_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Church-Gale burstiness audit per token: corpus frequency cf,
+    document frequency df, mean count when present (cf/df) and the
+    Fisher dispersion index var/mean over ALL docs (zeros included).
+    Function words sit near dispersion 1 (Poisson); topical/boilerplate
+    tokens burst (>>1) — the statistic that separates "frequent because
+    everywhere" from "frequent because duplicated", which idf alone
+    cannot (both get the same df).
+
+    Plan: per-batch (token, sum c, sum c^2, df) partials — already
+    vocabulary-bounded per batch because the (doc, token) counts
+    collapse before leaving it — then the token-bucketed combine sums
+    integers; N comes from one metadata-only count. All moments stay
+    INTEGER until the final divisions, written as the oracle's literal
+    expressions."""
+    from ..functions.shuffle import bucketed_combine
+
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        d = pd.DataFrame({
+            "d": np.repeat(np.arange(len(lens), dtype=np.int64), lens),
+            "token": flat.to_pandas().to_numpy(object),
+        })
+        c = d.groupby(["d", "token"], sort=False, as_index=False).size()
+        cc = c["size"].to_numpy(np.int64)
+        g = pd.DataFrame({"token": c.token.to_numpy(object),
+                          "cf": cc, "s2": cc * cc,
+                          "df": np.ones(len(cc), np.int64)})
+        return g.groupby("token", as_index=False).agg(
+            cf=("cf", "sum"), s2=("s2", "sum"), df=("df", "sum"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(
+            cf=("cf", "sum"), s2=("s2", "sum"), df=("df", "sum"))
+        nn = float(n_docs)
+        cf = m.cf.to_numpy(np.int64)
+        s2 = m.s2.to_numpy(np.int64)
+        mu = cf / nn
+        disp = (s2 / nn - mu * mu) / mu
+        return pd.DataFrame({
+            "token": m.token.to_numpy(object),
+            "cf": cf, "df": m["df"].to_numpy(np.int64),
+            "dispersion": round_away(disp, 6) + 0.0,
+            "mean_when_present": round_away(
+                cf / m["df"].to_numpy(np.int64).astype(np.float64), 6)
+                + 0.0,
+        })
+
+    out = bucketed_combine(ds, "token", partial, combine,
+                           partial_format="pyarrow").to_pandas()
+    schema = {"token": "object", "cf": "int64", "df": "int64",
+              "dispersion": "float64", "mean_when_present": "float64"}
+    return typed_out(out, schema, sort_by="token")
+
+
+TOKEN_BURSTINESS_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM docs
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM docs)
+  GROUP BY doc_id, tok
+), agg AS (
+  SELECT tok AS token,
+         CAST(SUM(c) AS BIGINT) AS cf,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM tc GROUP BY tok
+)
+SELECT token, cf, df,
+       ROUND((s2 / nn - (cf / nn) * (cf / nn)) / (cf / nn), 6)
+           AS dispersion,
+       ROUND(CAST(cf AS DOUBLE) / df, 6) AS mean_when_present
+FROM agg, n
+ORDER BY token
+"""

@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "token_burstiness",
+    "dedup_blocking_quality",
     "events_type_burstiness",
     "corpus_token_gini",
     "quality_classifier_ks",

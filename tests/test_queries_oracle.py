@@ -69,6 +69,7 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 
 SQL_CHECKED = [
+    "token_burstiness", "dedup_blocking_quality",
     "events_type_burstiness", "corpus_token_gini",
     "quality_classifier_ks", "orders_priority_trend_test",
     "source_lang_diversity", "dup_graph_bfs_levels",
