@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "orders_daily_pettitt": relational.orders_daily_pettitt,
+        "events_friedman_by_type": streaming.events_friedman_by_type,
         "token_burstiness": text_analysis.token_burstiness,
         "dedup_blocking_quality": dedup.dedup_blocking_quality,
         "events_type_burstiness": streaming.events_type_burstiness,
@@ -265,8 +267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_runs_test": relational.orders_daily_runs_test,
         "doc_length_mannwhitney_by_lang":
             text_analysis.doc_length_mannwhitney_by_lang,
-        "events_value_tail_index": streaming.events_value_tail_index,
-        "events_k_anonymity_audit": streaming.events_k_anonymity_audit,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_value_tail_index": streaming.events_value_tail_index,
+        "events_k_anonymity_audit": streaming.events_k_anonymity_audit,
         "embedding_silhouette": similarity.embedding_silhouette,
         "doc_length_anova_by_lang": text_analysis.doc_length_anova_by_lang,
         "events_user_survival_curve": streaming.events_user_survival_curve,
@@ -547,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_daily_pettitt": relational.ORDERS_PETTITT_SQL,
+        "events_friedman_by_type": streaming.EVENTS_FRIEDMAN_SQL,
         "token_burstiness": text_analysis.TOKEN_BURSTINESS_SQL,
         "dedup_blocking_quality": dedup.DEDUP_BLOCKING_QUALITY_SQL,
         "events_type_burstiness": streaming.EVENTS_TYPE_BURSTINESS_SQL,

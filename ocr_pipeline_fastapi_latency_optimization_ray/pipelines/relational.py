@@ -4829,3 +4829,84 @@ SELECT nn AS n_orders, ng AS n_groups,
        ROUND(num / SQRT(den), 6) AS z_trend
 FROM q WHERE den > 0
 """
+
+
+def orders_daily_pettitt(sf_dir: str) -> pd.DataFrame:
+    """Pettitt changepoint test on the daily order-count series — the
+    rank-based single-changepoint locator. CUSUM (events_rate_changepoint)
+    assumes a mean shift in level units and is distorted by heavy tails;
+    Pettitt's U_t = sum_{i<=t, j>t} sign(x_i - x_j) only consumes
+    pairwise ORDER, so a regime change in a skewed series is found
+    without any distributional assumption, with the classic closed-form
+    significance 2*exp(-6K^2/(n^3+n^2)).
+
+    Plan: the runs-test day-count fold (span-bounded grid, integers);
+    the driver gets V_t = #less - #greater per day from two
+    searchsorted passes (the oracle's RANK(asc) - RANK(desc)), U is one
+    cumsum of integers, K/argmax one vectorized pass. Nothing scales
+    with orders."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_days": "int64", "k_stat": "int64", "cp_day": "int64",
+              "u_at_cp": "int64", "p_value": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("day", kind="stable")
+    c = out.n.to_numpy(np.int64)
+    days = out.day.to_numpy(np.int64)
+    srt = np.sort(c)
+    less = np.searchsorted(srt, c, side="left").astype(np.int64)
+    greater = len(c) - np.searchsorted(srt, c, side="right").astype(np.int64)
+    u = np.cumsum(less - greater)
+    i = int(np.argmax(np.abs(u)))
+    kk = float(abs(int(u[i])))
+    nn = float(len(c))
+    p = min(1.0, 2.0 * np.exp(-6.0 * kk * kk / (nn ** 3 + nn ** 2)))
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn), "k_stat": np.int64(kk),
+        "cp_day": np.int64(days[i]), "u_at_cp": np.int64(u[i]),
+        "p_value": round_away(np.float64(p), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_PETTITT_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), v AS (
+  SELECT day,
+         CAST(RANK() OVER (ORDER BY n)
+              - RANK() OVER (ORDER BY n DESC) AS BIGINT) AS v
+  FROM d
+), u AS (
+  SELECT day,
+         SUM(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS u,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS nn
+  FROM v
+)
+SELECT CAST(nn AS BIGINT) AS n_days,
+       CAST(ABS(u) AS BIGINT) AS k_stat,
+       day AS cp_day,
+       CAST(u AS BIGINT) AS u_at_cp,
+       ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * CAST(ABS(u) AS DOUBLE)
+                                  * ABS(u) / (nn * nn * nn + nn * nn))),
+             6) AS p_value
+FROM u ORDER BY ABS(u) DESC, day LIMIT 1
+"""

@@ -4181,3 +4181,103 @@ SELECT event_type,
 FROM k WHERE sd + mu > 0 AND va * vb > 0
 ORDER BY event_type
 """
+
+
+def events_friedman_by_type(sf_dir: str) -> pd.DataFrame:
+    """Friedman blocked rank test — do the event types maintain a
+    consistent daily ORDERING of volume (blocks = days, treatments =
+    types)? Kruskal pools all observations and is blind to day-to-day
+    level shifts; Friedman ranks WITHIN each day, so a type that is
+    reliably the busiest every single day convicts even when absolute
+    volumes swing. The scheduler's question: is the type mix stable
+    enough to plan per-type capacity by rank?
+
+    Plan: one (day, type) count fold — grid bounded by span x schema,
+    never by events — then the driver zero-fills the grid, mid-ranks
+    each day's k counts (pandas average ranks = the oracle's
+    RANK + (ties-1)/2 window), and evaluates the classic Q plus
+    scipy's tie-corrected variant Q / (1 - sum(t^3-t)/(n k (k^2-1)))."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "day": (df.ts.astype("int64") // 86_400_000_000),
+            "event_type": df.event_type,
+        })
+        return g.groupby(["day", "event_type"], as_index=False).agg(
+            n=("day", "size"))
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_days": "int64", "k_types": "int64", "q_stat": "float64",
+              "q_corrected": "float64"}
+    if c.empty or c.event_type.nunique() < 2:
+        return typed_out(pd.DataFrame(), schema)
+    days = np.sort(c.day.unique())
+    types = np.sort(c.event_type.unique().astype(object))
+    grid = (pd.MultiIndex.from_product([days, types],
+                                       names=["day", "event_type"])
+            .to_frame(index=False)
+            .merge(c, on=["day", "event_type"], how="left"))
+    grid["n"] = grid.n.fillna(0).astype(np.int64)
+    grid["r"] = grid.groupby("day")["n"].rank(method="average")
+    nn = float(len(days))
+    k = float(len(types))
+    rj = grid.groupby("event_type")["r"].sum().to_numpy(np.float64)
+    q = (12.0 / (nn * k * (k + 1.0)) * float(np.sum(rj * rj))
+         - 3.0 * nn * (k + 1.0))
+    tt = grid.groupby(["day", "n"])["r"].transform("size").to_numpy(
+        np.float64)
+    ties = float(np.sum(tt * tt - 1.0))
+    corr = 1.0 - ties / (k * (k * k - 1.0) * nn)
+    if corr <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn), "k_types": np.int64(k),
+        "q_stat": round_away(np.float64(q), 6) + 0.0,
+        "q_corrected": round_away(np.float64(q / corr), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_FRIEDMAN_SQL = """
+WITH e AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM e),
+types AS (SELECT DISTINCT event_type FROM e),
+g AS (
+  SELECT d.day, t.event_type, COALESCE(e.n, 0) AS n
+  FROM days d CROSS JOIN types t
+  LEFT JOIN e ON e.day = d.day AND e.event_type = t.event_type
+), r AS (
+  SELECT day, event_type, n,
+         RANK() OVER (PARTITION BY day ORDER BY n)
+             + (COUNT(*) OVER (PARTITION BY day, n) - 1) / 2.0 AS mr,
+         CAST(COUNT(*) OVER (PARTITION BY day, n) AS DOUBLE) AS tt
+  FROM g
+), rs AS (
+  SELECT event_type, SUM(mr) AS rj FROM r GROUP BY 1
+), dims AS (
+  SELECT CAST((SELECT COUNT(*) FROM days) AS DOUBLE) AS nn,
+         CAST((SELECT COUNT(*) FROM types) AS DOUBLE) AS k,
+         (SELECT SUM(tt * tt - 1.0) FROM r) AS ties
+), q AS (
+  SELECT nn, k,
+         12.0 / (nn * k * (k + 1.0)) * (SELECT SUM(rj * rj) FROM rs)
+             - 3.0 * nn * (k + 1.0) AS q_raw,
+         1.0 - ties / (k * (k * k - 1.0) * nn) AS corr
+  FROM dims
+)
+SELECT CAST(nn AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types,
+       ROUND(q_raw, 6) AS q_stat,
+       ROUND(q_raw / corr, 6) AS q_corrected
+FROM q WHERE k >= 2 AND corr > 0
+"""

@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "orders_daily_pettitt",
+    "events_friedman_by_type",
     "token_burstiness",
     "dedup_blocking_quality",
     "events_type_burstiness",
