@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "orders_fisher_exact": relational.orders_fisher_exact,
+        "events_daily_hodges_lehmann":
+            streaming.events_daily_hodges_lehmann,
         "orders_daily_pettitt": relational.orders_daily_pettitt,
         "events_friedman_by_type": streaming.events_friedman_by_type,
         "token_burstiness": text_analysis.token_burstiness,
@@ -264,9 +267,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             streaming.events_hourly_uniformity_chi2,
         "quality_classifier_calibration":
             text_analysis.quality_classifier_calibration,
-        "orders_daily_runs_test": relational.orders_daily_runs_test,
-        "doc_length_mannwhitney_by_lang":
-            text_analysis.doc_length_mannwhitney_by_lang,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -275,6 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "orders_daily_runs_test": relational.orders_daily_runs_test,
+        "doc_length_mannwhitney_by_lang":
+            text_analysis.doc_length_mannwhitney_by_lang,
         "events_value_tail_index": streaming.events_value_tail_index,
         "events_k_anonymity_audit": streaming.events_k_anonymity_audit,
         "embedding_silhouette": similarity.embedding_silhouette,
@@ -549,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_fisher_exact": relational.ORDERS_FISHER_EXACT_SQL,
+        "events_daily_hodges_lehmann": streaming.EVENTS_HODGES_LEHMANN_SQL,
         "orders_daily_pettitt": relational.ORDERS_PETTITT_SQL,
         "events_friedman_by_type": streaming.EVENTS_FRIEDMAN_SQL,
         "token_burstiness": text_analysis.TOKEN_BURSTINESS_SQL,

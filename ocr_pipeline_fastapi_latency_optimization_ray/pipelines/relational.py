@@ -4910,3 +4910,114 @@ SELECT CAST(nn AS BIGINT) AS n_days,
              6) AS p_value
 FROM u ORDER BY ABS(u) DESC, day LIMIT 1
 """
+
+
+def orders_fisher_exact(sf_dir: str) -> pd.DataFrame:
+    """Fisher exact test on the 2x2 (urgent priority) x (still-'F')
+    contingency — EXACT small-sample inference where the chi-square
+    operator (part_type_size_chi2 family) leans on asymptotics. The
+    two-sided p sums the hypergeometric pmf over all tables whose
+    probability does not exceed the observed one (R's convention,
+    1+1e-7 relative slack), with every pmf evaluated as
+    exp(lgamma-sums) so engine and oracle hit the same libm bits.
+
+    Plan: one scan folds the four integer cells; the driver evaluates
+    the k-grid vectorized. The grid is bounded by the SMALLER margin —
+    the exact test is the rare-stratum tier by construction (for
+    populous cells the chi-square operator is the asymptotic path), so
+    the driver array stays small exactly when the test is the right
+    tool."""
+    from math import lgamma
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority",
+                                          "o_orderstatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = (df.o_orderpriority == "1-URGENT").to_numpy()
+        f = (df.o_orderstatus == "F").to_numpy()
+        return pd.DataFrame([{
+            "g": np.int64(0),
+            "a": np.int64(np.count_nonzero(u & f)),
+            "b": np.int64(np.count_nonzero(u & ~f)),
+            "c": np.int64(np.count_nonzero(~u & f)),
+            "d": np.int64(np.count_nonzero(~u & ~f)),
+        }])
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"),
+                   Sum("c", alias_name="c"), Sum("d", alias_name="d"))
+        .to_pandas()
+    )
+    schema = {"n": "int64", "a_observed": "int64", "expected_a": "float64",
+              "p_two_sided": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    a, b, c, d = (int(out.a[0]), int(out.b[0]), int(out.c[0]),
+                  int(out.d[0]))
+    n, r1, c1 = a + b + c + d, a + b, a + c
+    if min(r1, c1, n - r1, n - c1) <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = max(0, c1 - (n - r1)), min(r1, c1)
+    k = np.arange(lo, hi + 1, dtype=np.int64)
+    lg = np.vectorize(lgamma, otypes=[np.float64])
+    base = (lgamma(r1 + 1) + lgamma(n - r1 + 1)
+            - (lgamma(n + 1) - lgamma(c1 + 1) - lgamma(n - c1 + 1)))
+    pmf = np.exp(base - lg(k + 1) - lg(r1 - k + 1)
+                 - lg(c1 - k + 1) - lg(n - r1 - c1 + k + 1))
+    obs = float(pmf[a - lo])
+    p = float(np.sum(pmf[pmf <= obs * (1.0 + 1e-7)]))
+    res = pd.DataFrame([{
+        "n": np.int64(n), "a_observed": np.int64(a),
+        "expected_a": round_away(
+            np.float64(r1 * (c1 / float(n))), 6) + 0.0,
+        "p_two_sided": round_away(np.float64(min(1.0, p)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_FISHER_EXACT_SQL = """
+WITH t AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+         AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                   AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                   AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                   AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM orders HAVING COUNT(*) > 0
+), dims AS (
+  SELECT a, a + b AS r1, a + c AS c1, a + b + c + d AS n FROM t
+  WHERE LEAST(a + b, a + c, c + d, b + d) > 0
+), ks AS (
+  SELECT dims.*, UNNEST(range(GREATEST(0, c1 - (n - r1)),
+                              LEAST(r1, c1) + 1)) AS k
+  FROM dims
+), pmf AS (
+  SELECT a, n, r1, c1, k,
+         EXP(LGAMMA(CAST(r1 + 1 AS DOUBLE)) + LGAMMA(CAST(n - r1 + 1 AS DOUBLE))
+             - (LGAMMA(CAST(n + 1 AS DOUBLE)) - LGAMMA(CAST(c1 + 1 AS DOUBLE))
+                - LGAMMA(CAST(n - c1 + 1 AS DOUBLE)))
+             - LGAMMA(CAST(k + 1 AS DOUBLE)) - LGAMMA(CAST(r1 - k + 1 AS DOUBLE))
+             - LGAMMA(CAST(c1 - k + 1 AS DOUBLE))
+             - LGAMMA(CAST(n - r1 - c1 + k + 1 AS DOUBLE))) AS p
+  FROM ks
+), obs AS (
+  SELECT p AS po FROM pmf WHERE k = a
+)
+SELECT MAX(n) AS n, MAX(a) AS a_observed,
+       ROUND(MAX(r1) * (MAX(c1) / CAST(MAX(n) AS DOUBLE)), 6)
+           AS expected_a,
+       ROUND(LEAST(1.0, SUM(CASE WHEN p <= po * (1.0 + 1e-7)
+                                 THEN p ELSE 0 END)), 6) AS p_two_sided
+FROM pmf, obs HAVING COUNT(*) > 0
+"""

@@ -4281,3 +4281,71 @@ SELECT CAST(nn AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_types,
        ROUND(q_raw / corr, 6) AS q_corrected
 FROM q WHERE k >= 2 AND corr > 0
 """
+
+
+def events_daily_hodges_lehmann(sf_dir: str) -> pd.DataFrame:
+    """Hodges-Lehmann estimate of the typical daily event volume — the
+    median of all Walsh averages (x_i + x_j)/2, i <= j. The rank-test
+    companion to the plain median: ~95% Gaussian efficiency (the
+    median's is 64%) while keeping a 29% breakdown point, so a handful
+    of outage/spike days cannot drag it the way they drag the mean.
+    The right "normal day" number to provision against.
+
+    Plan: the standard day-count fold (span-bounded integer grid); the
+    Walsh set is the grid's upper triangle INCLUDING the diagonal —
+    quadratic only in the bounded day span, one np.add.outer on the
+    driver — and the median interpolates linearly exactly like the
+    oracle's MEDIAN over the mirrored self-join."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.ts.astype("int64") // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_days": "int64", "n_walsh": "int64",
+              "hl_estimate": "float64", "raw_median": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    c = np.sort(out.n.to_numpy(np.int64))
+    iu = np.triu_indices(len(c))
+    walsh = (c[iu[0]] + c[iu[1]]) / 2.0
+    res = pd.DataFrame([{
+        "n_days": np.int64(len(c)),
+        "n_walsh": np.int64(len(walsh)),
+        "hl_estimate": round_away(np.float64(
+            np.percentile(walsh, 50, method="linear")), 6) + 0.0,
+        "raw_median": round_away(np.float64(
+            np.percentile(c.astype(np.float64), 50, method="linear")), 6)
+            + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_HODGES_LEHMANN_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), w AS (
+  SELECT (a.n + b.n) / 2.0 AS v
+  FROM d a JOIN d b ON a.day <= b.day
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_walsh,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 6)
+           AS hl_estimate,
+       ROUND((SELECT percentile_cont(0.5)
+                  WITHIN GROUP (ORDER BY CAST(n AS DOUBLE)) FROM d), 6)
+           AS raw_median
+FROM w HAVING COUNT(*) > 0
+"""
