@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "source_tfidf_cosine": curation.source_tfidf_cosine,
+        "customer_revenue_theil": relational.customer_revenue_theil,
         "orders_fisher_exact": relational.orders_fisher_exact,
         "events_daily_hodges_lehmann":
             streaming.events_daily_hodges_lehmann,
@@ -263,10 +265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.orders_monthly_mann_kendall,
         "orders_priority_late_share_ci":
             relational.orders_priority_late_share_ci,
-        "events_hourly_uniformity_chi2":
-            streaming.events_hourly_uniformity_chi2,
-        "quality_classifier_calibration":
-            text_analysis.quality_classifier_calibration,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -275,6 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_hourly_uniformity_chi2":
+            streaming.events_hourly_uniformity_chi2,
+        "quality_classifier_calibration":
+            text_analysis.quality_classifier_calibration,
         "orders_daily_runs_test": relational.orders_daily_runs_test,
         "doc_length_mannwhitney_by_lang":
             text_analysis.doc_length_mannwhitney_by_lang,
@@ -552,6 +554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "source_tfidf_cosine": curation.SOURCE_TFIDF_COSINE_SQL,
+        "customer_revenue_theil": relational.CUSTOMER_REVENUE_THEIL_SQL,
         "orders_fisher_exact": relational.ORDERS_FISHER_EXACT_SQL,
         "events_daily_hodges_lehmann": streaming.EVENTS_HODGES_LEHMANN_SQL,
         "orders_daily_pettitt": relational.ORDERS_PETTITT_SQL,

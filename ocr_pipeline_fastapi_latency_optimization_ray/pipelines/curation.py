@@ -2858,3 +2858,118 @@ SELECT c.source,
 FROM c JOIN t ON t.source = c.source
 GROUP BY c.source ORDER BY c.source
 """
+
+
+def source_tfidf_cosine(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine similarity between per-source TF-IDF vectors —
+    the WEIGHTED vector-space companion to :func:`source_vocab_overlap`
+    (set overlap saturates the moment two feeds share a vocabulary;
+    tf-idf cosine still separates them by how much weight each puts on
+    which terms, the statistic that actually ranks "mirror feed" above
+    "same language"). Uses sklearn's smoothed idf ln((1+N)/(1+df))+1
+    so ubiquitous terms keep a floor weight instead of vanishing.
+
+    Plan: one token-bucketed exchange carries (source, token, tf, df)
+    integer partials — per-batch complete because a document lives in
+    exactly one batch, so distinct (token, doc) never needs a global
+    dedupe; each bucket pivots its token slice into a (tokens x
+    sources) weight matrix and emits ONE schema-bounded partial per
+    source pair (dot) and per source (norm); the driver folds
+    n_buckets x n_sources^2 tiny rows. Text never shuffles."""
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pandas().to_numpy(object)
+        d = pd.DataFrame({
+            "i": np.repeat(np.arange(len(lens), dtype=np.int64), lens),
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(object),
+        })
+        c = d.groupby(["i", "token"], sort=False, as_index=False).size()
+        g = pd.DataFrame({"token": c.token.to_numpy(object),
+                          "source": src[c["i"].to_numpy(np.int64)],
+                          "tf": c["size"].to_numpy(np.int64),
+                          "dfp": np.ones(len(c), np.int64)})
+        return g.groupby(["token", "source"], as_index=False).agg(
+            tf=("tf", "sum"), dfp=("dfp", "sum"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["token", "source"], as_index=False).agg(
+            tf=("tf", "sum"), dfp=("dfp", "sum"))
+        df_tok = m.groupby("token")["dfp"].transform("sum").to_numpy(
+            np.float64)
+        w = m.tf.to_numpy(np.int64) * (
+            np.log((1.0 + n_docs) / (1.0 + df_tok)) + 1.0)
+        piv = (pd.DataFrame({"token": m.token, "source": m.source, "w": w})
+               .pivot_table(index="token", columns="source", values="w",
+                            fill_value=0.0, aggfunc="sum")
+               .sort_index(axis=1))
+        srcs = piv.columns.to_numpy(object)
+        mat = piv.to_numpy(np.float64)
+        gram = mat.T @ mat
+        ii, jj = np.triu_indices(len(srcs))
+        return pd.DataFrame({"src_a": srcs[ii], "src_b": srcs[jj],
+                             "dot": gram[ii, jj]})
+
+    parts = bucketed_combine(ds, "token", partial, combine,
+                             partial_format="pyarrow").to_pandas()
+    schema = {"src_a": "object", "src_b": "object", "cosine": "float64"}
+    if parts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    agg = (parts.sort_values(["src_a", "src_b"], kind="mergesort")
+           .groupby(["src_a", "src_b"], as_index=False).agg(
+               dot=("dot", "sum")))
+    norms = dict(zip(
+        agg.loc[agg.src_a == agg.src_b, "src_a"],
+        agg.loc[agg.src_a == agg.src_b, "dot"]))
+    pairs = agg[agg.src_a != agg.src_b]
+    na = pairs.src_a.map(norms).to_numpy(np.float64)
+    nb = pairs.src_b.map(norms).to_numpy(np.float64)
+    out = pd.DataFrame({
+        "src_a": pairs.src_a.to_numpy(object),
+        "src_b": pairs.src_b.to_numpy(object),
+        "cosine": round_away(
+            pairs["dot"].to_numpy(np.float64)
+            / (np.sqrt(na) * np.sqrt(nb)), 6) + 0.0,
+    })
+    return typed_out(out, schema, sort_by=["src_a", "src_b"])
+
+
+SOURCE_TFIDF_COSINE_SQL = """
+WITH nd AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), tok AS (
+  SELECT doc_id, source,
+         UNNEST(string_split(COALESCE(text, ''), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok GROUP BY 1
+), w AS (
+  SELECT tf.source, tf.token,
+         tf.tf * (LN((1.0 + nd.n) / (1.0 + df.df)) + 1.0) AS w
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd
+), norms AS (
+  SELECT source, SUM(w * w) AS nrm FROM w GROUP BY 1
+), dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       ROUND(dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 6) AS cosine
+FROM dots
+JOIN norms na ON na.source = src_a
+JOIN norms nb ON nb.source = src_b
+ORDER BY src_a, src_b
+"""

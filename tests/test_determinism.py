@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "source_tfidf_cosine",
+    "customer_revenue_theil",
     "orders_fisher_exact",
     "events_daily_hodges_lehmann",
     "orders_daily_pettitt",
