@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "doc_length_ks_pairs_bh": text_analysis.doc_length_ks_pairs_bh,
+        "events_gap_exponential_gof":
+            streaming.events_gap_exponential_gof,
         "source_tfidf_cosine": curation.source_tfidf_cosine,
         "customer_revenue_theil": relational.customer_revenue_theil,
         "orders_fisher_exact": relational.orders_fisher_exact,
@@ -261,10 +264,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hour_value_spearman":
             streaming.events_hour_value_spearman,
         "source_lang_js_divergence": curation.source_lang_js_divergence,
-        "orders_monthly_mann_kendall":
-            relational.orders_monthly_mann_kendall,
-        "orders_priority_late_share_ci":
-            relational.orders_priority_late_share_ci,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -273,6 +272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "orders_monthly_mann_kendall":
+            relational.orders_monthly_mann_kendall,
+        "orders_priority_late_share_ci":
+            relational.orders_priority_late_share_ci,
         "events_hourly_uniformity_chi2":
             streaming.events_hourly_uniformity_chi2,
         "quality_classifier_calibration":
@@ -554,6 +557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_length_ks_pairs_bh": text_analysis.DOC_LENGTH_KS_BH_SQL,
+        "events_gap_exponential_gof":
+            streaming.EVENTS_GAP_EXPONENTIAL_GOF_SQL,
         "source_tfidf_cosine": curation.SOURCE_TFIDF_COSINE_SQL,
         "customer_revenue_theil": relational.CUSTOMER_REVENUE_THEIL_SQL,
         "orders_fisher_exact": relational.ORDERS_FISHER_EXACT_SQL,

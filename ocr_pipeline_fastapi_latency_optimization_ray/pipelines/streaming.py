@@ -4349,3 +4349,131 @@ SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
            AS raw_median
 FROM w HAVING COUNT(*) > 0
 """
+
+
+def events_gap_exponential_gof(sf_dir: str) -> pd.DataFrame:
+    """One-sample Kolmogorov-Smirnov goodness-of-fit of the global
+    inter-arrival gaps against a fitted exponential — the formal
+    verdict on "is this stream Poisson?" that burstiness (a summary
+    index) and overdispersion (count-variance) only hint at: D is the
+    largest ECDF deviation from 1-exp(-x/mean), with the asymptotic
+    Kolmogorov p (k<=100 series, Stephens correction — same machinery
+    as the BH pair tests). Poisson-compatible streams can be
+    batch-scheduled from the rate alone; a rejected fit needs burst
+    headroom.
+
+    Plan: gaps are microsecond-quantized, so a (gap, count) fold is
+    bounded by the DISTINCT-gap domain, never the event count; the
+    driver walks the sorted grid once (both ECDF one-sided deviations,
+    the oracle's F_hi/F_lo), with mean and N exact integers until the
+    final divisions."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["ts", "event_id"], kind="stable")
+        us = d.ts.astype("int64").to_numpy()
+        if len(us) < 2:
+            return pd.DataFrame({"gap": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        gap = np.diff(us)
+        c = pd.Series(gap).value_counts()
+        return pd.DataFrame({"gap": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    # events.parquet is globally ts-sorted (TESTDATA.md), but batches
+    # split the stream: per-batch diffs miss the boundary gaps. Fold the
+    # per-batch interior gaps AND stitch the per-batch (first, last)
+    # halo rows on the driver — bounded by block count, same shape as
+    # the SNM halo.
+    def halo(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["ts", "event_id"], kind="stable")
+        if not len(d):
+            return pd.DataFrame({"first_us": pd.Series(dtype="int64"),
+                                 "last_us": pd.Series(dtype="int64")})
+        us = d.ts.astype("int64").to_numpy()
+        return pd.DataFrame({"first_us": [np.int64(us[0])],
+                             "last_us": [np.int64(us[-1])]})
+
+    interior = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("gap")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    halos = ds.map_batches(halo, batch_format="pandas").to_pandas()
+    schema = {"n_gaps": "int64", "mean_gap_s": "float64",
+              "ks_stat": "float64", "p_value": "float64"}
+    if halos.empty:
+        return typed_out(pd.DataFrame(), schema)
+    halos = halos.sort_values(["first_us", "last_us"], kind="stable")
+    boundary = (halos.first_us.to_numpy(np.int64)[1:]
+                - halos.last_us.to_numpy(np.int64)[:-1])
+    cnt = pd.concat([
+        interior,
+        pd.DataFrame({"gap": boundary,
+                      "n": np.ones(len(boundary), np.int64)}),
+    ]).groupby("gap", as_index=False).agg(n=("n", "sum"))
+    if cnt.empty or cnt.n.sum() < 2:
+        return typed_out(pd.DataFrame(), schema)
+    cnt = cnt.sort_values("gap", kind="stable")
+    g = cnt.gap.to_numpy(np.int64)
+    n = cnt.n.to_numpy(np.int64)
+    nn = float(n.sum())
+    mu = float((g * n).sum()) / nn / 1000000.0
+    if mu <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    gs = g.astype(np.float64) / 1000000.0
+    ft = 1.0 - np.exp(-gs / mu)
+    hi = np.cumsum(n).astype(np.float64) / nn
+    lo = (np.cumsum(n) - n).astype(np.float64) / nn
+    d = float(np.max(np.maximum(np.abs(hi - ft), np.abs(lo - ft))))
+    lam = (np.sqrt(nn) + 0.12 + 0.11 / np.sqrt(nn)) * d
+    kk = np.arange(1, 101, dtype=np.float64)
+    sgn = np.where(np.arange(1, 101) % 2 == 1, 1.0, -1.0)
+    p = 2.0 * float(np.sum(sgn * np.exp(-2.0 * kk * kk * lam * lam)))
+    res = pd.DataFrame([{
+        "n_gaps": np.int64(nn),
+        "mean_gap_s": round_away(np.float64(mu), 6) + 0.0,
+        "ks_stat": round_away(np.float64(d), 6) + 0.0,
+        "p_value": round_away(np.float64(min(1.0, max(0.0, p))), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_GAP_EXPONENTIAL_GOF_SQL = """
+WITH e AS (
+  SELECT EPOCH_US(ts) AS us, event_id FROM events
+), gp AS (
+  SELECT us - LAG(us) OVER (ORDER BY us, event_id) AS gap FROM e
+), cnt AS (
+  SELECT gap, CAST(COUNT(*) AS BIGINT) AS n
+  FROM gp WHERE gap IS NOT NULL GROUP BY gap
+), dims AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+         SUM(gap * n) / CAST(SUM(n) AS DOUBLE) / 1000000.0 AS mu
+  FROM cnt HAVING SUM(n) >= 2
+), walk AS (
+  SELECT CAST(SUM(n) OVER (ORDER BY gap) AS DOUBLE) / dims.nn AS hi,
+         CAST(SUM(n) OVER (ORDER BY gap) - n AS DOUBLE) / dims.nn AS lo,
+         1.0 - EXP(-(gap / 1000000.0) / dims.mu) AS ft,
+         dims.nn AS nn
+  FROM cnt, dims WHERE dims.mu > 0
+), dstat AS (
+  SELECT MAX(GREATEST(ABS(hi - ft), ABS(lo - ft))) AS d,
+         MAX(nn) AS nn
+  FROM walk HAVING COUNT(*) > 0
+), lamb AS (
+  SELECT nn, d, (SQRT(nn) + 0.12 + 0.11 / SQRT(nn)) * d AS lam
+  FROM dstat
+)
+SELECT CAST(nn AS BIGINT) AS n_gaps,
+       ROUND((SELECT mu FROM dims), 6) AS mean_gap_s,
+       ROUND(d, 6) AS ks_stat,
+       ROUND(LEAST(1.0, GREATEST(0.0, 2.0 * (
+           SELECT SUM(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                      * EXP(-2.0 * k * k * lamb.lam * lamb.lam))
+           FROM (SELECT UNNEST(range(1, 101)) AS k)))), 6) AS p_value
+FROM lamb
+"""

@@ -4697,3 +4697,132 @@ SELECT token, cf, df,
 FROM agg, n
 ORDER BY token
 """
+
+
+def doc_length_ks_pairs_bh(sf_dir: str) -> pd.DataFrame:
+    """All pairwise two-sample KS tests across languages WITH
+    Benjamini-Hochberg FDR control — the multiple-testing layer every
+    corpus-audit dashboard needs and no single-test operator provides:
+    at 10+ simultaneous pair tests, raw p<0.05 readings are expected
+    false alarms; the BH q-value is the number a rebalance decision can
+    actually gate on. p comes from the asymptotic Kolmogorov series
+    2*sum_k (-1)^(k-1) exp(-2 k^2 lambda^2) (k<=100, both sides use the
+    same truncation) with Stephens' small-sample lambda correction.
+
+    Plan: the doc_length_ks_by_lang count fold verbatim (lang x length
+    domain bounded); D, p, and the BH suffix-min all happen on the
+    pair-bounded driver frame in the oracle's exact expression order."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.dropna(subset=["lang"]).groupby(
+            ["lang", "n_chars"], as_index=False).agg(n=("n_chars", "size"))
+        return g.rename(columns={"n_chars": "x"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "x"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"lang_a": "object", "lang_b": "object", "ks_stat": "float64",
+              "p_value": "float64", "q_value": "float64"}
+    if counts.empty or counts.lang.nunique() < 2:
+        return typed_out(pd.DataFrame(), schema)
+    langs = np.sort(counts.lang.unique())
+    grid = np.sort(counts.x.unique())
+    mat = np.zeros((len(langs), len(grid)), dtype=np.int64)
+    li = pd.Series(range(len(langs)), index=langs)
+    gi = pd.Series(range(len(grid)), index=grid)
+    mat[li.loc[counts.lang].to_numpy(), gi.loc[counts.x].to_numpy()] = (
+        counts.n.to_numpy(np.int64))
+    tot = mat.sum(axis=1)
+    cum = np.cumsum(mat, axis=1).astype(np.float64)
+    ecdf = cum / tot[:, None].astype(np.float64)
+    kk = np.arange(1, 101, dtype=np.float64)
+    sgn = np.where(np.arange(1, 101) % 2 == 1, 1.0, -1.0)
+    rows = []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            d = float(np.max(np.abs(ecdf[i] - ecdf[j])))
+            ne = (int(tot[i]) * int(tot[j])) / float(tot[i] + tot[j])
+            lam = (np.sqrt(ne) + 0.12 + 0.11 / np.sqrt(ne)) * d
+            p = 2.0 * float(np.sum(sgn * np.exp(-2.0 * kk * kk
+                                                * lam * lam)))
+            p = min(1.0, max(0.0, p))
+            rows.append((langs[i], langs[j], d, p))
+    out = pd.DataFrame(rows, columns=["lang_a", "lang_b", "d", "p"])
+    out = out.sort_values(["p", "lang_a", "lang_b"],
+                          kind="mergesort").reset_index(drop=True)
+    m = float(len(out))
+    vals = out.p.to_numpy(np.float64) * m / np.arange(1, len(out) + 1,
+                                                      dtype=np.float64)
+    q = np.minimum(np.minimum.accumulate(vals[::-1])[::-1], 1.0)
+    res = pd.DataFrame({
+        "lang_a": out.lang_a.to_numpy(object),
+        "lang_b": out.lang_b.to_numpy(object),
+        "ks_stat": round_away(out.d.to_numpy(np.float64), 6) + 0.0,
+        "p_value": round_away(out.p.to_numpy(np.float64), 6) + 0.0,
+        "q_value": round_away(q, 6) + 0.0,
+    })
+    return typed_out(res, schema, sort_by=["lang_a", "lang_b"])
+
+
+DOC_LENGTH_KS_BH_SQL = """
+WITH counts AS (
+  SELECT lang, n_chars AS x, COUNT(*) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM counts),
+grid AS (SELECT DISTINCT x FROM counts),
+lg AS (SELECT l.lang, g.x FROM langs l CROSS JOIN grid g),
+cum AS (
+  SELECT lg.lang, lg.x,
+         CAST(SUM(COALESCE(c.n, 0))
+              OVER (PARTITION BY lg.lang ORDER BY lg.x) AS DOUBLE)
+           / SUM(COALESCE(c.n, 0)) OVER (PARTITION BY lg.lang) AS f,
+         SUM(COALESCE(c.n, 0)) OVER (PARTITION BY lg.lang) AS nt
+  FROM lg LEFT JOIN counts c ON c.lang = lg.lang AND c.x = lg.x
+),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         MAX(ABS(a.f - b.f)) AS d,
+         (MAX(a.nt) * MAX(b.nt)) / CAST(MAX(a.nt) + MAX(b.nt) AS DOUBLE)
+             AS ne
+  FROM cum a JOIN cum b ON b.x = a.x AND a.lang < b.lang
+  GROUP BY 1, 2
+),
+lamb AS (
+  SELECT lang_a, lang_b, d,
+         (SQRT(ne) + 0.12 + 0.11 / SQRT(ne)) * d AS lam
+  FROM pairs
+),
+pv AS (
+  SELECT lang_a, lang_b, d,
+         LEAST(1.0, GREATEST(0.0, 2.0 * (
+             SELECT SUM(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                        * EXP(-2.0 * k * k * lamb.lam * lamb.lam))
+             FROM (SELECT UNNEST(range(1, 101)) AS k)))) AS p
+  FROM lamb
+),
+rk AS (
+  SELECT lang_a, lang_b, d, p,
+         ROW_NUMBER() OVER (ORDER BY p, lang_a, lang_b) AS i,
+         COUNT(*) OVER () AS m
+  FROM pv
+),
+bh AS (
+  SELECT lang_a, lang_b, d, p,
+         LEAST(1.0, MIN(p * m / i)
+             OVER (ORDER BY i DESC ROWS UNBOUNDED PRECEDING)) AS q
+  FROM rk
+)
+SELECT lang_a, lang_b,
+       ROUND(d, 6) AS ks_stat,
+       ROUND(p, 6) AS p_value,
+       ROUND(q, 6) AS q_value
+FROM bh ORDER BY lang_a, lang_b
+"""
