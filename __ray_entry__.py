@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "events_daily_bootstrap_ci": streaming.events_daily_bootstrap_ci,
+        "orders_weekly_periodogram": relational.orders_weekly_periodogram,
         "doc_length_ks_pairs_bh": text_analysis.doc_length_ks_pairs_bh,
         "events_gap_exponential_gof":
             streaming.events_gap_exponential_gof,
@@ -261,9 +263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heaps_law_fit": text_analysis.doc_heaps_law_fit,
         "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
         "events_kruskal_by_type": streaming.events_kruskal_by_type,
-        "events_hour_value_spearman":
-            streaming.events_hour_value_spearman,
-        "source_lang_js_divergence": curation.source_lang_js_divergence,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -272,6 +271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_hour_value_spearman":
+            streaming.events_hour_value_spearman,
+        "source_lang_js_divergence": curation.source_lang_js_divergence,
         "orders_monthly_mann_kendall":
             relational.orders_monthly_mann_kendall,
         "orders_priority_late_share_ci":
@@ -557,6 +559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_daily_bootstrap_ci": streaming.EVENTS_BOOTSTRAP_CI_SQL,
+        "orders_weekly_periodogram": relational.ORDERS_PERIODOGRAM_SQL,
         "doc_length_ks_pairs_bh": text_analysis.DOC_LENGTH_KS_BH_SQL,
         "events_gap_exponential_gof":
             streaming.EVENTS_GAP_EXPONENTIAL_GOF_SQL,

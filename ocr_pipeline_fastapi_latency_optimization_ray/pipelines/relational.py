@@ -5097,3 +5097,97 @@ SELECT CAST(nn AS BIGINT) AS n_customers,
            AS atkinson_05
 FROM s
 """
+
+
+def orders_weekly_periodogram(sf_dir: str) -> pd.DataFrame:
+    """Periodogram of the daily order-count series at the calendar
+    periods that matter (7 / 30 / 91 / 365 days) — the FREQUENCY-DOMAIN
+    seasonality detector: the decomposition operator assumes weekly
+    structure, Mann-Kendall sees monotone trend, the periodogram
+    MEASURES which cycles are actually in the data. power(f) =
+    (sum x cos + sum x sin quadrature)/T on the demeaned zero-filled
+    grid; frac_var = 2*power/sum(x^2) is ~1.0 for a pure sinusoid at f
+    and ~2/T white-noise floor otherwise.
+
+    Plan: the day-count fold; the driver evaluates four fixed
+    frequencies over the span-bounded grid (zeros included via the
+    demeaned grid, exactly like the oracle's generate_series LEFT
+    JOIN). Nothing scales with orders."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"period_days": "int64", "power": "float64",
+              "frac_var": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = int(out.day.min()), int(out.day.max())
+    span = hi - lo + 1
+    grid = np.zeros(span, np.int64)
+    grid[out.day.to_numpy(np.int64) - lo] = out.n.to_numpy(np.int64)
+    tt = float(span)
+    x = grid.astype(np.float64) - float(grid.sum()) / tt
+    ssq = float(np.sum(x * x))
+    if ssq <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    t = np.arange(span, dtype=np.float64)
+    rows = []
+    for period in (7, 30, 91, 365):
+        theta = 2.0 * np.pi * t / float(period)
+        sc = float(np.sum(x * np.cos(theta)))
+        ss = float(np.sum(x * np.sin(theta)))
+        power = (sc * sc + ss * ss) / tt
+        rows.append((np.int64(period),
+                     round_away(np.float64(power), 6) + 0.0,
+                     round_away(np.float64(2.0 * power / ssq), 6) + 0.0))
+    res = pd.DataFrame(rows, columns=["period_days", "power", "frac_var"])
+    return typed_out(res, schema, sort_by="period_days")
+
+
+ORDERS_PERIODOGRAM_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), dims AS (
+  SELECT MIN(day) AS lo, MAX(day) - MIN(day) + 1 AS span,
+         CAST(MAX(day) - MIN(day) + 1 AS DOUBLE) AS tt,
+         CAST(SUM(n) AS DOUBLE) AS total
+  FROM d HAVING COUNT(*) > 0
+), g AS (
+  SELECT CAST(s.t AS DOUBLE) AS t,
+         COALESCE(d.n, 0) - dims.total / dims.tt AS x,
+         dims.tt AS tt
+  FROM (SELECT UNNEST(range(0, (SELECT span FROM dims))) AS t) s
+  CROSS JOIN dims
+  LEFT JOIN d ON d.day = dims.lo + s.t
+), ssq AS (
+  SELECT SUM(x * x) AS ssq FROM g HAVING SUM(x * x) > 0
+), p AS (
+  SELECT CAST(per.period AS BIGINT) AS period_days,
+         (SUM(x * COS(2.0 * PI() * t / per.period))
+              * SUM(x * COS(2.0 * PI() * t / per.period))
+          + SUM(x * SIN(2.0 * PI() * t / per.period))
+              * SUM(x * SIN(2.0 * PI() * t / per.period)))
+             / MAX(tt) AS power
+  FROM g CROSS JOIN (
+    SELECT UNNEST([7.0, 30.0, 91.0, 365.0]) AS period) per
+  GROUP BY per.period
+)
+SELECT period_days, ROUND(power, 6) AS power,
+       ROUND(2.0 * power / ssq.ssq, 6) AS frac_var
+FROM p, ssq ORDER BY period_days
+"""
