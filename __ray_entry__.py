@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "orders_priority_jonckheere":
+            relational.orders_priority_jonckheere,
+        "source_unigram_kl": curation.source_unigram_kl,
         "events_daily_bootstrap_ci": streaming.events_daily_bootstrap_ci,
         "orders_weekly_periodogram": relational.orders_weekly_periodogram,
         "doc_length_ks_pairs_bh": text_analysis.doc_length_ks_pairs_bh,
@@ -261,8 +264,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_char_regression":
             text_analysis.doc_token_char_regression,
         "doc_heaps_law_fit": text_analysis.doc_heaps_law_fit,
-        "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
-        "events_kruskal_by_type": streaming.events_kruskal_by_type,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -271,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
+        "events_kruskal_by_type": streaming.events_kruskal_by_type,
         "events_hour_value_spearman":
             streaming.events_hour_value_spearman,
         "source_lang_js_divergence": curation.source_lang_js_divergence,
@@ -559,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_priority_jonckheere": relational.ORDERS_JONCKHEERE_SQL,
+        "source_unigram_kl": curation.SOURCE_UNIGRAM_KL_SQL,
         "events_daily_bootstrap_ci": streaming.EVENTS_BOOTSTRAP_CI_SQL,
         "orders_weekly_periodogram": relational.ORDERS_PERIODOGRAM_SQL,
         "doc_length_ks_pairs_bh": text_analysis.DOC_LENGTH_KS_BH_SQL,

@@ -2973,3 +2973,91 @@ JOIN norms na ON na.source = src_a
 JOIN norms nb ON nb.source = src_b
 ORDER BY src_a, src_b
 """
+
+
+def source_unigram_kl(sf_dir: str) -> pd.DataFrame:
+    """KL divergence of each source's token unigram distribution from
+    the corpus distribution — the per-feed domain-shift score: a feed
+    whose language model diverges from the pool is either a different
+    domain (keep, it adds diversity) or garbage (cut); either way it is
+    the first feed a curation pass should eyeball. Complements
+    source_lang_js_divergence (which only sees the LANGUAGE label, not
+    the text) and source_tfidf_cosine (pairwise geometry, not
+    divergence from the pool).
+
+    Plan: the token_topk count exchange keyed (source, token); the
+    merged frame is vocab x source bounded, so totals and the KL sum
+    are driver flops on integers until the final divisions. KL is
+    finite by construction (every source token is in the corpus)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pandas().to_numpy(object)
+        d = pd.DataFrame({
+            "source": src[np.repeat(np.arange(len(lens), dtype=np.int64),
+                                    lens)],
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(object),
+        })
+        g = d.groupby(["source", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["source", "token"], as_index=False).agg(
+            n=("n", "sum"))
+
+    tf = bucketed_combine(ds, "token", partial, combine,
+                          partial_format="pyarrow").to_pandas()
+    schema = {"source": "object", "n_tokens": "int64", "kl": "float64"}
+    if tf.empty:
+        return typed_out(pd.DataFrame(), schema)
+    tf = tf.sort_values(["source", "token"], kind="mergesort")
+    tf["n"] = tf.n.astype(np.int64)
+    ts = tf.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    ct = tf.groupby("token")["n"].transform("sum").to_numpy(np.float64)
+    tt = float(tf.n.sum())
+    ps = tf.n.to_numpy(np.int64) / ts
+    pc_ = ct / tt
+    term = ps * np.log(ps / pc_)
+    out = (pd.DataFrame({"source": tf.source.to_numpy(object),
+                         "ts": ts.astype(np.int64), "term": term})
+           .groupby(["source", "ts"], as_index=False).agg(
+               kl=("term", "sum")))
+    res = pd.DataFrame({
+        "source": out.source.to_numpy(object),
+        "n_tokens": out.ts.to_numpy(np.int64),
+        "kl": round_away(out.kl.to_numpy(np.float64), 6) + 0.0,
+    })
+    return typed_out(res, schema, sort_by="source")
+
+
+SOURCE_UNIGRAM_KL_SQL = """
+WITH tf AS (
+  SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT source, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+    FROM documents
+  )
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS tt FROM tf
+), ts AS (
+  SELECT source, CAST(SUM(n) AS DOUBLE) AS ts FROM tf GROUP BY 1
+), ct AS (
+  SELECT token, CAST(SUM(n) AS DOUBLE) AS ct FROM tf GROUP BY 1
+)
+SELECT tf.source,
+       CAST(ts.ts AS BIGINT) AS n_tokens,
+       ROUND(SUM((tf.n / ts.ts) * LN((tf.n / ts.ts) / (ct.ct / tot.tt))),
+             6) AS kl
+FROM tf
+JOIN ts ON ts.source = tf.source
+JOIN ct ON ct.token = tf.token
+CROSS JOIN tot
+GROUP BY tf.source, ts.ts
+ORDER BY tf.source
+"""

@@ -5191,3 +5191,104 @@ SELECT period_days, ROUND(power, 6) AS power,
        ROUND(2.0 * power / ssq.ssq, 6) AS frac_var
 FROM p, ssq ORDER BY period_days
 """
+
+
+def orders_priority_jonckheere(sf_dir: str) -> pd.DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test — does order VALUE
+    trend monotonically across the ORDERED priorities? Kruskal/ANOVA
+    ask "any difference"; Cochran-Armitage trends a PROPORTION; J-T is
+    the continuous-response member: J sums the pairwise Mann-Whitney
+    U over every ordered group pair (ties count half), so a consistent
+    urgent-orders-are-bigger gradient convicts even when each adjacent
+    gap is individually insignificant.
+
+    Plan: the Mann-Whitney (group, value) count-matrix fold — bounded
+    by the 2-decimal price domain x 5 priorities, never by orders —
+    then one vectorized below/cum pass per ordered pair and the
+    classic normal approximation (no-tie variance, documented; ties
+    enter J itself via the half-count)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority",
+                                          "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderpriority", "o_totalprice"],
+                       as_index=False).agg(n=("o_totalprice", "size"))
+        return g.rename(columns={"o_orderpriority": "grp",
+                                 "o_totalprice": "x"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["grp", "x"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_orders": "int64", "k_groups": "int64", "j_stat": "float64",
+              "z_score": "float64"}
+    if counts.empty or counts.grp.nunique() < 2:
+        return typed_out(pd.DataFrame(), schema)
+    grps = np.sort(counts.grp.unique())
+    grid = np.sort(counts.x.unique())
+    mat = np.zeros((len(grps), len(grid)), dtype=np.float64)
+    li = pd.Series(range(len(grps)), index=grps)
+    gi = pd.Series(range(len(grid)), index=grid)
+    mat[li.loc[counts.grp].to_numpy(), gi.loc[counts.x].to_numpy()] = (
+        counts.n.to_numpy(np.float64))
+    below = np.cumsum(mat, axis=1) - mat
+    tot = mat.sum(axis=1)
+    j = 0.0
+    for a in range(len(grps)):
+        for b in range(a + 1, len(grps)):
+            j += float((mat[b] * (below[a] + 0.5 * mat[a])).sum())
+    nn = float(tot.sum())
+    s2 = float((tot * tot).sum())
+    ej = (nn * nn - s2) / 4.0
+    var = (nn * nn * (2.0 * nn + 3.0)
+           - float((tot * tot * (2.0 * tot + 3.0)).sum())) / 72.0
+    if var <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_orders": np.int64(nn), "k_groups": np.int64(len(grps)),
+        "j_stat": round_away(np.float64(j), 1) + 0.0,
+        "z_score": round_away(np.float64((j - ej) / np.sqrt(var)), 6)
+            + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_JONCKHEERE_SQL = """
+WITH counts AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS x,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1, 2
+),
+grps AS (SELECT DISTINCT grp FROM counts),
+grid AS (SELECT DISTINCT x FROM counts),
+gg AS (SELECT g.grp, d.x FROM grps g CROSS JOIN grid d),
+cum AS (
+  SELECT gg.grp, gg.x, COALESCE(c.n, 0) AS n,
+         SUM(COALESCE(c.n, 0)) OVER (PARTITION BY gg.grp ORDER BY gg.x)
+           - COALESCE(c.n, 0) AS below
+  FROM gg LEFT JOIN counts c ON c.grp = gg.grp AND c.x = gg.x
+),
+j AS (
+  SELECT SUM(b.n * (a.below + 0.5 * a.n)) AS j
+  FROM cum a JOIN cum b ON b.x = a.x AND a.grp < b.grp
+  HAVING COUNT(*) > 0
+),
+sizes AS (
+  SELECT SUM(n) AS nn, SUM(n * n) AS s2,
+         SUM(n * n * (2.0 * n + 3.0)) AS s3,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT grp, SUM(n) AS n FROM counts GROUP BY grp)
+  HAVING COUNT(*) >= 2
+)
+SELECT CAST(nn AS BIGINT) AS n_orders, k AS k_groups,
+       ROUND(j, 1) AS j_stat,
+       ROUND((j - (nn * nn - s2) / 4.0)
+             / SQRT((nn * nn * (2.0 * nn + 3.0) - s3) / 72.0), 6)
+           AS z_score
+FROM j, sizes
+WHERE (nn * nn * (2.0 * nn + 3.0) - s3) / 72.0 > 0
+"""
