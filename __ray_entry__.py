@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "crawl_capture_recapture": extract_checks.crawl_capture_recapture,
+        "orders_daily_records": relational.orders_daily_records,
         "orders_priority_jonckheere":
             relational.orders_priority_jonckheere,
         "source_unigram_kl": curation.source_unigram_kl,
@@ -261,9 +263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_circular_hour_stats":
             streaming.events_circular_hour_stats,
         "embedding_anisotropy": similarity.embedding_anisotropy,
-        "doc_token_char_regression":
-            text_analysis.doc_token_char_regression,
-        "doc_heaps_law_fit": text_analysis.doc_heaps_law_fit,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -272,6 +271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "doc_token_char_regression":
+            text_analysis.doc_token_char_regression,
+        "doc_heaps_law_fit": text_analysis.doc_heaps_law_fit,
         "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
         "events_kruskal_by_type": streaming.events_kruskal_by_type,
         "events_hour_value_spearman":
@@ -562,6 +564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_capture_recapture":
+            extract_checks.CRAWL_CAPTURE_RECAPTURE_SQL,
+        "orders_daily_records": relational.ORDERS_DAILY_RECORDS_SQL,
         "orders_priority_jonckheere": relational.ORDERS_JONCKHEERE_SQL,
         "source_unigram_kl": curation.SOURCE_UNIGRAM_KL_SQL,
         "events_daily_bootstrap_ci": streaming.EVENTS_BOOTSTRAP_CI_SQL,

@@ -1242,3 +1242,92 @@ SELECT doc_id, CAST(version AS BIGINT) AS version,
             AS BIGINT) AS valid_to
 FROM ch ORDER BY doc_id, valid_from
 """
+
+
+def crawl_capture_recapture(sf_dir: str) -> pd.DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL page population
+    from two crawl waves — the frontier-sizing number: a crawler only
+    ever sees what it sampled, but the overlap between two independent
+    waves estimates how much it HASN'T seen (small overlap => the web
+    under this frontier is much bigger than either crawl). Waves reuse
+    the crawl_snapshot_diff carving (A = doc_id % 3 != 0,
+    B = doc_id % 5 != 0) so the oracle reproduces them closed-form, and
+    the committed corpus gives a non-vacuous overlap by construction.
+
+    Plan: ONE scan folds four integer counters (|A|, |B|, |A and B|,
+    |total|); Chapman's estimator, its variance and the 95% CI are
+    driver flops written as the oracle's literal expressions."""
+    import numpy as np
+
+    from ..functions.frames import round_away, typed_out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy(np.int64)
+        a = ids % 3 != 0
+        b = ids % 5 != 0
+        return pd.DataFrame([{
+            "g": np.int64(0),
+            "na": np.int64(a.sum()), "nb": np.int64(b.sum()),
+            "m": np.int64((a & b).sum()), "nt": np.int64(len(ids)),
+        }])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"),
+                   Sum("m", alias_name="m"), Sum("nt", alias_name="nt"))
+        .to_pandas()
+    )
+    schema = {"n_wave_a": "int64", "n_wave_b": "int64",
+              "n_overlap": "int64", "true_n": "int64",
+              "chapman_estimate": "float64", "ci_lo": "float64",
+              "ci_hi": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    na, nb, m, nt = (float(out.na[0]), float(out.nb[0]), float(out.m[0]),
+                     int(out.nt[0]))
+    est = (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0
+    var = ((na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+           / ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    half = 1.959963984540054 * np.sqrt(var)
+    res = pd.DataFrame([{
+        "n_wave_a": np.int64(na), "n_wave_b": np.int64(nb),
+        "n_overlap": np.int64(m), "true_n": np.int64(nt),
+        "chapman_estimate": round_away(np.float64(est), 6) + 0.0,
+        "ci_lo": round_away(np.float64(est - half), 6) + 0.0,
+        "ci_hi": round_away(np.float64(est + half), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+CRAWL_CAPTURE_RECAPTURE_SQL = """
+WITH t AS (
+  SELECT
+    CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        AS na,
+    CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        AS nb,
+    CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0
+             THEN 1 ELSE 0 END) AS DOUBLE) AS m,
+    CAST(COUNT(*) AS BIGINT) AS nt
+  FROM documents HAVING COUNT(*) > 0
+), e AS (
+  SELECT na, nb, m, nt,
+         (na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0 AS est,
+         1.959963984540054 * SQRT(
+             (na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+             / ((m + 1.0) * (m + 1.0) * (m + 2.0))) AS half
+  FROM t
+)
+SELECT CAST(na AS BIGINT) AS n_wave_a, CAST(nb AS BIGINT) AS n_wave_b,
+       CAST(m AS BIGINT) AS n_overlap, nt AS true_n,
+       ROUND(est, 6) AS chapman_estimate,
+       ROUND(est - half, 6) AS ci_lo,
+       ROUND(est + half, 6) AS ci_hi
+FROM e
+"""

@@ -5292,3 +5292,87 @@ SELECT CAST(nn AS BIGINT) AS n_orders, k AS k_groups,
 FROM j, sizes
 WHERE (nn * nn * (2.0 * nn + 3.0) - s3) / 72.0 > 0
 """
+
+
+def orders_daily_records(sf_dir: str) -> pd.DataFrame:
+    """Record-values statistic on the daily order-count series: how many
+    days set a new all-time high, vs the exchangeability expectation
+    H_n = sum 1/i (a stationary series sets ~ln(n) records; a growing
+    one keeps breaking them; a shrinking one stops early). The classic
+    distribution-free growth detector — unlike Mann-Kendall it only
+    reacts to NEW EXTREMES, so a series that grows quietly below its
+    early peak stays null. Also names the last record day.
+
+    Plan: the day-count fold; records are one shifted cummax compare on
+    the span-bounded grid; mean/variance of the record count are exact
+    harmonic sums over range(1, n+1) on both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_days": "int64", "n_records": "int64",
+              "last_record_day": "int64", "expected_records": "float64",
+              "z_score": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("day", kind="stable")
+    c = out.n.to_numpy(np.int64)
+    days = out.day.to_numpy(np.int64)
+    cm = np.maximum.accumulate(c)
+    rec = np.concatenate([[True], c[1:] > cm[:-1]])
+    nn = len(c)
+    i = np.arange(1, nn + 1, dtype=np.float64)
+    h = float(np.sum(1.0 / i))
+    v = float(np.sum(1.0 / i - 1.0 / (i * i)))
+    if v <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    r = int(rec.sum())
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn), "n_records": np.int64(r),
+        "last_record_day": np.int64(days[rec][-1]),
+        "expected_records": round_away(np.float64(h), 6) + 0.0,
+        "z_score": round_away(np.float64((r - h) / np.sqrt(v)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_DAILY_RECORDS_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(EPOCH(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT day, n,
+         MAX(n) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pm
+  FROM d
+), rec AS (
+  SELECT day, (pm IS NULL OR n > pm) AS is_rec FROM r
+), dims AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN is_rec THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         MAX(CASE WHEN is_rec THEN day END) AS last_day
+  FROM rec HAVING COUNT(*) > 0
+), harm AS (
+  SELECT SUM(1.0 / i) AS h, SUM(1.0 / i - 1.0 / (i * i)) AS v
+  FROM (SELECT UNNEST(range(1, (SELECT nn FROM dims) + 1)) AS i)
+)
+SELECT nn AS n_days, r AS n_records, last_day AS last_record_day,
+       ROUND(h, 6) AS expected_records,
+       ROUND((r - h) / SQRT(v), 6) AS z_score
+FROM dims, harm WHERE v > 0
+"""
