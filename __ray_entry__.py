@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "source_burrows_delta": curation.source_burrows_delta,
+        "corpus_yule_k": curation.corpus_yule_k,
         "crawl_capture_recapture": extract_checks.crawl_capture_recapture,
         "orders_daily_records": relational.orders_daily_records,
         "orders_priority_jonckheere":
@@ -260,9 +262,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rater_agreement_kappa":
             text_analysis.quality_rater_agreement_kappa,
         # oracle-backed (new in round 4, continuation-session-11 block):
-        "events_circular_hour_stats":
-            streaming.events_circular_hour_stats,
-        "embedding_anisotropy": similarity.embedding_anisotropy,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -271,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_circular_hour_stats":
+            streaming.events_circular_hour_stats,
+        "embedding_anisotropy": similarity.embedding_anisotropy,
         "doc_token_char_regression":
             text_analysis.doc_token_char_regression,
         "doc_heaps_law_fit": text_analysis.doc_heaps_law_fit,
@@ -564,6 +566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "source_burrows_delta": curation.SOURCE_BURROWS_DELTA_SQL,
+        "corpus_yule_k": curation.CORPUS_YULE_K_SQL,
         "crawl_capture_recapture":
             extract_checks.CRAWL_CAPTURE_RECAPTURE_SQL,
         "orders_daily_records": relational.ORDERS_DAILY_RECORDS_SQL,

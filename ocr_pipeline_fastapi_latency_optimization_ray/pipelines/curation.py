@@ -3061,3 +3061,180 @@ CROSS JOIN tot
 GROUP BY tf.source, ts.ts
 ORDER BY tf.source
 """
+
+
+def source_burrows_delta(sf_dir: str) -> pd.DataFrame:
+    """Burrows' Delta between every source pair — the stylometry
+    distance (authorship attribution's workhorse): z-score each token's
+    RELATIVE frequency across sources, then Delta(a,b) = mean |z_a -
+    z_b|. Unlike tf-idf cosine (dominated by high-mass terms) Delta
+    weights every token's DEVIATION PROFILE equally, which is exactly
+    what separates "same template, different volume" feeds from
+    genuinely different writing.
+
+    Plan: the (source, token, tf) bucketed fold; the driver zero-fills
+    the vocab x source grid (a source missing a token IS a style
+    signal), z-scores per token with the population sd, and folds
+    pair deltas on the schema-bounded matrix. Tokens with zero variance
+    across sources drop on both sides."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pandas().to_numpy(object)
+        d = pd.DataFrame({
+            "source": src[np.repeat(np.arange(len(lens), dtype=np.int64),
+                                    lens)],
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(object),
+        })
+        g = d.groupby(["source", "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["source", "token"], as_index=False).agg(
+            n=("n", "sum"))
+
+    tf = bucketed_combine(ds, "token", partial, combine,
+                          partial_format="pyarrow").to_pandas()
+    schema = {"src_a": "object", "src_b": "object", "delta": "float64"}
+    if tf.empty or tf.source.nunique() < 2:
+        return typed_out(pd.DataFrame(), schema)
+    srcs = np.sort(tf.source.unique().astype(object))
+    toks = np.sort(tf.token.unique().astype(object))
+    si = pd.Series(range(len(srcs)), index=srcs)
+    ti = pd.Series(range(len(toks)), index=toks)
+    mat = np.zeros((len(srcs), len(toks)), np.float64)
+    mat[si.loc[tf.source].to_numpy(), ti.loc[tf.token].to_numpy()] = (
+        tf.n.to_numpy(np.int64))
+    ts = mat.sum(axis=1)
+    f = mat / ts[:, None]
+    k = float(len(srcs))
+    mu = f.sum(axis=0) / k
+    var = (f * f).sum(axis=0) / k - mu * mu
+    keep = var > 0
+    if not keep.any():
+        return typed_out(pd.DataFrame(), schema)
+    z = (f[:, keep] - mu[keep]) / np.sqrt(var[keep])
+    m = float(keep.sum())
+    rows = []
+    for a in range(len(srcs)):
+        for b in range(a + 1, len(srcs)):
+            rows.append((srcs[a], srcs[b],
+                         float(np.sum(np.abs(z[a] - z[b]))) / m))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "delta"])
+    out["delta"] = round_away(out.delta.to_numpy(np.float64), 6) + 0.0
+    return typed_out(out, schema, sort_by=["src_a", "src_b"])
+
+
+SOURCE_BURROWS_DELTA_SQL = """
+WITH tf AS (
+  SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT source, UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+    FROM documents
+  )
+  GROUP BY 1, 2
+), ts AS (
+  SELECT source, CAST(SUM(n) AS DOUBLE) AS ts FROM tf GROUP BY 1
+), srcs AS (SELECT DISTINCT source FROM tf),
+toks AS (SELECT DISTINCT token FROM tf),
+grid AS (
+  SELECT s.source, t.token,
+         COALESCE(tf.n, 0) / ts.ts AS f
+  FROM srcs s CROSS JOIN toks t
+  LEFT JOIN tf ON tf.source = s.source AND tf.token = t.token
+  JOIN ts ON ts.source = s.source
+), stats AS (
+  SELECT token,
+         SUM(f) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         SUM(f * f) / CAST(COUNT(*) AS DOUBLE)
+           - (SUM(f) / CAST(COUNT(*) AS DOUBLE))
+             * (SUM(f) / CAST(COUNT(*) AS DOUBLE)) AS var
+  FROM grid GROUP BY token
+), z AS (
+  SELECT g.source, g.token, (g.f - s.mu) / SQRT(s.var) AS z
+  FROM grid g JOIN stats s ON s.token = g.token
+  WHERE s.var > 0
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       ROUND(SUM(ABS(a.z - b.z)) / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def corpus_yule_k(sf_dir: str) -> pd.DataFrame:
+    """Yule's characteristic K and the repeat rate of the corpus token
+    distribution — the classical lexical-repetitiveness constants
+    (K = 1e4 * (sum c^2 - N)/N^2 is sample-size-free where TTR and raw
+    entropy are not): the single number to trend across dedup passes,
+    because verbatim duplication inflates token repeat mass before it
+    shows up anywhere else.
+
+    Plan: the token-count exchange; K needs only (sum c^2, N) —
+    integers until the final division."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.coalesce(t.column("text"), ""), " "))
+        vc = toks.value_counts()
+        return pd.DataFrame({
+            "token": vc.field("values").to_pandas().to_numpy(object),
+            "n": vc.field("counts").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(n=("n", "sum"))
+
+    out = bucketed_combine(ds, "token", partial, combine,
+                           partial_format="pyarrow").to_pandas()
+    schema = {"vocab_size": "int64", "total_tokens": "int64",
+              "yule_k": "float64", "repeat_rate": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    m = out.groupby("token", as_index=False).agg(n=("n", "sum"))
+    c = m.n.to_numpy(np.int64)
+    nn = int(c.sum())
+    if nn == 0:
+        return typed_out(pd.DataFrame(), schema)
+    s2 = int(np.sum(c * c))
+    res = pd.DataFrame([{
+        "vocab_size": np.int64(len(c)), "total_tokens": np.int64(nn),
+        "yule_k": round_away(np.float64(
+            10000.0 * (s2 - nn) / (float(nn) * nn)), 6) + 0.0,
+        "repeat_rate": round_away(np.float64(s2 / (float(nn) * nn)), 6)
+            + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+CORPUS_YULE_K_SQL = """
+WITH c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT UNNEST(string_split(COALESCE(text, ''), ' ')) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM c HAVING SUM(n) > 0
+)
+SELECT v AS vocab_size, nn AS total_tokens,
+       ROUND(10000.0 * (s2 - nn) / (CAST(nn AS DOUBLE) * nn), 6)
+           AS yule_k,
+       ROUND(s2 / (CAST(nn AS DOUBLE) * nn), 6) AS repeat_rate
+FROM s
+"""

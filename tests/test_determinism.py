@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "source_burrows_delta",
+    "corpus_yule_k",
     "crawl_capture_recapture",
     "orders_daily_records",
     "orders_priority_jonckheere",
