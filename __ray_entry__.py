@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "events_purchase_value_stump":
+            streaming.events_purchase_value_stump,
+        "lang_length_shrinkage": text_analysis.lang_length_shrinkage,
         "source_burrows_delta": curation.source_burrows_delta,
         "corpus_yule_k": curation.corpus_yule_k,
         "crawl_capture_recapture": extract_checks.crawl_capture_recapture,
@@ -257,11 +260,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cross_correlation":
             streaming.events_type_cross_correlation,
         "orders_weekly_extreme_fit": relational.orders_weekly_extreme_fit,
-        "quality_classifier_roc_auc":
-            text_analysis.quality_classifier_roc_auc,
-        "quality_rater_agreement_kappa":
-            text_analysis.quality_rater_agreement_kappa,
-        # oracle-backed (new in round 4, continuation-session-11 block):
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -270,6 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "quality_classifier_roc_auc":
+            text_analysis.quality_classifier_roc_auc,
+        "quality_rater_agreement_kappa":
+            text_analysis.quality_rater_agreement_kappa,
         "events_circular_hour_stats":
             streaming.events_circular_hour_stats,
         "embedding_anisotropy": similarity.embedding_anisotropy,
@@ -566,6 +568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_purchase_value_stump": streaming.EVENTS_VALUE_STUMP_SQL,
+        "lang_length_shrinkage":
+            text_analysis.LANG_LENGTH_SHRINKAGE_SQL,
         "source_burrows_delta": curation.SOURCE_BURROWS_DELTA_SQL,
         "corpus_yule_k": curation.CORPUS_YULE_K_SQL,
         "crawl_capture_recapture":

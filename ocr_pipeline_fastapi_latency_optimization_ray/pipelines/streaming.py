@@ -4567,3 +4567,104 @@ SELECT CAST((SELECT MAX(nn) FROM ix) AS BIGINT) AS n_days,
            AS ci_hi
 FROM means HAVING COUNT(*) > 0
 """
+
+
+def events_purchase_value_stump(sf_dir: str) -> pd.DataFrame:
+    """Best single-threshold decision stump predicting event_type =
+    'purchase' from `value` — CART's first split, the supervised-
+    learning primitive the catalog lacked: correlation/Spearman say
+    whether value and purchasing co-move, the stump says WHERE to cut
+    and how much label impurity the cut removes (the exact computation
+    a feature-importance pass or a quality-filter threshold search
+    runs, just at depth 1).
+
+    Plan: a (value, n, n_purchase) count fold — bounded by the
+    2-decimal value domain — then every candidate threshold is one
+    vectorized cumsum pass: weighted Gini for all splits at once,
+    argmin with the smallest-threshold tie-break (the oracle's ORDER BY
+    impurity, threshold LIMIT 1)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "v": df.value,
+            "one": np.ones(len(df), np.int64),
+            "k": (df.event_type == "purchase").to_numpy().astype(np.int64),
+        })
+        return g.groupby("v", as_index=False).agg(n=("one", "sum"),
+                                                  k=("k", "sum"))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    schema = {"n_events": "int64", "best_threshold": "float64",
+              "n_left": "int64", "base_gini": "float64",
+              "split_gini": "float64", "gini_gain": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("v", kind="stable")
+    v = out.v.to_numpy(np.float64)
+    cn = np.cumsum(out.n.to_numpy(np.int64)).astype(np.float64)
+    ck = np.cumsum(out.k.to_numpy(np.int64)).astype(np.float64)
+    nn, kk = cn[-1], ck[-1]
+    valid = cn < nn
+    if not valid.any():
+        return typed_out(pd.DataFrame(), schema)
+    cn, ck, v = cn[valid], ck[valid], v[valid]
+    pl = ck / cn
+    pr = (kk - ck) / (nn - cn)
+    gl = 1.0 - pl * pl - (1.0 - pl) * (1.0 - pl)
+    gr = 1.0 - pr * pr - (1.0 - pr) * (1.0 - pr)
+    w = (cn / nn) * gl + ((nn - cn) / nn) * gr
+    p0 = kk / nn
+    g0 = 1.0 - p0 * p0 - (1.0 - p0) * (1.0 - p0)
+    i = int(np.argmin(w))
+    res = pd.DataFrame([{
+        "n_events": np.int64(nn),
+        "best_threshold": round_away(np.float64(v[i]), 6) + 0.0,
+        "n_left": np.int64(cn[i]),
+        "base_gini": round_away(np.float64(g0), 6) + 0.0,
+        "split_gini": round_away(np.float64(w[i]), 6) + 0.0,
+        "gini_gain": round_away(np.float64(g0 - w[i]), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_VALUE_STUMP_SQL = """
+WITH c AS (
+  SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY 1
+), w AS (
+  SELECT v,
+         CAST(SUM(n) OVER (ORDER BY v) AS DOUBLE) AS cn,
+         CAST(SUM(k) OVER (ORDER BY v) AS DOUBLE) AS ck,
+         CAST(SUM(n) OVER () AS DOUBLE) AS nn,
+         CAST(SUM(k) OVER () AS DOUBLE) AS kk
+  FROM c
+), s AS (
+  SELECT v, cn, nn, kk,
+         (cn / nn) * (1.0 - (ck / cn) * (ck / cn)
+                      - (1.0 - ck / cn) * (1.0 - ck / cn))
+         + ((nn - cn) / nn)
+           * (1.0 - ((kk - ck) / (nn - cn)) * ((kk - ck) / (nn - cn))
+              - (1.0 - (kk - ck) / (nn - cn))
+                * (1.0 - (kk - ck) / (nn - cn))) AS w
+  FROM w WHERE cn < nn
+)
+SELECT CAST(nn AS BIGINT) AS n_events,
+       ROUND(v, 6) AS best_threshold,
+       CAST(cn AS BIGINT) AS n_left,
+       ROUND(1.0 - (kk / nn) * (kk / nn)
+             - (1.0 - kk / nn) * (1.0 - kk / nn), 6) AS base_gini,
+       ROUND(w, 6) AS split_gini,
+       ROUND((1.0 - (kk / nn) * (kk / nn)
+              - (1.0 - kk / nn) * (1.0 - kk / nn)) - w, 6) AS gini_gain
+FROM s ORDER BY w, v LIMIT 1
+"""

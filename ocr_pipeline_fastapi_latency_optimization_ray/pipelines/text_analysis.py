@@ -4826,3 +4826,97 @@ SELECT lang_a, lang_b,
        ROUND(q, 6) AS q_value
 FROM bh ORDER BY lang_a, lang_b
 """
+
+
+def lang_length_shrinkage(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes (James-Stein) shrinkage of per-language mean
+    document length — the partial-pooling family: a 60-doc language's
+    raw mean is mostly noise, a 20k-doc one's is solid, and the
+    shrinkage weight w = tau^2/(tau^2 + sigma^2/n) encodes exactly
+    that, pulling small groups toward the pooled mean (and pulling
+    EVERYTHING to the pool when the between-group moment estimator
+    says the apparent spread is pure sampling noise — the tau^2 = 0
+    corner is the estimator working, exercised by the sf0.001 corpus).
+    This is what a per-key dashboard should plot instead of raw group
+    means, and the method-of-moments tau^2 makes it closed-form.
+
+    Plan: one (lang, n, sum x, sum x^2) moment fold (lang-bounded);
+    grand mean, pooled within-variance, and the between-group moment
+    estimator are driver flops in the oracle's literal expression
+    order."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.n_chars.to_numpy(np.int64)
+        g = pd.DataFrame({"lang": df.lang,
+                          "n": np.ones(len(df), np.int64),
+                          "sx": x, "sxx": x * x})
+        return g.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+    )
+    schema = {"lang": "object", "n_docs": "int64", "raw_mean": "float64",
+              "shrink_weight": "float64", "shrunk_mean": "float64"}
+    k = len(out)
+    nn = int(out.n.sum()) if k else 0
+    if k < 2 or nn <= k:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("lang", kind="mergesort")
+    n = out.n.to_numpy(np.int64).astype(np.float64)
+    sx = out.sx.to_numpy(np.int64).astype(np.float64)
+    sxx = out.sxx.to_numpy(np.int64).astype(np.float64)
+    xbar = sx / n
+    sigma2 = float(np.sum(sxx - sx * sx / n)) / (nn - k)
+    gbar = float(np.sum(xbar)) / k
+    s_between = float(np.sum((xbar - gbar) * (xbar - gbar))) / (k - 1)
+    tau2 = max(0.0, s_between - sigma2 * (float(np.sum(1.0 / n)) / k))
+    w = tau2 / (tau2 + sigma2 / n)
+    res = pd.DataFrame({
+        "lang": out.lang.to_numpy(object),
+        "n_docs": out.n.to_numpy(np.int64),
+        "raw_mean": round_away(xbar, 6) + 0.0,
+        "shrink_weight": round_away(w, 6) + 0.0,
+        "shrunk_mean": round_away(w * xbar + (1.0 - w) * gbar, 6) + 0.0,
+    })
+    return typed_out(res, schema, sort_by="lang")
+
+
+LANG_LENGTH_SHRINKAGE_SQL = """
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(n_chars) AS DOUBLE) AS sx,
+         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx
+  FROM documents GROUP BY 1
+), dims AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS nn,
+         SUM(sxx - sx * sx / n) / (SUM(n) - COUNT(*)) AS sigma2,
+         SUM(sx / n) / COUNT(*) AS gbar,
+         SUM(1.0 / n) / COUNT(*) AS mharm
+  FROM g HAVING COUNT(*) >= 2 AND SUM(n) > COUNT(*)
+), tau AS (
+  SELECT k, sigma2, gbar,
+         GREATEST(0.0,
+             (SELECT SUM((sx / n - dims.gbar) * (sx / n - dims.gbar))
+              FROM g) / (k - 1)
+             - sigma2 * mharm) AS tau2
+  FROM dims
+)
+SELECT g.lang,
+       CAST(g.n AS BIGINT) AS n_docs,
+       ROUND(g.sx / g.n, 6) AS raw_mean,
+       ROUND(tau.tau2 / (tau.tau2 + tau.sigma2 / g.n), 6)
+           AS shrink_weight,
+       ROUND((tau.tau2 / (tau.tau2 + tau.sigma2 / g.n)) * (g.sx / g.n)
+             + (1.0 - tau.tau2 / (tau.tau2 + tau.sigma2 / g.n))
+               * tau.gbar, 6) AS shrunk_mean
+FROM g, tau ORDER BY g.lang
+"""
