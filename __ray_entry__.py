@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "doc_length_ad_ksample": text_analysis.doc_length_ad_ksample,
         "events_purchase_value_stump":
             streaming.events_purchase_value_stump,
         "lang_length_shrinkage": text_analysis.lang_length_shrinkage,
@@ -259,7 +260,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.lineitem_qty_discount_kendall,
         "events_type_cross_correlation":
             streaming.events_type_cross_correlation,
-        "orders_weekly_extreme_fit": relational.orders_weekly_extreme_fit,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "orders_weekly_extreme_fit": relational.orders_weekly_extreme_fit,
         "quality_classifier_roc_auc":
             text_analysis.quality_classifier_roc_auc,
         "quality_rater_agreement_kappa":
@@ -568,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_length_ad_ksample": text_analysis.DOC_LENGTH_AD_KSAMPLE_SQL,
         "events_purchase_value_stump": streaming.EVENTS_VALUE_STUMP_SQL,
         "lang_length_shrinkage":
             text_analysis.LANG_LENGTH_SHRINKAGE_SQL,

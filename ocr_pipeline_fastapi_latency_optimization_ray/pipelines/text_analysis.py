@@ -4920,3 +4920,165 @@ SELECT g.lang,
                * tau.gbar, 6) AS shrunk_mean
 FROM g, tau ORDER BY g.lang
 """
+
+
+def doc_length_ad_ksample(sf_dir: str) -> pd.DataFrame:
+    """k-sample Anderson-Darling test (Scholz-Stephens 1987, midrank
+    ties version — scipy's anderson_ksamp) on document length across
+    languages: the TAIL-SENSITIVE member of the test family. KS weights
+    every ECDF gap equally, so two corpora that differ only in their
+    long-document tails look identical to it; AD divides by
+    B(N-B) and blows the tails up exactly where length-filter policy
+    decisions live. Reports A2 and the standardized T_k whose null
+    variance is the published (a N^3 + b N^2 + c N + d) polynomial.
+
+    Plan: the KS/MW (lang, length) count-matrix fold; every per-sample
+    inner sum is one vectorized pass over the pooled grid, and the
+    O(N^2) double-harmonic constant g collapses to one O(N) cumsum via
+    g = sum_i (H_{N-1} - H_i)/(N - i). Nothing scales with documents."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.dropna(subset=["lang"]).groupby(
+            ["lang", "n_chars"], as_index=False).agg(n=("n_chars", "size"))
+        return g.rename(columns={"n_chars": "x"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "x"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"n_total": "int64", "k_samples": "int64",
+              "a2_stat": "float64", "t_stat": "float64"}
+    if counts.empty or counts.lang.nunique() < 2:
+        return typed_out(pd.DataFrame(), schema)
+    langs = np.sort(counts.lang.unique())
+    grid = np.sort(counts.x.unique())
+    if len(grid) < 2:
+        return typed_out(pd.DataFrame(), schema)
+    mat = np.zeros((len(langs), len(grid)), dtype=np.float64)
+    li = pd.Series(range(len(langs)), index=langs)
+    gi = pd.Series(range(len(grid)), index=grid)
+    mat[li.loc[counts.lang].to_numpy(), gi.loc[counts.x].to_numpy()] = (
+        counts.n.to_numpy(np.int64))
+    h = mat.sum(axis=0)                       # pooled count per value
+    nj = mat.sum(axis=1)                      # per-sample sizes
+    nn = float(h.sum())
+    k = float(len(langs))
+    bb = np.cumsum(h) - h / 2.0               # midrank pooled cum
+    mm = np.cumsum(mat, axis=1) - mat / 2.0   # midrank per-sample cum
+    denom = bb * (nn - bb) - nn * h / 4.0
+    a2 = 0.0
+    for j in range(len(langs)):
+        inner = (h / nn) * (nn * mm[j] - bb * nj[j]) ** 2 / denom
+        a2 += float(inner.sum()) / nj[j]
+    a2 *= (nn - 1.0) / nn
+    # null moments (Scholz-Stephens eq. 7)
+    ni = int(nn)
+    inv = 1.0 / np.arange(1, ni, dtype=np.float64)       # 1/1..1/(N-1)
+    hh = float(inv.sum())
+    hcum = np.cumsum(inv)                                 # H_1..H_{N-1}
+    i_ = np.arange(1, ni - 1, dtype=np.float64)           # i = 1..N-2
+    g = float(np.sum((hcum[-1] - hcum[: ni - 2]) / (nn - i_)))
+    hs = float(np.sum(1.0 / nj))
+    a = (4.0 * g - 6.0) * (k - 1.0) + (10.0 - 6.0 * g) * hs
+    b = ((2.0 * g - 4.0) * k * k + 8.0 * hh * k
+         + (2.0 * g - 14.0 * hh - 4.0) * hs - 8.0 * hh + 4.0 * g - 6.0)
+    c = ((6.0 * hh + 2.0 * g - 2.0) * k * k
+         + (4.0 * hh - 4.0 * g + 6.0) * k + (2.0 * hh - 6.0) * hs
+         + 4.0 * hh)
+    d = (2.0 * hh + 6.0) * k * k - 4.0 * hh * k
+    var = ((a * nn ** 3 + b * nn ** 2 + c * nn + d)
+           / ((nn - 1.0) * (nn - 2.0) * (nn - 3.0)))
+    if var <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_total": np.int64(nn), "k_samples": np.int64(k),
+        "a2_stat": round_away(np.float64(a2), 6) + 0.0,
+        "t_stat": round_away(np.float64(
+            (a2 - (k - 1.0)) / np.sqrt(var)), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+DOC_LENGTH_AD_KSAMPLE_SQL = """
+WITH counts AS (
+  SELECT lang, n_chars AS x, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM counts),
+grid AS (SELECT DISTINCT x FROM counts),
+lg AS (SELECT l.lang, g.x FROM langs l CROSS JOIN grid g),
+cells AS (
+  SELECT lg.lang, lg.x, COALESCE(c.n, 0) AS n
+  FROM lg LEFT JOIN counts c ON c.lang = lg.lang AND c.x = lg.x
+),
+pool AS (
+  SELECT x, SUM(n) AS h FROM cells GROUP BY x
+),
+pcum AS (
+  SELECT x, h, SUM(h) OVER (ORDER BY x) - h / 2.0 AS bb,
+         SUM(h) OVER () AS nn
+  FROM pool
+),
+scum AS (
+  SELECT lang, x, n,
+         SUM(n) OVER (PARTITION BY lang ORDER BY x) - n / 2.0 AS mm,
+         SUM(n) OVER (PARTITION BY lang) AS nj
+  FROM cells
+),
+inner_sum AS (
+  SELECT s.lang, MAX(s.nj) AS nj,
+         SUM((p.h / p.nn) * (p.nn * s.mm - p.bb * s.nj)
+             * (p.nn * s.mm - p.bb * s.nj)
+             / (p.bb * (p.nn - p.bb) - p.nn * p.h / 4.0)) AS isum
+  FROM scum s JOIN pcum p ON p.x = s.x
+  GROUP BY s.lang
+),
+a2 AS (
+  SELECT SUM(isum / nj) * (MAX(p.nn) - 1.0) / MAX(p.nn) AS a2,
+         MAX(p.nn) AS nn,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(1.0 / nj) AS hs
+  FROM inner_sum, (SELECT MAX(nn) AS nn FROM pcum) p
+  HAVING COUNT(*) >= 2 AND (SELECT COUNT(*) FROM grid) >= 2
+),
+harm AS (
+  SELECT SUM(1.0 / i) AS hh
+  FROM (SELECT UNNEST(range(1, CAST((SELECT nn FROM a2) AS BIGINT))) AS i)
+),
+gsum AS (
+  SELECT SUM((hl - hc) / (nn - i)) AS g
+  FROM (
+    SELECT CAST(t.i AS DOUBLE) AS i,
+           SUM(1.0 / t.i) OVER (ORDER BY t.i) AS hc,
+           (SELECT SUM(1.0 / u.i) FROM
+              (SELECT UNNEST(range(1,
+                   CAST((SELECT nn FROM a2) AS BIGINT))) AS i) u) AS hl,
+           (SELECT nn FROM a2) AS nn
+    FROM (SELECT UNNEST(range(1, CAST((SELECT nn FROM a2) AS BIGINT))) AS i) t
+  ) WHERE i <= nn - 2.0
+),
+std AS (
+  SELECT a2.a2, a2.nn, a2.k,
+         ((4.0 * g.g - 6.0) * (a2.k - 1.0)
+          + (10.0 - 6.0 * g.g) * a2.hs) * a2.nn * a2.nn * a2.nn
+         + ((2.0 * g.g - 4.0) * a2.k * a2.k + 8.0 * h.hh * a2.k
+            + (2.0 * g.g - 14.0 * h.hh - 4.0) * a2.hs - 8.0 * h.hh
+            + 4.0 * g.g - 6.0) * a2.nn * a2.nn
+         + ((6.0 * h.hh + 2.0 * g.g - 2.0) * a2.k * a2.k
+            + (4.0 * h.hh - 4.0 * g.g + 6.0) * a2.k
+            + (2.0 * h.hh - 6.0) * a2.hs + 4.0 * h.hh) * a2.nn
+         + ((2.0 * h.hh + 6.0) * a2.k * a2.k - 4.0 * h.hh * a2.k) AS num,
+         (a2.nn - 1.0) * (a2.nn - 2.0) * (a2.nn - 3.0) AS den
+  FROM a2, harm h, gsum g
+)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_samples,
+       ROUND(a2, 6) AS a2_stat,
+       ROUND((a2 - (k - 1.0)) / SQRT(num / den), 6) AS t_stat
+FROM std WHERE num / den > 0
+"""
