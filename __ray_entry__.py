@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "doc_vocab_partial_corr": text_analysis.doc_vocab_partial_corr,
+        "events_value_psi": streaming.events_value_psi,
         "doc_length_ad_ksample": text_analysis.doc_length_ad_ksample,
         "events_purchase_value_stump":
             streaming.events_purchase_value_stump,
@@ -256,10 +258,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_cohens_d": text_analysis.doc_length_cohens_d,
         # oracle-backed (new in round 4, continuation-session-12 block):
         "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
-        "lineitem_qty_discount_kendall":
-            relational.lineitem_qty_discount_kendall,
-        "events_type_cross_correlation":
-            streaming.events_type_cross_correlation,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -268,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "lineitem_qty_discount_kendall":
+            relational.lineitem_qty_discount_kendall,
+        "events_type_cross_correlation":
+            streaming.events_type_cross_correlation,
         "orders_weekly_extreme_fit": relational.orders_weekly_extreme_fit,
         "quality_classifier_roc_auc":
             text_analysis.quality_classifier_roc_auc,
@@ -569,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_vocab_partial_corr": text_analysis.DOC_VOCAB_PARTIAL_CORR_SQL,
+        "events_value_psi": streaming.EVENTS_VALUE_PSI_SQL,
         "doc_length_ad_ksample": text_analysis.DOC_LENGTH_AD_KSAMPLE_SQL,
         "events_purchase_value_stump": streaming.EVENTS_VALUE_STUMP_SQL,
         "lang_length_shrinkage":

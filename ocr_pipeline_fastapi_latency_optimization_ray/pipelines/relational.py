@@ -5376,3 +5376,6 @@ SELECT nn AS n_days, r AS n_records, last_day AS last_record_day,
        ROUND((r - h) / SQRT(v), 6) AS z_score
 FROM dims, harm WHERE v > 0
 """
+
+
+

@@ -4668,3 +4668,102 @@ SELECT CAST(nn AS BIGINT) AS n_events,
               - (1.0 - kk / nn) * (1.0 - kk / nn)) - w, 6) AS gini_gain
 FROM s ORDER BY w, v LIMIT 1
 """
+
+
+def events_value_psi(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index of the event-value distribution,
+    first half of the stream vs second half — the industry drift score
+    (PSI > 0.25 = re-fit your models): type_share_drift watches the
+    LABEL mix, PSI watches the VALUE distribution itself, over ten
+    fixed-width bins (fixed edges remove the quantile-edge parity
+    hazard) with Laplace 0.5 smoothing so empty bins stay finite.
+
+    Plan: one (window, bin, n) count fold — 20 cells on the wire —
+    after an integer midpoint-day split both sides compute identically;
+    PSI is 10 driver flops."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "value"])
+
+    span = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts"]).aggregate(
+        ray.data.aggregate.Min("ts"), ray.data.aggregate.Max("ts"))
+    if span is None or span.get("min(ts)") is None:
+        return typed_out(pd.DataFrame(), {
+            "split_day": "int64", "n_first": "int64", "n_second": "int64",
+            "psi": "float64"})
+    lo = int(pd.Timestamp(span["min(ts)"]).value // 1000) // 86_400_000_000
+    hi = int(pd.Timestamp(span["max(ts)"]).value // 1000) // 86_400_000_000
+    mid = (lo + hi + 1) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.ts.astype("int64") // 86_400_000_000).astype("int64")
+        b = np.clip(np.floor(df.value.to_numpy(np.float64) / 10.0),
+                    0, 9).astype(np.int64)
+        g = pd.DataFrame({"w": (day >= mid).astype(np.int64), "b": b,
+                          "one": np.ones(len(df), np.int64)})
+        return g.groupby(["w", "b"], as_index=False).agg(n=("one", "sum"))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["w", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"split_day": "int64", "n_first": "int64",
+              "n_second": "int64", "psi": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    c = np.zeros((2, 10), np.int64)
+    c[out.w.to_numpy(np.int64), out.b.to_numpy(np.int64)] = (
+        out.n.to_numpy(np.int64))
+    n1, n2 = float(c[0].sum()), float(c[1].sum())
+    if n1 == 0 or n2 == 0:
+        return typed_out(pd.DataFrame(), schema)
+    p = (c[0] + 0.5) / (n1 + 5.0)
+    q = (c[1] + 0.5) / (n2 + 5.0)
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    res = pd.DataFrame([{
+        "split_day": np.int64(mid), "n_first": np.int64(n1),
+        "n_second": np.int64(n2),
+        "psi": round_away(np.float64(psi), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_VALUE_PSI_SQL = """
+WITH dims AS (
+  SELECT (CAST(FLOOR(EPOCH(MIN(ts)) / 86400) AS BIGINT)
+          + CAST(FLOOR(EPOCH(MAX(ts)) / 86400) AS BIGINT) + 1) // 2
+             AS mid
+  FROM events HAVING COUNT(*) > 0
+), cells AS (
+  SELECT CASE WHEN CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) >= dims.mid
+              THEN 1 ELSE 0 END AS w,
+         LEAST(GREATEST(CAST(FLOOR(value / 10.0) AS BIGINT), 0), 9) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, dims GROUP BY 1, 2, dims.mid
+), bins AS (
+  SELECT w.w, g.b, COALESCE(c.n, 0) AS n
+  FROM (SELECT UNNEST([0, 1]) AS w) w
+  CROSS JOIN (SELECT UNNEST(range(0, 10)) AS b) g
+  LEFT JOIN cells c ON c.w = w.w AND c.b = g.b
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN w = 0 THEN n END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN w = 1 THEN n END) AS DOUBLE) AS n2
+  FROM bins
+), pq AS (
+  SELECT b,
+         (MAX(CASE WHEN w = 0 THEN n END) + 0.5) / (tot.n1 + 5.0) AS p,
+         (MAX(CASE WHEN w = 1 THEN n END) + 0.5) / (tot.n2 + 5.0) AS q,
+         tot.n1 AS n1, tot.n2 AS n2
+  FROM bins, tot GROUP BY b, tot.n1, tot.n2
+)
+SELECT (SELECT mid FROM dims) AS split_day,
+       CAST(MAX(n1) AS BIGINT) AS n_first,
+       CAST(MAX(n2) AS BIGINT) AS n_second,
+       ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+FROM pq
+WHERE n1 > 0 AND n2 > 0
+HAVING COUNT(*) > 0
+"""
