@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
         # oracle-backed (new in round 4, continuation-session-15 block):
+        "events_purchase_did": streaming.events_purchase_did,
+        "corpus_stratified_mean": curation.corpus_stratified_mean,
         "doc_vocab_partial_corr": text_analysis.doc_vocab_partial_corr,
         "events_value_psi": streaming.events_value_psi,
         "doc_length_ad_ksample": text_analysis.doc_length_ad_ksample,
@@ -255,9 +257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.lineitem_weighted_median_discount,
         "source_lang_cramers_v": curation.source_lang_cramers_v,
         "dup_graph_assortativity": curation.dup_graph_assortativity,
-        "doc_length_cohens_d": text_analysis.doc_length_cohens_d,
-        # oracle-backed (new in round 4, continuation-session-12 block):
-        "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -266,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "doc_length_cohens_d": text_analysis.doc_length_cohens_d,
+        "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
         "lineitem_qty_discount_kendall":
             relational.lineitem_qty_discount_kendall,
         "events_type_cross_correlation":
@@ -571,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_purchase_did": streaming.EVENTS_PURCHASE_DID_SQL,
+        "corpus_stratified_mean": curation.CORPUS_STRATIFIED_MEAN_SQL,
         "doc_vocab_partial_corr": text_analysis.DOC_VOCAB_PARTIAL_CORR_SQL,
         "events_value_psi": streaming.EVENTS_VALUE_PSI_SQL,
         "doc_length_ad_ksample": text_analysis.DOC_LENGTH_AD_KSAMPLE_SQL,

@@ -3238,3 +3238,92 @@ SELECT v AS vocab_size, nn AS total_tokens,
        ROUND(s2 / (CAST(nn AS DOUBLE) * nn), 6) AS repeat_rate
 FROM s
 """
+
+
+def corpus_stratified_mean(sf_dir: str) -> pd.DataFrame:
+    """Survey-sampling audit of the mean document length: the
+    source-stratified estimator's standard error vs simple-random-
+    sampling, and their ratio — the DESIGN EFFECT. deff < 1 quantifies
+    exactly how much a source-stratified eval/sample buys over uniform
+    sampling (the number that justifies stratified dedup-eval panels);
+    deff ~ 1 says sources are interchangeable for this metric.
+
+    Plan: one (source, n, sum y, sum y^2) moment fold; both variance
+    estimators are closed forms on the source-bounded frame
+    (proportional allocation: Var_strat = sum n_h s_h^2 / N^2;
+    Var_srs = s^2 / N). Strata need n_h >= 2 for s_h^2 — both sides
+    require it of every stratum."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.n_chars.to_numpy(np.int64)
+        g = pd.DataFrame({"source": df.source,
+                          "n": np.ones(len(df), np.int64),
+                          "sx": x, "sxx": x * x})
+        return g.groupby("source", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+    )
+    schema = {"n_docs": "int64", "k_strata": "int64", "mean_len": "float64",
+              "se_srs": "float64", "se_strat": "float64",
+              "design_effect": "float64"}
+    if out.empty or (out.n < 2).any() or int(out.n.sum()) < 3:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("source", kind="mergesort")
+    n = out.n.to_numpy(np.int64).astype(np.float64)
+    sx = out.sx.to_numpy(np.int64).astype(np.float64)
+    sxx = out.sxx.to_numpy(np.int64).astype(np.float64)
+    nn = float(n.sum())
+    tot = float(sx.sum())
+    tot2 = float(sxx.sum())
+    s2 = (tot2 - tot * tot / nn) / (nn - 1.0)
+    sh2 = (sxx - sx * sx / n) / (n - 1.0)
+    var_strat = float(np.sum(n * sh2)) / (nn * nn)
+    var_srs = s2 / nn
+    if var_srs <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_docs": np.int64(nn), "k_strata": np.int64(len(out)),
+        "mean_len": round_away(np.float64(tot / nn), 6) + 0.0,
+        "se_srs": round_away(np.float64(np.sqrt(var_srs)), 6) + 0.0,
+        "se_strat": round_away(np.float64(np.sqrt(var_strat)), 6) + 0.0,
+        "design_effect": round_away(np.float64(var_strat / var_srs), 6)
+            + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+CORPUS_STRATIFIED_MEAN_SQL = """
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(n_chars) AS DOUBLE) AS sx,
+         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx
+  FROM documents GROUP BY 1
+), dims AS (
+  SELECT SUM(n) AS nn, SUM(sx) AS tot, SUM(sxx) AS tot2,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(n * ((sxx - sx * sx / n) / (n - 1.0))) AS wsum,
+         MIN(n) AS minn
+  FROM g HAVING SUM(n) >= 3 AND MIN(n) >= 2
+), s AS (
+  SELECT nn, k, tot / nn AS mean_len,
+         (tot2 - tot * tot / nn) / (nn - 1.0) / nn AS var_srs,
+         wsum / (nn * nn) AS var_strat
+  FROM dims
+)
+SELECT CAST(nn AS BIGINT) AS n_docs, k AS k_strata,
+       ROUND(mean_len, 6) AS mean_len,
+       ROUND(SQRT(var_srs), 6) AS se_srs,
+       ROUND(SQRT(var_strat), 6) AS se_strat,
+       ROUND(var_strat / var_srs, 6) AS design_effect
+FROM s WHERE var_srs > 0
+"""

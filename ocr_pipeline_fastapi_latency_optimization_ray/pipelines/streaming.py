@@ -4767,3 +4767,113 @@ FROM pq
 WHERE n1 > 0 AND n2 > 0
 HAVING COUNT(*) > 0
 """
+
+
+def events_purchase_did(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences on the purchase share: cohort A
+    (user_id % 2 = 0) vs cohort B, first half of the stream vs second —
+    the causal-inference workhorse for "did the rollout move the
+    metric beyond the trend?". DiD = (A2 - A1) - (B2 - B1) with the
+    four-proportion pooled SE; on this corpus the estimate sits at the
+    null (cohorts are synthetic halves), which is exactly the
+    calibration a DiD harness must reproduce before anyone trusts its
+    nonzero readings.
+
+    Plan: ONE scan folds the eight (cohort, window) integers; the
+    estimate and z are driver flops in the oracle's literal order."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    span = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts"]).aggregate(
+        ray.data.aggregate.Min("ts"), ray.data.aggregate.Max("ts"))
+    schema = {"split_day": "int64", "did_estimate": "float64",
+              "z_score": "float64", "share_a1": "float64",
+              "share_a2": "float64", "share_b1": "float64",
+              "share_b2": "float64"}
+    if span is None or span.get("min(ts)") is None:
+        return typed_out(pd.DataFrame(), schema)
+    lo = int(pd.Timestamp(span["min(ts)"]).value // 1000) // 86_400_000_000
+    hi = int(pd.Timestamp(span["max(ts)"]).value // 1000) // 86_400_000_000
+    mid = (lo + hi + 1) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.ts.astype("int64") // 86_400_000_000).astype("int64")
+        g = pd.DataFrame({
+            "a": (df.user_id.to_numpy(np.int64) % 2 == 0).astype(np.int64),
+            "w": (day >= mid).astype(np.int64),
+            "one": np.ones(len(df), np.int64),
+            "k": (df.event_type == "purchase").to_numpy().astype(np.int64),
+        })
+        return g.groupby(["a", "w"], as_index=False).agg(n=("one", "sum"),
+                                                         k=("k", "sum"))
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["a", "w"])
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+    )
+    if out.empty or len(out) < 4 or (out.n <= 0).any():
+        return typed_out(pd.DataFrame(), schema)
+    c = {(int(r.a), int(r.w)): (float(r.n), float(r.k))
+         for r in out.itertuples()}
+    p = {kk: v[1] / v[0] for kk, v in c.items()}
+    did = (p[(1, 1)] - p[(1, 0)]) - (p[(0, 1)] - p[(0, 0)])
+    se = np.sqrt(sum(p[kk] * (1.0 - p[kk]) / c[kk][0] for kk in
+                     [(1, 1), (1, 0), (0, 1), (0, 0)]))
+    if se <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "split_day": np.int64(mid),
+        "did_estimate": round_away(np.float64(did), 6) + 0.0,
+        "z_score": round_away(np.float64(did / se), 6) + 0.0,
+        "share_a1": round_away(np.float64(p[(1, 0)]), 6) + 0.0,
+        "share_a2": round_away(np.float64(p[(1, 1)]), 6) + 0.0,
+        "share_b1": round_away(np.float64(p[(0, 0)]), 6) + 0.0,
+        "share_b2": round_away(np.float64(p[(0, 1)]), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_PURCHASE_DID_SQL = """
+WITH dims AS (
+  SELECT (CAST(FLOOR(EPOCH(MIN(ts)) / 86400) AS BIGINT)
+          + CAST(FLOOR(EPOCH(MAX(ts)) / 86400) AS BIGINT) + 1) // 2
+             AS mid
+  FROM events HAVING COUNT(*) > 0
+), cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) >= dims.mid
+              THEN 1 ELSE 0 END AS w,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS k
+  FROM events, dims GROUP BY 1, 2
+), p AS (
+  SELECT MAX(CASE WHEN a = 1 AND w = 0 THEN k / n END) AS pa1,
+         MAX(CASE WHEN a = 1 AND w = 1 THEN k / n END) AS pa2,
+         MAX(CASE WHEN a = 0 AND w = 0 THEN k / n END) AS pb1,
+         MAX(CASE WHEN a = 0 AND w = 1 THEN k / n END) AS pb2,
+         MAX(CASE WHEN a = 1 AND w = 0 THEN n END) AS na1,
+         MAX(CASE WHEN a = 1 AND w = 1 THEN n END) AS na2,
+         MAX(CASE WHEN a = 0 AND w = 0 THEN n END) AS nb1,
+         MAX(CASE WHEN a = 0 AND w = 1 THEN n END) AS nb2
+  FROM cells HAVING COUNT(*) >= 4
+), s AS (
+  SELECT (pa2 - pa1) - (pb2 - pb1) AS did,
+         SQRT(pa2 * (1.0 - pa2) / na2 + pa1 * (1.0 - pa1) / na1
+              + pb2 * (1.0 - pb2) / nb2 + pb1 * (1.0 - pb1) / nb1) AS se,
+         pa1, pa2, pb1, pb2
+  FROM p
+  WHERE pa1 IS NOT NULL AND pa2 IS NOT NULL
+    AND pb1 IS NOT NULL AND pb2 IS NOT NULL
+)
+SELECT (SELECT mid FROM dims) AS split_day,
+       ROUND(did, 6) AS did_estimate,
+       ROUND(did / se, 6) AS z_score,
+       ROUND(pa1, 6) AS share_a1, ROUND(pa2, 6) AS share_a2,
+       ROUND(pb1, 6) AS share_b1, ROUND(pb2, 6) AS share_b2
+FROM s WHERE se > 0
+"""

@@ -16,6 +16,8 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "events_purchase_did",
+    "corpus_stratified_mean",
     "doc_vocab_partial_corr",
     "events_value_psi",
     "doc_length_ad_ksample",

@@ -69,6 +69,7 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 
 SQL_CHECKED = [
+    "events_purchase_did", "corpus_stratified_mean",
     "doc_vocab_partial_corr", "events_value_psi",
     "doc_length_ad_ksample",
     "events_purchase_value_stump", "lang_length_shrinkage",
