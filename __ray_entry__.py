@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-16 block):
+        "dedup_minhash_md5": dedup.dedup_minhash_md5,
+        "dedup_simhash_md5": dedup.dedup_simhash_md5,
         # oracle-backed (new in round 4, continuation-session-15 block):
         "events_purchase_did": streaming.events_purchase_did,
         "corpus_stratified_mean": curation.corpus_stratified_mean,
@@ -255,8 +258,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text_analysis.doc_length_levene_by_lang,
         "lineitem_weighted_median_discount":
             relational.lineitem_weighted_median_discount,
-        "source_lang_cramers_v": curation.source_lang_cramers_v,
-        "dup_graph_assortativity": curation.dup_graph_assortativity,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -265,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "source_lang_cramers_v": curation.source_lang_cramers_v,
+        "dup_graph_assortativity": curation.dup_graph_assortativity,
         "doc_length_cohens_d": text_analysis.doc_length_cohens_d,
         "orders_monthly_theil_sen": relational.orders_monthly_theil_sen,
         "lineitem_qty_discount_kendall":
@@ -572,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
+        "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "events_purchase_did": streaming.EVENTS_PURCHASE_DID_SQL,
         "corpus_stratified_mean": curation.CORPUS_STRATIFIED_MEAN_SQL,
         "doc_vocab_partial_corr": text_analysis.DOC_VOCAB_PARTIAL_CORR_SQL,

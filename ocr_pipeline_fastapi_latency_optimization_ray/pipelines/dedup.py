@@ -2163,3 +2163,201 @@ SELECT nn AS n_docs, t AS n_true_pairs, k AS n_candidate_pairs,
 FROM cand, tp, cap
 WHERE nn >= 2 AND t > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_md5 / dedup_simhash_md5: oracle-checked sketch machinery
+# ---------------------------------------------------------------------------
+# The production sketches (dedup_minhash, doc_simhash) use the fast
+# numpy hash family, which no SQL engine can replicate — the driver only
+# ever sees rows-only checks for them (CORRECTNESS_r03 `no_oracle`).
+# These two entries close that gap: the SAME shingle/token pipeline and
+# the SAME min-over-permutations / sign-of-weighted-bits folds, keyed on
+# an md5 hash family that DuckDB reproduces bit-for-bit
+# (md5_number_lower(s) == little-endian bytes [8:16] of md5(s)), so every
+# signature value is driver-oracle-checked, not just row counts.
+
+_MH_P = 2147483647  # 2^31 - 1: keeps a*h + b inside uint64/BIGINT
+
+
+def _md5_lower64(strings) -> np.ndarray:
+    """DuckDB ``md5_number_lower`` twin: little-endian uint64 of md5
+    digest bytes [8:16], one per input string."""
+    import hashlib
+
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+    return out
+
+
+def dedup_minhash_md5(sf_dir: str, num_perm: int = 64) -> pd.DataFrame:
+    """Full MinHash signature table under the md5 hash family — one row
+    per (doc_id, perm) with the exact minimum of (a_j*h + b_j) mod p over
+    the doc's 3-token shingles. Every one of the 64xN signature values is
+    DuckDB-oracle-checked; this is the byte-level correctness certificate
+    for the minhash machinery that the production LSH path (fast numpy
+    hashes) shares structurally.
+
+    Plan: signatures are per-doc complete, so this is ONE map_batches
+    pass with ZERO shuffles — per batch, md5 the unique shingles once,
+    then a (num_perm, n_grams) vectorized modmul with segment-mins via
+    ``np.minimum.reduceat`` on doc boundaries. At 100 TB each block
+    emits 64 small int rows per doc; nothing global."""
+    from ..functions.frames import typed_out
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    a = (np.uint64(2654435761) * (np.arange(num_perm, dtype=np.uint64)
+                                  + np.uint64(1))) % np.uint64(_MH_P)
+    b = (np.uint64(40503) * (np.arange(num_perm, dtype=np.uint64)
+                             + np.uint64(7))) % np.uint64(_MH_P)
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        grams, dids, bounds = [], [], []
+        for did, txt in zip(df.doc_id.to_numpy(np.int64),
+                            df.text.fillna("")):
+            toks = [t for t in txt.split(" ") if t]
+            if len(toks) < 3:
+                continue
+            bounds.append(len(grams))
+            dids.append(did)
+            for i in range(len(toks) - 2):
+                grams.append(" ".join(toks[i:i + 3]))
+        if not grams:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "perm": pd.Series(dtype="int64"),
+                                 "minhash": pd.Series(dtype="int64")})
+        uniq, inv = np.unique(np.asarray(grams, dtype=object),
+                              return_inverse=True)
+        h = (_md5_lower64(uniq) % np.uint64(_MH_P))[inv]
+        # (num_perm, n_grams) permuted hashes; segment-min per doc
+        ph = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MH_P)
+        mins = np.minimum.reduceat(ph, np.asarray(bounds, np.int64),
+                                   axis=1)
+        n_docs = len(dids)
+        return pd.DataFrame({
+            "doc_id": np.repeat(np.asarray(dids, np.int64), num_perm),
+            "perm": np.tile(np.arange(num_perm, dtype=np.int64), n_docs),
+            "minhash": mins.T.reshape(-1).astype(np.int64),
+        })
+
+    out = docs.map_batches(sigs, batch_format="pandas").to_pandas()
+    schema = {"doc_id": "int64", "perm": "int64", "minhash": "int64"}
+    return typed_out(out, schema)
+
+
+DEDUP_MINHASH_MD5_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 2, 0) + 1)) AS u(i)
+),
+h AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(gram) % 2147483647 AS BIGINT) AS h
+  FROM sh
+),
+pr AS (
+  SELECT CAST(p AS BIGINT) AS perm,
+         CAST((2654435761 * (p + 1)) % 2147483647 AS BIGINT) AS a,
+         CAST((40503 * (p + 7)) % 2147483647 AS BIGINT) AS b
+  FROM (SELECT UNNEST(range(0, 64)) AS p)
+)
+SELECT h.doc_id, pr.perm,
+       MIN((pr.a * h.h + pr.b) % 2147483647) AS minhash
+FROM h CROSS JOIN pr
+GROUP BY 1, 2
+"""
+
+
+def dedup_simhash_md5(sf_dir: str) -> pd.DataFrame:
+    """64-bit SimHash per doc under the md5 token-hash family —
+    term-frequency-weighted sign fold over md5 bit columns, reported as
+    two 32-bit halves (sim_lo = bits 0..31, sim_hi = bits 32..63) plus
+    the popcount. DuckDB reproduces the whole signature bit-for-bit, so
+    the driver value-hashes the simhash machinery itself (the production
+    ``doc_simhash`` fast-hash twin is rows-only by necessity).
+
+    Plan: per-doc complete -> one map_batches pass, zero shuffles; md5
+    once per unique token per batch, (n_tokens, 64) sign matrix folded
+    per doc with ``np.add.reduceat``. Integer weights -> integer bit
+    sums -> no float-tie hazard on the sign."""
+    from ..functions.frames import typed_out
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    kbits = np.arange(64, dtype=np.uint64)
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        toks, dids, bounds = [], [], []
+        for did, txt in zip(df.doc_id.to_numpy(np.int64),
+                            df.text.fillna("")):
+            tt = [t for t in txt.split(" ") if t]
+            if not tt:
+                continue
+            bounds.append(len(toks))
+            dids.append(did)
+            toks.extend(tt)
+        if not toks:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "sim_lo": pd.Series(dtype="int64"),
+                                 "sim_hi": pd.Series(dtype="int64"),
+                                 "popcnt": pd.Series(dtype="int64")})
+        uniq, inv = np.unique(np.asarray(toks, dtype=object),
+                              return_inverse=True)
+        h = _md5_lower64(uniq)[inv]                       # (n_tokens,)
+        bits = ((h[:, None] >> kbits[None, :])
+                & np.uint64(1)).astype(np.int64)          # (n_tokens, 64)
+        signs = 2 * bits - 1
+        sums = np.add.reduceat(signs, np.asarray(bounds, np.int64),
+                               axis=0)                    # (n_docs, 64)
+        bit = (sums > 0).astype(np.int64)
+        w = (np.int64(1) << np.arange(32, dtype=np.int64))
+        return pd.DataFrame({
+            "doc_id": np.asarray(dids, np.int64),
+            "sim_lo": (bit[:, :32] * w[None, :]).sum(axis=1),
+            "sim_hi": (bit[:, 32:] * w[None, :]).sum(axis=1),
+            "popcnt": bit.sum(axis=1),
+        })
+
+    out = docs.map_batches(sigs, batch_format="pandas").to_pandas()
+    schema = {"doc_id": "int64", "sim_lo": "int64", "sim_hi": "int64",
+              "popcnt": "int64"}
+    return typed_out(out, schema)
+
+
+DEDUP_SIMHASH_MD5_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                             x -> x <> '') AS toks
+  FROM documents WHERE len(list_filter(string_split(COALESCE(text, ''),
+                                       ' '), x -> x <> '')) > 0
+),
+tok AS (SELECT doc_id, UNNEST(toks) AS tk FROM t),
+h AS (SELECT doc_id, md5_number_lower(tk) AS h64, COUNT(*) AS c
+      FROM tok GROUP BY 1, 2),
+bits AS (
+  SELECT doc_id, k.k,
+         SUM(c * (2 * CAST((h64 >> CAST(k.k AS INTEGER)) & 1 AS BIGINT)
+                  - 1)) AS s
+  FROM h, (SELECT UNNEST(range(0, 64)) AS k) k
+  GROUP BY 1, 2
+),
+b AS (SELECT doc_id, k, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit
+      FROM bits)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN k < 32
+                THEN bit * (1::BIGINT << CAST(k AS INTEGER))
+                ELSE 0 END) AS BIGINT) AS sim_lo,
+       CAST(SUM(CASE WHEN k >= 32
+                THEN bit * (1::BIGINT << CAST(k - 32 AS INTEGER))
+                ELSE 0 END) AS BIGINT) AS sim_hi,
+       CAST(SUM(bit) AS BIGINT) AS popcnt
+FROM b GROUP BY 1
+"""
