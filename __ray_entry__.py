@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed (new in round 4, continuation-session-16 block):
         "dedup_minhash_md5": dedup.dedup_minhash_md5,
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
+        "orders_daily_ewma": relational.orders_daily_ewma,
+        "orders_daily_hurst": relational.orders_daily_hurst,
         # oracle-backed (new in round 4, continuation-session-15 block):
         "events_purchase_did": streaming.events_purchase_did,
         "corpus_stratified_mean": curation.corpus_stratified_mean,
@@ -254,10 +256,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_unigram_cross_entropy":
             text_analysis.lang_unigram_cross_entropy,
         "quality_rater_mcnemar": text_analysis.quality_rater_mcnemar,
-        "doc_length_levene_by_lang":
-            text_analysis.doc_length_levene_by_lang,
-        "lineitem_weighted_median_discount":
-            relational.lineitem_weighted_median_discount,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -266,6 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "doc_length_levene_by_lang":
+            text_analysis.doc_length_levene_by_lang,
+        "lineitem_weighted_median_discount":
+            relational.lineitem_weighted_median_discount,
         "source_lang_cramers_v": curation.source_lang_cramers_v,
         "dup_graph_assortativity": curation.dup_graph_assortativity,
         "doc_length_cohens_d": text_analysis.doc_length_cohens_d,
@@ -577,6 +579,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
+        "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,
+        "orders_daily_hurst": relational.ORDERS_DAILY_HURST_SQL,
         "events_purchase_did": streaming.EVENTS_PURCHASE_DID_SQL,
         "corpus_stratified_mean": curation.CORPUS_STRATIFIED_MEAN_SQL,
         "doc_vocab_partial_corr": text_analysis.DOC_VOCAB_PARTIAL_CORR_SQL,

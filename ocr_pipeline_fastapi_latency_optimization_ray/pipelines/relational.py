@@ -5379,3 +5379,239 @@ FROM dims, harm WHERE v > 0
 
 
 
+
+# ---------------------------------------------------------------------------
+# orders_daily_ewma: EWMA control chart on the daily order-count series
+# ---------------------------------------------------------------------------
+
+def orders_daily_ewma(sf_dir: str, lam: float = 0.2,
+                      nsigma: float = 3.0) -> pd.DataFrame:
+    """EWMA control chart (lambda=0.2, 3-sigma, time-varying limits) on
+    the zero-filled daily order-count series — the small-persistent-shift
+    detector the family lacked: the p-chart needs a rate denominator,
+    CUSUM reacts to one changepoint, the EWMA chart tracks the smoothed
+    level against limits that widen with t, catching slow drifts runs
+    tests never convict. Reports the chart ENDSTATE (final smoothed
+    level, worst standardized excursion, out-of-control day count) —
+    the final value depends on every step of the recursion, so oracle
+    parity certifies the whole scan.
+
+    Plan: one (epoch-day, count) integer fold — the driver recursion
+    runs over the DATE-SPAN-bounded array (~2400 entries regardless of
+    row scale); the (1-lam)^2t limit factor is carried recursively
+    (f *= (1-lam)^2) so engine and recursive-CTE oracle share the exact
+    IEEE multiply sequence."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas())
+    schema = {"n_days": "int64", "n_flagged": "int64",
+              "final_ewma": "float64", "max_abs_score": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = int(out.day.min()), int(out.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[out.day.to_numpy(np.int64) - lo] = out.n.to_numpy(np.int64)
+    nn = len(y)
+    mu = float(y.sum()) / nn
+    var = float(np.sum((y.astype(np.float64) - mu) ** 2)) / nn
+    if var <= 0 or nn < 2:
+        return typed_out(pd.DataFrame(), schema)
+    sigma = float(np.sqrt(var))
+    c = lam / (2.0 - lam)
+    z, f = mu, 1.0
+    fsq = (1.0 - lam) * (1.0 - lam)
+    n_flag, max_score = 0, 0.0
+    for t in range(nn):
+        z = (lam * float(y[t])) + ((1.0 - lam) * z)
+        f = f * fsq
+        halfwidth = sigma * np.sqrt(c * (1.0 - f))
+        score = abs(z - mu) / halfwidth
+        if score > nsigma:
+            n_flag += 1
+        if score > max_score:
+            max_score = score
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn), "n_flagged": np.int64(n_flag),
+        "final_ewma": round_away(np.float64(z), 6) + 0.0,
+        "max_abs_score": round_away(np.float64(max_score), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_DAILY_EWMA_SQL = """
+WITH RECURSIVE b AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), cc AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.day) AS BIGINT) AS rn,
+         CAST(COALESCE(cc.n, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN cc ON cc.day = CAST(s.day AS DATE)
+), m AS (
+  SELECT SUM(y) / COUNT(*) AS mu, CAST(COUNT(*) AS BIGINT) AS nn FROM g
+), v AS (
+  SELECT SQRT(SUM((g.y - m.mu) * (g.y - m.mu)) / m.nn) AS sigma
+  FROM g CROSS JOIN m GROUP BY m.nn
+), r AS (
+  SELECT g.rn, (0.2 * g.y) + (0.8 * m.mu) AS z,
+         CAST(0.8 * 0.8 AS DOUBLE) AS f
+  FROM g, m WHERE g.rn = 1
+  UNION ALL
+  SELECT g.rn, (0.2 * g.y) + (0.8 * r.z), r.f * (0.8 * 0.8)
+  FROM g JOIN r ON g.rn = r.rn + 1
+), scored AS (
+  SELECT r.rn, r.z,
+         ABS(r.z - m.mu)
+           / (v.sigma * SQRT((0.2 / 1.8) * (1.0 - r.f))) AS score
+  FROM r CROSS JOIN m CROSS JOIN v
+  WHERE v.sigma > 0 AND m.nn >= 2
+)
+SELECT m.nn AS n_days,
+       CAST(SUM(CASE WHEN s.score > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       ROUND(MAX(CASE WHEN s.rn = m.nn THEN s.z END), 6) AS final_ewma,
+       ROUND(MAX(s.score), 6) AS max_abs_score
+FROM scored s CROSS JOIN m
+GROUP BY m.nn
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_daily_hurst: rescaled-range (R/S) Hurst exponent
+# ---------------------------------------------------------------------------
+
+def orders_daily_hurst(sf_dir: str) -> pd.DataFrame:
+    """Hurst exponent by the classic rescaled-range method on the
+    zero-filled daily order-count series — the LONG-MEMORY probe:
+    Ljung-Box and the runs test see short-lag correlation, the
+    periodogram sees fixed frequencies; H>0.5 convicts persistent
+    trends at ALL horizons (a crawler whose throughput wanders), H<0.5
+    anti-persistence, H=0.5 the white-noise null this corpus should
+    sit near. Per dyadic window size n: split into len//n blocks,
+    R = range of the cumulative deviations from the block mean,
+    S = population std, average R/S over blocks; H = the log-log OLS
+    slope over window sizes.
+
+    Plan: same one-pass (day, count) integer fold; the whole R/S
+    cascade runs on the span-bounded driver array (<= 2400 floats), as
+    decomposed per-block column expressions mirroring the oracle's
+    window functions."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas())
+    schema = {"window_n": "int64", "n_blocks": "int64",
+              "avg_rs": "float64", "hurst": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = int(out.day.min()), int(out.day.max())
+    y = np.zeros(hi - lo + 1, np.float64)
+    y[out.day.to_numpy(np.int64) - lo] = out.n.to_numpy(np.float64)
+    nn = len(y)
+    sizes = [w for w in (8, 16, 32, 64, 128, 256) if 2 * w <= nn]
+    rows = []
+    for w in sizes:
+        m = nn // w
+        x = y[:m * w].reshape(m, w)
+        mb = x.sum(axis=1) / w
+        dev = x - mb[:, None]
+        cum = np.cumsum(dev, axis=1)
+        rng = cum.max(axis=1) - cum.min(axis=1)
+        s = np.sqrt((dev * dev).sum(axis=1) / w)
+        keep = s > 0
+        if not keep.any():
+            continue
+        rows.append((w, int(keep.sum()),
+                     float((rng[keep] / s[keep]).sum()) / int(keep.sum())))
+    if len(rows) < 2:
+        return typed_out(pd.DataFrame(), schema)
+    lx = np.log(np.array([r[0] for r in rows], np.float64))
+    ly = np.log(np.array([r[2] for r in rows], np.float64))
+    k = float(len(rows))
+    sx, sy = lx.sum(), ly.sum()
+    sxx, sxy = (lx * lx).sum(), (lx * ly).sum()
+    hurst = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    res = pd.DataFrame([{
+        "window_n": np.int64(w), "n_blocks": np.int64(nb),
+        "avg_rs": round_away(np.float64(rs), 6) + 0.0,
+        "hurst": round_away(np.float64(hurst), 6) + 0.0,
+    } for (w, nb, rs) in rows])
+    return typed_out(res, schema)
+
+
+ORDERS_DAILY_HURST_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), cc AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.day) AS BIGINT) - 1 AS rn,
+         CAST(COALESCE(cc.n, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN cc ON cc.day = CAST(s.day AS DATE)
+), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM g),
+ws AS (
+  SELECT CAST(w AS BIGINT) AS w
+  FROM (SELECT UNNEST([8, 16, 32, 64, 128, 256]) AS w), nt
+  WHERE 2 * w <= nt.nn
+), cells AS (
+  SELECT ws.w, g.rn // ws.w AS blk, g.rn % ws.w AS i, g.y
+  FROM g CROSS JOIN ws CROSS JOIN nt
+  WHERE g.rn < (nt.nn // ws.w) * ws.w
+), bm AS (
+  SELECT w, blk, SUM(y) / w AS mb FROM cells GROUP BY 1, 2, w
+), dev AS (
+  SELECT c.w, c.blk, c.i, c.y - bm.mb AS d
+  FROM cells c JOIN bm ON bm.w = c.w AND bm.blk = c.blk
+), cum AS (
+  SELECT w, blk, d,
+         SUM(d) OVER (PARTITION BY w, blk ORDER BY i) AS cd
+  FROM dev
+), blocks AS (
+  SELECT w, blk, MAX(cd) - MIN(cd) AS r,
+         SQRT(SUM(d * d) / w) AS s
+  FROM cum GROUP BY 1, 2, w
+), rs AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         SUM(r / s) / COUNT(*) AS avg_rs
+  FROM blocks WHERE s > 0 GROUP BY 1
+), fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(LN(w)) AS sx, SUM(LN(avg_rs)) AS sy,
+         SUM(LN(w) * LN(w)) AS sxx, SUM(LN(w) * LN(avg_rs)) AS sxy
+  FROM rs HAVING COUNT(*) >= 2
+)
+SELECT rs.w AS window_n, rs.n_blocks,
+       ROUND(rs.avg_rs, 6) AS avg_rs,
+       ROUND((fit.sxy - fit.sx * fit.sy / fit.k)
+             / (fit.sxx - fit.sx * fit.sx / fit.k), 6) AS hurst
+FROM rs CROSS JOIN fit
+"""
