@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
         "orders_daily_ewma": relational.orders_daily_ewma,
         "orders_daily_hurst": relational.orders_daily_hurst,
+        "events_logrank_cohorts": streaming.events_logrank_cohorts,
+        "doc_vocab_cmh": text_analysis.doc_vocab_cmh,
         # oracle-backed (new in round 4, continuation-session-15 block):
         "events_purchase_did": streaming.events_purchase_did,
         "corpus_stratified_mean": curation.corpus_stratified_mean,
@@ -253,9 +255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_holt": relational.orders_monthly_holt,
         "events_transition_entropy": streaming.events_transition_entropy,
         "orders_date_gap_audit": relational.orders_date_gap_audit,
-        "lang_unigram_cross_entropy":
-            text_analysis.lang_unigram_cross_entropy,
-        "quality_rater_mcnemar": text_analysis.quality_rater_mcnemar,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -264,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "lang_unigram_cross_entropy":
+            text_analysis.lang_unigram_cross_entropy,
+        "quality_rater_mcnemar": text_analysis.quality_rater_mcnemar,
         "doc_length_levene_by_lang":
             text_analysis.doc_length_levene_by_lang,
         "lineitem_weighted_median_discount":
@@ -581,6 +583,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,
         "orders_daily_hurst": relational.ORDERS_DAILY_HURST_SQL,
+        "events_logrank_cohorts": streaming.EVENTS_LOGRANK_COHORTS_SQL,
+        "doc_vocab_cmh": text_analysis.DOC_VOCAB_CMH_SQL,
         "events_purchase_did": streaming.EVENTS_PURCHASE_DID_SQL,
         "corpus_stratified_mean": curation.CORPUS_STRATIFIED_MEAN_SQL,
         "doc_vocab_partial_corr": text_analysis.DOC_VOCAB_PARTIAL_CORR_SQL,

@@ -4877,3 +4877,118 @@ SELECT (SELECT mid FROM dims) AS split_day,
        ROUND(pb1, 6) AS share_b1, ROUND(pb2, 6) AS share_b2
 FROM s WHERE se > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# events_logrank_cohorts: log-rank test between user cohorts
+# ---------------------------------------------------------------------------
+
+def events_logrank_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the purchase-lifespan
+    survival curves of the user_id%2 cohorts — the inferential
+    companion to events_user_survival_curve: the curve DESCRIBES
+    retention, the log-rank statistic says whether two cohorts' curves
+    differ beyond chance (the standard A/B readout for retention
+    experiments). Lifespans are first-to-last purchase day per user
+    (same convention as the curve; all observed, no censoring), and at
+    each distinct lifespan t the hypergeometric expectation/variance of
+    cohort-1 deaths given the at-risk sets accumulates into
+    chi2 = (O1-E1)^2 / V.
+
+    Plan: user-bucketed extremes exchange (the survival-curve fold)
+    collapsed to a (cohort, lifespan, n_users) histogram — day-range ×
+    2 cells on the wire — then the O/E/V sums are a reverse-cumsum
+    scan over the bounded lifespan grid on the driver, written as the
+    oracle's literal expressions."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"],
+                 event_types=["purchase"])
+
+    def extremes(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "lo": day, "hi": day})
+        return g.groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    def cohort_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+        out = pd.DataFrame({
+            "c": (g.user_id.to_numpy(np.int64) % 2),
+            "lt": (g.hi - g.lo).to_numpy(np.int64),
+            "one": np.ones(len(g), np.int64)})
+        return out.groupby(["c", "lt"], as_index=False).agg(
+            n_users=("one", "sum"))
+
+    out = bucketed_combine(
+        ds.map_batches(extremes, batch_format="pandas"),
+        "user_id", lambda df: df, cohort_hist,
+        num_buckets=32, coalesce_blocks=8).to_pandas()
+    schema = {"n_users": "int64", "n_cohort1": "int64", "o1": "int64",
+              "e1": "float64", "var1": "float64",
+              "logrank_chi2": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby(["c", "lt"], as_index=False).agg(
+        n_users=("n_users", "sum"))
+    max_lt = int(out["lt"].max())
+    cnt = np.zeros((2, max_lt + 1), np.int64)
+    cnt[out.c.to_numpy(np.int64), out["lt"].to_numpy(np.int64)] = (
+        out.n_users.to_numpy(np.int64))
+    # at-risk = reverse cumulative death counts
+    atr = np.cumsum(cnt[:, ::-1], axis=1)[:, ::-1].astype(np.float64)
+    d = cnt.sum(axis=0).astype(np.float64)         # total deaths at t
+    d1 = cnt[1].astype(np.float64)                 # cohort-1 deaths
+    n = atr.sum(axis=0)                            # total at risk
+    n1 = atr[1]
+    keep = d > 0
+    o1 = float(d1[keep].sum())
+    e1 = float((d[keep] * n1[keep] / n[keep]).sum())
+    kv = keep & (n > 1)
+    var1 = float((d[kv] * (n1[kv] / n[kv]) * (1.0 - n1[kv] / n[kv])
+                  * (n[kv] - d[kv]) / (n[kv] - 1.0)).sum())
+    if var1 <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    chi2 = (o1 - e1) ** 2 / var1
+    res = pd.DataFrame([{
+        "n_users": np.int64(cnt.sum()), "n_cohort1": np.int64(cnt[1].sum()),
+        "o1": np.int64(o1),
+        "e1": round_away(np.float64(e1), 6) + 0.0,
+        "var1": round_away(np.float64(var1), 6) + 0.0,
+        "logrank_chi2": round_away(np.float64(chi2), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_LOGRANK_COHORTS_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS c,
+         CAST(FLOOR(EPOCH(MAX(ts)) / 86400)
+              - FLOOR(EPOCH(MIN(ts)) / 86400) AS BIGINT) AS lt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), t AS (SELECT DISTINCT lt FROM u),
+grid AS (
+  SELECT t.lt,
+         CAST(SUM(CASE WHEN u.lt >= t.lt THEN 1 ELSE 0 END) AS DOUBLE)
+             AS n,
+         CAST(SUM(CASE WHEN u.lt >= t.lt AND u.c = 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN u.lt = t.lt THEN 1 ELSE 0 END) AS DOUBLE)
+             AS d,
+         CAST(SUM(CASE WHEN u.lt = t.lt AND u.c = 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS d1
+  FROM t CROSS JOIN u GROUP BY 1
+), s AS (
+  SELECT SUM(d1) AS o1, SUM(d * n1 / n) AS e1,
+         SUM(CASE WHEN n > 1
+             THEN d * (n1 / n) * (1.0 - n1 / n) * (n - d) / (n - 1.0)
+             ELSE 0 END) AS var1
+  FROM grid WHERE d > 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM u) AS n_cohort1,
+       CAST(o1 AS BIGINT) AS o1,
+       ROUND(e1, 6) AS e1, ROUND(var1, 6) AS var1,
+       ROUND((o1 - e1) * (o1 - e1) / var1, 6) AS logrank_chi2
+FROM s WHERE var1 > 0
+"""

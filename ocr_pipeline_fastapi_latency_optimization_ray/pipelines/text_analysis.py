@@ -5195,3 +5195,156 @@ SELECT CAST(n AS BIGINT) AS n_docs,
            AS r_partial_given_tokens
 FROM r WHERE (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_vocab_cmh: Cochran-Mantel-Haenszel stratified association
+# ---------------------------------------------------------------------------
+
+def doc_vocab_cmh(sf_dir: str) -> pd.DataFrame:
+    """Cochran-Mantel-Haenszel test of the (long doc) x (rich vocab)
+    association STRATIFIED by language, plus the Mantel-Haenszel common
+    odds ratio — the categorical sibling of doc_vocab_partial_corr:
+    chi2 independence asks the marginal question, CMH asks whether the
+    association survives inside every language stratum (Simpson's-
+    paradox-proof), and the MH odds ratio is its effect size. Exposure
+    x = n_chars above the corpus mean, outcome y = distinct tokens
+    above the corpus mean.
+
+    Plan: pass 1 folds the two global means (exact integer sums);
+    pass 2 folds the (lang, x, y, n) cell grid — 5x2x2 cells on the
+    wire; the CMH sums are per-stratum closed forms on the driver,
+    written as the oracle's literal expressions."""
+    from ray.data.aggregate import Sum
+
+    def doc_stats(t):
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64),
+                            lens.astype(np.int64))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        codes = flat.dictionary_encode().combine_chunks()
+        code_np = codes.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        packed = np.unique((doc_idx[keep] << 32) | code_np[keep])
+        vocab = np.bincount(packed >> 32,
+                            minlength=len(lens)).astype(np.int64)
+        chars = t.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return vocab, chars
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text", "n_chars"])
+
+    def mean_partial(t) -> pd.DataFrame:
+        vocab, chars = doc_stats(t)
+        return pd.DataFrame([{
+            "g": np.int64(0), "n": np.int64(len(chars)),
+            "sc": np.int64(chars.sum()), "sv": np.int64(vocab.sum())}])
+
+    m = (ds.map_batches(mean_partial, batch_format="pyarrow")
+         .groupby("g")
+         .aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"),
+                    Sum("sv", alias_name="sv"))
+         .to_pandas())
+    schema = {"n_strata": "int64", "n_docs": "int64",
+              "cmh_num": "float64", "cmh_var": "float64",
+              "cmh_chi2": "float64", "mh_odds_ratio": "float64"}
+    if m.empty or int(m.n[0]) == 0:
+        return typed_out(pd.DataFrame(), schema)
+    nd = float(m.n[0])
+    mx = float(m.sc[0]) / nd
+    my = float(m.sv[0]) / nd
+
+    def cell_partial(t) -> pd.DataFrame:
+        vocab, chars = doc_stats(t)
+        import pyarrow as pa
+        langs = t.column("lang").to_pandas().fillna("")
+        g = pd.DataFrame({
+            "lang": langs,
+            "x": (chars.astype(np.float64) > mx).astype(np.int64),
+            "y": (vocab.astype(np.float64) > my).astype(np.int64),
+            "one": np.ones(len(chars), np.int64)})
+        return g.groupby(["lang", "x", "y"], as_index=False).agg(
+            n=("one", "sum"))
+
+    cells = (ds.map_batches(cell_partial, batch_format="pyarrow")
+             .groupby(["lang", "x", "y"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    if cells.empty:
+        return typed_out(pd.DataFrame(), schema)
+    num = var = ra = rb = 0.0
+    n_strata = 0
+    for lang, g in cells.groupby("lang"):
+        tab = np.zeros((2, 2), np.float64)
+        tab[g.x.to_numpy(np.int64), g.y.to_numpy(np.int64)] = (
+            g.n.to_numpy(np.int64))
+        a, b = tab[1, 1], tab[1, 0]
+        c, d = tab[0, 1], tab[0, 0]
+        ni = a + b + c + d
+        if ni <= 1:
+            continue
+        n_strata += 1
+        num += a - (a + b) * (a + c) / ni
+        var += ((a + b) * (c + d) * (a + c) * (b + d)
+                / (ni * ni * (ni - 1.0)))
+        ra += a * d / ni
+        rb += b * c / ni
+    if var <= 0 or rb <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    res = pd.DataFrame([{
+        "n_strata": np.int64(n_strata), "n_docs": np.int64(nd),
+        "cmh_num": round_away(np.float64(num), 6) + 0.0,
+        "cmh_var": round_away(np.float64(var), 6) + 0.0,
+        "cmh_chi2": round_away(np.float64(num * num / var), 6) + 0.0,
+        "mh_odds_ratio": round_away(np.float64(ra / rb), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+DOC_VOCAB_CMH_SQL = """
+WITH d AS (
+  SELECT COALESCE(lang, '') AS lang, CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(list_distinct(list_filter(
+             string_split(COALESCE(text, ''), ' '), t -> t <> '')))
+             AS BIGINT) AS vocab
+  FROM documents
+), m AS (
+  SELECT SUM(chars) / CAST(COUNT(*) AS DOUBLE) AS mx,
+         SUM(vocab) / CAST(COUNT(*) AS DOUBLE) AS my,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM d HAVING COUNT(*) > 0
+), cells AS (
+  SELECT d.lang,
+         CASE WHEN d.chars > m.mx THEN 1 ELSE 0 END AS x,
+         CASE WHEN d.vocab > m.my THEN 1 ELSE 0 END AS y,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM d, m GROUP BY 1, 2, 3
+), strata AS (
+  SELECT lang,
+         SUM(CASE WHEN x = 1 AND y = 1 THEN n ELSE 0 END) AS a,
+         SUM(CASE WHEN x = 1 AND y = 0 THEN n ELSE 0 END) AS b,
+         SUM(CASE WHEN x = 0 AND y = 1 THEN n ELSE 0 END) AS c,
+         SUM(CASE WHEN x = 0 AND y = 0 THEN n ELSE 0 END) AS dd
+  FROM cells GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         SUM(a - (a + b) * (a + c) / (a + b + c + dd)) AS num,
+         SUM((a + b) * (c + dd) * (a + c) * (b + dd)
+             / ((a + b + c + dd) * (a + b + c + dd)
+                * (a + b + c + dd - 1.0))) AS var,
+         SUM(a * dd / (a + b + c + dd)) AS ra,
+         SUM(b * c / (a + b + c + dd)) AS rb
+  FROM strata WHERE a + b + c + dd > 1
+)
+SELECT s.n_strata, m.nd AS n_docs,
+       ROUND(s.num, 6) AS cmh_num, ROUND(s.var, 6) AS cmh_var,
+       ROUND(s.num * s.num / s.var, 6) AS cmh_chi2,
+       ROUND(s.ra / s.rb, 6) AS mh_odds_ratio
+FROM s CROSS JOIN m
+WHERE s.var > 0 AND s.rb > 0
+"""

@@ -71,6 +71,7 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 SQL_CHECKED = [
     "dedup_minhash_md5", "dedup_simhash_md5",
     "orders_daily_ewma", "orders_daily_hurst",
+    "events_logrank_cohorts", "doc_vocab_cmh",
     "events_purchase_did", "corpus_stratified_mean",
     "doc_vocab_partial_corr", "events_value_psi",
     "doc_length_ad_ksample",
