@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_hurst": relational.orders_daily_hurst,
         "events_logrank_cohorts": streaming.events_logrank_cohorts,
         "doc_vocab_cmh": text_analysis.doc_vocab_cmh,
+        "doc_length_tukey_hsd": text_analysis.doc_length_tukey_hsd,
+        "doc_size_cronbach": text_analysis.doc_size_cronbach,
         # oracle-backed (new in round 4, continuation-session-15 block):
         "events_purchase_did": streaming.events_purchase_did,
         "corpus_stratified_mean": curation.corpus_stratified_mean,
@@ -253,8 +255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_conversion_ztest":
             streaming.events_ab_conversion_ztest,
         "orders_monthly_holt": relational.orders_monthly_holt,
-        "events_transition_entropy": streaming.events_transition_entropy,
-        "orders_date_gap_audit": relational.orders_date_gap_audit,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_transition_entropy": streaming.events_transition_entropy,
+        "orders_date_gap_audit": relational.orders_date_gap_audit,
         "lang_unigram_cross_entropy":
             text_analysis.lang_unigram_cross_entropy,
         "quality_rater_mcnemar": text_analysis.quality_rater_mcnemar,
@@ -585,6 +587,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_daily_hurst": relational.ORDERS_DAILY_HURST_SQL,
         "events_logrank_cohorts": streaming.EVENTS_LOGRANK_COHORTS_SQL,
         "doc_vocab_cmh": text_analysis.DOC_VOCAB_CMH_SQL,
+        "doc_length_tukey_hsd": text_analysis.DOC_LENGTH_TUKEY_HSD_SQL,
+        "doc_size_cronbach": text_analysis.DOC_SIZE_CRONBACH_SQL,
         "events_purchase_did": streaming.EVENTS_PURCHASE_DID_SQL,
         "corpus_stratified_mean": curation.CORPUS_STRATIFIED_MEAN_SQL,
         "doc_vocab_partial_corr": text_analysis.DOC_VOCAB_PARTIAL_CORR_SQL,

@@ -5348,3 +5348,206 @@ SELECT s.n_strata, m.nd AS n_docs,
 FROM s CROSS JOIN m
 WHERE s.var > 0 AND s.rb > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_length_tukey_hsd: Tukey-Kramer post-hoc pairwise q statistics
+# ---------------------------------------------------------------------------
+
+def doc_length_tukey_hsd(sf_dir: str) -> pd.DataFrame:
+    """Tukey-Kramer HSD q statistics for every language pair's mean doc
+    length — the post-hoc step the ANOVA family stops short of:
+    doc_length_anova_by_lang says "SOME language differs", the
+    studentized-range q per pair (|m_i - m_j| / sqrt(MSW/2 (1/n_i +
+    1/n_j))) says WHICH pairs drive it, with the pooled within-group
+    variance and unequal-n Kramer correction.
+
+    Plan: one (lang, n, sum, sumsq) moment fold — 5 cells on the wire;
+    the 10 pairwise q's are driver flops mirroring the oracle's
+    self-join expressions."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.n_chars.to_numpy(np.float64)
+        g = pd.DataFrame({"lang": df.lang.fillna(""), "n": 1,
+                          "s": x, "ss": x * x})
+        return g.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))
+           .to_pandas())
+    schema = {"lang_a": "object", "lang_b": "object",
+              "mean_diff": "float64", "q_stat": "float64"}
+    if out.empty or len(out) < 2:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.sort_values("lang").reset_index(drop=True)
+    n = out.n.to_numpy(np.float64)
+    s = out.s.to_numpy(np.float64)
+    ss = out.ss.to_numpy(np.float64)
+    big_n, k = float(n.sum()), len(out)
+    if big_n <= k:
+        return typed_out(pd.DataFrame(), schema)
+    msw = float((ss - s * s / n).sum()) / (big_n - k)
+    if msw <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    m = s / n
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            se = np.sqrt(msw / 2.0 * (1.0 / n[i] + 1.0 / n[j]))
+            rows.append({
+                "lang_a": out.lang[i], "lang_b": out.lang[j],
+                "mean_diff": round_away(np.float64(m[i] - m[j]), 6) + 0.0,
+                "q_stat": round_away(
+                    np.float64(abs(m[i] - m[j]) / se), 6) + 0.0,
+            })
+    return typed_out(pd.DataFrame(rows), schema,
+                     sort_by=["lang_a", "lang_b"])
+
+
+DOC_LENGTH_TUKEY_HSD_SQL = """
+WITH g AS (
+  SELECT COALESCE(lang, '') AS lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(n_chars AS DOUBLE)) AS s,
+         SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS ss
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT SUM(ss - s * s / n) / (SUM(n) - COUNT(*)) AS msw
+  FROM g HAVING SUM(n) > COUNT(*) AND COUNT(*) >= 2
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       ROUND(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+       ROUND(ABS(a.s / a.n - b.s / b.n)
+             / SQRT(w.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+FROM g a JOIN g b ON a.lang < b.lang
+CROSS JOIN w
+WHERE w.msw > 0
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_size_cronbach: Cronbach's alpha over the doc-size item battery
+# ---------------------------------------------------------------------------
+
+def doc_size_cronbach(sf_dir: str) -> pd.DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over the
+    four-item document-size battery (n_chars, token count, distinct
+    tokens, max token length) — the psychometric reliability audit
+    applied to a quality-score panel: alpha near 1 means the items
+    measure ONE latent size construct (so a composite score is
+    defensible), low alpha means the panel mixes constructs and a
+    composite would be noise. alpha = k/(k-1) (1 - sum var_i /
+    var_total), population variances.
+
+    Plan: one Arrow-kernel batch pass folds per-item sums/sumsqs plus
+    the composite's sumsq (11 doubles on the wire); alpha is a driver
+    closed form identical to the oracle's expressions."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "n_chars"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        tok_len = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_docs = len(lens)
+        x2 = np.bincount(doc_idx[keep], minlength=n_docs).astype(
+            np.float64)                               # token count
+        codes = flat.dictionary_encode().combine_chunks()
+        code_np = codes.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        packed = np.unique((doc_idx[keep] << 32) | code_np[keep])
+        x3 = np.bincount(packed >> 32, minlength=n_docs).astype(
+            np.float64)                               # distinct tokens
+        x4 = np.zeros(n_docs, np.float64)             # max token length
+        if keep.any():
+            di, tl = doc_idx[keep], tok_len[keep]
+            np.maximum.at(x4, di, tl.astype(np.float64))
+        x1 = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        tot = x1 + x2 + x3 + x4
+        return pd.DataFrame([{
+            "g": np.int64(0), "n": np.int64(n_docs),
+            "s1": x1.sum(), "q1": (x1 * x1).sum(),
+            "s2": x2.sum(), "q2": (x2 * x2).sum(),
+            "s3": x3.sum(), "q3": (x3 * x3).sum(),
+            "s4": x4.sum(), "q4": (x4 * x4).sum(),
+            "st": tot.sum(), "qt": (tot * tot).sum(),
+        }])
+
+    cols = ["n", "s1", "q1", "s2", "q2", "s3", "q3", "s4", "q4",
+            "st", "qt"]
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(*[Sum(c, alias_name=c) for c in cols])
+           .to_pandas())
+    schema = {"n_docs": "int64", "k_items": "int64",
+              "sum_item_var": "float64", "total_var": "float64",
+              "cronbach_alpha": "float64"}
+    if agg.empty or int(agg.n[0]) < 2:
+        return typed_out(pd.DataFrame(), schema)
+    nd = float(agg.n[0])
+    iv = sum(float(agg[f"q{i}"][0]) / nd
+             - (float(agg[f"s{i}"][0]) / nd) ** 2 for i in (1, 2, 3, 4))
+    tv = float(agg.qt[0]) / nd - (float(agg.st[0]) / nd) ** 2
+    if tv <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    alpha = 4.0 / 3.0 * (1.0 - iv / tv)
+    res = pd.DataFrame([{
+        "n_docs": np.int64(nd), "k_items": np.int64(4),
+        "sum_item_var": round_away(np.float64(iv), 6) + 0.0,
+        "total_var": round_away(np.float64(tv), 6) + 0.0,
+        "cronbach_alpha": round_away(np.float64(alpha), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+DOC_SIZE_CRONBACH_SQL = """
+WITH d AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x1,
+         CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                              t -> t <> '')) AS DOUBLE) AS x2,
+         CAST(len(list_distinct(list_filter(
+             string_split(COALESCE(text, ''), ' '),
+             t -> t <> ''))) AS DOUBLE) AS x3,
+         CAST(COALESCE(list_max(list_transform(list_filter(
+             string_split(COALESCE(text, ''), ' '), t -> t <> ''),
+             t -> length(t))), 0) AS DOUBLE) AS x4
+  FROM documents
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x1) AS s1, SUM(x1 * x1) AS q1,
+         SUM(x2) AS s2, SUM(x2 * x2) AS q2,
+         SUM(x3) AS s3, SUM(x3 * x3) AS q3,
+         SUM(x4) AS s4, SUM(x4 * x4) AS q4,
+         SUM(x1 + x2 + x3 + x4) AS st,
+         SUM((x1 + x2 + x3 + x4) * (x1 + x2 + x3 + x4)) AS qt
+  FROM d HAVING COUNT(*) >= 2
+), v AS (
+  SELECT n,
+         (q1 / n - (s1 / n) * (s1 / n)) + (q2 / n - (s2 / n) * (s2 / n))
+         + (q3 / n - (s3 / n) * (s3 / n))
+         + (q4 / n - (s4 / n) * (s4 / n)) AS iv,
+         qt / n - (st / n) * (st / n) AS tv
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(4 AS BIGINT) AS k_items,
+       ROUND(iv, 6) AS sum_item_var, ROUND(tv, 6) AS total_var,
+       ROUND(4.0 / 3.0 * (1.0 - iv / tv), 6) AS cronbach_alpha
+FROM v WHERE tv > 0
+"""

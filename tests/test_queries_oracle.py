@@ -72,6 +72,7 @@ SQL_CHECKED = [
     "dedup_minhash_md5", "dedup_simhash_md5",
     "orders_daily_ewma", "orders_daily_hurst",
     "events_logrank_cohorts", "doc_vocab_cmh",
+    "doc_length_tukey_hsd", "doc_size_cronbach",
     "events_purchase_did", "corpus_stratified_mean",
     "doc_vocab_partial_corr", "events_value_psi",
     "doc_length_ad_ksample",
