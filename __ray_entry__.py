@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_cmh": text_analysis.doc_vocab_cmh,
         "doc_length_tukey_hsd": text_analysis.doc_length_tukey_hsd,
         "doc_size_cronbach": text_analysis.doc_size_cronbach,
+        "doc_syllable_complexity": text_analysis.doc_syllable_complexity,
+        "token_branching_entropy": text_analysis.token_branching_entropy,
         # oracle-backed (new in round 4, continuation-session-15 block):
         "events_purchase_did": streaming.events_purchase_did,
         "corpus_stratified_mean": curation.corpus_stratified_mean,
@@ -252,9 +254,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_pchart": streaming.events_error_pchart,
         # oracle-backed (new in round 4, continuation-session-13 block):
         "lang_token_llr_topk": text_analysis.lang_token_llr_topk,
-        "events_ab_conversion_ztest":
-            streaming.events_ab_conversion_ztest,
-        "orders_monthly_holt": relational.orders_monthly_holt,
         # -------------------- ~50-entry window boundary --------------------
         # (round-4 additions above filled the window with never-checked
         # entries exactly to position 50; the FIFTY-NINE never-checked
@@ -263,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds full pytest-oracle coverage regardless of driver-window
         # position.)
         # oracle-backed spillover (never driver-checked):
+        "events_ab_conversion_ztest":
+            streaming.events_ab_conversion_ztest,
+        "orders_monthly_holt": relational.orders_monthly_holt,
         "events_transition_entropy": streaming.events_transition_entropy,
         "orders_date_gap_audit": relational.orders_date_gap_audit,
         "lang_unigram_cross_entropy":
@@ -589,6 +591,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_cmh": text_analysis.DOC_VOCAB_CMH_SQL,
         "doc_length_tukey_hsd": text_analysis.DOC_LENGTH_TUKEY_HSD_SQL,
         "doc_size_cronbach": text_analysis.DOC_SIZE_CRONBACH_SQL,
+        "doc_syllable_complexity":
+            text_analysis.DOC_SYLLABLE_COMPLEXITY_SQL,
+        "token_branching_entropy":
+            text_analysis.TOKEN_BRANCHING_ENTROPY_SQL,
         "events_purchase_did": streaming.EVENTS_PURCHASE_DID_SQL,
         "corpus_stratified_mean": curation.CORPUS_STRATIFIED_MEAN_SQL,
         "doc_vocab_partial_corr": text_analysis.DOC_VOCAB_PARTIAL_CORR_SQL,

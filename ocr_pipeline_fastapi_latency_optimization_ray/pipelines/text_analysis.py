@@ -5551,3 +5551,194 @@ SELECT CAST(n AS BIGINT) AS n_docs, CAST(4 AS BIGINT) AS k_items,
        ROUND(4.0 / 3.0 * (1.0 - iv / tv), 6) AS cronbach_alpha
 FROM v WHERE tv > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_syllable_complexity: readability battery per language
+# ---------------------------------------------------------------------------
+
+def doc_syllable_complexity(sf_dir: str) -> pd.DataFrame:
+    """Readability battery per language from the vowel-group syllable
+    heuristic — avg syllables/word, share of 3+-syllable "complex"
+    words, and a Gunning-fog-style index with words-per-document as
+    the sentence-length analog (this corpus carries no sentence
+    punctuation; the doc is the utterance unit). The quality-scoring
+    family measured SIZE (lengths, entropy, TTR); this is the first
+    PRONOUNCEABILITY axis — the filter that separates prose-like pages
+    from keyword-stuffed ones at crawl scale.
+
+    Plan: one zero-copy Arrow pass — ``pc.count_substring_regex`` on
+    the full text for syllables (vowel groups cannot span the space
+    delimiter) and on the exploded tokens for the complex-word count —
+    folded to (lang, n_docs, words, sylls, complex) partials; shares
+    are driver divisions mirroring the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        text = pc.coalesce(t.column("text"), "")
+        toks = pc.split_pattern(text, " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n_docs = len(lens)
+        words = np.bincount(doc_idx[keep], minlength=n_docs)
+        sylls = pc.count_substring_regex(
+            text, "[aeiouy]+").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tok_sylls = pc.count_substring_regex(
+            flat, "[aeiouy]+").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cx_mask = keep & (tok_sylls >= 3)
+        cx = np.bincount(doc_idx[cx_mask], minlength=n_docs)
+        g = pd.DataFrame({
+            "lang": t.column("lang").to_pandas().fillna(""),
+            "n_docs": np.ones(n_docs, np.int64),
+            "w": words.astype(np.int64), "y": sylls,
+            "c": cx.astype(np.int64)})
+        return g.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), w=("w", "sum"), y=("y", "sum"),
+            c=("c", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("w", alias_name="w"), Sum("y", alias_name="y"),
+                      Sum("c", alias_name="c"))
+           .to_pandas())
+    schema = {"lang": "object", "n_docs": "int64", "n_words": "int64",
+              "syll_per_word": "float64", "pct_complex": "float64",
+              "fog_index": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out[out.w > 0].reset_index(drop=True)
+    nd = out.n_docs.to_numpy(np.float64)
+    w = out.w.to_numpy(np.float64)
+    y = out.y.to_numpy(np.float64)
+    c = out.c.to_numpy(np.float64)
+    res = pd.DataFrame({
+        "lang": out.lang, "n_docs": out.n_docs.astype("int64"),
+        "n_words": out.w.astype("int64"),
+        "syll_per_word": round_away(y / w, 6) + 0.0,
+        "pct_complex": round_away(100.0 * c / w, 6) + 0.0,
+        "fog_index": round_away(0.4 * (w / nd + 100.0 * c / w), 6) + 0.0,
+    })
+    return typed_out(res, schema, sort_by="lang")
+
+
+DOC_SYLLABLE_COMPLEXITY_SQL = """
+WITH d AS (
+  SELECT COALESCE(lang, '') AS lang,
+         len(list_filter(string_split(COALESCE(text, ''), ' '),
+                         t -> t <> '')) AS w,
+         len(regexp_extract_all(COALESCE(text, ''), '[aeiouy]+')) AS y,
+         len(list_filter(list_filter(string_split(COALESCE(text, ''),
+                                                  ' '), t -> t <> ''),
+             t -> len(regexp_extract_all(t, '[aeiouy]+')) >= 3)) AS c
+  FROM documents
+), g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS w, SUM(y) AS y, SUM(c) AS c
+  FROM d GROUP BY 1 HAVING SUM(w) > 0
+)
+SELECT lang, n_docs, w AS n_words,
+       ROUND(CAST(y AS DOUBLE) / w, 6) AS syll_per_word,
+       ROUND(100.0 * CAST(c AS DOUBLE) / w, 6) AS pct_complex,
+       ROUND(0.4 * (CAST(w AS DOUBLE) / n_docs
+                    + 100.0 * CAST(c AS DOUBLE) / w), 6) AS fog_index
+FROM g ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_branching_entropy: conditional next-token entropy per context
+# ---------------------------------------------------------------------------
+
+def token_branching_entropy(sf_dir: str) -> pd.DataFrame:
+    """Branching (conditional next-token) entropy per context token —
+    H(next | prev) and its perplexity: the unigram entropy family
+    measures the MARGINAL distribution, PMI scores individual pairs;
+    branching entropy is the quantity segmentation and
+    predictability-based quality filters actually threshold (contexts
+    whose continuation is near-deterministic mark templated/boilerplate
+    text; high-entropy contexts mark free prose).
+
+    Plan: per-batch (prev, next, n) bigram partials -> one bounded
+    vocabulary-keyed exchange -> per-prev vectorized entropy inside
+    ``map_groups`` (distributed in the context key, no driver loop
+    over the vocabulary)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        prevs, nexts = [], []
+        for txt in df.text.fillna(""):
+            toks = [t for t in txt.split(" ") if t]
+            if len(toks) >= 2:
+                prevs.extend(toks[:-1])
+                nexts.extend(toks[1:])
+        if not prevs:
+            return pd.DataFrame({"prev": pd.Series(dtype=object),
+                                 "next": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        g = pd.DataFrame({"prev": prevs, "next": nexts})
+        g["n"] = np.int64(1)
+        return g.groupby(["prev", "next"], as_index=False).agg(
+            n=("n", "sum"))
+
+    counts = (ds.map_batches(bigrams, batch_format="pandas")
+              .groupby(["prev", "next"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def per_prev(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.n.to_numpy(np.float64)
+        tot = n.sum()
+        p = n / tot
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame([{
+            "prev_token": g.prev.iloc[0], "n_pairs": np.int64(tot),
+            "n_distinct_next": np.int64(len(g)),
+            "branch_entropy": round_away(np.float64(h), 6) + 0.0,
+            "perplexity": round_away(np.float64(np.exp(h)), 6) + 0.0,
+        }])
+
+    out = counts.groupby("prev").map_groups(
+        per_prev, batch_format="pandas").to_pandas()
+    schema = {"prev_token": "object", "n_pairs": "int64",
+              "n_distinct_next": "int64", "branch_entropy": "float64",
+              "perplexity": "float64"}
+    return typed_out(out, schema, sort_by="prev_token")
+
+
+TOKEN_BRANCHING_ENTROPY_SQL = """
+WITH t AS (
+  SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT toks[i] AS prev, toks[i+1] AS next_tok
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 1, 0) + 1)) AS u(i)
+), c AS (
+  SELECT prev, next_tok, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM bg GROUP BY 1, 2
+), tot AS (
+  SELECT prev, SUM(n) AS tn, CAST(COUNT(*) AS BIGINT) AS k FROM c
+  GROUP BY 1
+)
+SELECT c.prev AS prev_token, CAST(tot.tn AS BIGINT) AS n_pairs,
+       tot.k AS n_distinct_next,
+       ROUND(SUM(-(c.n / tot.tn) * LN(c.n / tot.tn)), 6)
+           AS branch_entropy,
+       ROUND(EXP(SUM(-(c.n / tot.tn) * LN(c.n / tot.tn))), 6)
+           AS perplexity
+FROM c JOIN tot ON tot.prev = c.prev
+GROUP BY 1, 2, 3 ORDER BY 1
+"""

@@ -73,6 +73,7 @@ SQL_CHECKED = [
     "orders_daily_ewma", "orders_daily_hurst",
     "events_logrank_cohorts", "doc_vocab_cmh",
     "doc_length_tukey_hsd", "doc_size_cronbach",
+    "doc_syllable_complexity", "token_branching_entropy",
     "events_purchase_did", "corpus_stratified_mean",
     "doc_vocab_partial_corr", "events_value_psi",
     "doc_length_ad_ksample",
