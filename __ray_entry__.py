@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # regardless of window position.
     return {
         # -- NEVER driver-checked (round-3 VERDICT next-#1: these first) --
+        # oracle-backed (new in round 4, continuation-session-17 block):
+        "shingle_good_turing": curation.shingle_good_turing,
+        "shingle_chao1_ace": curation.shingle_chao1_ace,
         # oracle-backed (new in round 4, continuation-session-16 block):
         "dedup_minhash_md5": dedup.dedup_minhash_md5,
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
@@ -583,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "shingle_good_turing": curation.SHINGLE_GOOD_TURING_SQL,
+        "shingle_chao1_ace": curation.SHINGLE_CHAO1_ACE_SQL,
         "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,

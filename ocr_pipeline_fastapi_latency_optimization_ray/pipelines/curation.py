@@ -3327,3 +3327,212 @@ SELECT CAST(nn AS BIGINT) AS n_docs, k AS k_strata,
        ROUND(var_strat / var_srs, 6) AS design_effect
 FROM s WHERE var_srs > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary-richness estimators: Good-Turing unseen mass, Chao1 / ACE
+# ---------------------------------------------------------------------------
+
+def _shingle_freq_of_freqs(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Frequency-of-frequencies of the corpus SHINGLE distribution:
+    ``(n, f)`` = number of distinct sliding k-token windows occurring
+    exactly ``n`` times corpus-wide (multiset occurrences, not per-doc
+    distinct). Richness estimators need the long-tailed shingle domain —
+    the unigram vocabulary of a filtered web corpus is head-heavy and
+    its n1/n2 are degenerate, while the k-gram population is exactly the
+    unit substring dedup (Lee et al. 2022) operates on.
+
+    Plan: window hashes (``_window_pairs_batch``) -> per-batch counts ->
+    hash-bucketed combine (a hash lives in ONE bucket, so in-bucket
+    totals are global-exact) -> per-bucket collapse to an ``(n, f)``
+    histogram; the driver merges frames bounded by the distinct-COUNT
+    domain, never the shingle vocabulary."""
+    pairs = _docs(sf_dir).map_batches(
+        lambda df: _window_pairs_batch(df, k), batch_format="pandas"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", sort=False).size().reset_index(name="n")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("h", as_index=False).agg(n=("n", "sum"))
+        fof = m.n.value_counts()
+        return pd.DataFrame({
+            "n": fof.index.to_numpy(np.int64),
+            "f": fof.to_numpy(np.int64),
+        })
+
+    out = bucketed_combine(pairs, "h", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                             "f": pd.Series(dtype="int64")})
+    return out.groupby("n", as_index=False).agg(f=("f", "sum"))
+
+
+def shingle_good_turing(sf_dir: str) -> pd.DataFrame:
+    """Good-Turing estimate of the UNSEEN k-gram mass — the probability
+    the next sliding 5-token window drawn from the stream is a shingle
+    this snapshot never produced (p0 = n1/N, Good 1953), plus the
+    GT-adjusted effective count of singleton shingles (c1* = 2*n2/n1) and
+    the sample coverage 1 - p0. This is the forward-looking complement of
+    ``corpus_gram_novelty``: novelty reports how much of THIS corpus was
+    first-seen, p0 predicts how much of the NEXT crawl will be — the
+    number that decides whether another crawl buys new text or re-pays
+    for the head.
+
+    Plan: window-hash count exchange -> per-bucket freq-of-freq collapse;
+    driver folds a distinct-count-domain frame into five scalars. Hashed
+    shingles equal string shingles up to ~2^-64 collisions, mirrored by
+    the oracle's string grams."""
+    fof = _shingle_freq_of_freqs(sf_dir)
+    schema = {"n_shingle_types": "int64", "n_shingles": "int64",
+              "n1": "int64", "n2": "int64", "p0_unseen": "float64",
+              "c1_star": "float64", "coverage": "float64"}
+    if fof.empty:
+        return typed_out(pd.DataFrame(), schema)
+    n = fof.n.to_numpy(np.int64)
+    f = fof.f.to_numpy(np.int64)
+    nn = int(np.sum(n * f))
+    if nn == 0:
+        return typed_out(pd.DataFrame(), schema)
+    v = int(f.sum())
+    n1 = int(f[n == 1].sum())
+    n2 = int(f[n == 2].sum())
+    p0 = n1 / float(nn)
+    c1 = 2.0 * n2 / n1 if n1 > 0 else 0.0
+    res = pd.DataFrame([{
+        "n_shingle_types": np.int64(v), "n_shingles": np.int64(nn),
+        "n1": np.int64(n1), "n2": np.int64(n2),
+        "p0_unseen": round_away(np.float64(p0), 6) + 0.0,
+        "c1_star": round_away(np.float64(c1), 6) + 0.0,
+        "coverage": round_away(np.float64(1.0 - p0), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+SHINGLE_GOOD_TURING_SQL = """
+WITH tok AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+), win AS (
+  SELECT UNNEST(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS w
+  FROM tok
+  WHERE len(toks) >= 5
+), c AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM win GROUP BY w
+), f AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY n
+), s AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS v,
+         CAST(SUM(n * f) AS BIGINT) AS nn,
+         CAST(COALESCE(SUM(CASE WHEN n = 1 THEN f END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN n = 2 THEN f END), 0) AS BIGINT) AS n2
+  FROM f HAVING SUM(n * f) > 0
+)
+SELECT v AS n_shingle_types, nn AS n_shingles, n1, n2,
+       ROUND(n1 / CAST(nn AS DOUBLE), 6) AS p0_unseen,
+       CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 6) ELSE 0.0 END
+           AS c1_star,
+       ROUND(1.0 - n1 / CAST(nn AS DOUBLE), 6) AS coverage
+FROM s
+"""
+
+
+def shingle_chao1_ace(sf_dir: str) -> pd.DataFrame:
+    """Chao1 and ACE species-richness estimates of the TRUE k-gram
+    population size — how many distinct 5-token shingles the underlying
+    text distribution holds, including the ones this crawl never sampled
+    (Chao 1984; Chazdon et al. 1998 ACE, rare cutoff 10). Trended across
+    crawl snapshots this says when a corpus saturates: observed types
+    approaching Chao1/ACE means another crawl re-samples the known
+    population.
+
+    Chao1 uses the bias-corrected form V + n1(n1-1)/(2(n2+1)) (defined
+    even with no doubletons); ACE splits rare (n<=10) from abundant types
+    and inflates the rare block by its sample coverage and a
+    coefficient-of-variation correction. Degenerate rare blocks
+    (n_rare <= 1 or zero coverage) fall back to the observed type count,
+    mirrored in the oracle.
+
+    Plan: same bucket-collapsed freq-of-freq fold as
+    :func:`shingle_good_turing` — constant driver work."""
+    fof = _shingle_freq_of_freqs(sf_dir)
+    schema = {"n_shingle_types": "int64", "n1": "int64", "n2": "int64",
+              "s_rare": "int64", "n_rare": "int64",
+              "chao1": "float64", "ace": "float64"}
+    if fof.empty:
+        return typed_out(pd.DataFrame(), schema)
+    n = fof.n.to_numpy(np.int64)
+    f = fof.f.to_numpy(np.int64)
+    if int(np.sum(n * f)) == 0:
+        return typed_out(pd.DataFrame(), schema)
+    v = int(f.sum())
+    n1 = int(f[n == 1].sum())
+    n2 = int(f[n == 2].sum())
+    rare = n <= 10
+    s_rare = int(f[rare].sum())
+    n_rare = int(np.sum(n[rare] * f[rare]))
+    g_rare = int(np.sum(n[rare] * (n[rare] - 1) * f[rare]))
+    s_abund = v - s_rare
+    chao1 = v + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0))
+    c_ace = 1.0 - n1 / float(n_rare) if n_rare > 0 else 0.0
+    if n_rare <= 1 or c_ace <= 0.0:
+        ace = float(v)
+    else:
+        gamma2 = max(
+            (s_rare / c_ace) * (g_rare / (n_rare * (n_rare - 1.0))) - 1.0,
+            0.0)
+        ace = s_abund + s_rare / c_ace + (n1 / c_ace) * gamma2
+    res = pd.DataFrame([{
+        "n_shingle_types": np.int64(v), "n1": np.int64(n1),
+        "n2": np.int64(n2),
+        "s_rare": np.int64(s_rare), "n_rare": np.int64(n_rare),
+        "chao1": round_away(np.float64(chao1), 6) + 0.0,
+        "ace": round_away(np.float64(ace), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+SHINGLE_CHAO1_ACE_SQL = """
+WITH tok AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+), win AS (
+  SELECT UNNEST(list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS w
+  FROM tok
+  WHERE len(toks) >= 5
+), c AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM win GROUP BY w
+), f AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY n
+), s AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS v,
+         CAST(COALESCE(SUM(CASE WHEN n = 1 THEN f END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN n = 2 THEN f END), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(CASE WHEN n <= 10 THEN f END), 0) AS BIGINT)
+             AS s_rare,
+         CAST(COALESCE(SUM(CASE WHEN n <= 10 THEN n * f END), 0) AS BIGINT)
+             AS n_rare,
+         CAST(COALESCE(SUM(CASE WHEN n <= 10 THEN n * (n - 1) * f END), 0)
+             AS BIGINT) AS g_rare
+  FROM f HAVING SUM(n * f) > 0
+), e AS (
+  SELECT v, n1, n2, s_rare, n_rare,
+         v + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0)) AS chao1,
+         CASE WHEN n_rare > 0
+              THEN 1.0 - n1 / CAST(n_rare AS DOUBLE) ELSE 0.0 END AS c_ace,
+         v - s_rare AS s_abund, g_rare
+  FROM s
+)
+SELECT v AS n_shingle_types, n1, n2, s_rare, n_rare,
+       ROUND(chao1, 6) AS chao1,
+       ROUND(CASE WHEN n_rare <= 1 OR c_ace <= 0.0 THEN CAST(v AS DOUBLE)
+             ELSE s_abund + s_rare / c_ace
+                  + (n1 / c_ace)
+                    * GREATEST((s_rare / c_ace)
+                               * (g_rare / (n_rare * (n_rare - 1.0))) - 1.0,
+                               0.0)
+             END, 6) AS ace
+FROM e
+"""
