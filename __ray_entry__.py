@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed (new in round 4, continuation-session-17 block):
         "shingle_good_turing": curation.shingle_good_turing,
         "shingle_chao1_ace": curation.shingle_chao1_ace,
+        "source_shingle_productivity":
+            curation.source_shingle_productivity,
+        "doc_length_cvm_pairs": text_analysis.doc_length_cvm_pairs,
         # oracle-backed (new in round 4, continuation-session-16 block):
         "dedup_minhash_md5": dedup.dedup_minhash_md5,
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
@@ -588,6 +591,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "shingle_good_turing": curation.SHINGLE_GOOD_TURING_SQL,
         "shingle_chao1_ace": curation.SHINGLE_CHAO1_ACE_SQL,
+        "source_shingle_productivity":
+            curation.SOURCE_SHINGLE_PRODUCTIVITY_SQL,
+        "doc_length_cvm_pairs": text_analysis.DOC_LENGTH_CVM_SQL,
         "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,

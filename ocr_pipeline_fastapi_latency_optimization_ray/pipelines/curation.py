@@ -3536,3 +3536,100 @@ SELECT v AS n_shingle_types, n1, n2, s_rare, n_rare,
              END, 6) AS ace
 FROM e
 """
+
+
+def source_shingle_productivity(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Per-source stylometric productivity constants over the token-BIGRAM
+    population: Honoré's R = 100·ln(N)/(1 − V1/V), Sichel's
+    S = V2/V and Brunet's W = N^(V^−0.165) (the classical
+    author/register fingerprints). Computed on bigrams: the 31-token
+    unigram vocabulary makes word-level hapax constants degenerate
+    (cf. token_hapax_stats), while per-source 5-gram windows are almost
+    all hapax (V1 == V) — the bigram domain is the one where V1/V2/V
+    genuinely separate, so the constants carry signal. A source whose R/W drifts between crawls changed
+    its generator (template rollout, spam injection) before any
+    quality-score notices.
+
+    Plan: per-batch (source, window-hash) counts -> hash-bucketed
+    combine (a shingle lives in one bucket, so within-source totals are
+    exact in-bucket) -> per-bucket per-source (N, V, V1, V2) integer
+    partials; driver folds an n_sources-bounded frame. Hashed shingles
+    equal string shingles up to ~2^-64 collisions, mirrored by the
+    oracle's string grams. Degenerate all-hapax sources (V1 == V) report
+    honore_r = 0, mirrored in the oracle."""
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = _window_pairs_batch(df, k)
+        src = pd.Series(df["source"].to_numpy(object),
+                        index=df["doc_id"].to_numpy(np.int64))
+        p["source"] = src.loc[p["doc_id"]].to_numpy(object)
+        return (p.groupby(["source", "h"], sort=False, dropna=False)
+                .size().reset_index(name="n"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "h"], as_index=False, dropna=False).agg(
+            n=("n", "sum"))
+        m = c.n.to_numpy(np.int64)
+        out = pd.DataFrame({
+            "source": c["source"].to_numpy(object),
+            "n_shingles": m,
+            "n_types": np.ones(len(c), np.int64),
+            "v1": (m == 1).astype(np.int64),
+            "v2": (m == 2).astype(np.int64),
+        })
+        return out.groupby("source", as_index=False, dropna=False).sum()
+
+    out = bucketed_combine(ds, "h", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"source": "object", "n_shingles": "int64", "n_types": "int64",
+              "v1": "int64", "v2": "int64", "honore_r": "float64",
+              "sichel_s": "float64", "brunet_w": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("source", as_index=False, dropna=False).agg(
+        n_shingles=("n_shingles", "sum"), n_types=("n_types", "sum"),
+        v1=("v1", "sum"), v2=("v2", "sum"))
+    nn = out.n_shingles.to_numpy(np.float64)
+    v = out.n_types.to_numpy(np.float64)
+    v1 = out.v1.to_numpy(np.float64)
+    v2 = out.v2.to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(v1 < v, 100.0 * np.log(nn) / (1.0 - v1 / v), 0.0)
+        s = v2 / v
+        w = np.power(nn, np.power(v, -0.165))
+    out["honore_r"] = round_away(r, 6)
+    out["sichel_s"] = round_away(s, 6)
+    out["brunet_w"] = round_away(w, 6)
+    return typed_out(out, schema, sort_by="source")
+
+
+SOURCE_SHINGLE_PRODUCTIVITY_SQL = """
+WITH tok AS (
+  SELECT source, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), win AS (
+  SELECT source,
+         UNNEST(list_transform(range(1, len(toks)),
+                               i -> array_to_string(toks[i:i+1], ' '))) AS w
+  FROM tok
+  WHERE len(toks) >= 2
+), c AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM win GROUP BY 1, 2
+), s AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT) AS v1,
+         CAST(COALESCE(SUM(CASE WHEN n = 2 THEN 1 END), 0) AS BIGINT) AS v2
+  FROM c GROUP BY 1
+)
+SELECT source, nn AS n_shingles, v AS n_types, v1, v2,
+       CASE WHEN v1 < v
+            THEN ROUND(100.0 * LN(nn) / (1.0 - v1 / CAST(v AS DOUBLE)), 6)
+            ELSE 0.0 END AS honore_r,
+       ROUND(v2 / CAST(v AS DOUBLE), 6) AS sichel_s,
+       ROUND(POWER(nn, POWER(v, -0.165)), 6) AS brunet_w
+FROM s
+ORDER BY source
+"""

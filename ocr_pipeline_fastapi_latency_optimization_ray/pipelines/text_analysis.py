@@ -5742,3 +5742,95 @@ SELECT c.prev AS prev_token, CAST(tot.tn AS BIGINT) AS n_pairs,
 FROM c JOIN tot ON tot.prev = c.prev
 GROUP BY 1, 2, 3 ORDER BY 1
 """
+
+
+def doc_length_cvm_pairs(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Cramér-von Mises statistic between every pair of
+    languages' document-length distributions — the INTEGRATED-difference
+    member of the ECDF-test family this engine already carries (KS takes
+    the sup of |F−G|, so one local gap dominates; Anderson-Darling
+    tail-weights it; CvM integrates the SQUARED gap over the pooled
+    sample, catching broad low-amplitude shifts KS under-weights —
+    exactly the shape a slow length-filter drift produces).
+
+    Tie convention (documented, mirrored by the oracle): T =
+    n·m/(n+m)² · Σ_x w(x)·(F_n(x) − G_m(x))², summing over the pooled
+    grid with multiplicity w(x) = pair-pooled count at x — the empirical-
+    measure form of the Anderson (1962) statistic, well-defined on tied
+    integer lengths.
+
+    Plan: the doc_length_ks_by_lang count-matrix fold verbatim — partial
+    (lang, length) histograms, one length-domain-bounded driver frame,
+    cumsums and one vectorized weighted sum per pair. Nothing scales with
+    the document count."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.dropna(subset=["lang"]).groupby(
+            ["lang", "n_chars"], as_index=False).agg(n=("n_chars", "size"))
+        return g.rename(columns={"n_chars": "x"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "x"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    schema = {"lang_a": "object", "lang_b": "object", "n_a": "int64",
+              "n_b": "int64", "cvm_t": "float64"}
+    if counts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    langs = np.sort(counts.lang.unique())
+    grid = np.sort(counts.x.unique())
+    mat = np.zeros((len(langs), len(grid)), dtype=np.int64)
+    li = pd.Series(range(len(langs)), index=langs)
+    gi = pd.Series(range(len(grid)), index=grid)
+    mat[li.loc[counts.lang].to_numpy(), gi.loc[counts.x].to_numpy()] = (
+        counts.n.to_numpy(np.int64))
+    cum = np.cumsum(mat, axis=1).astype(np.float64)
+    ecdf = cum / cum[:, -1:]
+    rows = []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            na, nb = float(cum[i, -1]), float(cum[j, -1])
+            d = ecdf[i] - ecdf[j]
+            s = float(np.sum(d * d * (mat[i] + mat[j])))
+            t = s * na * nb / ((na + nb) * (na + nb))
+            rows.append((langs[i], langs[j], np.int64(na), np.int64(nb), t))
+    out = pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_a", "n_b",
+                                      "cvm_t"])
+    out["cvm_t"] = round_away(out.cvm_t, 6)
+    return typed_out(out, schema, sort_by=["lang_a", "lang_b"])
+
+
+DOC_LENGTH_CVM_SQL = """
+WITH counts AS (
+  SELECT lang, n_chars AS x, COUNT(*) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM counts),
+grid AS (SELECT DISTINCT x FROM counts),
+lg AS (SELECT l.lang, g.x FROM langs l CROSS JOIN grid g),
+cum AS (
+  SELECT lg.lang, lg.x, COALESCE(c.n, 0) AS n,
+         CAST(SUM(COALESCE(c.n, 0))
+              OVER (PARTITION BY lg.lang ORDER BY lg.x) AS DOUBLE)
+           / SUM(COALESCE(c.n, 0)) OVER (PARTITION BY lg.lang) AS f,
+         CAST(SUM(COALESCE(c.n, 0))
+              OVER (PARTITION BY lg.lang) AS DOUBLE) AS tot
+  FROM lg LEFT JOIN counts c ON c.lang = lg.lang AND c.x = lg.x
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(MAX(a.tot) AS BIGINT) AS n_a,
+       CAST(MAX(b.tot) AS BIGINT) AS n_b,
+       ROUND(SUM((a.f - b.f) * (a.f - b.f) * (a.n + b.n))
+             * MAX(a.tot) * MAX(b.tot)
+             / ((MAX(a.tot) + MAX(b.tot)) * (MAX(a.tot) + MAX(b.tot))), 6)
+           AS cvm_t
+FROM cum a JOIN cum b ON b.x = a.x AND a.lang < b.lang
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
