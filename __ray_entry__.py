@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_shingle_productivity":
             curation.source_shingle_productivity,
         "doc_length_cvm_pairs": text_analysis.doc_length_cvm_pairs,
+        "orders_daily_durbin_watson":
+            relational.orders_daily_durbin_watson,
+        "events_poisson_gof": streaming.events_poisson_gof,
         # oracle-backed (new in round 4, continuation-session-16 block):
         "dedup_minhash_md5": dedup.dedup_minhash_md5,
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
@@ -594,6 +597,9 @@ def oracle_sql() -> dict[str, str]:
         "source_shingle_productivity":
             curation.SOURCE_SHINGLE_PRODUCTIVITY_SQL,
         "doc_length_cvm_pairs": text_analysis.DOC_LENGTH_CVM_SQL,
+        "orders_daily_durbin_watson":
+            relational.ORDERS_DURBIN_WATSON_SQL,
+        "events_poisson_gof": streaming.EVENTS_POISSON_GOF_SQL,
         "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,

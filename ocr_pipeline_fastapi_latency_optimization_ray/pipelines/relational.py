@@ -5615,3 +5615,83 @@ SELECT rs.w AS window_n, rs.n_blocks,
              / (fit.sxx - fit.sx * fit.sx / fit.k), 6) AS hurst
 FROM rs CROSS JOIN fit
 """
+
+
+def orders_daily_durbin_watson(sf_dir: str) -> pd.DataFrame:
+    """Durbin-Watson statistic on the zero-filled daily order-count
+    series — the first-difference serial-correlation audit (DW ≈ 2(1−ρ1):
+    <2 flags positive day-to-day momentum, >2 oscillation). Ljung-Box
+    (orders_daily_ljung_box) convicts correlation at ANY of 7 lags; DW is
+    the classical lag-1 regression diagnostic auditors expect alongside
+    it, computed here on residuals from the constant-mean model.
+
+    Plan: the (day, count) integer fold; numerator = one shifted diff on
+    the span-bounded driver array, denominator = the centered sum of
+    squares — both written as the oracle's literal expressions. Nothing
+    scales with orders."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas())
+    schema = {"n_days": "int64", "dw": "float64", "rho_hat": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = int(out.day.min()), int(out.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[out.day.to_numpy(np.int64) - lo] = out.n.to_numpy(np.int64)
+    nn = len(y)
+    if nn < 2:
+        return typed_out(pd.DataFrame(), schema)
+    mu = float(y.sum()) / nn
+    d = y.astype(np.float64) - mu
+    denom = float(np.sum(d * d))
+    if denom <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    diff = y[1:].astype(np.float64) - y[:-1].astype(np.float64)
+    dw = float(np.sum(diff * diff)) / denom
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn),
+        "dw": round_away(np.float64(dw), 6) + 0.0,
+        "rho_hat": round_away(np.float64(1.0 - dw / 2.0), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_DURBIN_WATSON_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), c AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT CAST(s.day AS DATE) AS day,
+         CAST(COALESCE(c.n, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN c ON c.day = CAST(s.day AS DATE)
+), m AS (
+  SELECT SUM(y) / COUNT(*) AS mu, CAST(COUNT(*) AS BIGINT) AS nn FROM d
+), den AS (
+  SELECT SUM((d.y - m.mu) * (d.y - m.mu)) AS dn, MAX(m.nn) AS nn
+  FROM d CROSS JOIN m
+), num AS (
+  SELECT SUM((d1.y - d2.y) * (d1.y - d2.y)) AS nm
+  FROM d d1 JOIN d d2 ON d2.day = d1.day - 1
+)
+SELECT den.nn AS n_days,
+       ROUND(num.nm / den.dn, 6) AS dw,
+       ROUND(1.0 - (num.nm / den.dn) / 2.0, 6) AS rho_hat
+FROM num CROSS JOIN den
+WHERE den.nn >= 2 AND den.dn > 0
+"""

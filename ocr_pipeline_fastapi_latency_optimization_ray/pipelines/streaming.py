@@ -4992,3 +4992,120 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
        ROUND((o1 - e1) * (o1 - e1) / var1, 6) AS logrank_chi2
 FROM s WHERE var1 > 0
 """
+
+
+def events_poisson_gof(sf_dir: str, kmax: int = 8) -> pd.DataFrame:
+    """Chi-square goodness-of-fit of per-(user, day) activity counts to a
+    Poisson law — the full-shape companion of the variance/mean screen
+    (events_overdispersion_by_type): dispersion ~1 can still hide a
+    non-Poisson shape (e.g. a mixture of quiet users and bots), and this
+    statistic convicts it bin by bin.
+
+    Convention (documented, mirrored exactly by the oracle): the sample
+    is the OBSERVED user-days (activity conditional on >=1 event — the
+    zero cell is unobservable without materializing the user x day
+    grid), lambda is the plain mean of the truncated counts (the standard
+    quick estimator; the exact zero-truncated MLE needs iteration), and
+    expected masses are the Poisson pmf renormalized by 1-p0 with counts
+    > kmax pooled into one tail bin. dof = (kmax+1) - 2.
+
+    Plan: per-batch (user, day, n) partials -> user-bucketed exchange
+    (per-user-day totals exact in-bucket) -> per-bucket collapse to a
+    (k, f) histogram; the driver folds a max-count-bounded frame into
+    four scalars."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.ts.astype("int64") // 86_400_000_000).astype("int64")
+        g = pd.DataFrame({"user_id": df.user_id.to_numpy(np.int64),
+                          "day": day})
+        return g.groupby(["user_id", "day"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "day"], as_index=False).agg(n=("n", "sum"))
+        fof = c.n.value_counts()
+        return pd.DataFrame({"k": fof.index.to_numpy(np.int64),
+                             "f": fof.to_numpy(np.int64)})
+
+    out = bucketed_combine(ds, "user_id", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"n_user_days": "int64", "lambda_hat": "float64",
+              "chi2": "float64", "dof": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    fof = out.groupby("k", as_index=False).agg(f=("f", "sum"))
+    kk = fof.k.to_numpy(np.int64)
+    ff = fof.f.to_numpy(np.int64)
+    nn = int(ff.sum())
+    if nn == 0:
+        return typed_out(pd.DataFrame(), schema)
+    lam = float(np.sum(kk * ff)) / nn
+    import math
+
+    p0 = math.exp(-lam)
+    ks = np.arange(1, kmax + 1, dtype=np.float64)
+    pk = np.array([math.exp(-lam) * lam ** k / math.gamma(k + 1.0)
+                   for k in ks])
+    psum = float(np.sum(pk))
+    obs = np.zeros(kmax, np.float64)
+    inside = (kk >= 1) & (kk <= kmax)
+    obs[kk[inside] - 1] = ff[inside].astype(np.float64)
+    ek = nn * pk / (1.0 - p0)
+    chi_head = float(np.sum((obs - ek) * (obs - ek) / ek))
+    ptail = 1.0 - p0 - psum
+    if ptail <= 1e-12:
+        chi2 = chi_head
+    else:
+        obs_tail = nn - float(np.sum(obs))
+        exp_tail = nn * ptail / (1.0 - p0)
+        chi2 = chi_head + (obs_tail - exp_tail) ** 2 / exp_tail
+    res = pd.DataFrame([{
+        "n_user_days": np.int64(nn),
+        "lambda_hat": round_away(np.float64(lam), 6) + 0.0,
+        "chi2": round_away(np.float64(chi2), 6) + 0.0,
+        "dof": np.int64(kmax - 1),
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_POISSON_GOF_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT n AS k, CAST(COUNT(*) AS BIGINT) AS f FROM c GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS nn,
+         SUM(k * f) / CAST(SUM(f) AS DOUBLE) AS lam
+  FROM f HAVING SUM(f) > 0
+), grid AS (
+  SELECT UNNEST(generate_series(1, 8)) AS k
+), p AS (
+  SELECT g.k,
+         EXP(-s.lam) * POWER(s.lam, g.k) / GAMMA(g.k + 1.0) AS pk,
+         s.nn, s.lam, EXP(-s.lam) AS p0
+  FROM grid g CROSS JOIN s
+), e AS (
+  SELECT p.k, p.nn * p.pk / (1.0 - p.p0) AS ek,
+         CAST(COALESCE(f.f, 0) AS DOUBLE) AS ok,
+         p.nn, p.lam, p.p0, p.pk
+  FROM p LEFT JOIN f ON f.k = p.k
+), t AS (
+  SELECT MAX(nn) AS nn, MAX(lam) AS lam, MAX(p0) AS p0,
+         SUM(pk) AS psum, SUM(ok) AS osum,
+         SUM((ok - ek) * (ok - ek) / ek) AS chi_head
+  FROM e
+)
+SELECT nn AS n_user_days,
+       ROUND(lam, 6) AS lambda_hat,
+       ROUND(CASE WHEN (1.0 - p0 - psum) <= 1e-12 THEN chi_head
+             ELSE chi_head
+                  + ((nn - osum) - nn * (1.0 - p0 - psum) / (1.0 - p0))
+                    * ((nn - osum) - nn * (1.0 - p0 - psum) / (1.0 - p0))
+                    / (nn * (1.0 - p0 - psum) / (1.0 - p0))
+             END, 6) AS chi2,
+       CAST(7 AS BIGINT) AS dof
+FROM t
+WHERE nn IS NOT NULL
+"""
