@@ -200,6 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_durbin_watson":
             relational.orders_daily_durbin_watson,
         "events_poisson_gof": streaming.events_poisson_gof,
+        "domain_boilerplate_share":
+            extract_checks.domain_boilerplate_share,
+        "crawl_frontier_shards": extract_checks.crawl_frontier_shards,
+        "events_wilcoxon_signed_rank":
+            streaming.events_wilcoxon_signed_rank,
+        "events_dwell_by_type": streaming.events_dwell_by_type,
         # oracle-backed (new in round 4, continuation-session-16 block):
         "dedup_minhash_md5": dedup.dedup_minhash_md5,
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
@@ -600,6 +606,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_daily_durbin_watson":
             relational.ORDERS_DURBIN_WATSON_SQL,
         "events_poisson_gof": streaming.EVENTS_POISSON_GOF_SQL,
+        "domain_boilerplate_share":
+            extract_checks.DOMAIN_BOILERPLATE_SHARE_SQL,
+        "crawl_frontier_shards": extract_checks.CRAWL_FRONTIER_SHARDS_SQL,
+        "events_wilcoxon_signed_rank": streaming.EVENTS_WILCOXON_SQL,
+        "events_dwell_by_type": streaming.EVENTS_DWELL_BY_TYPE_SQL,
         "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,

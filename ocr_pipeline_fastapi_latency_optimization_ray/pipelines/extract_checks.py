@@ -1331,3 +1331,207 @@ SELECT CAST(na AS BIGINT) AS n_wave_a, CAST(nb AS BIGINT) AS n_wave_b,
        ROUND(est + half, 6) AS ci_hi
 FROM e
 """
+
+
+def domain_boilerplate_share(sf_dir: str, df_frac: float = 0.8) -> pd.DataFrame:
+    """Per-DOMAIN template-token mass — the boilerplate detector a web
+    extraction pipeline runs per host: tokens present in >= ``df_frac``
+    of a domain's pages are template/navigation candidates (CCNet strips
+    them at line granularity; this reports the per-host exposure so the
+    strip threshold can be calibrated). The engine genuinely parses the
+    domain from the synthesized ``url`` with a vectorized Arrow regex
+    (extract_domain_stats pattern); the oracle reproduces the generator's
+    closed-form url, so a parser regression breaks the hash match.
+
+    Plan: pass 1 folds (domain, n_pages) — a <=97-row LUT shipped into
+    the combine closure; pass 2 exchanges (domain, token, tf, df) partials
+    token-bucketed (a doc lives in one batch, so batch-distinct df
+    partials sum exactly; a (domain, token) key lives in one bucket, so
+    the >= df_frac test is exact in-bucket); each bucket emits per-domain
+    (total, boiler) integer partials. Driver merge is domain-bounded."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.frames import round_away, typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+    def _domains(t: pa.Table) -> pa.Array:
+        pages = pages_from_documents(t, repeat=1)
+        return pc.struct_field(
+            pc.extract_regex(pages["url"], r"^https://(?P<d>[^/]+)/"), "d")
+
+    def pages_partial(t: pa.Table) -> pd.DataFrame:
+        dom = _domains(t)
+        vc = dom.value_counts()
+        return pd.DataFrame({
+            "domain": vc.field("values").to_pandas().to_numpy(object),
+            "m": vc.field("counts").to_numpy(
+                zero_copy_only=False).astype("int64"),
+        })
+
+    np_rows = docs.map_batches(pages_partial,
+                               batch_format="pyarrow").to_pandas()
+    schema = {"domain": "object", "n_pages": "int64", "n_tokens": "int64",
+              "boiler_tokens": "int64", "boiler_share": "float64"}
+    if np_rows.empty:
+        return typed_out(pd.DataFrame(), schema)
+    np_map = np_rows.groupby("domain")["m"].sum().to_dict()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        dom = _domains(t)
+        lists = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        idx = pc.list_parent_indices(lists)
+        flat = pa.table({
+            "domain": pc.take(dom, idx),
+            "doc_id": pc.take(t.column("doc_id"), idx),
+            "token": pc.list_flatten(lists),
+        }).filter(pc.not_equal(pc.field("token"), ""))
+        g = (flat.group_by(["domain", "token"])
+             .aggregate([("token", "count"), ("doc_id", "count_distinct")])
+             .to_pandas()
+             .rename(columns={"token_count": "tf",
+                              "doc_id_count_distinct": "df"}))
+        g["tf"] = g.tf.astype("int64")
+        g["df"] = g.df.astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["domain", "token"], as_index=False).agg(
+            tf=("tf", "sum"), df=("df", "sum"))
+        npages = c.domain.map(np_map).to_numpy(np.float64)
+        boiler = c.df.to_numpy(np.int64) >= df_frac * npages
+        tf = c.tf.to_numpy(np.int64)
+        out = pd.DataFrame({
+            "domain": c.domain.to_numpy(object),
+            "n_tokens": tf,
+            "boiler_tokens": np.where(boiler, tf, 0).astype(np.int64),
+        })
+        return out.groupby("domain", as_index=False).sum()
+
+    out = bucketed_combine(docs, "token", partial, combine,
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out = out.groupby("domain", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), boiler_tokens=("boiler_tokens", "sum"))
+    out["n_pages"] = out.domain.map(np_map).astype("int64")
+    out["boiler_share"] = round_away(
+        out.boiler_tokens.to_numpy(np.float64)
+        / out.n_tokens.to_numpy(np.float64), 6)
+    return typed_out(out, schema, sort_by="domain")
+
+
+DOMAIN_BOILERPLATE_SHARE_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+         text
+  FROM documents
+), np AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages FROM pages GROUP BY 1
+), tok AS (
+  SELECT domain, doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM pages
+), c AS (
+  SELECT domain, w, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok WHERE w <> '' GROUP BY 1, 2
+), j AS (
+  SELECT c.domain, c.tf, c.df, np.n_pages FROM c JOIN np USING (domain)
+)
+SELECT domain, CAST(MAX(n_pages) AS BIGINT) AS n_pages,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN df >= 0.8 * n_pages THEN tf ELSE 0 END)
+            AS BIGINT) AS boiler_tokens,
+       ROUND(SUM(CASE WHEN df >= 0.8 * n_pages THEN tf ELSE 0 END) * 1.0
+             / SUM(tf), 6) AS boiler_share
+FROM j
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+def crawl_frontier_shards(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
+    """Politeness-aware crawl-frontier sharding: every page of a HOST must
+    land on the same fetch shard (per-host rate limits are enforced
+    shard-locally, so splitting a host across shards breaks politeness).
+    Shard = md5 of the domain, mod ``n_shards`` — a content hash, so the
+    assignment is stable across runs/cluster sizes, and the oracle
+    reproduces it exactly via DuckDB's ``md5_number_lower``. Reports the
+    per-shard load profile: domain count, page count, and the largest
+    single-host share (the hot-host indicator that tells the scheduler a
+    shard will be rate-limit-bound, not bandwidth-bound).
+
+    Plan: the extract_domain_stats (domain, count) fold — the engine
+    parses domains from real synthesized urls with an Arrow regex; the
+    per-domain frame is <= 97 rows, so hashing/sharding it on the driver
+    is constant work."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.frames import round_away, typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        pages = pages_from_documents(t, repeat=1)
+        dom = pc.struct_field(
+            pc.extract_regex(pages["url"], r"^https://(?P<d>[^/]+)/"), "d")
+        vc = dom.value_counts()
+        return pd.DataFrame({
+            "domain": vc.field("values").to_pandas().to_numpy(object),
+            "m": vc.field("counts").to_numpy(
+                zero_copy_only=False).astype("int64"),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("domain", as_index=False).agg(m=("m", "sum"))
+
+    out = bucketed_combine(docs, "domain", partial, combine,
+                           num_buckets=8, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    schema = {"shard": "int64", "n_domains": "int64", "n_pages": "int64",
+              "max_domain_pages": "int64", "max_share": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    d = out.groupby("domain", as_index=False).agg(m=("m", "sum"))
+    shard = np.array([
+        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16],
+                       "little") % n_shards
+        for s in d.domain.to_numpy(object)], dtype=np.int64)
+    d["shard"] = shard
+    g = d.groupby("shard", as_index=False).agg(
+        n_domains=("domain", "size"), n_pages=("m", "sum"),
+        max_domain_pages=("m", "max"))
+    g["max_share"] = round_away(
+        g.max_domain_pages.to_numpy(np.float64)
+        / g.n_pages.to_numpy(np.float64), 6)
+    return typed_out(g, schema, sort_by="shard")
+
+
+CRAWL_FRONTIER_SHARDS_SQL = """
+WITH pages AS (
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain
+  FROM documents
+), d AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS m FROM pages GROUP BY 1
+), s AS (
+  SELECT CAST(md5_number_lower(domain) % 8 AS BIGINT) AS shard, domain, m
+  FROM d
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_domains,
+       CAST(SUM(m) AS BIGINT) AS n_pages,
+       CAST(MAX(m) AS BIGINT) AS max_domain_pages,
+       ROUND(MAX(m) * 1.0 / SUM(m), 6) AS max_share
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""

@@ -5109,3 +5109,206 @@ SELECT nn AS n_user_days,
 FROM t
 WHERE nn IS NOT NULL
 """
+
+
+def events_wilcoxon_signed_rank(sf_dir: str) -> pd.DataFrame:
+    """Wilcoxon signed-rank test on per-user activity, first half of the
+    stream vs second half (integer midpoint-day split, the events_value_psi
+    convention) — the PAIRED member of the rank-test family: the A/B
+    z-test and Mann-Whitney compare two user GROUPS, this tests whether
+    the SAME users changed level between windows, immune to the heavy
+    cross-user variance that drowns a paired t. Zero differences drop,
+    ties take midranks, and the normal approximation carries the standard
+    tie correction sum(t^3-t)/48.
+
+    Plan: (user, window, n) count partials -> user-bucketed exchange
+    (per-user window counts exact in-bucket) -> per-bucket (d, cnt)
+    difference histogram; the driver ranks a frame bounded by the
+    DISTINCT-difference domain, never the user count."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    span = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts"]).aggregate(
+        ray.data.aggregate.Min("ts"), ray.data.aggregate.Max("ts"))
+    schema = {"n_nonzero": "int64", "w_plus": "float64", "z": "float64"}
+    if span is None or span.get("min(ts)") is None:
+        return typed_out(pd.DataFrame(), schema)
+    lo = int(pd.Timestamp(span["min(ts)"]).value // 1000) // 86_400_000_000
+    hi = int(pd.Timestamp(span["max(ts)"]).value // 1000) // 86_400_000_000
+    mid = (lo + hi + 1) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.ts.astype("int64") // 86_400_000_000).astype("int64")
+        g = pd.DataFrame({"user_id": df.user_id.to_numpy(np.int64),
+                          "w": (day >= mid).astype(np.int64)})
+        return g.groupby(["user_id", "w"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "w"], as_index=False).agg(n=("n", "sum"))
+        piv = c.pivot_table(index="user_id", columns="w", values="n",
+                            aggfunc="sum", fill_value=0)
+        x = piv[0].to_numpy(np.int64) if 0 in piv.columns else np.zeros(
+            len(piv), np.int64)
+        y = piv[1].to_numpy(np.int64) if 1 in piv.columns else np.zeros(
+            len(piv), np.int64)
+        d = y - x
+        d = d[d != 0]
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({"d": vc.index.to_numpy(np.int64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    out = bucketed_combine(ds, "user_id", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    h = out.groupby("d", as_index=False).agg(cnt=("cnt", "sum"))
+    h["ad"] = np.abs(h.d.to_numpy(np.int64))
+    n = int(h.cnt.sum())
+    if n == 0:
+        return typed_out(pd.DataFrame(), schema)
+    # min-rank per |d| group (1-based), midrank = rmin + (t - 1) / 2
+    grp = h.groupby("ad", as_index=False).agg(t=("cnt", "sum")).sort_values(
+        "ad", kind="stable")
+    t = grp.t.to_numpy(np.int64)
+    rmin = np.concatenate(([1], 1 + np.cumsum(t)[:-1]))
+    mr = pd.Series(rmin + (t - 1) / 2.0, index=grp.ad.to_numpy(np.int64))
+    pos = h[h.d > 0]
+    wplus = float(np.sum(pos.cnt.to_numpy(np.float64)
+                         * mr.loc[pos.ad].to_numpy(np.float64)))
+    ties = float(np.sum(t.astype(np.float64) ** 3 - t))
+    mean = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z = (wplus - mean) / np.sqrt(var) if var > 0 else 0.0
+    res = pd.DataFrame([{
+        "n_nonzero": np.int64(n),
+        "w_plus": round_away(np.float64(wplus), 6) + 0.0,
+        "z": round_away(np.float64(z), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+EVENTS_WILCOXON_SQL = """
+WITH dims AS (
+  SELECT (CAST(FLOOR(EPOCH(MIN(ts)) / 86400) AS BIGINT)
+          + CAST(FLOOR(EPOCH(MAX(ts)) / 86400) AS BIGINT) + 1) // 2
+             AS mid
+  FROM events HAVING COUNT(*) > 0
+), c AS (
+  SELECT user_id,
+         CASE WHEN CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) >= dims.mid
+              THEN 1 ELSE 0 END AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, dims GROUP BY 1, 2
+), p AS (
+  SELECT user_id,
+         SUM(CASE WHEN w = 1 THEN n ELSE 0 END)
+         - SUM(CASE WHEN w = 0 THEN n ELSE 0 END) AS d
+  FROM c GROUP BY 1
+), nz AS (
+  SELECT d, ABS(d) AS ad FROM p WHERE d <> 0
+), rk AS (
+  SELECT d, ad,
+         RANK() OVER (ORDER BY ad) AS rmin,
+         COUNT(*) OVER (PARTITION BY ad) AS t
+  FROM nz
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CASE WHEN d > 0 THEN rmin + (t - 1) / 2.0 ELSE 0 END) AS wplus
+  FROM rk HAVING COUNT(*) > 0
+), tt AS (
+  SELECT COALESCE(SUM(CAST(t AS DOUBLE) * t * t - t), 0) AS ties
+  FROM (SELECT COUNT(*) AS t FROM nz GROUP BY ad)
+)
+SELECT s.n AS n_nonzero,
+       ROUND(s.wplus, 6) AS w_plus,
+       ROUND(CASE WHEN s.n * (s.n + 1) * (2 * s.n + 1) / 24.0
+                       - tt.ties / 48.0 > 0
+             THEN (s.wplus - s.n * (s.n + 1) / 4.0)
+                  / SQRT(s.n * (s.n + 1) * (2 * s.n + 1) / 24.0
+                         - tt.ties / 48.0)
+             ELSE 0.0 END, 6) AS z
+FROM s CROSS JOIN tt
+"""
+
+
+def events_dwell_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type DWELL profile: the time from an event to the same
+    user's NEXT event (any type), attributed to the first event's type —
+    the engagement signal behind session design ("how long does a user
+    linger after a view vs after an error?"). A user's last event has no
+    successor and drops, exactly like the oracle's LEAD.
+
+    Plan: the events_inter_arrival_stats shape — a user-bucketed exchange
+    co-locates each user's stream (gaps need physical adjacency, the one
+    exchange this family cannot avoid); each bucket sorts per user once
+    (ts, event_id tiebreak), diffs, and collapses to per-type INTEGER
+    microsecond partials (n, sum, min, max), so every crossing value is
+    exact and the only float is the final mean division."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64),
+            "ts": df.ts.astype("int64"),
+            "event_id": df.event_id.to_numpy(np.int64),
+            "event_type": df.event_type.to_numpy(object),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g.ts.to_numpy(np.int64)
+        uid = g.user_id.to_numpy(np.int64)
+        gap = ts[1:] - ts[:-1]
+        same = uid[1:] == uid[:-1]
+        d = pd.DataFrame({
+            "event_type": g.event_type.to_numpy(object)[:-1][same],
+            "gap": gap[same],
+        })
+        if d.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "n_gaps": pd.Series(dtype="int64"),
+                "sum_gap_us": pd.Series(dtype="int64"),
+                "min_gap_us": pd.Series(dtype="int64"),
+                "max_gap_us": pd.Series(dtype="int64")})
+        return d.groupby("event_type", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap_us=("gap", "sum"),
+            min_gap_us=("gap", "min"), max_gap_us=("gap", "max"))
+
+    out = bucketed_combine(ds, "user_id", partial, combine,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    schema = {"event_type": "object", "n_gaps": "int64",
+              "mean_gap_s": "float64", "min_gap_us": "int64",
+              "max_gap_us": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    g = out.groupby("event_type", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"), sum_gap_us=("sum_gap_us", "sum"),
+        min_gap_us=("min_gap_us", "min"), max_gap_us=("max_gap_us", "max"))
+    g["mean_gap_s"] = round_away(
+        g.sum_gap_us.to_numpy(np.float64) / 1_000_000.0
+        / g.n_gaps.to_numpy(np.float64), 6)
+    return typed_out(g, schema, sort_by="event_type")
+
+
+EVENTS_DWELL_BY_TYPE_SQL = """
+WITH nxt AS (
+  SELECT event_type,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n_ts,
+         ts
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(EPOCH_US(n_ts) - EPOCH_US(ts) AS BIGINT) AS gap
+  FROM nxt WHERE n_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(SUM(gap) / 1000000.0 / COUNT(*), 6) AS mean_gap_s,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g
+GROUP BY event_type
+ORDER BY event_type
+"""

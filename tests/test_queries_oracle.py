@@ -72,6 +72,8 @@ SQL_CHECKED = [
     "shingle_good_turing", "shingle_chao1_ace",
     "source_shingle_productivity", "doc_length_cvm_pairs",
     "orders_daily_durbin_watson", "events_poisson_gof",
+    "domain_boilerplate_share", "crawl_frontier_shards",
+    "events_wilcoxon_signed_rank", "events_dwell_by_type",
     "dedup_minhash_md5", "dedup_simhash_md5",
     "orders_daily_ewma", "orders_daily_hurst",
     "events_logrank_cohorts", "doc_vocab_cmh",
