@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wilcoxon_signed_rank":
             streaming.events_wilcoxon_signed_rank,
         "events_dwell_by_type": streaming.events_dwell_by_type,
+        "extract_error_rates": extract_checks.extract_error_rates,
+        "orders_weekday_bartlett": relational.orders_weekday_bartlett,
         # oracle-backed (new in round 4, continuation-session-16 block):
         "dedup_minhash_md5": dedup.dedup_minhash_md5,
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
@@ -611,6 +613,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_shards": extract_checks.CRAWL_FRONTIER_SHARDS_SQL,
         "events_wilcoxon_signed_rank": streaming.EVENTS_WILCOXON_SQL,
         "events_dwell_by_type": streaming.EVENTS_DWELL_BY_TYPE_SQL,
+        "extract_error_rates": extract_checks.EXTRACT_ERROR_RATES_SQL,
+        "orders_weekday_bartlett":
+            relational.ORDERS_WEEKDAY_BARTLETT_SQL,
         "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,

@@ -1535,3 +1535,77 @@ FROM s
 GROUP BY shard
 ORDER BY shard
 """
+
+
+def extract_error_rates(sf_dir: str) -> pd.DataFrame:
+    """Per-payload-kind ERROR rate of the real extraction pipeline — the
+    sentinel-path audit on the flagship path itself: the reference never
+    throws on a corrupt payload, it emits an ``[OCR Failed]`` sentinel row
+    (reference FileIngestor error contract), and this query hash-checks
+    that exactly the closed-form corrupt rows (doc_id % 997 == 13 on the
+    binary-payload branch, sources/synth.py:build_page_row) and no others
+    carry an error. A regression in the retry/failover chain (extra
+    errors) or a swallowed exception (missing errors) breaks the match.
+
+    Engine side runs the REAL pipeline (classify -> actor-pool extract);
+    the per-kind rollup is a bounded groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.frames import round_away, typed_out
+
+    cfg = PipelineConfig()
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+    ds = build_extraction_pipeline(pages, cfg)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        err = pc.cast(
+            pc.and_kleene(pc.is_valid(t["error"]),
+                          pc.not_equal(pc.coalesce(t["error"], ""), "")),
+            pa.int64())
+        return pa.table({"payload_kind": t["payload_kind"], "err": err})
+
+    out = (
+        ds.map_batches(flag, batch_format="pyarrow")
+        .groupby("payload_kind")
+        .aggregate(Count(alias_name="n_pages"),
+                   Sum("err", alias_name="n_errors"))
+        .to_pandas()
+    )
+    schema = {"payload_kind": "object", "n_pages": "int64",
+              "n_errors": "int64", "error_rate": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out["n_pages"] = out.n_pages.astype("int64")
+    out["n_errors"] = out.n_errors.astype("int64")
+    import numpy as np
+
+    out["error_rate"] = round_away(
+        out.n_errors.to_numpy(np.float64) / out.n_pages.to_numpy(np.float64),
+        6)
+    return typed_out(out, schema, sort_by="payload_kind")
+
+
+EXTRACT_ERROR_RATES_SQL = """
+WITH k AS (
+  SELECT CASE
+    WHEN doc_id % 50 = 43 THEN 'empty'
+    WHEN doc_id % 50 = 44 THEN 'text'
+    WHEN doc_id % 997 = 13 THEN 'pdf'
+    WHEN doc_id % 50 >= 49 THEN 'image'
+    WHEN doc_id % 50 >= 45 THEN 'pdf'
+    ELSE 'html' END AS payload_kind,
+    CASE WHEN doc_id % 50 NOT IN (43, 44) AND doc_id % 997 = 13
+         THEN 1 ELSE 0 END AS err
+  FROM documents
+)
+SELECT payload_kind, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(err) AS BIGINT) AS n_errors,
+       ROUND(SUM(err) * 1.0 / COUNT(*), 6) AS error_rate
+FROM k
+GROUP BY payload_kind
+ORDER BY payload_kind
+"""

@@ -5695,3 +5695,103 @@ SELECT den.nn AS n_days,
 FROM num CROSS JOIN den
 WHERE den.nn >= 2 AND den.dn > 0
 """
+
+
+def orders_weekday_bartlett(sf_dir: str) -> pd.DataFrame:
+    """Bartlett test of EQUAL VARIANCE of the zero-filled daily order
+    counts across the seven epoch-relative weekday classes (day % 7) —
+    the scale-family sibling of the weekday seasonality mean tests:
+    Friedman/decomposition ask whether weekday LEVELS differ, Bartlett
+    asks whether weekday VOLATILITY differs (a spiky-Monday generator can
+    match every mean and still fail here). Levene/Brown-Forsythe in this
+    engine audit doc lengths by lang; Bartlett is the classical
+    normal-theory variant, appropriate for near-Gaussian daily counts.
+
+    Plan: the (day, count) fold; weekday grouping, per-group moments and
+    the Bartlett correction are span-bounded driver flops written as the
+    oracle's literal expressions. Groups need n_i >= 2 and positive
+    variance (ln s^2); degenerate corpora return empty, mirrored by the
+    oracle's HAVING."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas())
+    schema = {"k_groups": "int64", "n_days": "int64",
+              "bartlett_x2": "float64", "dof": "int64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = int(out.day.min()), int(out.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[out.day.to_numpy(np.int64) - lo] = out.n.to_numpy(np.int64)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    wd = days % 7
+    g = pd.DataFrame({"wd": wd, "y": y.astype(np.float64)}).groupby(
+        "wd", as_index=False).agg(n=("y", "size"), s=("y", "sum"),
+                                  ss=("y", lambda v: float(np.sum(v * v))))
+    g = g[g.n >= 2]
+    if g.empty:
+        return typed_out(pd.DataFrame(), schema)
+    n_i = g.n.to_numpy(np.float64)
+    var = (g.ss.to_numpy(np.float64)
+           - g.s.to_numpy(np.float64) ** 2 / n_i) / (n_i - 1.0)
+    if np.min(var) <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    k = len(g)
+    nn = float(n_i.sum())
+    sp2 = float(np.sum((n_i - 1.0) * var)) / (nn - k)
+    x2 = ((nn - k) * np.log(sp2)
+          - float(np.sum((n_i - 1.0) * np.log(var))))
+    c = 1.0 + (float(np.sum(1.0 / (n_i - 1.0))) - 1.0 / (nn - k)) \
+        / (3.0 * (k - 1.0))
+    res = pd.DataFrame([{
+        "k_groups": np.int64(k), "n_days": np.int64(nn),
+        "bartlett_x2": round_away(np.float64(x2 / c), 6) + 0.0,
+        "dof": np.int64(k - 1),
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_WEEKDAY_BARTLETT_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), c AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT CAST(FLOOR(EPOCH(CAST(s.day AS DATE)) / 86400) AS BIGINT) % 7
+             AS wd,
+         CAST(COALESCE(c.n, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN c ON c.day = CAST(s.day AS DATE)
+), g AS (
+  SELECT wd, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS s, SUM(y * y) AS ss
+  FROM d GROUP BY 1 HAVING COUNT(*) >= 2
+), v AS (
+  SELECT wd, n, (ss - s * s / n) / (n - 1.0) AS var FROM g
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS nn,
+         SUM((n - 1.0) * var) AS wsum,
+         SUM((n - 1.0) * LN(var)) AS lsum,
+         SUM(1.0 / (n - 1.0)) AS hsum,
+         MIN(var) AS minv
+  FROM v HAVING COUNT(*) > 0 AND MIN(var) > 0
+)
+SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_days,
+       ROUND(((nn - k) * LN(wsum / (nn - k)) - lsum)
+             / (1.0 + (hsum - 1.0 / (nn - k)) / (3.0 * (k - 1.0))), 6)
+           AS bartlett_x2,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM agg
+"""

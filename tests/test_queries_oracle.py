@@ -74,6 +74,7 @@ SQL_CHECKED = [
     "orders_daily_durbin_watson", "events_poisson_gof",
     "domain_boilerplate_share", "crawl_frontier_shards",
     "events_wilcoxon_signed_rank", "events_dwell_by_type",
+    "extract_error_rates", "orders_weekday_bartlett",
     "dedup_minhash_md5", "dedup_simhash_md5",
     "orders_daily_ewma", "orders_daily_hurst",
     "events_logrank_cohorts", "doc_vocab_cmh",
