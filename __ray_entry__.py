@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dwell_by_type": streaming.events_dwell_by_type,
         "extract_error_rates": extract_checks.extract_error_rates,
         "orders_weekday_bartlett": relational.orders_weekday_bartlett,
+        "dedup_cdc_chunks": curation.dedup_cdc_chunks,
         # oracle-backed (new in round 4, continuation-session-16 block):
         "dedup_minhash_md5": dedup.dedup_minhash_md5,
         "dedup_simhash_md5": dedup.dedup_simhash_md5,
@@ -616,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_error_rates": extract_checks.EXTRACT_ERROR_RATES_SQL,
         "orders_weekday_bartlett":
             relational.ORDERS_WEEKDAY_BARTLETT_SQL,
+        "dedup_cdc_chunks": curation.DEDUP_CDC_CHUNKS_SQL,
         "dedup_minhash_md5": dedup.DEDUP_MINHASH_MD5_SQL,
         "dedup_simhash_md5": dedup.DEDUP_SIMHASH_MD5_SQL,
         "orders_daily_ewma": relational.ORDERS_DAILY_EWMA_SQL,

@@ -3633,3 +3633,124 @@ SELECT source, nn AS n_shingles, v AS n_types, v1, v2,
 FROM s
 ORDER BY source
 """
+
+
+def dedup_cdc_chunks(sf_dir: str, mod: int = 8) -> pd.DataFrame:
+    """Content-defined-chunking dedup profile — the storage/crawl dedup
+    classic (LBFS/rsync family): chunk boundaries are declared wherever a
+    TOKEN'S content hash satisfies ``md5 % mod == 0``, so boundaries move
+    WITH the content. Fixed k-token chunking (chunk_dedup_stats) loses
+    every downstream chunk to one token inserted upstream; CDC re-syncs at
+    the next content boundary, which is why crawl stores dedup re-crawled
+    pages with small edits at ~1/mod granularity. Reports per document the
+    chunk count and how many of its chunk instances occur elsewhere in
+    the corpus (identical text in a different doc, or a repeat in the
+    same doc).
+
+    Plan: chunking is per-doc-local (one map_batches pass — boundary
+    flags from md5 over the batch's UNIQUE tokens, chunk hashes by the
+    positional-polynomial fold over token hashes, all vectorized with
+    reduceat; no chunk string is ever built); then the chunk_dedup_stats
+    two-exchange plan: (doc, chunk-hash, multiplicity) triples bucketed by
+    hash for the global count, per-doc rollup re-bucketed by doc. Hashed
+    chunks equal string chunks up to ~2^-64 collisions — the oracle
+    aggregates the literal chunk STRINGS, so a chunker regression (wrong
+    boundary, dropped token, order swap) breaks the hash match."""
+    from .dedup import _md5_lower64
+
+    ds = _docs(sf_dir)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        ex = toks.explode()
+        n = len(ex)
+        if n == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "h": np.empty(0, np.int64)})
+        row = ex.index.to_numpy()
+        tokens = ex.to_numpy(object)
+        uniq, inv = np.unique(tokens, return_inverse=True)
+        flag = (_md5_lower64(uniq) % np.uint64(mod) == 0)[inv]
+        newdoc = np.concatenate(([True], row[1:] != row[:-1]))
+        start = flag | newdoc
+        seg = np.cumsum(start) - 1
+        first = np.flatnonzero(start)
+        seglen = np.diff(np.append(first, n))
+        pos = np.arange(n, dtype=np.int64) - first[seg]
+        expo = seglen[seg] - 1 - pos
+        h = fast_token_hash(tokens)
+        maxlen = int(seglen.max())
+        pw = np.empty(maxlen, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(1, maxlen):
+                pw[j] = pw[j - 1] * _BASE
+            acc = h * pw[expo]
+            segh = np.add.reduceat(acc, first)
+        doc = df["doc_id"].to_numpy(np.int64)[row[first]]
+        return pd.DataFrame({"doc_id": doc,
+                             "h": segh.astype(np.int64)})
+
+    pairs_ds = ds.map_batches(pairs, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_id", "h"], sort=False).size().reset_index(
+            name="m")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h")["m"].transform("sum")
+        dup = (tot > 1).to_numpy()
+        m = g["m"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_chunks": m,
+            "n_dup_chunks": np.where(dup, m, 0),
+        })
+        return out.groupby("doc_id", as_index=False).sum()
+
+    per_bucket = bucketed_combine(pairs_ds, "h", partial, combine,
+                                  num_buckets=16, coalesce_blocks=4)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False).sum()
+        s["dup_frac"] = round_away(
+            s.n_dup_chunks.to_numpy(np.float64)
+            / s.n_chunks.to_numpy(np.float64), 6)
+        return s
+
+    out = bucketed_combine(per_bucket, "doc_id", lambda df: df, final,
+                           num_buckets=16, coalesce_blocks=4).to_pandas()
+    return typed_out(out, {"doc_id": "int64", "n_chunks": "int64",
+                           "n_dup_chunks": "int64", "dup_frac": "float64"},
+                     sort_by="doc_id")
+
+
+DEDUP_CDC_CHUNKS_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, u.x.w AS w, u.x.i AS i
+  FROM tok, UNNEST(list_transform(toks, (x, i) -> {'w': x, 'i': i}))
+       AS u(x)
+), cid AS (
+  SELECT doc_id, w, i,
+         SUM(CASE WHEN md5_number_lower(w) % 8 = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS c
+  FROM t
+), chunks AS (
+  SELECT doc_id, c, STRING_AGG(w, ' ' ORDER BY i) AS chunk
+  FROM cid GROUP BY doc_id, c
+), g AS (
+  SELECT chunk, COUNT(*) AS tot FROM chunks GROUP BY 1
+)
+SELECT chunks.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN g.tot > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN g.tot > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+             6) AS dup_frac
+FROM chunks JOIN g USING (chunk)
+GROUP BY chunks.doc_id
+ORDER BY chunks.doc_id
+"""

@@ -434,3 +434,39 @@ def test_heavy_hitters_superset_under_hostile_partitioning(ray_session,
     expect = sorted(int(u) for u, c in cnt.items() if c > n / (k + 1.0))
     assert list(out.user_id) == expect
     assert list(out.n_events) == [int(cnt[u]) for u in expect]
+
+
+def test_cdc_chunks_shift_robust(ray_session, tmp_path):
+    """The CDC property fixed-width chunking lacks: inserting one token at
+    the FRONT of a document re-syncs at the next content boundary, so the
+    tail chunks still dedup against the original. With fixed k-token
+    chunks every window would shift and nothing past the insertion point
+    would match."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines.curation import (
+        dedup_cdc_chunks,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten")
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, "INSERTED " + base, "totally different words here"],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+        "n_chars": [len(base), len(base) + 9, 28],
+    })
+    pq.write_table(pa.Table.from_pandas(docs), tmp_path / "documents.parquet")
+    out = dedup_cdc_chunks(str(tmp_path))
+    out = out.set_index("doc_id")
+    # doc 1 = doc 0 with one token prepended: all of doc 0's chunks except
+    # possibly its first re-occur in doc 1 -> both docs see heavy dup mass
+    assert out.loc[0, "n_dup_chunks"] >= out.loc[0, "n_chunks"] - 1
+    assert out.loc[1, "n_dup_chunks"] >= out.loc[1, "n_chunks"] - 2
+    # the unrelated doc shares nothing
+    assert out.loc[2, "n_dup_chunks"] == 0

@@ -75,6 +75,7 @@ SQL_CHECKED = [
     "domain_boilerplate_share", "crawl_frontier_shards",
     "events_wilcoxon_signed_rank", "events_dwell_by_type",
     "extract_error_rates", "orders_weekday_bartlett",
+    "dedup_cdc_chunks",
     "dedup_minhash_md5", "dedup_simhash_md5",
     "orders_daily_ewma", "orders_daily_hurst",
     "events_logrank_cohorts", "doc_vocab_cmh",
