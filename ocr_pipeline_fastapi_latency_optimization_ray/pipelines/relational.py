@@ -5795,3 +5795,105 @@ SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_days,
        CAST(k - 1 AS BIGINT) AS dof
 FROM agg
 """
+
+
+def orders_daily_pacf(sf_dir: str) -> pd.DataFrame:
+    """Partial autocorrelations (lags 1-3, Durbin-Levinson closed forms)
+    of the zero-filled daily order-count series — the Box-Jenkins
+    order-selection companion the engine's ACF/Ljung-Box pair stops short
+    of: the ACF of an AR(1) decays at every lag, so only the PACF cutoff
+    says how many AR terms the generator actually carries.
+
+    phi_11 = rho1; phi_22 = (rho2 - rho1^2)/(1 - rho1^2);
+    phi_33 by the order-3 Durbin-Levinson ratio — all driver flops on the
+    span-bounded (day, count) fold, written as the oracle's literal
+    expressions."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df.o_orderdate.astype("int64")
+               // 86_400_000_000).astype("int64")
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame({"day": c.index.to_numpy(np.int64),
+                             "n": c.to_numpy(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas())
+    schema = {"n_days": "int64", "pacf_1": "float64", "pacf_2": "float64",
+              "pacf_3": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    lo, hi = int(out.day.min()), int(out.day.max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[out.day.to_numpy(np.int64) - lo] = out.n.to_numpy(np.int64)
+    nn = len(y)
+    if nn <= 3:
+        return typed_out(pd.DataFrame(), schema)
+    mu = float(y.sum()) / nn
+    d = y.astype(np.float64) - mu
+    denom = float(np.sum(d * d))
+    if denom <= 0:
+        return typed_out(pd.DataFrame(), schema)
+    r1 = float(np.sum(d[1:] * d[:-1])) / denom
+    r2 = float(np.sum(d[2:] * d[:-2])) / denom
+    r3 = float(np.sum(d[3:] * d[:-3])) / denom
+    p1 = r1
+    p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    # Durbin-Levinson order 3: phi_2 coefficients from order 2
+    a21 = r1 * (1.0 - p2)  # = phi_21 = r1 - p2*r1
+    p3 = (r3 - a21 * r2 - p2 * r1) / (1.0 - a21 * r1 - p2 * r2)
+    res = pd.DataFrame([{
+        "n_days": np.int64(nn),
+        "pacf_1": round_away(np.float64(p1), 6) + 0.0,
+        "pacf_2": round_away(np.float64(p2), 6) + 0.0,
+        "pacf_3": round_away(np.float64(p3), 6) + 0.0,
+    }])
+    return typed_out(res, schema)
+
+
+ORDERS_DAILY_PACF_SQL = """
+WITH b AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders HAVING COUNT(*) > 0
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), c AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT CAST(s.day AS DATE) AS day, CAST(COALESCE(c.n, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN c ON c.day = CAST(s.day AS DATE)
+), m AS (
+  SELECT SUM(y) / COUNT(*) AS mu, CAST(COUNT(*) AS BIGINT) AS nn FROM d
+), e AS (
+  SELECT d.day, d.y - m.mu AS dd FROM d CROSS JOIN m
+), den AS (
+  SELECT SUM(dd * dd) AS dn FROM e
+), rho AS (
+  SELECT l.k, SUM(e1.dd * e2.dd) / den.dn AS r
+  FROM (SELECT UNNEST(generate_series(1, 3)) AS k) l
+  CROSS JOIN den
+  CROSS JOIN e e1
+  JOIN e e2 ON e2.day = e1.day - CAST(l.k AS INTEGER)
+  GROUP BY l.k, den.dn
+), rr AS (
+  SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
+         MAX(CASE WHEN k = 2 THEN r END) AS r2,
+         MAX(CASE WHEN k = 3 THEN r END) AS r3
+  FROM rho
+), p AS (
+  SELECT r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+  FROM rr
+)
+SELECT m.nn AS n_days,
+       ROUND(r1, 6) AS pacf_1,
+       ROUND(p2, 6) AS pacf_2,
+       ROUND((r3 - (r1 * (1.0 - p2)) * r2 - p2 * r1)
+             / (1.0 - (r1 * (1.0 - p2)) * r1 - p2 * r2), 6) AS pacf_3
+FROM p CROSS JOIN m
+WHERE m.nn > 3
+"""

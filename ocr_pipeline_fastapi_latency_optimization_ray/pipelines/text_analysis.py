@@ -5834,3 +5834,108 @@ FROM cum a JOIN cum b ON b.x = a.x AND a.lang < b.lang
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def doc_stopword_coverage(sf_dir: str, topk: int = 10) -> pd.DataFrame:
+    """Per-document coverage by the language's CORPUS-DERIVED stopword
+    list — the C4/Gopher stopword gate with the list learned from the
+    data instead of hardcoded: pass 1 takes each language's ``topk`` most
+    frequent tokens (count desc, token asc tiebreak — deterministic at
+    the rank boundary); pass 2 scores every document by the fraction of
+    its tokens on its own language's list. Natural text sits in a tight
+    band; OCR noise falls below it, keyword-stuffed spam above — the gate
+    needs exactly this distribution to place its thresholds.
+
+    Plan: pass 1 is the (lang, token) count exchange collapsed to a
+    langs x topk LUT (schema-bounded, shipped into the pass-2 closure);
+    pass 2 is one zero-copy streaming pass, np.isin per language slice.
+    Nothing driver-side scales with the corpus."""
+    from ..functions.shuffle import bucketed_combine
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        flat = pa.table({
+            "lang": pc.take(t.column("lang"),
+                            pc.list_parent_indices(lists)),
+            "token": pc.list_flatten(lists),
+        }).filter(pc.not_equal(pc.field("token"), ""))
+        g = (flat.group_by(["lang", "token"])
+             .aggregate([("token", "count")]).to_pandas()
+             .rename(columns={"token_count": "n"}))
+        g["n"] = g.n.astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "token"], as_index=False,
+                         dropna=False).agg(n=("n", "sum"))
+
+    counts = bucketed_combine(ds, "token", partial, combine,
+                              num_buckets=16, coalesce_blocks=4,
+                              partial_format="pyarrow").to_pandas()
+    schema = {"doc_id": "int64", "lang": "object", "n_tokens": "int64",
+              "n_stop": "int64", "stop_frac": "float64"}
+    if counts.empty:
+        return typed_out(pd.DataFrame(), schema)
+    counts = counts.groupby(["lang", "token"], as_index=False,
+                            dropna=False).agg(n=("n", "sum"))
+    counts = counts.sort_values(["lang", "n", "token"],
+                                ascending=[True, False, True],
+                                kind="stable")
+    top = counts.groupby("lang", dropna=False).head(topk)
+    lut = {lg: frozenset(g.token) for lg, g in top.groupby("lang",
+                                                           dropna=False)}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ")
+        rows = []
+        for did, lg, tk in zip(df.doc_id.to_numpy(np.int64),
+                               df.lang.to_numpy(object), toks):
+            tk = [w for w in tk if w != ""]
+            sw = lut.get(lg, frozenset())
+            ns = sum(1 for w in tk if w in sw)
+            rows.append((did, lg, len(tk), ns))
+        out = pd.DataFrame(rows, columns=["doc_id", "lang", "n_tokens",
+                                          "n_stop"])
+        return out[out.n_tokens > 0]
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out["stop_frac"] = round_away(
+        out.n_stop.to_numpy(np.float64)
+        / out.n_tokens.to_numpy(np.float64), 6)
+    return typed_out(out, schema, sort_by="doc_id")
+
+
+DOC_STOPWORD_COVERAGE_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
+  FROM documents
+), t AS (
+  SELECT doc_id, lang, w FROM tok WHERE w <> ''
+), c AS (
+  SELECT lang, w, COUNT(*) AS n FROM t GROUP BY 1, 2
+), top AS (
+  SELECT lang, w FROM (
+    SELECT lang, w,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w ASC)
+               AS rk
+    FROM c
+  ) WHERE rk <= 10
+)
+SELECT t.doc_id, MAX(t.lang) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN top.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stop,
+       ROUND(SUM(CASE WHEN top.w IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS stop_frac
+FROM t LEFT JOIN top ON top.lang = t.lang AND top.w = t.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
