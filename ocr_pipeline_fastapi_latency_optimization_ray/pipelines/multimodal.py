@@ -101,6 +101,66 @@ def image_ahash_dedup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
                      sort_by=["media_a", "media_b"])
 
 
+# Mirror ids live above every real media_id (doc_id < 2^32 is enforced
+# elsewhere), so planted rows can never collide with corpus rows.
+AHASH_MIRROR_OFFSET = 1 << 40
+AHASH_MIRROR_EVERY = 30
+
+
+def image_ahash_dedup_mirrored(sf_dir: str,
+                               max_hamming: int = 6) -> pd.DataFrame:
+    """:func:`image_ahash_dedup` over the image table with planted
+    byte-identical re-uploads — the NON-VACUOUS driver probe for the
+    image-dedup path (the synth corpus's stub rasters are pairwise
+    independent, so the unplanted entry legitimately finds zero pairs
+    and its driver row proves nothing). Every image whose ``media_id``
+    is divisible by ``AHASH_MIRROR_EVERY`` is duplicated verbatim at
+    ``media_id + AHASH_MIRROR_OFFSET`` inside the stream (one
+    ``map_batches`` stage, batch-local, no shuffle), which MUST surface
+    as an (id, id+offset, hamming=0) pair through the full
+    decode -> ahash -> banded-LSH path. Rows-only for the driver;
+    tests/test_multimodal.py pins the planted pair set exactly."""
+    from .dedup import banded_hamming_candidates
+
+    def plant(t):
+        import pyarrow as pa
+
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        mask = ids % AHASH_MIRROR_EVERY == 0
+        if not mask.any():
+            return t
+        dup = t.filter(pa.array(mask))
+        dup = dup.set_column(
+            dup.schema.get_field_index("media_id"), "media_id",
+            pa.array(dup["media_id"].to_numpy(zero_copy_only=False)
+                     + AHASH_MIRROR_OFFSET, pa.int64()))
+        return pa.concat_tables([t, dup])
+
+    feats = (
+        _kind(media_dataset(sf_dir), "image")
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(
+            ImageFeaturizer,
+            batch_format="pyarrow",
+            batch_size=DEFAULT_MEDIA_BATCH,
+            concurrency=(2, 8),
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_null(t["error"])).select(
+                ["media_id", "ahash"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = banded_hamming_candidates(feats, max_hamming,
+                                    id_col="media_id", sig_col="ahash")
+    out = out.rename(columns={"doc_a": "media_a", "doc_b": "media_b"})
+    from ..functions.frames import typed_out
+
+    return typed_out(out, {"media_a": "int64", "media_b": "int64",
+                           "hamming": "int64"},
+                     sort_by=["media_a", "media_b"])
+
+
 def image_phash_dedup(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
     """Near-duplicate image pairs by DCT perceptual-hash (pHash) distance
     — the robust tier above :func:`image_ahash_dedup`: aHash thresholds

@@ -171,6 +171,33 @@ def test_image_ahash_dedup_runs_and_deterministic(ray_session):
         assert (out1.hamming <= 6).all() and (out1.media_a < out1.media_b).all()
 
 
+def test_image_ahash_dedup_mirrored_finds_planted_pairs(ray_session):
+    """The mirrored probe MUST surface every planted byte-identical
+    re-upload as an (id, id + offset, hamming=0) pair through the full
+    decode -> ahash -> banded-LSH path, and any extra pair must respect
+    the hamming threshold."""
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_fastapi_latency_optimization_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    out = multimodal.image_ahash_dedup_mirrored(sf)
+    doc_ids = pq.read_table(f"{sf}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    planted = {
+        (d, d + multimodal.AHASH_MIRROR_OFFSET)
+        for d in doc_ids
+        if d % 3 == 0 and d % multimodal.AHASH_MIRROR_EVERY == 0
+    }
+    assert planted, "fixture must contain at least one planted pair"
+    got = set(zip(out.media_a.tolist(), out.media_b.tolist()))
+    missing = planted - got
+    assert not missing, f"planted pairs not found: {sorted(missing)[:5]}"
+    zero = out.set_index(["media_a", "media_b"]).hamming
+    assert all(zero.loc[p] == 0 for p in planted)
+    assert (out.hamming <= 6).all() and (out.media_a < out.media_b).all()
+
+
 def test_video_scene_cuts_boundaries_and_counts(ray_session):
     """Stub frames are independent random rasters (hamming ~32 between any
     two), so the cut threshold is pinned at its extremes: max_hamming=64

@@ -220,7 +220,7 @@ ROWS_ONLY = [
     "extract_pages", "extract_metrics", "doc_fingerprint",
     "dedup_minhash", "doc_simhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
-    "image_ahash_dedup",
+    "image_ahash_dedup", "image_ahash_dedup_mirrored",
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
