@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed (new in round 4, continuation-session-18 block):
         "orders_daily_pacf": relational.orders_daily_pacf,
         "doc_stopword_coverage": text_analysis.doc_stopword_coverage,
+        "crawl_politeness_gaps": extract_checks.crawl_politeness_gaps,
         # oracle-backed (new in round 4, continuation-session-17 block):
         "shingle_good_turing": curation.shingle_good_turing,
         "shingle_chao1_ace": curation.shingle_chao1_ace,
@@ -610,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "orders_daily_pacf": relational.ORDERS_DAILY_PACF_SQL,
+        "crawl_politeness_gaps":
+            extract_checks.CRAWL_POLITENESS_GAPS_SQL,
         "doc_stopword_coverage": text_analysis.DOC_STOPWORD_COVERAGE_SQL,
         "shingle_good_turing": curation.SHINGLE_GOOD_TURING_SQL,
         "shingle_chao1_ace": curation.SHINGLE_CHAO1_ACE_SQL,

@@ -1609,3 +1609,84 @@ FROM k
 GROUP BY payload_kind
 ORDER BY payload_kind
 """
+
+
+def crawl_politeness_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-host inter-fetch gap statistics — the crawl-scheduler politeness
+    audit (a crawler must bound how often it hits one host; the min/max
+    gap between consecutive ``warc_ts`` fetches per domain is exactly what
+    a politeness budget is written against, reference analog: the
+    service's host-level rate limiting is a non-goal G5, but the AUDIT of
+    fetch spacing is pure data processing and lives here).
+
+    The engine genuinely parses the host out of ``url`` with a vectorized
+    Arrow regex and reads ``warc_ts``; the oracle reproduces the
+    generator's closed forms (sources/synth.py:build_page_row:
+    ``site{rid%97}.example``, ``ts_s=(rid*1_000_003)%31_536_000``) with
+    integer arithmetic, so a url-parse or timestamp regression breaks the
+    hash match. Only hosts with >= 2 fetches appear (a single fetch has
+    no gap).
+
+    Plan: one fixed-width (domain, ts_s) exchange bucketed by domain
+    (each host lands whole in ONE bucket, so the per-host sorted diff is
+    exact in-bucket); per-bucket combine sorts and diffs vectorized.
+    Driver holds <= 97 rows. At 100 TB the exchange moves two integers a
+    row — the text/html payload never shuffles."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.frames import typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        dom = pc.extract_regex(t["url"], r"^https://(?P<d>[^/]+)/")
+        ts_s = (t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 1_000_000)
+        return pd.DataFrame({
+            "domain": pc.struct_field(dom, "d").to_pandas().to_numpy(object),
+            "ts_s": ts_s.astype(np.int64),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dom, grp in g.groupby("domain", sort=True):
+            ts = np.sort(grp.ts_s.to_numpy(np.int64))
+            if len(ts) < 2:
+                continue
+            gaps = np.diff(ts)
+            rows.append((dom, np.int64(len(ts)),
+                         np.int64(gaps.min()), np.int64(gaps.max())))
+        return pd.DataFrame(rows, columns=["domain", "n_fetches",
+                                           "min_gap_s", "max_gap_s"])
+
+    out = bucketed_combine(pages.select_columns(["url", "warc_ts"]),
+                           "domain", partial, combine,
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    schema = {"domain": "object", "n_fetches": "int64",
+              "min_gap_s": "int64", "max_gap_s": "int64"}
+    return typed_out(out, schema, sort_by="domain")
+
+
+CRAWL_POLITENESS_GAPS_SQL = """
+WITH p AS (
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+         (doc_id * 1000003) % 31536000 AS ts_s
+  FROM documents
+), g AS (
+  SELECT domain,
+         ts_s - LAG(ts_s) OVER (PARTITION BY domain ORDER BY ts_s) AS gap
+  FROM p
+)
+SELECT domain, CAST(COUNT(*) + 1 AS BIGINT) AS n_fetches,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_s
+FROM g
+WHERE gap IS NOT NULL
+GROUP BY domain
+ORDER BY domain
+"""
