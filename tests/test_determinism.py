@@ -16,6 +16,10 @@ SF = "/root/testdata/sf0.001"
 #   joins with local top-k, driver-folded co-moments, windowed sums,
 #   decayed aggregates, tiled matmul, PCA projection
 DETERMINISM_QUERIES = [
+    "orders_daily_pacf",
+    "doc_stopword_coverage",
+    "crawl_politeness_gaps",
+    "image_ahash_dedup_mirrored",
     "events_purchase_did",
     "corpus_stratified_mean",
     "doc_vocab_partial_corr",
