@@ -5891,20 +5891,39 @@ def doc_stopword_coverage(sf_dir: str, topk: int = 10) -> pd.DataFrame:
     lut = {lg: frozenset(g.token) for lg, g in top.groupby("lang",
                                                            dropna=False)}
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.split(" ")
-        rows = []
-        for did, lg, tk in zip(df.doc_id.to_numpy(np.int64),
-                               df.lang.to_numpy(object), toks):
-            tk = [w for w in tk if w != ""]
-            sw = lut.get(lg, frozenset())
-            ns = sum(1 for w in tk if w in sw)
-            rows.append((did, lg, len(tk), ns))
-        out = pd.DataFrame(rows, columns=["doc_id", "lang", "n_tokens",
-                                          "n_stop"])
+    # per-lang sorted arrays for np.isin (the LUT is langs x topk — tiny,
+    # shipped once per task in the closure)
+    lut_arr = {lg: np.array(sorted(sw), dtype=object)
+               for lg, sw in lut.items()}
+
+    def score(t) -> pd.DataFrame:
+        # fully vectorized: flatten tokens once, membership per language
+        # slice, fold back per doc with bincount — no Python row loop on
+        # the full-text scan
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern(pc.coalesce(t.column("text"), ""), " ")
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        toks = np.asarray(pc.list_flatten(lists).to_pandas(), dtype=object)
+        langs = np.asarray(t.column("lang").to_pandas(), dtype=object)
+        n = len(langs)
+        nonempty = toks != ""
+        n_tokens = np.bincount(par[nonempty], minlength=n).astype(np.int64)
+        tok_lang = langs[par] if len(par) else np.array([], dtype=object)
+        is_stop = np.zeros(len(toks), dtype=bool)
+        for lg, arr in lut_arr.items():
+            m = nonempty & (tok_lang == lg)
+            if m.any():
+                is_stop[m] = np.isin(toks[m], arr)
+        n_stop = np.bincount(par[is_stop], minlength=n).astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "lang": langs, "n_tokens": n_tokens, "n_stop": n_stop,
+        })
         return out[out.n_tokens > 0]
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     if out.empty:
         return typed_out(pd.DataFrame(), schema)
     out["stop_frac"] = round_away(
