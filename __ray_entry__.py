@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 329 entries, 292 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 330 entries, 293 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_daily_pacf": relational.orders_daily_pacf,
         "doc_stopword_coverage": text_analysis.doc_stopword_coverage,
         "crawl_politeness_gaps": extract_checks.crawl_politeness_gaps,
+        "domain_lang_entropy": extract_checks.domain_lang_entropy,
         # oracle-backed (new in round 4, continuation-session-17 block):
         "shingle_good_turing": curation.shingle_good_turing,
         "shingle_chao1_ace": curation.shingle_chao1_ace,
@@ -613,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_daily_pacf": relational.ORDERS_DAILY_PACF_SQL,
         "crawl_politeness_gaps":
             extract_checks.CRAWL_POLITENESS_GAPS_SQL,
+        "domain_lang_entropy": extract_checks.DOMAIN_LANG_ENTROPY_SQL,
         "doc_stopword_coverage": text_analysis.DOC_STOPWORD_COVERAGE_SQL,
         "shingle_good_turing": curation.SHINGLE_GOOD_TURING_SQL,
         "shingle_chao1_ace": curation.SHINGLE_CHAO1_ACE_SQL,

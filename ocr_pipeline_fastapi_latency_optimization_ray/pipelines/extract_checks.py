@@ -1690,3 +1690,79 @@ WHERE gap IS NOT NULL
 GROUP BY domain
 ORDER BY domain
 """
+
+
+def domain_lang_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (bits) of each host's language mix — the crawl
+    steering metric :func:`extract_domain_stats` stops short of: two
+    hosts with ``n_langs=5`` are very different targets when one is 96%
+    single-language with trace noise and the other is a uniform
+    five-language portal; the entropy separates them where the distinct
+    count cannot (language-targeted recrawl budgets and lang-ID QA both
+    threshold exactly this).
+
+    Same exchange shape as the domain rollup: per-batch (domain, lang)
+    partial counts from the REAL Arrow url parse, domain-bucketed combine
+    to <= 97 x n_langs cells, entropy folded per domain in-bucket. The
+    oracle reproduces the generator's closed-form domain with integer
+    arithmetic, so a url-parse regression breaks the hash match."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.frames import round_away, typed_out
+    from ..functions.shuffle import bucketed_combine
+
+    pages = _docs(sf_dir).map_batches(
+        lambda b: pages_from_documents(b, repeat=1), batch_format="pyarrow"
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        dom = pc.extract_regex(t["url"], r"^https://(?P<d>[^/]+)/")
+        df = pd.DataFrame({
+            "domain": pc.struct_field(dom, "d").to_pandas().to_numpy(object),
+            "lang": t["lang"].to_pandas().to_numpy(object),
+        })
+        g = df.groupby(["domain", "lang"], as_index=False).size()
+        g["m"] = g.pop("size").astype("int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["domain", "lang"], as_index=False).agg(m=("m", "sum"))
+        rows = []
+        for dom, grp in c.groupby("domain", sort=True):
+            m = grp.m.to_numpy(np.float64)
+            n = m.sum()
+            p = m / n
+            rows.append((dom, np.int64(n), np.int64(len(m)),
+                         float(-(p * np.log2(p)).sum())))
+        return pd.DataFrame(rows, columns=["domain", "n_pages", "n_langs",
+                                           "lang_entropy"])
+
+    out = bucketed_combine(pages.select_columns(["url", "lang"]),
+                           "domain", partial, combine,
+                           num_buckets=16, coalesce_blocks=4,
+                           partial_format="pyarrow").to_pandas()
+    schema = {"domain": "object", "n_pages": "int64", "n_langs": "int64",
+              "lang_entropy": "float64"}
+    if out.empty:
+        return typed_out(pd.DataFrame(), schema)
+    out["lang_entropy"] = round_away(
+        out.lang_entropy.to_numpy(np.float64), 6)
+    return typed_out(out, schema, sort_by="domain")
+
+
+DOMAIN_LANG_ENTROPY_SQL = """
+WITH c AS (
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
+         lang, COUNT(*) AS m
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT domain, SUM(m) AS n FROM c GROUP BY 1
+)
+SELECT c.domain, CAST(tot.n AS BIGINT) AS n_pages,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       ROUND(-SUM((m * 1.0 / n) * LOG2(m * 1.0 / n)), 6) AS lang_entropy
+FROM c JOIN tot USING (domain)
+GROUP BY c.domain, tot.n
+ORDER BY c.domain
+"""

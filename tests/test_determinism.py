@@ -19,6 +19,7 @@ DETERMINISM_QUERIES = [
     "orders_daily_pacf",
     "doc_stopword_coverage",
     "crawl_politeness_gaps",
+    "domain_lang_entropy",
     "image_ahash_dedup_mirrored",
     "events_purchase_did",
     "corpus_stratified_mean",

@@ -70,6 +70,7 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 SQL_CHECKED = [
     "orders_daily_pacf", "doc_stopword_coverage", "crawl_politeness_gaps",
+    "domain_lang_entropy",
     "shingle_good_turing", "shingle_chao1_ace",
     "source_shingle_productivity", "doc_length_cvm_pairs",
     "orders_daily_durbin_watson", "events_poisson_gof",
