@@ -1624,8 +1624,14 @@ def crawl_politeness_gaps(sf_dir: str) -> pd.DataFrame:
     generator's closed forms (sources/synth.py:build_page_row:
     ``site{rid%97}.example``, ``ts_s=(rid*1_000_003)%31_536_000``) with
     integer arithmetic, so a url-parse or timestamp regression breaks the
-    hash match. Only hosts with >= 2 fetches appear (a single fetch has
-    no gap).
+    hash match. CAVEAT (round-4 ADVICE): the engine's ts_s additionally
+    carries the generator's ``_EPOCH_2024_US`` offset that the oracle
+    omits — the constant CANCELS in consecutive-fetch diffs, which is why
+    the hash matches, but ONLY diff-invariant statistics may ever be
+    added to this operator/oracle pair; a column derived from absolute
+    ts_s (first/last fetch time, hour-of-day, …) would silently break
+    against this oracle and needs the epoch added on the SQL side. Only
+    hosts with >= 2 fetches appear (a single fetch has no gap).
 
     Plan: one fixed-width (domain, ts_s) exchange bucketed by domain
     (each host lands whole in ONE bucket, so the per-host sorted diff is
@@ -1674,6 +1680,8 @@ def crawl_politeness_gaps(sf_dir: str) -> pd.DataFrame:
 
 CRAWL_POLITENESS_GAPS_SQL = """
 WITH p AS (
+  -- NOTE: engine ts_s = this value + _EPOCH_2024_US//1e6; the offset
+  -- cancels in the LAG diffs below. Diff-invariant statistics ONLY.
   SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS domain,
          (doc_id * 1000003) % 31536000 AS ts_s
   FROM documents

@@ -5839,6 +5839,11 @@ def orders_daily_pacf(sf_dir: str) -> pd.DataFrame:
     r1 = float(np.sum(d[1:] * d[:-1])) / denom
     r2 = float(np.sum(d[2:] * d[:-2])) / denom
     r3 = float(np.sum(d[3:] * d[:-3])) / denom
+    if abs(r1) >= 1.0:
+        # perfectly (anti)correlated series: 1 - r1^2 = 0, phi_22
+        # undefined — zero rows, mirrored by the oracle's ABS(r1) < 1
+        # filter (round-4 ADVICE)
+        return typed_out(pd.DataFrame(), schema)
     p1 = r1
     p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
     # Durbin-Levinson order 3: phi_2 coefficients from order 2
@@ -5871,7 +5876,10 @@ WITH b AS (
 ), e AS (
   SELECT d.day, d.y - m.mu AS dd FROM d CROSS JOIN m
 ), den AS (
-  SELECT SUM(dd * dd) AS dn FROM e
+  -- degenerate constant series: dn = 0 divides in the engine are guarded
+  -- to zero rows; HAVING makes den empty so rho/rr/p yield NULLs that the
+  -- final ABS(r1) < 1 predicate then drops (both sides return 0 rows)
+  SELECT SUM(dd * dd) AS dn FROM e HAVING SUM(dd * dd) > 0
 ), rho AS (
   SELECT l.k, SUM(e1.dd * e2.dd) / den.dn AS r
   FROM (SELECT UNNEST(generate_series(1, 3)) AS k) l
@@ -5895,5 +5903,5 @@ SELECT m.nn AS n_days,
        ROUND((r3 - (r1 * (1.0 - p2)) * r2 - p2 * r1)
              / (1.0 - (r1 * (1.0 - p2)) * r1 - p2 * r2), 6) AS pacf_3
 FROM p CROSS JOIN m
-WHERE m.nn > 3
+WHERE m.nn > 3 AND ABS(r1) < 1
 """

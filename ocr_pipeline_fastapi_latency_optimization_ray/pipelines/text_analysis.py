@@ -5836,7 +5836,13 @@ ORDER BY 1, 2
 """
 
 
-def doc_stopword_coverage(sf_dir: str, topk: int = 10) -> pd.DataFrame:
+# shared by doc_stopword_coverage and its SQL oracle so the two can never
+# diverge on the list size (round-4 ADVICE: the SQL used to hardcode 10
+# while the function took a parameter)
+STOPWORD_TOPK = 10
+
+
+def doc_stopword_coverage(sf_dir: str, topk: int = STOPWORD_TOPK) -> pd.DataFrame:
     """Per-document coverage by the language's CORPUS-DERIVED stopword
     list — the C4/Gopher stopword gate with the list learned from the
     data instead of hardcoded: pass 1 takes each language's ``topk`` most
@@ -5846,10 +5852,17 @@ def doc_stopword_coverage(sf_dir: str, topk: int = 10) -> pd.DataFrame:
     band; OCR noise falls below it, keyword-stuffed spam above — the gate
     needs exactly this distribution to place its thresholds.
 
-    Plan: pass 1 is the (lang, token) count exchange collapsed to a
-    langs x topk LUT (schema-bounded, shipped into the pass-2 closure);
-    pass 2 is one zero-copy streaming pass, np.isin per language slice.
-    Nothing driver-side scales with the corpus."""
+    Plan: pass 1 is the (lang, token) count exchange, with the top-k
+    CUT INSIDE each bucket's combine — a (lang, token) pair lives wholly
+    in one bucket (bucketing hashes the token), so if a pair is in the
+    global per-lang top-k it ranks <= topk inside its own bucket under
+    the same (count desc, token asc) order; the union of per-bucket
+    per-lang top-k therefore contains the global top-k EXACTLY. The
+    driver receives at most num_buckets x langs x topk rows and takes
+    the final head — nothing driver-side scales with the corpus
+    vocabulary (round-4 ADVICE: the collapse used to happen after
+    materializing the full vocab table). Pass 2 is one zero-copy
+    streaming pass, np.isin per language slice against the tiny LUT."""
     from ..functions.shuffle import bucketed_combine
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -5872,8 +5885,14 @@ def doc_stopword_coverage(sf_dir: str, topk: int = 10) -> pd.DataFrame:
         return g
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["lang", "token"], as_index=False,
-                         dropna=False).agg(n=("n", "sum"))
+        # sum this bucket's partials, then cut to per-lang top-k HERE —
+        # the pair's full global count is in this bucket, so the cut is
+        # exact and the driver exchange is bounded by buckets x langs x k
+        g = g.groupby(["lang", "token"], as_index=False,
+                      dropna=False).agg(n=("n", "sum"))
+        g = g.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True], kind="stable")
+        return g.groupby("lang", dropna=False).head(topk)
 
     counts = bucketed_combine(ds, "token", partial, combine,
                               num_buckets=16, coalesce_blocks=4,
@@ -5882,8 +5901,8 @@ def doc_stopword_coverage(sf_dir: str, topk: int = 10) -> pd.DataFrame:
               "n_stop": "int64", "stop_frac": "float64"}
     if counts.empty:
         return typed_out(pd.DataFrame(), schema)
-    counts = counts.groupby(["lang", "token"], as_index=False,
-                            dropna=False).agg(n=("n", "sum"))
+    # final exact head over the bounded union (counts are already global
+    # per pair — no re-sum needed, each pair appeared in exactly one bucket)
     counts = counts.sort_values(["lang", "n", "token"],
                                 ascending=[True, False, True],
                                 kind="stable")
@@ -5932,7 +5951,9 @@ def doc_stopword_coverage(sf_dir: str, topk: int = 10) -> pd.DataFrame:
     return typed_out(out, schema, sort_by="doc_id")
 
 
-DOC_STOPWORD_COVERAGE_SQL = """
+# f-string on STOPWORD_TOPK: the oracle's rank cut and the engine's
+# default topk come from the same module constant
+DOC_STOPWORD_COVERAGE_SQL = f"""
 WITH tok AS (
   SELECT doc_id, lang, UNNEST(string_split(COALESCE(text, ''), ' ')) AS w
   FROM documents
@@ -5946,7 +5967,7 @@ WITH tok AS (
            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w ASC)
                AS rk
     FROM c
-  ) WHERE rk <= 10
+  ) WHERE rk <= {STOPWORD_TOPK}
 )
 SELECT t.doc_id, MAX(t.lang) AS lang,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
