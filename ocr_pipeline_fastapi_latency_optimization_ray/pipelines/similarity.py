@@ -12,6 +12,8 @@ and DuckDB sides so value-hash comparison is stable.
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import pandas as pd
 
@@ -20,9 +22,81 @@ import ray.data
 
 from ..functions.frames import round_away
 
+# Driver-checkable oracle surface for the approximate ANN tiers (round-4
+# VERDICT next-#3): each probe stage tees its SURVIVING CANDIDATE rows
+# (vec_id + exact cosine) to parquet, and the SQL oracle re-ranks exactly
+# that candidate set with DuckDB's own cosine over the embeddings view —
+# proving the exact-re-rank contract ("returned cosines are true values,
+# only recall is approximate") independently. pid-keyed like
+# extract_checks.SPANS_ROUNDTRIP_DIR. The sink is the audit artifact: it
+# scales with the candidate count (bounded per batch), and a production
+# 100 TB run would disable it — the query path itself never reads it
+# except for the bounded local-top-k second pass.
+ANN_LSH_CAND_DIR = f"/tmp/ray_ann_lsh_cands_{_os.getpid()}"
+ANN_PQ_CAND_DIR = f"/tmp/ray_ann_pq_cands_{_os.getpid()}"
+ANN_IVF_CAND_DIR = f"/tmp/ray_ann_ivf_cands_{_os.getpid()}"
+
 
 def _l2norm(mat: np.ndarray) -> np.ndarray:
     return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+
+
+def _empty_cands() -> pd.DataFrame:
+    return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                         "cosine": pd.Series([], dtype="float64")})
+
+
+def _topk_via_cand_sink(cand_ds, sink_dir: str, k: int) -> pd.DataFrame:
+    """Write the candidate (vec_id, cosine) stream to ``sink_dir``, then
+    compute the global top-k from the READ-BACK files (local top-k per
+    block, tiny global merge) — the ranked rows the caller returns come
+    from the same bytes the oracle audits."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    cand_ds.write_parquet(sink_dir)
+    if not glob.glob(f"{sink_dir}/*.parquet"):
+        _os.makedirs(sink_dir, exist_ok=True)
+        pq.write_table(schema.empty_table(), f"{sink_dir}/empty.parquet")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # explicit (cosine desc, vec_id asc) so block-boundary ties break
+        # identically to the oracle's ORDER BY
+        return df.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True]).head(k)
+
+    return (ray.data.read_parquet(sink_dir)
+            .map_batches(local_topk, batch_format="pandas").to_pandas())
+
+
+def _ann_cand_rerank_sql(sink_dir: str, k: int, query_vec_id: int = 0) -> str:
+    """Exact-cosine re-rank of the engine's persisted candidate set —
+    DuckDB recomputes every cosine from the embeddings view (the stored
+    engine cosine is deliberately ignored) and takes the same
+    (cosine desc, vec_id asc) top-k."""
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {query_vec_id}
+), c AS (
+  SELECT DISTINCT vec_id FROM read_parquet('{sink_dir}/*.parquet')
+)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+FROM embeddings e JOIN c ON c.vec_id = e.vec_id, q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+LIMIT {k}
+"""
+
+
+ANN_LSH_TOPK_SQL = _ann_cand_rerank_sql(ANN_LSH_CAND_DIR, 10)
+ANN_PQ_TOPK_SQL = _ann_cand_rerank_sql(ANN_PQ_CAND_DIR, 10)
+ANN_IVF_TOPK_SQL = _ann_cand_rerank_sql(ANN_IVF_CAND_DIR, 10)
 
 
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
@@ -166,12 +240,17 @@ def ann_ivf_topk(
         mask = np.isin(lists, probes)
         mask &= (df["vec_id"] != query_vec_id).values
         if not mask.any():
-            return pd.DataFrame({"vec_id": [], "cosine": []})
+            return _empty_cands()
         cos = _l2norm(mat[mask]) @ qv
-        out = pd.DataFrame({"vec_id": df["vec_id"].values[mask], "cosine": cos})
-        return out.nlargest(k, "cosine")
+        # ALL surviving candidates with exact cosine — the driver-audit
+        # surface; top-k happens over the persisted files
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64)[mask],
+             "cosine": cos})
 
-    out = ds.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    out = _topk_via_cand_sink(
+        ds.map_batches(probe_batch, batch_format="pandas"),
+        ANN_IVF_CAND_DIR, k)
     if out.empty:
         return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
     out = out.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -298,13 +377,16 @@ def ann_pq_topk(
         cand = np.argpartition(-approx, n_cand - 1)[:n_cand]
         cand = cand[np.isfinite(approx[cand])]
         if not len(cand):
-            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
+            return _empty_cands()
         cos = _l2norm(mat[cand]) @ qv  # exact re-rank, candidates only
-        out = pd.DataFrame({"vec_id": df["vec_id"].values[cand], "cosine": cos})
-        return out.nlargest(k, "cosine")
+        # the <= cand_per_batch re-ranked rows ARE the audit surface
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64)[cand],
+             "cosine": cos})
 
-    out = ds.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    out = _topk_via_cand_sink(
+        ds.map_batches(probe_batch, batch_format="pandas"),
+        ANN_PQ_CAND_DIR, k)
     if out.empty:
         return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
     out = out.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -381,13 +463,16 @@ def ann_lsh_topk(
         mask = np.isin(sigs, probe_sigs).any(axis=1)
         mask &= (df["vec_id"] != query_vec_id).values
         if not mask.any():
-            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
+            return _empty_cands()
         cos = _l2norm(mat[mask]) @ qv
-        out = pd.DataFrame({"vec_id": df["vec_id"].values[mask], "cosine": cos})
-        return out.nlargest(k, "cosine")
+        # ALL probe survivors with exact cosine — the driver-audit surface
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64)[mask],
+             "cosine": cos})
 
-    out = ds.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    out = _topk_via_cand_sink(
+        ds.map_batches(probe_batch, batch_format="pandas"),
+        ANN_LSH_CAND_DIR, k)
     if out.empty:
         return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
     out = out.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)

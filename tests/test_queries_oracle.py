@@ -69,6 +69,9 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 
 SQL_CHECKED = [
+    # newly oracle-backed (round-5): sig-sink / candidate-sink audits
+    "image_ahash_dedup_mirrored", "image_phash_dedup_mirrored",
+    "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk", "bpe_word_counts",
     "orders_daily_pacf", "doc_stopword_coverage", "crawl_politeness_gaps",
     "domain_lang_entropy",
     "shingle_good_turing", "shingle_chao1_ace",
@@ -220,8 +223,8 @@ def test_query_matches_oracle(entry_mod, ddb, name):
 ROWS_ONLY = [
     "extract_pages", "extract_metrics", "doc_fingerprint",
     "dedup_minhash", "doc_simhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
-    "image_ahash_dedup", "image_ahash_dedup_mirrored",
+    "dedup_embedding_cosine",
+    "image_ahash_dedup",
     "extract_pages_visual", "extract_job_lineage",
     "image_features", "audio_features", "video_frame_hashes",
     "events_distinct_users_hll", "dedup_streaming_stats",
