@@ -16,6 +16,7 @@ import os as _os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -41,9 +42,45 @@ def _l2norm(mat: np.ndarray) -> np.ndarray:
     return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
 
 
+def _emb_mat(t) -> np.ndarray:
+    """Float64 matrix from a pyarrow batch's ``embedding`` list column
+    WITHOUT per-row Python boxing (round-4 VERDICT next-#6): the flat
+    float32 values buffer is viewed as numpy zero-copy and reshaped on
+    the fixed embedding dim; the only copy is the float64 upcast the
+    math needs (bitwise identical to the old np.stack-of-lists path)."""
+    emb = t["embedding"].combine_chunks()
+    n = len(emb)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, flat.size // n).astype(np.float64)
+
+
+def _emb_batch(t) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, float64 matrix) from a pyarrow batch — see _emb_mat."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                            copy=False)
+    return ids, _emb_mat(t)
+
+
 def _empty_cands() -> pd.DataFrame:
     return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                          "cosine": pd.Series([], dtype="float64")})
+
+
+def _reset_cand_sink(sink_dir: str) -> None:
+    """Leave ``sink_dir`` holding exactly one empty candidate file — the
+    no-candidates audit surface for the early-return paths (missing query
+    id / empty corpus), so the SQL oracle's read_parquet never sees a
+    missing directory or a stale previous run."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    _os.makedirs(sink_dir, exist_ok=True)
+    pq.write_table(schema.empty_table(), f"{sink_dir}/empty.parquet")
 
 
 def _topk_via_cand_sink(cand_ds, sink_dir: str, k: int) -> pd.DataFrame:
@@ -129,16 +166,16 @@ def ann_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def score_batch(t) -> pd.DataFrame:
         qv = ray.get(q_ref)
-        mat = np.stack(df["embedding"].values).astype(np.float64)
+        ids, mat = _emb_batch(t)
         cos = _l2norm(mat) @ qv
-        out = pd.DataFrame({"vec_id": df["vec_id"].values, "cosine": cos})
-        out = out[out.vec_id != query_vec_id]
+        keep = ids != query_vec_id
+        out = pd.DataFrame({"vec_id": ids[keep], "cosine": cos[keep]})
         # local top-k: global merge only sees k rows per batch
         return out.nlargest(k, "cosine")
 
-    out = ds.map_batches(score_batch, batch_format="pandas").to_pandas()
+    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
     if out.empty:
         return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
     out = out.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -198,16 +235,18 @@ def ann_ivf_topk(
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     rate = max(1, n_rows // 512)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy(np.uint64)
+    def pick(t: "pa.Table") -> "pa.Table":
+        # Arrow-native sample filter: ~99.8% of rows are dropped, so the
+        # batch must not round-trip through pandas just to be filtered
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
-        return df.loc[keep, ["vec_id", "embedding"]]
+        return t.select(["vec_id", "embedding"]).filter(pa.array(keep))
 
     sample_df = (
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        .map_batches(pick, batch_format="pandas")
+        .map_batches(pick, batch_format="pyarrow")
         .to_pandas()
     )
     if not sample_df.empty:
@@ -218,6 +257,7 @@ def ann_ivf_topk(
 
     qvec = _query_vector(sf_dir, query_vec_id)
     if qvec is None or sample_df.empty:
+        _reset_cand_sink(ANN_IVF_CAND_DIR)
         return typed_out(pd.DataFrame(), {"vec_id": "int64",
                                           "cosine": "float64"})
     sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
@@ -231,25 +271,23 @@ def ann_ivf_topk(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def probe_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def probe_batch(t) -> pd.DataFrame:
         ivf = ray.get(index_ref)
         qv = ray.get(q_ref)
         probes = ray.get(probe_ref)
-        mat = np.stack(df["embedding"].values).astype(np.float64)
+        ids, mat = _emb_batch(t)
         lists = ivf.assign(mat)
         mask = np.isin(lists, probes)
-        mask &= (df["vec_id"] != query_vec_id).values
+        mask &= ids != query_vec_id
         if not mask.any():
             return _empty_cands()
         cos = _l2norm(mat[mask]) @ qv
         # ALL surviving candidates with exact cosine — the driver-audit
         # surface; top-k happens over the persisted files
-        return pd.DataFrame(
-            {"vec_id": df["vec_id"].to_numpy(np.int64)[mask],
-             "cosine": cos})
+        return pd.DataFrame({"vec_id": ids[mask], "cosine": cos})
 
     out = _topk_via_cand_sink(
-        ds.map_batches(probe_batch, batch_format="pandas"),
+        ds.map_batches(probe_batch, batch_format="pyarrow"),
         ANN_IVF_CAND_DIR, k)
     if out.empty:
         return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
@@ -330,22 +368,25 @@ def ann_pq_topk(
 
     qvec = _query_vector(sf_dir, query_vec_id)
     if qvec is None:
+        _reset_cand_sink(ANN_PQ_CAND_DIR)
         return typed_out(pd.DataFrame(), {"vec_id": "int64",
                                           "cosine": "float64"})
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     rate = max(1, n_rows // 512)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy(np.uint64)
+    def pick(t: "pa.Table") -> "pa.Table":
+        # Arrow-native sample filter: ~99.8% of rows are dropped, so the
+        # batch must not round-trip through pandas just to be filtered
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
-        return df.loc[keep, ["vec_id", "embedding"]]
+        return t.select(["vec_id", "embedding"]).filter(pa.array(keep))
 
     sample_df = (
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        .map_batches(pick, batch_format="pandas")
+        .map_batches(pick, batch_format="pyarrow")
         .to_pandas()
     )
     if not sample_df.empty:
@@ -353,6 +394,7 @@ def ann_pq_topk(
         # the index-training sample must not inherit it
         sample_df = sample_df.sort_values("vec_id").reset_index(drop=True)
     if sample_df.empty:
+        _reset_cand_sink(ANN_PQ_CAND_DIR)
         return typed_out(pd.DataFrame(), {"vec_id": "int64",
                                           "cosine": "float64"})
     sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
@@ -366,13 +408,13 @@ def ann_pq_topk(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def probe_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def probe_batch(t) -> pd.DataFrame:
         bk, ql, qv = ray.get(book_ref), ray.get(lut_ref), ray.get(q_ref)
-        mat = np.stack(df["embedding"].values).astype(np.float64)
+        ids, mat = _emb_batch(t)
         codes = bk.encode(mat)
         # ADC: approximate cosine = sum over subspaces of LUT[m][code]
         approx = ql[np.arange(bk.m_sub)[None, :], codes].sum(axis=1)
-        approx[(df["vec_id"] == query_vec_id).to_numpy()] = -np.inf
+        approx[ids == query_vec_id] = -np.inf
         n_cand = min(cand_per_batch, len(mat))
         cand = np.argpartition(-approx, n_cand - 1)[:n_cand]
         cand = cand[np.isfinite(approx[cand])]
@@ -380,12 +422,10 @@ def ann_pq_topk(
             return _empty_cands()
         cos = _l2norm(mat[cand]) @ qv  # exact re-rank, candidates only
         # the <= cand_per_batch re-ranked rows ARE the audit surface
-        return pd.DataFrame(
-            {"vec_id": df["vec_id"].to_numpy(np.int64)[cand],
-             "cosine": cos})
+        return pd.DataFrame({"vec_id": ids[cand], "cosine": cos})
 
     out = _topk_via_cand_sink(
-        ds.map_batches(probe_batch, batch_format="pandas"),
+        ds.map_batches(probe_batch, batch_format="pyarrow"),
         ANN_PQ_CAND_DIR, k)
     if out.empty:
         return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
@@ -422,6 +462,7 @@ def ann_lsh_topk(
 
     qvec = _query_vector(sf_dir, query_vec_id)
     if qvec is None:
+        _reset_cand_sink(ANN_LSH_CAND_DIR)
         return typed_out(pd.DataFrame(), {"vec_id": "int64",
                                           "cosine": "float64"})
     dim = len(qvec)
@@ -455,23 +496,21 @@ def ann_lsh_topk(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def probe_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def probe_batch(t) -> pd.DataFrame:
         qv = ray.get(q_ref)
         probe_sigs = ray.get(probe_ref)
-        mat = np.stack(df["embedding"].values).astype(np.float64)
+        ids, mat = _emb_batch(t)
         sigs = signatures(mat)  # (rows, n_tables)
         mask = np.isin(sigs, probe_sigs).any(axis=1)
-        mask &= (df["vec_id"] != query_vec_id).values
+        mask &= ids != query_vec_id
         if not mask.any():
             return _empty_cands()
         cos = _l2norm(mat[mask]) @ qv
         # ALL probe survivors with exact cosine — the driver-audit surface
-        return pd.DataFrame(
-            {"vec_id": df["vec_id"].to_numpy(np.int64)[mask],
-             "cosine": cos})
+        return pd.DataFrame({"vec_id": ids[mask], "cosine": cos})
 
     out = _topk_via_cand_sink(
-        ds.map_batches(probe_batch, batch_format="pandas"),
+        ds.map_batches(probe_batch, batch_format="pyarrow"),
         ANN_LSH_CAND_DIR, k)
     if out.empty:
         return typed_out(out, {"vec_id": "int64", "cosine": "float64"})
@@ -501,17 +540,16 @@ def ann_range_search(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def score_batch(t) -> pd.DataFrame:
         qv = ray.get(q_ref)
-        mat = np.stack(df["embedding"].values).astype(np.float64)
+        ids, mat = _emb_batch(t)
         cos = _l2norm(mat) @ qv
-        keep = (cos >= threshold) & (df["vec_id"] != query_vec_id).to_numpy()
+        keep = (cos >= threshold) & (ids != query_vec_id)
         return pd.DataFrame(
-            {"vec_id": df["vec_id"].to_numpy(np.int64)[keep],
-             "cosine": np.round(cos[keep], 6)}
+            {"vec_id": ids[keep], "cosine": np.round(cos[keep], 6)}
         )
 
-    out = ds.map_batches(score_batch, batch_format="pandas").to_pandas()
+    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
     return typed_out(out, {"vec_id": "int64", "cosine": "float64"},
                      sort_by="vec_id")
 
@@ -579,14 +617,16 @@ def embedding_kmeans(
                                           "inertia": "float64"})
     rate = max(1, n_rows // 512)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy(np.uint64)
+    def pick(t: "pa.Table") -> "pa.Table":
+        # Arrow-native sample filter: ~99.8% of rows are dropped, so the
+        # batch must not round-trip through pandas just to be filtered
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
-        return df.loc[keep, ["vec_id", "embedding"]]
+        return t.select(["vec_id", "embedding"]).filter(pa.array(keep))
 
     sample_df = (
         ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-        .map_batches(pick, batch_format="pandas")
+        .map_batches(pick, batch_format="pyarrow")
         .to_pandas()
         .sort_values("vec_id")  # deterministic regardless of block order
     )
@@ -598,9 +638,9 @@ def embedding_kmeans(
     for _ in range(n_iters):
         c_ref = ray.put(centroids)
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
+        def partial(t) -> pd.DataFrame:
             c = ray.get(c_ref)
-            mat = np.stack(df["embedding"].values).astype(np.float64)
+            mat = _emb_mat(t)
             # squared-euclidean assignment via the expansion trick
             d2 = (
                 (mat * mat).sum(1)[:, None]
@@ -619,7 +659,7 @@ def embedding_kmeans(
                 })
             return pd.DataFrame(rows)
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         # deterministic reduce: sort the bounded partial stream first
         parts = parts.sort_values(
             ["cluster_id", "n_vecs", "inertia"], kind="stable"
@@ -828,16 +868,18 @@ def ann_ivfpq_topk(
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     rate = max(1, n_rows // 512)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy(np.uint64)
+    def pick(t: "pa.Table") -> "pa.Table":
+        # Arrow-native sample filter: ~99.8% of rows are dropped, so the
+        # batch must not round-trip through pandas just to be filtered
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(rate) == 0
-        return df.loc[keep, ["vec_id", "embedding"]]
+        return t.select(["vec_id", "embedding"]).filter(pa.array(keep))
 
     sample_df = (
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        .map_batches(pick, batch_format="pandas")
+        .map_batches(pick, batch_format="pyarrow")
         .to_pandas()
     )
     if not sample_df.empty:
@@ -857,12 +899,12 @@ def ann_ivfpq_topk(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
-    def probe_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def probe_batch(t) -> pd.DataFrame:
         ivf, bk, lut, probes, qv = ray.get(refs)
-        mat = np.stack(df["embedding"].values).astype(np.float64)
+        ids, mat = _emb_batch(t)
         lists = ivf.assign(mat)
         mask = np.isin(lists, probes)
-        mask &= (df["vec_id"] != query_vec_id).to_numpy()
+        mask &= ids != query_vec_id
         if not mask.any():
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "cosine": pd.Series([], dtype="float64")})
@@ -873,12 +915,12 @@ def ann_ivfpq_topk(
         cand = np.argpartition(-approx, n_cand - 1)[:n_cand]
         cos = _l2norm(sub[cand]) @ qv  # exact re-rank, candidates only
         out = pd.DataFrame({
-            "vec_id": df["vec_id"].values[mask][cand],
+            "vec_id": ids[mask][cand],
             "cosine": cos,
         })
         return out.nlargest(k, "cosine")
 
-    out = ds.map_batches(probe_batch, batch_format="pandas").to_pandas()
+    out = ds.map_batches(probe_batch, batch_format="pyarrow").to_pandas()
     if out.empty:
         return typed_out(pd.DataFrame(), empty)
     from ..functions.frames import round_away
@@ -1039,22 +1081,23 @@ def embedding_label_separation(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["label", "embedding"])
 
-    def cent_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def cent_partial(t) -> pd.DataFrame:
+        if not t.num_rows:
             return pd.DataFrame({"label": pd.Series(dtype=object),
                                  "d": pd.Series(dtype="int64"),
                                  "s": pd.Series(dtype="float64"),
                                  "n": pd.Series(dtype="int64")})
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _emb_mat(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
         out = []
-        for lab, idx in df.groupby("label").groups.items():
-            sub = mat[df.index.get_indexer(idx)]
+        for lab in np.unique(labels):  # sorted keys, like pandas groupby
+            sub = mat[labels == lab]
             out.append(pd.DataFrame({
                 "label": lab, "d": np.arange(mat.shape[1], dtype=np.int64),
                 "s": sub.sum(axis=0), "n": np.int64(len(sub))}))
         return pd.concat(out, ignore_index=True)
 
-    parts = ds.map_batches(cent_partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(cent_partial, batch_format="pyarrow").to_pandas()
     schema = {"label": "object", "n": "int64",
               "mean_cos_to_centroid": "float64"}
     if parts.empty:
@@ -1068,15 +1111,16 @@ def embedding_label_separation(sf_dir: str) -> pd.DataFrame:
         for lab, g in cent.groupby("label")
     }
 
-    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def score_partial(t) -> pd.DataFrame:
+        if not t.num_rows:
             return pd.DataFrame({"label": pd.Series(dtype=object),
                                  "sum_cos": pd.Series(dtype="float64"),
                                  "n": pd.Series(dtype="int64")})
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _emb_mat(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
         out = []
-        for lab, idx in df.groupby("label").groups.items():
-            sub = mat[df.index.get_indexer(idx)]
+        for lab in np.unique(labels):  # sorted keys, like pandas groupby
+            sub = mat[labels == lab]
             c = centroids[lab]
             dots = sub @ c
             cos = dots / (np.linalg.norm(sub, axis=1)
@@ -1087,7 +1131,7 @@ def embedding_label_separation(sf_dir: str) -> pd.DataFrame:
                                      "n": [int(len(sub))]}))
         return pd.concat(out, ignore_index=True)
 
-    sc = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    sc = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
     if sc.empty:
         return typed_out(pd.DataFrame(), schema)
     sc = sc.sort_values(["label", "sum_cos", "n"], kind="stable")
@@ -1375,13 +1419,8 @@ def embedding_quantize_report(sf_dir: str) -> pd.DataFrame:
     schema = {"dim": "int64", "mn": "float64", "mx": "float64",
               "mse": "float64", "max_abs_err": "float64", "n": "int64"}
 
-    def _mat(df: pd.DataFrame) -> np.ndarray:
-        if len(df) == 0:
-            return np.empty((0, 0), np.float64)
-        return np.stack(df.embedding.to_numpy()).astype(np.float64)
-
-    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = _mat(df)
+    def range_partial(t) -> pd.DataFrame:
+        m = _emb_mat(t)
         if m.size == 0:
             return pd.DataFrame({"dim": pd.Series(dtype="int64"),
                                  "mn": pd.Series(dtype="float64"),
@@ -1389,7 +1428,7 @@ def embedding_quantize_report(sf_dir: str) -> pd.DataFrame:
         d = np.arange(m.shape[1], dtype=np.int64)
         return pd.DataFrame({"dim": d, "mn": m.min(0), "mx": m.max(0)})
 
-    ranges = ds.map_batches(range_partial, batch_format="pandas").to_pandas()
+    ranges = ds.map_batches(range_partial, batch_format="pyarrow").to_pandas()
     if ranges.empty:
         return typed_out(pd.DataFrame(), schema)
     rng = ranges.groupby("dim", as_index=False).agg(mn=("mn", "min"),
@@ -1398,8 +1437,8 @@ def embedding_quantize_report(sf_dir: str) -> pd.DataFrame:
     mx = rng.mx.to_numpy(np.float64)
     rng_ref = _ray.put((mn, mx))
 
-    def err_partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = _mat(df)
+    def err_partial(t) -> pd.DataFrame:
+        m = _emb_mat(t)
         if m.size == 0:
             return pd.DataFrame({"dim": pd.Series(dtype="int64"),
                                  "sse": pd.Series(dtype="float64"),
@@ -1419,7 +1458,7 @@ def embedding_quantize_report(sf_dir: str) -> pd.DataFrame:
             "n": np.full(m.shape[1], m.shape[0], dtype=np.int64),
         })
 
-    parts = ds.map_batches(err_partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(err_partial, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["dim", "sse", "n"], kind="stable")
     agg = parts.groupby("dim", as_index=False).agg(
         sse=("sse", "sum"), mae=("mae", "max"), n=("n", "sum"))
@@ -1580,22 +1619,23 @@ def embedding_centroid_distances(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["label", "embedding"])
 
-    def cent_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def cent_partial(t) -> pd.DataFrame:
+        if not t.num_rows:
             return pd.DataFrame({"label": pd.Series(dtype=object),
                                  "d": pd.Series(dtype="int64"),
                                  "s": pd.Series(dtype="float64"),
                                  "n": pd.Series(dtype="int64")})
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _emb_mat(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
         out = []
-        for lab, idx in df.groupby("label").groups.items():
-            sub = mat[df.index.get_indexer(idx)]
+        for lab in np.unique(labels):  # sorted keys, like pandas groupby
+            sub = mat[labels == lab]
             out.append(pd.DataFrame({
                 "label": lab, "d": np.arange(mat.shape[1], dtype=np.int64),
                 "s": sub.sum(axis=0), "n": np.int64(len(sub))}))
         return pd.concat(out, ignore_index=True)
 
-    parts = ds.map_batches(cent_partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(cent_partial, batch_format="pyarrow").to_pandas()
     schema = {"label_a": "int64", "label_b": "int64",
               "cos_centroid": "float64"}
     if parts.empty:
@@ -1663,22 +1703,23 @@ def embedding_silhouette(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["label", "embedding"])
 
-    def cent_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def cent_partial(t) -> pd.DataFrame:
+        if not t.num_rows:
             return pd.DataFrame({"label": pd.Series(dtype=object),
                                  "d": pd.Series(dtype="int64"),
                                  "s": pd.Series(dtype="float64"),
                                  "n": pd.Series(dtype="int64")})
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _emb_mat(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
         out = []
-        for lab, idx in df.groupby("label").groups.items():
-            sub = mat[df.index.get_indexer(idx)]
+        for lab in np.unique(labels):  # sorted keys, like pandas groupby
+            sub = mat[labels == lab]
             out.append(pd.DataFrame({
                 "label": lab, "d": np.arange(mat.shape[1], dtype=np.int64),
                 "s": sub.sum(axis=0), "n": np.int64(len(sub))}))
         return pd.concat(out, ignore_index=True)
 
-    parts = ds.map_batches(cent_partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(cent_partial, batch_format="pyarrow").to_pandas()
     schema = {"label": "object", "n": "int64", "mean_silhouette": "float64"}
     if parts.empty:
         return typed_out(pd.DataFrame(), schema)
@@ -1697,27 +1738,28 @@ def embedding_silhouette(sf_dir: str) -> pd.DataFrame:
     cnorm = np.linalg.norm(cmat, axis=1)
     li = {lab: i for i, lab in enumerate(labs)}
 
-    def sil_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def sil_partial(t) -> pd.DataFrame:
+        if not t.num_rows:
             return pd.DataFrame({"label": pd.Series(dtype=object),
                                  "sum_s": pd.Series(dtype="float64"),
                                  "n": pd.Series(dtype="int64")})
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _emb_mat(t)
+        labels = t["label"].to_numpy(zero_copy_only=False)
         vnorm = np.linalg.norm(mat, axis=1)
         dst = 1.0 - (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
-        own = np.array([li[v] for v in df["label"]], dtype=np.int64)
+        own = np.array([li[v] for v in labels], dtype=np.int64)
         rows = np.arange(len(mat))
         a = dst[rows, own]
         masked = dst.copy()
         masked[rows, own] = np.inf
         b = masked.min(axis=1)
         s = (b - a) / np.maximum(a, b)
-        out = pd.DataFrame({"label": df["label"].to_numpy(object), "s": s})
+        out = pd.DataFrame({"label": labels.astype(object), "s": s})
         out = out.sort_values(["label", "s"], kind="stable")
         return out.groupby("label", as_index=False).agg(
             sum_s=("s", "sum"), n=("s", "size"))
 
-    sc = ds.map_batches(sil_partial, batch_format="pandas").to_pandas()
+    sc = ds.map_batches(sil_partial, batch_format="pyarrow").to_pandas()
     if sc.empty:
         return typed_out(pd.DataFrame(), schema)
     sc = sc.sort_values(["label", "sum_s", "n"], kind="stable")
@@ -1919,12 +1961,12 @@ def embedding_anisotropy(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["embedding"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
+    def partial(t) -> pd.DataFrame:
+        if not t.num_rows:
             return pd.DataFrame({"d": pd.Series(dtype="int64"),
                                  "s": pd.Series(dtype="float64"),
                                  "n": pd.Series(dtype="int64")})
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat = _emb_mat(t)
         mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
         return pd.DataFrame({
             "d": np.arange(mat.shape[1], dtype=np.int64),
@@ -1932,7 +1974,7 @@ def embedding_anisotropy(sf_dir: str) -> pd.DataFrame:
             "n": np.int64(len(mat)),
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     schema = {"n_vectors": "int64", "mean_pairwise_cos": "float64"}
     if parts.empty:
         return typed_out(pd.DataFrame(), schema)

@@ -81,8 +81,14 @@ class DocumentExtractor:
         parts = batch["part"].to_pylist()
         kinds = batch["payload_kind"].to_pylist()
         sizes = batch["payload_bytes"].to_pylist()
-        payloads = batch["html"].to_pylist()
-        texts = batch["text"].to_pylist()
+        # The payload columns are the batch's mass: keep them in the
+        # shared Arrow buffers (zero-copy view of the object store) and
+        # materialize ONE row transiently at call time instead of
+        # to_pylist()ing the whole batch up front — peak actor RSS holds
+        # a single payload, not batch_size of them. The small metadata
+        # columns above are negligible and stay as lists.
+        payload_col = batch["html"]
+        text_col = batch["text"]
 
         out_text, kept, dropped, out_bytes, errors, ms = [], [], [], [], [], []
         # spans accumulate as flat columns (ListArray.from_arrays below): one
@@ -94,7 +100,7 @@ class DocumentExtractor:
         for i in range(batch.num_rows):
             t0 = time.perf_counter()
             res = extract_document(
-                payloads[i], texts[i], langs[i], cfg,
+                payload_col[i].as_py(), text_col[i].as_py(), langs[i], cfg,
                 layout=self.layout, recognizer=self.recognizer, kind=kinds[i],
                 decoder=self.decoder,
             )
