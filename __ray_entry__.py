@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 332 entries, 299 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 332 entries, 300 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -628,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "ann_pq_topk": similarity.ANN_PQ_TOPK_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
+        "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
         "bpe_word_counts": tokenizer.BPE_WORD_COUNTS_SQL,
         "orders_daily_pacf": relational.ORDERS_DAILY_PACF_SQL,
         "crawl_politeness_gaps":

@@ -36,6 +36,7 @@ from ..functions.frames import round_away
 ANN_LSH_CAND_DIR = f"/tmp/ray_ann_lsh_cands_{_os.getpid()}"
 ANN_PQ_CAND_DIR = f"/tmp/ray_ann_pq_cands_{_os.getpid()}"
 ANN_IVF_CAND_DIR = f"/tmp/ray_ann_ivf_cands_{_os.getpid()}"
+ANN_IVFPQ_CAND_DIR = f"/tmp/ray_ann_ivfpq_cands_{_os.getpid()}"
 
 
 def _l2norm(mat: np.ndarray) -> np.ndarray:
@@ -134,6 +135,7 @@ LIMIT {k}
 ANN_LSH_TOPK_SQL = _ann_cand_rerank_sql(ANN_LSH_CAND_DIR, 10)
 ANN_PQ_TOPK_SQL = _ann_cand_rerank_sql(ANN_PQ_CAND_DIR, 10)
 ANN_IVF_TOPK_SQL = _ann_cand_rerank_sql(ANN_IVF_CAND_DIR, 10)
+ANN_IVFPQ_TOPK_SQL = _ann_cand_rerank_sql(ANN_IVFPQ_CAND_DIR, 10)
 
 
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
@@ -863,6 +865,7 @@ def ann_ivfpq_topk(
     empty = {"vec_id": "int64", "cosine": "float64"}
     qvec = _query_vector(sf_dir, query_vec_id)
     if qvec is None:
+        _reset_cand_sink(ANN_IVFPQ_CAND_DIR)
         return typed_out(pd.DataFrame(), empty)
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
@@ -887,6 +890,7 @@ def ann_ivfpq_topk(
         # the index-training sample must not inherit it
         sample_df = sample_df.sort_values("vec_id").reset_index(drop=True)
     if sample_df.empty:
+        _reset_cand_sink(ANN_IVFPQ_CAND_DIR)
         return typed_out(pd.DataFrame(), empty)
     sample = np.stack([np.asarray(v) for v in sample_df["embedding"]])
     index = IvfIndex(sample, n_lists=n_lists)
@@ -914,13 +918,12 @@ def ann_ivfpq_topk(
         n_cand = min(cand_per_batch, len(sub))
         cand = np.argpartition(-approx, n_cand - 1)[:n_cand]
         cos = _l2norm(sub[cand]) @ qv  # exact re-rank, candidates only
-        out = pd.DataFrame({
-            "vec_id": ids[mask][cand],
-            "cosine": cos,
-        })
-        return out.nlargest(k, "cosine")
+        # the re-ranked IVF-survivor candidates ARE the audit surface
+        return pd.DataFrame({"vec_id": ids[mask][cand], "cosine": cos})
 
-    out = ds.map_batches(probe_batch, batch_format="pyarrow").to_pandas()
+    out = _topk_via_cand_sink(
+        ds.map_batches(probe_batch, batch_format="pyarrow"),
+        ANN_IVFPQ_CAND_DIR, k)
     if out.empty:
         return typed_out(pd.DataFrame(), empty)
     from ..functions.frames import round_away

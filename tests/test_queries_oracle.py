@@ -71,7 +71,8 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 SQL_CHECKED = [
     # newly oracle-backed (round-5): sig-sink / candidate-sink audits
     "image_ahash_dedup_mirrored", "image_phash_dedup_mirrored",
-    "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk", "bpe_word_counts",
+    "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "bpe_word_counts",
     "orders_daily_pacf", "doc_stopword_coverage", "crawl_politeness_gaps",
     "domain_lang_entropy",
     "shingle_good_turing", "shingle_chao1_ace",
@@ -231,7 +232,7 @@ ROWS_ONLY = [
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
     "doc_length_quantiles_sketch", "doc_compression_ratio",
     "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
-    "doc_dup_pagerank", "ann_ivfpq_topk", "image_phash_dedup",
+    "doc_dup_pagerank", "image_phash_dedup",
     "ann_recall_report", "bpe_train_merges", "bpe_encode_stats",
     "audio_vad_segments", "dup_graph_kcore", "events_markov_stationary",
 ]
