@@ -6,7 +6,7 @@ here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps one entry per implemented operator/pipeline from
 SURVEY.md §2 plus the training-data-pipeline families (dedup, similarity,
 text analysis, streaming windows/joins, multimodal) to a callable over
-``sf_dir`` — 332 entries, 300 with DuckDB ``oracle_sql()`` equivalents (see
+``sf_dir`` — 332 entries, 301 with DuckDB ``oracle_sql()`` equivalents (see
 COVERAGE.md for the full map). Extraction/sketch/LSH entries have no SQL
 equivalent (the driver records the weaker rows-only check; byte-identity is
 enforced by pytest against the oracle in tests/test_pipeline_golden.py,
@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         "bpe_word_counts": tokenizer.bpe_word_counts,
         # -- never driver-checked, oracle-backed (r4 positions 51+) --
         "customer_revenue_theil": relational.customer_revenue_theil,
@@ -266,11 +267,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_char_regression":
             text_analysis.doc_token_char_regression,
         "doc_heaps_law_fit": text_analysis.doc_heaps_law_fit,
-        "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
         # -------------------- 50-entry window boundary --------------------
         # (everything below is outside the driver window this round but
         # pytest-oracle-checked on every run; the remaining
-        # never-driver-checked spillover resumes at events_kruskal_by_type)
+        # never-driver-checked spillover resumes here)
+        "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
         # -- driver-checked in ROUND 4 (CORRECTNESS_r04.json, 48/50 green;
         # the two non-green were the rows-only image-hash probes — the
         # mirrored one is now oracle-backed and promoted above, the
@@ -508,7 +509,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_threshold": dedup.dedup_rate_by_threshold,
         "video_scene_cuts": multimodal.video_scene_cuts,
         "doc_dup_pagerank": curation.doc_dup_pagerank,
-        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         # -- oldest driver rows next: everything below was last
         # driver-checked in ROUND 2 or ROUND 3 (rounds 1-3 covered all of
         # the then-existing queries()) and rotates back in round 5 --
@@ -630,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ANN_IVF_TOPK_SQL,
         "ann_ivfpq_topk": similarity.ANN_IVFPQ_TOPK_SQL,
         "bpe_word_counts": tokenizer.BPE_WORD_COUNTS_SQL,
+        "video_scene_cuts": multimodal.VIDEO_SCENE_CUTS_SQL,
         "orders_daily_pacf": relational.ORDERS_DAILY_PACF_SQL,
         "crawl_politeness_gaps":
             extract_checks.CRAWL_POLITENESS_GAPS_SQL,

@@ -118,6 +118,7 @@ AHASH_MIRROR_EVERY = 30
 # one driver process).
 AHASH_SIGS_DIR = f"/tmp/ray_image_ahash_sigs_{_os.getpid()}"
 PHASH_SIGS_DIR = f"/tmp/ray_image_phash_sigs_{_os.getpid()}"
+VIDEO_FRAME_SIGS_DIR = f"/tmp/ray_video_frame_sigs_{_os.getpid()}"
 
 _SIG_SINK_SCHEMA = pa.schema([("media_id", pa.int64()),
                               ("sig", pa.uint64())])
@@ -351,7 +352,11 @@ def video_frame_hashes(sf_dir: str) -> pd.DataFrame:
                      sort_by=["media_id", "frame_idx"])
 
 
-def video_scene_cuts(sf_dir: str, max_hamming: int = 12,
+VIDEO_SCENE_CUT_MAX_HAMMING = 12  # shared with VIDEO_SCENE_CUTS_SQL
+
+
+def video_scene_cuts(sf_dir: str,
+                     max_hamming: int = VIDEO_SCENE_CUT_MAX_HAMMING,
                      stride: int = 4) -> pd.DataFrame:
     """Scene-cut detection per video: a cut is a sampled-frame boundary
     whose consecutive perceptual hashes differ by MORE than
@@ -364,13 +369,36 @@ def video_scene_cuts(sf_dir: str, max_hamming: int = 12,
     video's frames, sorts once by (media_id, frame_idx) and compares
     consecutive hashes with a vectorized XOR+popcount. Output per video:
     frames sampled, cuts detected, mean consecutive hamming (rounded 4).
-    Rows-only (stub decode has no SQL analog); determinism and a planted
-    cut are pinned in tests/test_multimodal.py."""
+    DRIVER-ORACLE-BACKED since round 5: the frame-signature stream tees
+    to ``VIDEO_FRAME_SIGS_DIR`` (24 bytes/frame) and DuckDB re-derives
+    every per-video statistic from the raw bits with LAG + bit_count —
+    a regression anywhere in decode -> frame sample -> hash -> exchange
+    -> cut logic breaks the hash match. Determinism and a planted cut
+    additionally pinned in tests/test_multimodal.py."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
     from .dedup import _popcount64
     from ..functions.frames import round_away, typed_out
     from ..functions.shuffle import bucketed_combine
 
-    frames = (
+    frames_schema = pa.schema([("media_id", pa.int64()),
+                               ("frame_idx", pa.int64()),
+                               ("sig", pa.uint64())])
+
+    def to_sink(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["error"]))
+        sig = t["ahash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "media_id": t["media_id"].cast(pa.int64()),
+            "frame_idx": t["frame_idx"].cast(pa.int64()),
+            "sig": pa.array(sig, pa.uint64()),
+        }, schema=frames_schema)
+
+    shutil.rmtree(VIDEO_FRAME_SIGS_DIR, ignore_errors=True)
+    (
         _kind(media_dataset(sf_dir), "video")
         .map_batches(
             VideoFrameSampler,
@@ -378,12 +406,16 @@ def video_scene_cuts(sf_dir: str, max_hamming: int = 12,
             batch_size=DEFAULT_MEDIA_BATCH,
             concurrency=(2, 8),
         )
-        .map_batches(
-            lambda t: t.filter(pc.is_null(t["error"])).select(
-                ["media_id", "frame_idx", "ahash"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(to_sink, batch_format="pyarrow")
+        .write_parquet(VIDEO_FRAME_SIGS_DIR)
     )
+    if not glob.glob(f"{VIDEO_FRAME_SIGS_DIR}/*.parquet"):
+        _os.makedirs(VIDEO_FRAME_SIGS_DIR, exist_ok=True)
+        pq.write_table(frames_schema.empty_table(),
+                       f"{VIDEO_FRAME_SIGS_DIR}/empty.parquet")
+    # the cut analysis runs over the READ-BACK files: the bytes the
+    # oracle audits are the bytes the engine scored
+    frames = ray.data.read_parquet(VIDEO_FRAME_SIGS_DIR)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"media_id": pd.Series(dtype="int64"),
@@ -394,7 +426,7 @@ def video_scene_cuts(sf_dir: str, max_hamming: int = 12,
             return empty
         g = g.sort_values(["media_id", "frame_idx"], kind="stable")
         mid = g["media_id"].to_numpy(np.int64)
-        h = g["ahash"].to_numpy(np.int64).astype(np.uint64)
+        h = g["sig"].to_numpy(np.uint64)
         if len(g) < 2:
             same = np.zeros(0, bool)
         else:
@@ -432,6 +464,28 @@ def video_scene_cuts(sf_dir: str, max_hamming: int = 12,
     if out.empty:
         return typed_out(pd.DataFrame(), schema)
     return typed_out(out, schema, sort_by="media_id")
+
+
+VIDEO_SCENE_CUTS_SQL = f"""
+WITH f AS (
+  SELECT media_id, frame_idx, sig
+  FROM read_parquet('{VIDEO_FRAME_SIGS_DIR}/*.parquet')
+), d AS (
+  SELECT media_id,
+         bit_count(xor(sig, LAG(sig) OVER (
+             PARTITION BY media_id ORDER BY frame_idx))) AS ham
+  FROM f
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN ham > {VIDEO_SCENE_CUT_MAX_HAMMING}
+                          THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_cuts,
+       ROUND(COALESCE(AVG(ham), 0.0), 4) AS mean_hamming
+FROM d
+GROUP BY media_id
+ORDER BY media_id
+"""
 
 
 class _VadSegmenter:

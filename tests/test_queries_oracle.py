@@ -72,7 +72,7 @@ SQL_CHECKED = [
     # newly oracle-backed (round-5): sig-sink / candidate-sink audits
     "image_ahash_dedup_mirrored", "image_phash_dedup_mirrored",
     "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-    "bpe_word_counts",
+    "bpe_word_counts", "video_scene_cuts",
     "orders_daily_pacf", "doc_stopword_coverage", "crawl_politeness_gaps",
     "domain_lang_entropy",
     "shingle_good_turing", "shingle_chao1_ace",
@@ -231,7 +231,7 @@ ROWS_ONLY = [
     "events_distinct_users_hll", "dedup_streaming_stats",
     "embedding_kmeans", "dedup_minhash_clusters", "token_topk_cms",
     "doc_length_quantiles_sketch", "doc_compression_ratio",
-    "embedding_pca_project", "dedup_rate_by_threshold", "video_scene_cuts",
+    "embedding_pca_project", "dedup_rate_by_threshold",
     "doc_dup_pagerank", "image_phash_dedup",
     "ann_recall_report", "bpe_train_merges", "bpe_encode_stats",
     "audio_vad_segments", "dup_graph_kcore", "events_markov_stationary",
