@@ -272,73 +272,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-oracle-checked on every run; the remaining
         # never-driver-checked spillover resumes here)
         "embedding_intrinsic_dim": similarity.embedding_intrinsic_dim,
-        # -- driver-checked in ROUND 4 (CORRECTNESS_r04.json, 48/50 green;
-        # the two non-green were the rows-only image-hash probes — the
-        # mirrored one is now oracle-backed and promoted above, the
-        # unmirrored one retired here per VERDICT next-#7) --
-        "events_path_transitions": streaming.events_path_transitions,
-        "orders_rolling_revenue": relational.orders_rolling_revenue,
-        "source_dedup_matrix_mirrored": curation.source_dedup_matrix_mirrored,
-        # rows-only, below-window (retired from the driver window —
-        # vacuous 0-row driver surface; the oracle-backed _mirrored
-        # variant above replaces it):
-        "image_ahash_dedup": multimodal.image_ahash_dedup,
-        # oracle-backed (new in round 4, continuation-session-18 block):
-        "orders_daily_pacf": relational.orders_daily_pacf,
-        "doc_stopword_coverage": text_analysis.doc_stopword_coverage,
-        "crawl_politeness_gaps": extract_checks.crawl_politeness_gaps,
-        "domain_lang_entropy": extract_checks.domain_lang_entropy,
-        # oracle-backed (new in round 4, continuation-session-17 block):
-        "shingle_good_turing": curation.shingle_good_turing,
-        "shingle_chao1_ace": curation.shingle_chao1_ace,
-        "source_shingle_productivity":
-            curation.source_shingle_productivity,
-        "doc_length_cvm_pairs": text_analysis.doc_length_cvm_pairs,
-        "orders_daily_durbin_watson":
-            relational.orders_daily_durbin_watson,
-        "events_poisson_gof": streaming.events_poisson_gof,
-        "domain_boilerplate_share":
-            extract_checks.domain_boilerplate_share,
-        "crawl_frontier_shards": extract_checks.crawl_frontier_shards,
-        "events_wilcoxon_signed_rank":
-            streaming.events_wilcoxon_signed_rank,
-        "events_dwell_by_type": streaming.events_dwell_by_type,
-        "extract_error_rates": extract_checks.extract_error_rates,
-        "orders_weekday_bartlett": relational.orders_weekday_bartlett,
-        "dedup_cdc_chunks": curation.dedup_cdc_chunks,
-        # oracle-backed (new in round 4, continuation-session-16 block):
-        "dedup_minhash_md5": dedup.dedup_minhash_md5,
-        "dedup_simhash_md5": dedup.dedup_simhash_md5,
-        "orders_daily_ewma": relational.orders_daily_ewma,
-        "orders_daily_hurst": relational.orders_daily_hurst,
-        "events_logrank_cohorts": streaming.events_logrank_cohorts,
-        "doc_vocab_cmh": text_analysis.doc_vocab_cmh,
-        "doc_length_tukey_hsd": text_analysis.doc_length_tukey_hsd,
-        "doc_size_cronbach": text_analysis.doc_size_cronbach,
-        "doc_syllable_complexity": text_analysis.doc_syllable_complexity,
-        "token_branching_entropy": text_analysis.token_branching_entropy,
-        # oracle-backed (new in round 4, continuation-session-15 block):
-        "events_purchase_did": streaming.events_purchase_did,
-        "corpus_stratified_mean": curation.corpus_stratified_mean,
-        "doc_vocab_partial_corr": text_analysis.doc_vocab_partial_corr,
-        "events_value_psi": streaming.events_value_psi,
-        "doc_length_ad_ksample": text_analysis.doc_length_ad_ksample,
-        "events_purchase_value_stump":
-            streaming.events_purchase_value_stump,
-        "lang_length_shrinkage": text_analysis.lang_length_shrinkage,
-        "source_burrows_delta": curation.source_burrows_delta,
-        "corpus_yule_k": curation.corpus_yule_k,
-        "crawl_capture_recapture": extract_checks.crawl_capture_recapture,
-        "orders_daily_records": relational.orders_daily_records,
-        "orders_priority_jonckheere":
-            relational.orders_priority_jonckheere,
-        "source_unigram_kl": curation.source_unigram_kl,
-        "events_daily_bootstrap_ci": streaming.events_daily_bootstrap_ci,
-        "orders_weekly_periodogram": relational.orders_weekly_periodogram,
-        "doc_length_ks_pairs_bh": text_analysis.doc_length_ks_pairs_bh,
-        "events_gap_exponential_gof":
-            streaming.events_gap_exponential_gof,
-        "source_tfidf_cosine": curation.source_tfidf_cosine,
         "events_kruskal_by_type": streaming.events_kruskal_by_type,
         "events_hour_value_spearman":
             streaming.events_hour_value_spearman,
@@ -509,6 +442,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_threshold": dedup.dedup_rate_by_threshold,
         "video_scene_cuts": multimodal.video_scene_cuts,
         "doc_dup_pagerank": curation.doc_dup_pagerank,
+        # -- driver-checked in ROUND 4 (CORRECTNESS_r04.json, 48/50 green;
+        # the two non-green were the rows-only image-hash probes — the
+        # mirrored one is now oracle-backed and promoted above, the
+        # unmirrored one retired here per VERDICT next-#7) --
+        "events_path_transitions": streaming.events_path_transitions,
+        "orders_rolling_revenue": relational.orders_rolling_revenue,
+        "source_dedup_matrix_mirrored": curation.source_dedup_matrix_mirrored,
+        # rows-only, below-window (retired from the driver window —
+        # vacuous 0-row driver surface; the oracle-backed _mirrored
+        # variant above replaces it):
+        "image_ahash_dedup": multimodal.image_ahash_dedup,
+        # oracle-backed (new in round 4, continuation-session-18 block):
+        "orders_daily_pacf": relational.orders_daily_pacf,
+        "doc_stopword_coverage": text_analysis.doc_stopword_coverage,
+        "crawl_politeness_gaps": extract_checks.crawl_politeness_gaps,
+        "domain_lang_entropy": extract_checks.domain_lang_entropy,
+        # oracle-backed (new in round 4, continuation-session-17 block):
+        "shingle_good_turing": curation.shingle_good_turing,
+        "shingle_chao1_ace": curation.shingle_chao1_ace,
+        "source_shingle_productivity":
+            curation.source_shingle_productivity,
+        "doc_length_cvm_pairs": text_analysis.doc_length_cvm_pairs,
+        "orders_daily_durbin_watson":
+            relational.orders_daily_durbin_watson,
+        "events_poisson_gof": streaming.events_poisson_gof,
+        "domain_boilerplate_share":
+            extract_checks.domain_boilerplate_share,
+        "crawl_frontier_shards": extract_checks.crawl_frontier_shards,
+        "events_wilcoxon_signed_rank":
+            streaming.events_wilcoxon_signed_rank,
+        "events_dwell_by_type": streaming.events_dwell_by_type,
+        "extract_error_rates": extract_checks.extract_error_rates,
+        "orders_weekday_bartlett": relational.orders_weekday_bartlett,
+        "dedup_cdc_chunks": curation.dedup_cdc_chunks,
+        # oracle-backed (new in round 4, continuation-session-16 block):
+        "dedup_minhash_md5": dedup.dedup_minhash_md5,
+        "dedup_simhash_md5": dedup.dedup_simhash_md5,
+        "orders_daily_ewma": relational.orders_daily_ewma,
+        "orders_daily_hurst": relational.orders_daily_hurst,
+        "events_logrank_cohorts": streaming.events_logrank_cohorts,
+        "doc_vocab_cmh": text_analysis.doc_vocab_cmh,
+        "doc_length_tukey_hsd": text_analysis.doc_length_tukey_hsd,
+        "doc_size_cronbach": text_analysis.doc_size_cronbach,
+        "doc_syllable_complexity": text_analysis.doc_syllable_complexity,
+        "token_branching_entropy": text_analysis.token_branching_entropy,
+        # oracle-backed (new in round 4, continuation-session-15 block):
+        "events_purchase_did": streaming.events_purchase_did,
+        "corpus_stratified_mean": curation.corpus_stratified_mean,
+        "doc_vocab_partial_corr": text_analysis.doc_vocab_partial_corr,
+        "events_value_psi": streaming.events_value_psi,
+        "doc_length_ad_ksample": text_analysis.doc_length_ad_ksample,
+        "events_purchase_value_stump":
+            streaming.events_purchase_value_stump,
+        "lang_length_shrinkage": text_analysis.lang_length_shrinkage,
+        "source_burrows_delta": curation.source_burrows_delta,
+        "corpus_yule_k": curation.corpus_yule_k,
+        "crawl_capture_recapture": extract_checks.crawl_capture_recapture,
+        "orders_daily_records": relational.orders_daily_records,
+        "orders_priority_jonckheere":
+            relational.orders_priority_jonckheere,
+        "source_unigram_kl": curation.source_unigram_kl,
+        "events_daily_bootstrap_ci": streaming.events_daily_bootstrap_ci,
+        "orders_weekly_periodogram": relational.orders_weekly_periodogram,
+        "doc_length_ks_pairs_bh": text_analysis.doc_length_ks_pairs_bh,
+        "events_gap_exponential_gof":
+            streaming.events_gap_exponential_gof,
+        "source_tfidf_cosine": curation.source_tfidf_cosine,
         # -- oldest driver rows next: everything below was last
         # driver-checked in ROUND 2 or ROUND 3 (rounds 1-3 covered all of
         # the then-existing queries()) and rotates back in round 5 --
