@@ -131,6 +131,17 @@ DETERMINISM_QUERIES = [
     "orders_weekly_extreme_fit",
     "quality_classifier_roc_auc",
     "quality_rater_agreement_kappa",
+    # round-5 sink-audited entries (image_ahash_dedup_mirrored is already
+    # listed above): the second run must rebuild its /tmp
+    # signature/candidate sink from scratch (rmtree-before-write) and
+    # land bit-identical — catches stale-sink contamination
+    "image_phash_dedup_mirrored",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "video_scene_cuts",
+    "bpe_word_counts",
 ]
 
 
