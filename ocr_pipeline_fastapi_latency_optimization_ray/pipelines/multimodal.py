@@ -63,7 +63,13 @@ def image_features(sf_dir: str) -> pd.DataFrame:
                            "error": "object"}, sort_by="media_id")
 
 
-def image_ahash_dedup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+# max-hamming defaults shared between the probe functions and the baked
+# oracle SQL — one constant each so neither side can silently diverge
+AHASH_MAX_HAMMING = 6
+PHASH_MAX_HAMMING = 10
+
+def image_ahash_dedup(sf_dir: str,
+                      max_hamming: int = AHASH_MAX_HAMMING) -> pd.DataFrame:
     """Near-duplicate image pairs by perceptual-hash (aHash) distance —
     the image tier of corpus dedup (resized/re-encoded copies of one
     image land within a few bits of each other; exact re-uploads at
@@ -130,15 +136,11 @@ def _pairs_via_sig_sink(feats, sig_col: str, max_hamming: int,
     parquet, then pair-find over the READ-BACK files — so the bytes the
     oracle audits are the very bytes the engine paired. One extra
     read+write over the fixed-width sig table only (16 bytes/image); the
-    decoded payloads never touch the sink."""
-    import glob
-    import shutil
-
-    import pyarrow.parquet as pq
-
+    decoded payloads never touch the sink. With
+    ``RAY_GRAFT_DISABLE_AUDIT_SINK=1`` the tee is skipped and pair
+    finding runs directly on the in-flight signature stream."""
+    from ..functions.audit_sink import audit_sinks_disabled, write_sink
     from .dedup import banded_hamming_candidates
-
-    shutil.rmtree(sink_dir, ignore_errors=True)
 
     def to_sink(t: pa.Table) -> pa.Table:
         sig = t[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -147,13 +149,10 @@ def _pairs_via_sig_sink(feats, sig_col: str, max_hamming: int,
             "sig": pa.array(sig, pa.uint64()),
         }, schema=_SIG_SINK_SCHEMA)
 
-    feats.map_batches(to_sink, batch_format="pyarrow").write_parquet(sink_dir)
-    if not glob.glob(f"{sink_dir}/*.parquet"):
-        _os.makedirs(sink_dir, exist_ok=True)
-        pq.write_table(_SIG_SINK_SCHEMA.empty_table(),
-                       f"{sink_dir}/empty.parquet")
-
-    sigs = ray.data.read_parquet(sink_dir)
+    sigs = feats.map_batches(to_sink, batch_format="pyarrow")
+    if not audit_sinks_disabled():
+        write_sink(sigs, sink_dir, _SIG_SINK_SCHEMA)
+        sigs = ray.data.read_parquet(sink_dir)
     out = banded_hamming_candidates(sigs, max_hamming,
                                     id_col="media_id", sig_col="sig")
     return out.rename(columns={"doc_a": "media_a", "doc_b": "media_b"})
@@ -181,8 +180,9 @@ ORDER BY media_a, media_b
 """
 
 
-def image_ahash_dedup_mirrored(sf_dir: str,
-                               max_hamming: int = 6) -> pd.DataFrame:
+def image_ahash_dedup_mirrored(
+        sf_dir: str,
+        max_hamming: int = AHASH_MAX_HAMMING) -> pd.DataFrame:
     """:func:`image_ahash_dedup` over the image table with planted
     byte-identical re-uploads — the NON-VACUOUS driver probe for the
     image-dedup path (the synth corpus's stub rasters are pairwise
@@ -237,12 +237,15 @@ def _plant_mirrors(t: pa.Table) -> pa.Table:
     return pa.concat_tables([t, dup])
 
 
-IMAGE_AHASH_DEDUP_MIRRORED_SQL = _sig_pairs_oracle_sql(AHASH_SIGS_DIR, 6)
-IMAGE_PHASH_DEDUP_MIRRORED_SQL = _sig_pairs_oracle_sql(PHASH_SIGS_DIR, 10)
+IMAGE_AHASH_DEDUP_MIRRORED_SQL = _sig_pairs_oracle_sql(
+    AHASH_SIGS_DIR, AHASH_MAX_HAMMING)
+IMAGE_PHASH_DEDUP_MIRRORED_SQL = _sig_pairs_oracle_sql(
+    PHASH_SIGS_DIR, PHASH_MAX_HAMMING)
 
 
-def image_phash_dedup_mirrored(sf_dir: str,
-                               max_hamming: int = 10) -> pd.DataFrame:
+def image_phash_dedup_mirrored(
+        sf_dir: str,
+        max_hamming: int = PHASH_MAX_HAMMING) -> pd.DataFrame:
     """:func:`image_phash_dedup` with the same planted byte-identical
     re-uploads as the ahash probe — the non-vacuous, ORACLE-BACKED driver
     row for the DCT-hash path (the unplanted entry legitimately finds
@@ -274,7 +277,8 @@ def image_phash_dedup_mirrored(sf_dir: str,
                      sort_by=["media_a", "media_b"])
 
 
-def image_phash_dedup(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
+def image_phash_dedup(sf_dir: str,
+                      max_hamming: int = PHASH_MAX_HAMMING) -> pd.DataFrame:
     """Near-duplicate image pairs by DCT perceptual-hash (pHash) distance
     — the robust tier above :func:`image_ahash_dedup`: aHash thresholds
     raw pixels against their mean, so brightness/contrast edits flip many
@@ -375,12 +379,8 @@ def video_scene_cuts(sf_dir: str,
     a regression anywhere in decode -> frame sample -> hash -> exchange
     -> cut logic breaks the hash match. Determinism and a planted cut
     additionally pinned in tests/test_multimodal.py."""
-    import glob
-    import shutil
-
-    import pyarrow.parquet as pq
-
     from .dedup import _popcount64
+    from ..functions.audit_sink import audit_sinks_disabled, write_sink
     from ..functions.frames import round_away, typed_out
     from ..functions.shuffle import bucketed_combine
 
@@ -397,8 +397,7 @@ def video_scene_cuts(sf_dir: str,
             "sig": pa.array(sig, pa.uint64()),
         }, schema=frames_schema)
 
-    shutil.rmtree(VIDEO_FRAME_SIGS_DIR, ignore_errors=True)
-    (
+    frames = (
         _kind(media_dataset(sf_dir), "video")
         .map_batches(
             VideoFrameSampler,
@@ -407,15 +406,12 @@ def video_scene_cuts(sf_dir: str,
             concurrency=(2, 8),
         )
         .map_batches(to_sink, batch_format="pyarrow")
-        .write_parquet(VIDEO_FRAME_SIGS_DIR)
     )
-    if not glob.glob(f"{VIDEO_FRAME_SIGS_DIR}/*.parquet"):
-        _os.makedirs(VIDEO_FRAME_SIGS_DIR, exist_ok=True)
-        pq.write_table(frames_schema.empty_table(),
-                       f"{VIDEO_FRAME_SIGS_DIR}/empty.parquet")
-    # the cut analysis runs over the READ-BACK files: the bytes the
-    # oracle audits are the bytes the engine scored
-    frames = ray.data.read_parquet(VIDEO_FRAME_SIGS_DIR)
+    if not audit_sinks_disabled():
+        # the cut analysis runs over the READ-BACK files: the bytes the
+        # oracle audits are the bytes the engine scored
+        write_sink(frames, VIDEO_FRAME_SIGS_DIR, frames_schema)
+        frames = ray.data.read_parquet(VIDEO_FRAME_SIGS_DIR)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"media_id": pd.Series(dtype="int64"),

@@ -5848,7 +5848,12 @@ def orders_daily_pacf(sf_dir: str) -> pd.DataFrame:
     p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
     # Durbin-Levinson order 3: phi_2 coefficients from order 2
     a21 = r1 * (1.0 - p2)  # = phi_21 = r1 - p2*r1
-    p3 = (r3 - a21 * r2 - p2 * r1) / (1.0 - a21 * r1 - p2 * r2)
+    den3 = 1.0 - a21 * r1 - p2 * r2
+    if den3 == 0.0:
+        # exact cancellation of the order-3 denominator: phi_33
+        # undefined — zero rows, mirrored by the oracle's <> 0 predicate
+        return typed_out(pd.DataFrame(), schema)
+    p3 = (r3 - a21 * r2 - p2 * r1) / den3
     res = pd.DataFrame([{
         "n_days": np.int64(nn),
         "pacf_1": round_away(np.float64(p1), 6) + 0.0,
@@ -5904,4 +5909,5 @@ SELECT m.nn AS n_days,
              / (1.0 - (r1 * (1.0 - p2)) * r1 - p2 * r2), 6) AS pacf_3
 FROM p CROSS JOIN m
 WHERE m.nn > 3 AND ABS(r1) < 1
+  AND (1.0 - (r1 * (1.0 - p2)) * r1 - p2 * r2) <> 0
 """

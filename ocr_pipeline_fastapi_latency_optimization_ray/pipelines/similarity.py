@@ -48,12 +48,24 @@ def _emb_mat(t) -> np.ndarray:
     WITHOUT per-row Python boxing (round-4 VERDICT next-#6): the flat
     float32 values buffer is viewed as numpy zero-copy and reshaped on
     the fixed embedding dim; the only copy is the float64 upcast the
-    math needs (bitwise identical to the old np.stack-of-lists path)."""
+    math needs (bitwise identical to the old np.stack-of-lists path).
+
+    Fails LOUDLY on null or ragged rows — flatten() drops null slots'
+    values, so a silent reshape over such a batch would shift values
+    across row boundaries (the np.stack path this replaced raised on
+    None; this guard preserves that contract)."""
     emb = t["embedding"].combine_chunks()
     n = len(emb)
     if n == 0:
         return np.empty((0, 0), np.float64)
+    if emb.null_count:
+        raise ValueError(
+            f"embedding column has {emb.null_count} null row(s) — "
+            "refusing to build a matrix over misaligned buffers")
     flat = emb.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError(
+            f"ragged embedding column: {flat.size} values over {n} rows")
     return flat.reshape(n, flat.size // n).astype(np.float64)
 
 
@@ -64,43 +76,39 @@ def _emb_batch(t) -> tuple[np.ndarray, np.ndarray]:
     return ids, _emb_mat(t)
 
 
+# defaults shared between the query functions and the baked oracle SQL —
+# one constant each so neither side can silently diverge from the other
+# (same pattern as text_analysis.STOPWORD_TOPK / VIDEO_SCENE_CUT_MAX_HAMMING)
+ANN_TOPK_K = 10
+ANN_QUERY_VEC_ID = 0
+
+CAND_SINK_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                              ("cosine", pa.float64())])
+
+
 def _empty_cands() -> pd.DataFrame:
     return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                          "cosine": pd.Series([], dtype="float64")})
 
 
 def _reset_cand_sink(sink_dir: str) -> None:
-    """Leave ``sink_dir`` holding exactly one empty candidate file — the
-    no-candidates audit surface for the early-return paths (missing query
-    id / empty corpus), so the SQL oracle's read_parquet never sees a
-    missing directory or a stale previous run."""
-    import shutil
+    """No-candidates audit surface for the early-return paths (missing
+    query id / empty corpus) — the oracle must never see a missing
+    directory or a stale previous run."""
+    from ..functions.audit_sink import audit_sinks_disabled, write_empty_sink
 
-    import pyarrow.parquet as pq
-
-    schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
-    shutil.rmtree(sink_dir, ignore_errors=True)
-    _os.makedirs(sink_dir, exist_ok=True)
-    pq.write_table(schema.empty_table(), f"{sink_dir}/empty.parquet")
+    if not audit_sinks_disabled():
+        write_empty_sink(sink_dir, CAND_SINK_SCHEMA)
 
 
 def _topk_via_cand_sink(cand_ds, sink_dir: str, k: int) -> pd.DataFrame:
     """Write the candidate (vec_id, cosine) stream to ``sink_dir``, then
     compute the global top-k from the READ-BACK files (local top-k per
     block, tiny global merge) — the ranked rows the caller returns come
-    from the same bytes the oracle audits."""
-    import glob
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    schema = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
-    shutil.rmtree(sink_dir, ignore_errors=True)
-    cand_ds.write_parquet(sink_dir)
-    if not glob.glob(f"{sink_dir}/*.parquet"):
-        _os.makedirs(sink_dir, exist_ok=True)
-        pq.write_table(schema.empty_table(), f"{sink_dir}/empty.parquet")
+    from the same bytes the oracle audits. With
+    ``RAY_GRAFT_DISABLE_AUDIT_SINK=1`` (the production switch) the sink
+    is skipped entirely and the identical top-k computes streaming."""
+    from ..functions.audit_sink import audit_sinks_disabled, write_sink
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         # explicit (cosine desc, vec_id asc) so block-boundary ties break
@@ -108,6 +116,10 @@ def _topk_via_cand_sink(cand_ds, sink_dir: str, k: int) -> pd.DataFrame:
         return df.sort_values(["cosine", "vec_id"],
                               ascending=[False, True]).head(k)
 
+    if audit_sinks_disabled():
+        return (cand_ds.map_batches(local_topk, batch_format="pandas")
+                .to_pandas())
+    write_sink(cand_ds, sink_dir, CAND_SINK_SCHEMA)
     return (ray.data.read_parquet(sink_dir)
             .map_batches(local_topk, batch_format="pandas").to_pandas())
 
@@ -132,10 +144,14 @@ LIMIT {k}
 """
 
 
-ANN_LSH_TOPK_SQL = _ann_cand_rerank_sql(ANN_LSH_CAND_DIR, 10)
-ANN_PQ_TOPK_SQL = _ann_cand_rerank_sql(ANN_PQ_CAND_DIR, 10)
-ANN_IVF_TOPK_SQL = _ann_cand_rerank_sql(ANN_IVF_CAND_DIR, 10)
-ANN_IVFPQ_TOPK_SQL = _ann_cand_rerank_sql(ANN_IVFPQ_CAND_DIR, 10)
+ANN_LSH_TOPK_SQL = _ann_cand_rerank_sql(
+    ANN_LSH_CAND_DIR, ANN_TOPK_K, ANN_QUERY_VEC_ID)
+ANN_PQ_TOPK_SQL = _ann_cand_rerank_sql(
+    ANN_PQ_CAND_DIR, ANN_TOPK_K, ANN_QUERY_VEC_ID)
+ANN_IVF_TOPK_SQL = _ann_cand_rerank_sql(
+    ANN_IVF_CAND_DIR, ANN_TOPK_K, ANN_QUERY_VEC_ID)
+ANN_IVFPQ_TOPK_SQL = _ann_cand_rerank_sql(
+    ANN_IVFPQ_CAND_DIR, ANN_TOPK_K, ANN_QUERY_VEC_ID)
 
 
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
@@ -153,7 +169,8 @@ def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
     return qvec / max(np.linalg.norm(qvec), 1e-12)
 
 
-def ann_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
+def ann_cosine_topk(sf_dir: str, query_vec_id: int = ANN_QUERY_VEC_ID,
+                    k: int = ANN_TOPK_K) -> pd.DataFrame:
     """Brute-force cosine top-k against the embedding of ``query_vec_id``
     (excluded from results). Per-batch local top-k, tiny global merge."""
     from ..functions.frames import typed_out
@@ -169,6 +186,8 @@ def ann_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
     )
 
     def score_batch(t) -> pd.DataFrame:
+        if not t.num_rows:
+            return _empty_cands()
         qv = ray.get(q_ref)
         ids, mat = _emb_batch(t)
         cos = _l2norm(mat) @ qv
@@ -223,7 +242,8 @@ class IvfIndex:
 
 
 def ann_ivf_topk(
-    sf_dir: str, query_vec_id: int = 0, k: int = 10, n_lists: int = 16, n_probe: int = 8
+    sf_dir: str, query_vec_id: int = ANN_QUERY_VEC_ID, k: int = ANN_TOPK_K,
+    n_lists: int = 16, n_probe: int = 8
 ) -> pd.DataFrame:
     """IVF-bucketed ANN: assign vectors to coarse lists, probe the n_probe
     lists nearest the query. Approximate — returns (vec_id, cosine) like the
@@ -274,6 +294,8 @@ def ann_ivf_topk(
     )
 
     def probe_batch(t) -> pd.DataFrame:
+        if not t.num_rows:
+            return _empty_cands()
         ivf = ray.get(index_ref)
         qv = ray.get(q_ref)
         probes = ray.get(probe_ref)
@@ -350,7 +372,7 @@ class PqCodebook:
 
 
 def ann_pq_topk(
-    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    sf_dir: str, query_vec_id: int = ANN_QUERY_VEC_ID, k: int = ANN_TOPK_K,
     m_sub: int = 8, ks: int = 16, cand_per_batch: int = 80,
 ) -> pd.DataFrame:
     """Product-quantization ANN — the memory-bound scale path next to IVF
@@ -411,6 +433,8 @@ def ann_pq_topk(
     )
 
     def probe_batch(t) -> pd.DataFrame:
+        if not t.num_rows:
+            return _empty_cands()
         bk, ql, qv = ray.get(book_ref), ray.get(lut_ref), ray.get(q_ref)
         ids, mat = _emb_batch(t)
         codes = bk.encode(mat)
@@ -438,7 +462,7 @@ def ann_pq_topk(
 
 
 def ann_lsh_topk(
-    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    sf_dir: str, query_vec_id: int = ANN_QUERY_VEC_ID, k: int = ANN_TOPK_K,
     n_tables: int = 4, n_planes: int = 8, n_flip: int = 2,
 ) -> pd.DataFrame:
     """Multi-table sign-LSH ANN — the second scale path next to IVF.
@@ -457,7 +481,9 @@ def ann_lsh_topk(
     via ``ray.put``; each batch computes all signatures with one matmul +
     bit packing and scores only surviving rows. Nothing shuffles.
     Approximate by design -> recall + pruning pinned against the
-    brute-force baseline in tests (no SQL oracle)."""
+    brute-force baseline in tests; since round 5 the surviving
+    candidates also tee to ``ANN_LSH_CAND_DIR`` and ``ANN_LSH_TOPK_SQL``
+    re-ranks that set exactly (the driver-checkable oracle)."""
     from itertools import combinations
 
     from ..functions.frames import typed_out
@@ -499,6 +525,8 @@ def ann_lsh_topk(
     )
 
     def probe_batch(t) -> pd.DataFrame:
+        if not t.num_rows:
+            return _empty_cands()
         qv = ray.get(q_ref)
         probe_sigs = ray.get(probe_ref)
         ids, mat = _emb_batch(t)
@@ -543,6 +571,8 @@ def ann_range_search(
     )
 
     def score_batch(t) -> pd.DataFrame:
+        if not t.num_rows:
+            return _empty_cands()
         qv = ray.get(q_ref)
         ids, mat = _emb_batch(t)
         cos = _l2norm(mat) @ qv
@@ -641,6 +671,12 @@ def embedding_kmeans(
         c_ref = ray.put(centroids)
 
         def partial(t) -> pd.DataFrame:
+            if not t.num_rows:
+                return pd.DataFrame(
+                    {"cluster_id": pd.Series(dtype="int64"),
+                     "n_vecs": pd.Series(dtype="int64"),
+                     "sum_vec": pd.Series(dtype=object),
+                     "inertia": pd.Series(dtype="float64")})
             c = ray.get(c_ref)
             mat = _emb_mat(t)
             # squared-euclidean assignment via the expansion trick
@@ -840,7 +876,7 @@ def embedding_pca_project(sf_dir: str, k: int = 2) -> pd.DataFrame:
 
 
 def ann_ivfpq_topk(
-    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    sf_dir: str, query_vec_id: int = ANN_QUERY_VEC_ID, k: int = ANN_TOPK_K,
     n_lists: int = 16, n_probe: int = 8,
     m_sub: int = 8, ks: int = 16, cand_per_batch: int = 80,
 ) -> pd.DataFrame:
@@ -904,14 +940,15 @@ def ann_ivfpq_topk(
     )
 
     def probe_batch(t) -> pd.DataFrame:
+        if not t.num_rows:
+            return _empty_cands()
         ivf, bk, lut, probes, qv = ray.get(refs)
         ids, mat = _emb_batch(t)
         lists = ivf.assign(mat)
         mask = np.isin(lists, probes)
         mask &= ids != query_vec_id
         if not mask.any():
-            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
+            return _empty_cands()
         sub = mat[mask]
         codes = bk.encode(sub)  # the compressed scan representation
         approx = lut[np.arange(bk.m_sub)[None, :], codes].sum(axis=1)
