@@ -3018,8 +3018,14 @@ def part_type_supplier_hhi(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({
             "l_partkey": t.column("l_partkey").to_numpy(),
             "l_suppkey": t.column("l_suppkey").to_numpy(),
-            "rev": (t.column("l_extendedprice").to_numpy()
-                    * (1.0 - t.column("l_discount").to_numpy())),
+            # cents basis PER ROW (oracle: ROUND(..., 2) per line): both
+            # sides then sum the identical multiset of doubles, so the
+            # order-of-summation drift at the supplier level is ulps —
+            # far below the half-cent rounding boundary (summing the
+            # unrounded products drifted whole cents at sf0.1)
+            "rev": round_away(
+                t.column("l_extendedprice").to_numpy()
+                * (1.0 - t.column("l_discount").to_numpy()), 2),
         })
         return df.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
             rev=("rev", "sum"))
@@ -3075,8 +3081,11 @@ def part_type_supplier_hhi(sf_dir: str) -> pd.DataFrame:
 
 PART_TYPE_SUPPLIER_HHI_SQL = """
 WITH r AS (
+  -- per-LINE cent rounding (mirrors the engine's rev_partial): both
+  -- sides sum the identical multiset of cent values, keeping the
+  -- supplier-level share basis stable against summation order
   SELECT p_type, l_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+         ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 2)), 2) AS rev
   FROM lineitem JOIN part ON p_partkey = l_partkey
   GROUP BY p_type, l_suppkey
 )

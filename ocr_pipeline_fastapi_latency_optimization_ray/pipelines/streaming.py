@@ -89,9 +89,11 @@ def events_user_anomalies(sf_dir: str, n_sigma: float = 3.0) -> pd.DataFrame:
     (user, n, sum, sumsq) stats stream. STRICT ``>`` keeps single-event
     users (std = 0) non-anomalous on both sides. ``value`` is a dense
     (non-NULL) column in this schema — the moments do not NaN-guard.
-    Determinism: the flag compares |v - mean| > n_sigma * std where both
-    sides' mean/std agree to ~1e-12 relative (stable accumulation vs
-    two-pass formula); a flip needs a true z within ulps of n_sigma."""
+    Determinism: the moments accumulate in EXACT INTEGER CENTS (value is
+    cent-precision by schema; sums and sums-of-squares stay < 2^53), so
+    mean and std are bit-identical to the oracle's regardless of
+    summation order — float sums drifted onto round-half-at-6dp ties at
+    sf0.1 (means like 49.5071875 with n = 64)."""
     from ..functions.shuffle import bucketed_combine, bucketed_join
 
     ds = ray.data.read_parquet(
@@ -102,9 +104,9 @@ def events_user_anomalies(sf_dir: str, n_sigma: float = 3.0) -> pd.DataFrame:
                   "n_anomalies": "int64"}
 
     def mom_partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(np.float64)
-        g = df.assign(v=v, v2=v * v).groupby("user_id", as_index=False).agg(
-            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum"))
+        c = np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = df.assign(c=c, c2=c * c).groupby("user_id", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), s2=("c2", "sum"))
         g["n"] = g.n.astype("int64")
         return g
 
@@ -121,8 +123,10 @@ def events_user_anomalies(sf_dir: str, n_sigma: float = 3.0) -> pd.DataFrame:
             return pd.DataFrame({c: pd.Series([], dtype=t)
                                  for c, t in out_schema.items()})
         n = m.n.to_numpy(np.float64)
-        mean = m.s.to_numpy(np.float64) / n
-        var = np.maximum(m.s2.to_numpy(np.float64) / n - mean * mean, 0.0)
+        sc = m.s.to_numpy(np.float64)    # exact integer cents
+        sc2 = m.s2.to_numpy(np.float64)  # exact integer cents^2
+        mean = (sc / n) / 100.0
+        var = np.maximum(sc2 / n - (sc / n) * (sc / n), 0.0) / 10000.0
         std = np.sqrt(var)
         anom = (np.abs(m["value"].to_numpy(np.float64) - mean)
                 > n_sigma * std)
@@ -140,7 +144,7 @@ def events_user_anomalies(sf_dir: str, n_sigma: float = 3.0) -> pd.DataFrame:
         num_buckets=16,
         left_dtypes={"user_id": "int64", "value": "float64"},
         right_dtypes={"user_id": "int64", "n": "int64",
-                      "s": "float64", "s2": "float64"},
+                      "s": "int64", "s2": "int64"},
         coalesce_blocks=8,
     ).to_pandas()
     if out.empty:
@@ -151,11 +155,20 @@ def events_user_anomalies(sf_dir: str, n_sigma: float = 3.0) -> pd.DataFrame:
 
 
 EVENTS_USER_ANOMALIES_SQL = """
-WITH s AS (
+WITH cts AS (
+  -- exact integer cents (value is cent-precision by schema): mean/std
+  -- derive from order-independent integer sums, bit-identical to the
+  -- engine's fold
+  SELECT user_id, value, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+), s AS (
   SELECT user_id, COUNT(*) AS n_events,
-         AVG(value) AS mean_value,
-         STDDEV_POP(value) AS std_value
-  FROM events GROUP BY user_id
+         (CAST(SUM(c) AS DOUBLE) / COUNT(*)) / 100.0 AS mean_value,
+         SQRT(GREATEST(CAST(SUM(c * c) AS DOUBLE) / COUNT(*)
+                       - (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                         * (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 0)
+              / 10000.0) AS std_value
+  FROM cts GROUP BY user_id
 )
 SELECT e.user_id,
        CAST(MAX(s.n_events) AS BIGINT) AS n_events,
