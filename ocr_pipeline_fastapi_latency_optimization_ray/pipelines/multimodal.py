@@ -506,7 +506,10 @@ class _VadSegmenter:
         from ..sources.media import decode_audio
 
         ids = batch["media_id"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        # payloads stay in the shared Arrow buffers; one row materializes
+        # transiently per iteration (same pattern as stages/extract.py)
+        payloads = (batch["payload"][i].as_py()
+                    for i in range(batch.num_rows))
         rows = {k: [] for k in
                 ("media_id", "n_frames", "n_active", "n_segments",
                  "longest_segment", "active_ratio", "error")}

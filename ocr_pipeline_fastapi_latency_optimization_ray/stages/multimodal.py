@@ -81,7 +81,10 @@ class ImageFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        # payloads stay in the shared Arrow buffers; one row materializes
+        # transiently per iteration (same pattern as stages/extract.py)
+        payloads = (batch["payload"][i].as_py()
+                    for i in range(batch.num_rows))
         out = {k: [] for k in
                ("media_id", "width", "height", "mean_r", "mean_g", "mean_b",
                 "std_gray", "ahash", "error")}
@@ -123,7 +126,10 @@ class ImagePhasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        # payloads stay in the shared Arrow buffers; one row materializes
+        # transiently per iteration (same pattern as stages/extract.py)
+        payloads = (batch["payload"][i].as_py()
+                    for i in range(batch.num_rows))
         out = {"media_id": [], "phash": [], "error": []}
         for mid, p in zip(ids, payloads):
             out["media_id"].append(mid)
@@ -153,7 +159,10 @@ class AudioFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        # payloads stay in the shared Arrow buffers; one row materializes
+        # transiently per iteration (same pattern as stages/extract.py)
+        payloads = (batch["payload"][i].as_py()
+                    for i in range(batch.num_rows))
         out = {k: [] for k in
                ("media_id", "sample_rate", "n_samples", "duration_s",
                 "n_frames", "rms_mean", "rms_max", "error")}
@@ -199,7 +208,10 @@ class VideoFrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        # payloads stay in the shared Arrow buffers; one row materializes
+        # transiently per iteration (same pattern as stages/extract.py)
+        payloads = (batch["payload"][i].as_py()
+                    for i in range(batch.num_rows))
         o_id, o_frame, o_hash, o_err = [], [], [], []
         for mid, p in zip(ids, payloads):
             try:
