@@ -142,6 +142,10 @@ DETERMINISM_QUERIES = [
     "ann_ivfpq_topk",
     "video_scene_cuts",
     "bpe_word_counts",
+    # integer-cent accumulation rebuild (round-5 sf0.1 sweep finding;
+    # events_user_anomalies, the other rebuild, is already listed above):
+    # order-stability is the very property these were fixed for
+    "part_type_supplier_hhi",
 ]
 
 
